@@ -1,0 +1,91 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query executes end-to-end into a noop sink (computes everything,
+writes nothing) so the measured time is real plan execution, not count()
+shortcuts. The query set covers every operator family: scan/cast, string
+pipeline, word-count/top-k, joins (broadcast + shuffle), grouped agg,
+windows, set ops, hash split, count-window mean, DDM, NB fit/predict,
+MinHash/SimHash dedup, cosine top-k.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+
+BENCH_QUERIES = [
+    "q01_scan_project_cast",
+    "q03_clean_text",
+    "q04_word_count_topk",
+    "q06_inner_join",
+    "q08_left_outer_join",
+    "q11_broadcast_dim_join",
+    "q12_grouped_agg",
+    "q14_rollup",
+    "q16_window_rank",
+    "q17_window_running_avg",
+    "q22_hash_split",
+    "q24_count_window_mean",
+    "q25_ddm_drift_flags",
+    "q27_sessionize",
+    "q28_nb_fit_predict",
+    "x01_dedup_exact",
+    "x03_minhash_bands",
+    "x04_minhash_pairs",
+    "x05_simhash",
+    "x07_similarity_topk",
+    "x10_text_stats",
+    "x11_text_quality",
+    "x13_rolling_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from detecting_and_addressing_change_spark.session import get_spark
+    from detecting_and_addressing_change_spark.queries import QUERIES
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/session on the smallest sf so first-query JIT noise
+    # doesn't land on a measured query
+    QUERIES["q12_grouped_agg"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

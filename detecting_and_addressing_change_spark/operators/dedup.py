@@ -1,0 +1,227 @@
+"""Deduplication operators — the LLM-data-pipeline extension family
+(driver north star; no counterpart in the reference, which never dedups its
+corpus).
+
+Five strategies, all engine-portable (md5/integer hashing only, see
+functions.hashing) and all shaped for 100 TB:
+
+- exact:        hash-groupBy on the raw text digest. One shuffle on a
+                16-byte key; keep-first by min(doc_id).
+- fingerprint:  same, on the case/word-order-insensitive fingerprint.
+- MinHash+LSH:  shingle -> k min-hashes -> band buckets -> join within
+                buckets. Candidate generation never compares all pairs; the
+                band join's shuffle key is the band hash, so skew = identical
+                docs only.
+- SimHash:      64-bit (test: 16-bit) signed-sum fingerprint; near-dups have
+                small Hamming distance; blocking on bit-prefix.
+- embedding:    cosine near-dup over embedding vectors (see similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_minhash_col
+from ..functions.rounding import portable_round
+from ..functions.text import sorted_word_fingerprint_col, word_ngrams_col
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """DataFrame[digest, keeper, dups]: groups of byte-identical texts.
+    keeper = min(id) (deterministic); dups = group size."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("dups"))
+    )
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-exact dedup on the sorted-distinct-word fingerprint."""
+    return (
+        df.select(
+            sorted_word_fingerprint_col(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col),
+        )
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("dups"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: DataFrame[id, h0..h{k-1}].
+
+    Shingles are word n-grams built with a higher-order function (no
+    explode); each permutation's min-hash is the lexicographic MIN of the
+    md5-hex of '<perm>:<shingle>' — engine-portable and exact. The explode
+    is shingles-per-doc (linear in corpus size); the groupBy(id) agg is
+    map-side combinable so the shuffle carries k hex strings per doc."""
+    shingles = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams_col(F.col(text_col), shingle_size)).alias("sh"),
+    )
+    aggs = [
+        F.min(md5_minhash_col(F.col("sh"), j)).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def minhash_bands(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH banding: DataFrame[id, band, bucket]. bucket = md5 of the
+    concatenated in-band min-hashes; docs sharing any (band, bucket) are
+    candidate pairs."""
+    assert num_hashes % rows_per_band == 0
+    n_bands = num_hashes // rows_per_band
+    bands = []
+    for b in range(n_bands):
+        cols = [
+            F.col(f"h{j}")
+            for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Self-join within (band, bucket); distinct (a < b) pairs. The join key
+    is the bucket hash, so only genuinely colliding docs meet."""
+    a = bands.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("a_id")
+    )
+    b = bands.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("b_id")
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def simhash_col(text: Column, n_bits: int = 16) -> Column:
+    """SimHash over word features: bit b of the fingerprint is the sign of
+    sum over words of (+1 if bit b of md5_u16(word) else -1).
+
+    Implemented as pure higher-order functions: hash every word ONCE into a
+    16-bit int array, then fold that array per bit; 16 bits keeps the
+    expression tree small for the oracle-checked variant (the operator is
+    bit-width-parametric)."""
+    ws = F.split(text, " ")
+    hashed = F.transform(
+        ws,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("int"),
+    )
+
+    # NB: pyspark passes a Column for EVERY named lambda parameter
+    # (including defaults), so the bit index must be closed over via a
+    # factory, never a default argument.
+    def bit_folder(bit: int):
+        mask = F.lit(1 << bit)
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(mask) > 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    out = F.lit(0)
+    for b in range(n_bits):
+        contrib = F.aggregate(hashed, F.lit(0), bit_folder(b))
+        out = out + F.when(contrib > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return out.cast("int")
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 16,
+    max_hamming: int = 3,
+    block_bits: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the top `block_bits` bits (at
+    scale: multiple rotated blockings to bound recall), then exact Hamming
+    filter inside blocks via bit_count(xor)."""
+    sh = df.select(
+        F.col(id_col), simhash_col(F.col(text_col), n_bits).alias("sh")
+    )
+    block = (F.col("sh") / (1 << (n_bits - block_bits))).cast("int")
+    a = sh.select(
+        block.alias("blk"), F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh")
+    )
+    b = sh.select(
+        block.alias("blk"), F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh")
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 20,
+) -> DataFrame:
+    """Exact word-set Jaccard for candidate pairs that share >= 1 word,
+    returning the top_n most similar pairs (deterministic tie-break).
+
+    jaccard = |A & B| / (|A| + |B| - |A & B|) with distinct words; the
+    intersection count comes from a distinct-word self-join — at 100 TB this
+    is the verification stage AFTER MinHash candidate generation, never a
+    full-corpus self-join on its own."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.col(text_col), " "))
+        ).alias("w"),
+    )
+    sizes = words.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = words.select(F.col(id_col).alias("a_id"), "w")
+    b = words.select(F.col(id_col).alias("b_id"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("a_id"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("b_id"), F.col("n").alias("nb"))
+    scored = (
+        inter.join(F.broadcast(na), "a_id")
+        .join(F.broadcast(nb), "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+    )
+    return (
+        scored.select("a_id", "b_id", portable_round(F.col("jaccard"), 6).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "a_id", "b_id")
+        .limit(top_n)
+    )

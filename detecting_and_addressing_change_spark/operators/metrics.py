@@ -1,0 +1,79 @@
+"""Classification metrics computed relationally (SURVEY §2.3 A4).
+
+Reference: ``utils/metrics.py:6-32`` calls sklearn's accuracy / macro
+precision / recall / F1 with ``zero_division=0`` over a fixed label universe
+``np.arange(no_labels)``. Here the whole computation is a confusion matrix
+``groupBy(label, pred).count()`` plus per-class arithmetic — one shuffle on
+(label, pred), everything else map-side. Classes absent from the data
+contribute 0 to the macro averages (exact sklearn ``zero_division=0``
+semantics, pinned by tests against sklearn).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def confusion_matrix(
+    scored: DataFrame, label_col: str = "label", pred_col: str = "pred"
+) -> DataFrame:
+    """DataFrame[label, pred, cnt] — the sufficient statistic for every
+    threshold-free classification metric."""
+    return scored.groupBy(
+        F.col(label_col).alias("label"), F.col(pred_col).alias("pred")
+    ).agg(F.count("*").alias("cnt"))
+
+
+def classification_metrics(
+    scored: DataFrame,
+    n_classes: int,
+    label_col: str = "label",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """One row: accuracy, macro precision/recall/F1 over all n_classes
+    (A8: the fixed label universe is a generated dim table, so absent
+    classes still divide the macro average — sklearn zero_division=0)."""
+    spark: SparkSession = scored.sparkSession
+    cm = confusion_matrix(scored, label_col, pred_col).cache()
+
+    per_true = cm.groupBy("label").agg(F.sum("cnt").alias("support"))
+    per_pred = cm.groupBy("pred").agg(F.sum("cnt").alias("predicted"))
+    tp = cm.filter(F.col("label") == F.col("pred")).select(
+        F.col("label").alias("cls"), F.col("cnt").alias("tp")
+    )
+
+    classes = spark.range(n_classes).select(F.col("id").cast("int").alias("cls"))
+    per_class = (
+        classes.join(tp, "cls", "left")
+        .join(per_true.withColumnRenamed("label", "cls"), "cls", "left")
+        .join(per_pred.withColumnRenamed("pred", "cls"), "cls", "left")
+        .fillna(0, subset=["tp", "support", "predicted"])
+        .withColumn(
+            "precision",
+            F.when(F.col("predicted") > 0, F.col("tp") / F.col("predicted")).otherwise(0.0),
+        )
+        .withColumn(
+            "recall",
+            F.when(F.col("support") > 0, F.col("tp") / F.col("support")).otherwise(0.0),
+        )
+        .withColumn(
+            "f1",
+            F.when(
+                F.col("precision") + F.col("recall") > 0,
+                2 * F.col("precision") * F.col("recall")
+                / (F.col("precision") + F.col("recall")),
+            ).otherwise(0.0),
+        )
+    )
+
+    total = scored.count()
+    correct_df = scored.filter(F.col(label_col) == F.col(pred_col))
+    accuracy = (correct_df.count() / total) if total else 0.0
+
+    return per_class.agg(
+        F.lit(accuracy).alias("accuracy"),
+        F.avg("precision").alias("precision"),
+        F.avg("recall").alias("recall"),
+        F.avg("f1").alias("macro_f1"),
+    )

@@ -1,0 +1,160 @@
+"""Incremental Gaussian Naive Bayes as relational sufficient statistics
+(SURVEY §2.3 A7).
+
+Reference: sklearn ``GaussianNB.partial_fit`` called per micro-batch
+(``models/wos_train_nb.py:49,55,78``). GaussianNB's per-class, per-dimension
+state is (count, mean, variance) — exactly a distributed aggregation:
+
+    groupBy(label) -> count, mean(x_d), var_pop(x_d)  per dimension d
+
+The count/mean/M2 merge is associative and order-independent, so the result
+is EXACT regardless of partitioning — a textbook map-side-combinable agg
+(SURVEY §4.3). Fit state lives in a small DataFrame (n_classes x dim);
+predict broadcast-joins it and computes the Gaussian log-likelihood with
+higher-order array functions, JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def nb_fit(
+    df: DataFrame, features_col: str = "features", label_col: str = "label"
+) -> DataFrame:
+    """Fit: DataFrame[label, cnt, means: array<double>, vars: array<double>].
+
+    features is array<numeric>. posexplode to (label, dim, value), then
+    groupBy(label, dim) computes count/sum/sum-of-squares — map-side
+    partial aggregation collapses each partition to n_classes x dim rows
+    before the shuffle, so this scales to arbitrary row counts. Finally the
+    per-dim stats are re-assembled into arrays ordered by dim:
+    mean = s1/n, var = s2/n - mean^2 (population variance, matching
+    sklearn's internal update)."""
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(features_col)).alias("d", "v"),
+    ).select("label", "d", F.col("v").cast("double").alias("v"))
+
+    per_dim = exploded.groupBy("label", "d").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    per_dim = per_dim.select(
+        "label",
+        "n",
+        F.struct(
+            "d",
+            (F.col("s1") / F.col("n")).alias("mean"),
+            (
+                F.col("s2") / F.col("n")
+                - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
+            ).alias("var"),
+        ).alias("stat"),
+    )
+    assembled = per_dim.groupBy("label").agg(
+        F.max("n").alias("cnt"),
+        F.array_sort(F.collect_list("stat")).alias("stats"),
+    )
+    return assembled.select(
+        "label",
+        "cnt",
+        F.transform("stats", lambda s: s["mean"]).alias("means"),
+        F.transform("stats", lambda s: s["var"]).alias("vars"),
+    )
+
+
+def nb_merge(stats_a: DataFrame, stats_b: DataFrame) -> DataFrame:
+    """Merge two fitted stats tables (the partial_fit across micro-batches):
+    exact count/mean/M2 combine, order-independent."""
+    a = stats_a.select(
+        "label",
+        F.col("cnt").alias("cnt_a"),
+        F.col("means").alias("m_a"),
+        F.col("vars").alias("v_a"),
+    )
+    b = stats_b.select(
+        "label",
+        F.col("cnt").alias("cnt_b"),
+        F.col("means").alias("m_b"),
+        F.col("vars").alias("v_b"),
+    )
+    joined = a.join(b, "label", "full")
+    # null-safe: a side may be missing a class
+    cnt_a = F.coalesce(F.col("cnt_a"), F.lit(0))
+    cnt_b = F.coalesce(F.col("cnt_b"), F.lit(0))
+    n = cnt_a + cnt_b
+    m_a = F.coalesce(F.col("m_a"), F.col("m_b"))
+    m_b2 = F.coalesce(F.col("m_b"), F.col("m_a"))
+    v_a = F.coalesce(F.col("v_a"), F.col("v_b"))
+    v_b2 = F.coalesce(F.col("v_b"), F.col("v_a"))
+    mean = F.zip_with(m_a, m_b2, lambda x, y: (cnt_a * x + cnt_b * y) / n)
+    # combined M2: M2 = M2a + M2b + delta^2 * na*nb/n  (per dimension)
+    var = F.zip_with(
+        F.zip_with(v_a, v_b2, lambda va, vb: cnt_a * va + cnt_b * vb),
+        F.zip_with(m_a, m_b2, lambda x, y: (x - y) * (x - y)),
+        lambda m2s, d2: (m2s + d2 * cnt_a * cnt_b / n) / n,
+    )
+    return joined.select(
+        "label", n.alias("cnt"), mean.alias("means"), var.alias("vars")
+    )
+
+
+def nb_predict(
+    df: DataFrame,
+    stats: DataFrame,
+    features_col: str = "features",
+    var_smoothing: float = 1e-9,
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Predict: broadcast-join the (tiny) stats table against every row and
+    take argmax over class log-posteriors:
+
+        log P(y) + sum_d [ -0.5 log(2 pi var_yd) - (x_d - mu_yd)^2 / (2 var_yd) ]
+
+    sklearn adds var_smoothing = eps * max(var) to every variance; replicated
+    here (computed from the stats table) so fit/predict matches sklearn
+    exactly on the same data."""
+    import math
+
+    total = stats.agg(F.sum("cnt")).collect()[0][0]
+    max_var = (
+        stats.select(F.max(F.array_max("vars")).alias("mv")).collect()[0]["mv"]
+    )
+    eps = var_smoothing * float(max_var if max_var is not None else 1.0)
+
+    st = F.broadcast(
+        stats.select(
+            F.col("label").alias("nb_label"),
+            (F.log(F.col("cnt") / F.lit(float(total)))).alias("log_prior"),
+            "means",
+            F.transform("vars", lambda v: v + F.lit(eps)).alias("vars_s"),
+        )
+    )
+    feats = F.transform(F.col(features_col), lambda x: x.cast("double"))
+    ll_terms = F.zip_with(
+        F.zip_with(feats, F.col("means"), lambda x, m: (x - m) * (x - m)),
+        F.col("vars_s"),
+        lambda d2, v: -0.5 * F.log(2.0 * math.pi * v) - d2 / (2.0 * v),
+    )
+    log_lik = F.aggregate(ll_terms, F.lit(0.0), lambda acc, t: acc + t)
+
+    scored = df.crossJoin(st).withColumn(
+        "log_post", F.col("log_prior") + log_lik
+    )
+    # argmax over classes per row, window-free: max of a (log_post, -label)
+    # struct is lexicographic, so ties pick the LOWEST label — sklearn's
+    # argmax-first semantics.
+    keys = [F.col(c) for c in id_cols]
+    best = F.max(
+        F.struct(
+            F.col("log_post").alias("lp"), (-F.col("nb_label")).alias("neg")
+        )
+    ).alias("best")
+    return scored.groupBy(*keys).agg(best).select(
+        *id_cols,
+        (-F.col("best.neg")).cast("int").alias("pred"),
+        F.col("best.lp").alias("max_log_post"),
+    )

@@ -1,0 +1,12 @@
+"""Declared query surface (SURVEY §2.8) + LLM-pipeline extensions.
+
+Importing this package populates the registry; ``__spark_entry__.py`` exposes
+it to the driver.
+"""
+
+from .registry import QUERIES, ORACLE_SQL, query  # noqa: F401
+from . import relational  # noqa: F401,E402
+from . import extensions  # noqa: F401,E402
+from . import drift  # noqa: F401,E402
+
+__all__ = ["QUERIES", "ORACLE_SQL", "query"]

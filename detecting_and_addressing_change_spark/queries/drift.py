@@ -1,0 +1,222 @@
+"""Drift-pipeline queries: the reference's ML surface re-expressed
+relationally (NB fit/predict A7, classification metrics A4, DDM T1, noise
+gate T4 / σ-schedule J5).
+
+The NB and metrics queries have FULL duckdb oracles — the entire Gaussian
+Naive Bayes fit+predict and the sklearn-style macro metrics are expressible
+in portable SQL, which is exactly the point of the sufficient-statistics
+formulation (SURVEY §2.3 A7: exact, order-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import portable_round
+from ..sources.tables import load_table
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# Q25 — DDM drift detection over the events error stream (T1).
+# Non-SQL-expressible (sequential recurrence with resets) -> rows-only check;
+# exactness is pinned by golden tests against the pure-Python kernel
+# (tests/test_ddm.py).
+# --------------------------------------------------------------------------
+@query("q25_ddm_drift_flags", oracle=None)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ddm import detect_drift
+    from ..operators.windows import count_window_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    per_batch = count_window_agg(
+        ev,
+        seq_col="event_id",
+        batch_size=32,
+        aggs=[
+            F.avg((F.col("event_type") == "error").cast("int")).alias("error")
+        ],
+    ).select(
+        F.lit("events").alias("detector_id"),
+        F.col("bucket").cast("long").alias("seq_id"),
+        "error",
+    )
+    return detect_drift(per_batch).select(
+        "seq_id", F.round("error", 6).alias("error"), "flag"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q28 — Gaussian NB fit + predict on the embeddings table (A7), with a full
+# SQL oracle: per-class/per-dim count-mean-var sufficient statistics, then
+# argmax of Gaussian log-likelihood + log prior.
+# --------------------------------------------------------------------------
+@query(
+    "q28_nb_fit_predict",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, label, UNNEST(emb) AS v,
+             GENERATE_SUBSCRIPTS(emb, 1) AS d
+      FROM e
+    ),
+    stats AS (
+      SELECT label, d, COUNT(*) AS n, SUM(v)/COUNT(*) AS mean,
+             SUM(v*v)/COUNT(*) - (SUM(v)/COUNT(*))*(SUM(v)/COUNT(*)) AS var
+      FROM ex GROUP BY label, d
+    ),
+    mv AS (SELECT MAX(var) AS maxvar FROM stats),
+    priors AS (SELECT label, COUNT(*) AS cnt FROM e GROUP BY label),
+    total AS (SELECT COUNT(*) AS n_total FROM e),
+    scored AS (
+      SELECT ex.vec_id, s.label AS cls,
+             SUM(-0.5*LN(2*PI()*(s.var + 1e-9*mv.maxvar))
+                 - (ex.v - s.mean)*(ex.v - s.mean)
+                   / (2*(s.var + 1e-9*mv.maxvar))) AS ll
+      FROM ex JOIN stats s ON ex.d = s.d
+      CROSS JOIN mv
+      GROUP BY ex.vec_id, s.label
+    ),
+    post AS (
+      SELECT scored.vec_id, cls,
+             ll + LN(p.cnt::DOUBLE / t.n_total) AS lp
+      FROM scored JOIN priors p ON scored.cls = p.label CROSS JOIN total t
+    ),
+    best AS (
+      SELECT vec_id, cls,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY lp DESC, cls) AS r
+      FROM post
+    )
+    SELECT vec_id, CAST(cls AS INT) AS pred FROM best WHERE r = 1
+    """,
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.nb import nb_fit, nb_predict
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = nb_fit(emb, features_col="embedding", label_col="label")
+    preds = nb_predict(
+        emb, stats, features_col="embedding", id_cols=("vec_id",)
+    )
+    return preds.select("vec_id", "pred")
+
+
+# --------------------------------------------------------------------------
+# Q29 — classification metrics (A4): accuracy + macro precision/recall/F1
+# with sklearn zero_division=0 semantics over the fixed class universe.
+# Predictions are a deterministic corruption of the labels so the metric
+# math (not a model) is what's exercised.
+# --------------------------------------------------------------------------
+@query(
+    "q29_classification_metrics",
+    oracle="""
+    WITH ncls AS (SELECT MAX(label) + 1 AS n FROM embeddings),
+    e AS (
+      SELECT label,
+             CASE WHEN vec_id % 5 = 0
+                  THEN (label + 1) % (SELECT n FROM ncls)
+                  ELSE label END AS pred
+      FROM embeddings
+    ),
+    classes AS (
+      SELECT UNNEST(GENERATE_SERIES(0, (SELECT n - 1 FROM ncls))) AS cls
+    ),
+    cm AS (SELECT label, pred, COUNT(*) AS cnt FROM e GROUP BY label, pred),
+    sup AS (SELECT label AS cls, SUM(cnt) AS s FROM cm GROUP BY label),
+    prd AS (SELECT pred AS cls, SUM(cnt) AS p FROM cm GROUP BY pred),
+    tp AS (SELECT label AS cls, cnt AS tp FROM cm WHERE label = pred),
+    pc AS (
+      SELECT c.cls,
+             CASE WHEN COALESCE(p.p, 0) > 0
+                  THEN COALESCE(t.tp, 0) / p.p ELSE 0 END AS prec,
+             CASE WHEN COALESCE(s.s, 0) > 0
+                  THEN COALESCE(t.tp, 0) / s.s ELSE 0 END AS rec
+      FROM classes c
+      LEFT JOIN tp t ON c.cls = t.cls
+      LEFT JOIN sup s ON c.cls = s.cls
+      LEFT JOIN prd p ON c.cls = p.cls
+    ),
+    pc2 AS (
+      SELECT prec, rec,
+             CASE WHEN prec + rec > 0
+                  THEN 2 * prec * rec / (prec + rec) ELSE 0 END AS f1
+      FROM pc
+    )
+    SELECT
+      FLOOR(((SELECT SUM(CASE WHEN label = pred THEN 1 ELSE 0 END)::DOUBLE
+                    / COUNT(*) FROM e)) * 1000000.0 + 0.5) / 1000000.0 AS accuracy,
+      FLOOR((AVG(prec)) * 1000000.0 + 0.5) / 1000000.0 AS precision,
+      FLOOR((AVG(rec)) * 1000000.0 + 0.5) / 1000000.0 AS recall,
+      FLOOR((AVG(f1)) * 1000000.0 + 0.5) / 1000000.0 AS macro_f1
+    FROM pc2
+    """,
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.metrics import classification_metrics
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_classes = emb.agg(F.max("label")).collect()[0][0] + 1
+    scored = emb.select(
+        "label",
+        F.when(
+            F.col("vec_id") % 5 == 0,
+            (F.col("label") + 1) % F.lit(n_classes),
+        )
+        .otherwise(F.col("label"))
+        .alias("pred"),
+    )
+    m = classification_metrics(scored, n_classes)
+    return m.select(
+        portable_round(F.col("accuracy"), 6).alias("accuracy"),
+        portable_round(F.col("precision"), 6).alias("precision"),
+        portable_round(F.col("recall"), 6).alias("recall"),
+        portable_round(F.col("macro_f1"), 6).alias("macro_f1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q30 — σ-schedule generation + warm-start gate (J5 + T4): the gradual-drift
+# noise schedule (drift_experiments_supervised.py:200-204 in reference) as a
+# generated dim table joined to count-window buckets.
+# --------------------------------------------------------------------------
+@query(
+    "q30_sigma_schedule_gate",
+    oracle="""
+    WITH buckets AS (
+      SELECT CAST(FLOOR(event_id / 32) AS INT) AS bucket, COUNT(*) AS cnt
+      FROM events GROUP BY bucket
+    ),
+    sched AS (
+      SELECT UNNEST(GENERATE_SERIES(0,
+               (SELECT MAX(bucket) FROM buckets))) AS bucket
+    ),
+    sigma AS (
+      SELECT bucket,
+             CASE WHEN bucket < 30 THEN 0.0
+                  ELSE (bucket - 30) * (2.0 / 150) END AS sigma
+      FROM sched
+    )
+    SELECT b.bucket, FLOOR((s.sigma) * 1000000.0 + 0.5) / 1000000.0 AS sigma, b.cnt
+    FROM buckets b JOIN sigma s ON b.bucket = s.bucket
+    """,
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import count_window_agg
+    from ..streaming.schedule import sigma_schedule
+
+    ev = load_table(spark, sf_dir, "events")
+    buckets = count_window_agg(
+        ev, seq_col="event_id", batch_size=32,
+        aggs=[F.count("*").alias("cnt")],
+    )
+    max_bucket = buckets.agg(F.max("bucket")).collect()[0][0]
+    sched = sigma_schedule(
+        spark, n_batches=max_bucket + 1, warm_start=30, max_std=2.0, steps=150
+    )
+    return (
+        buckets.join(F.broadcast(sched), "bucket")
+        .select("bucket", portable_round(F.col("sigma"), 6).alias("sigma"), "cnt")
+    )

@@ -1,0 +1,392 @@
+"""LLM-data-pipeline extension queries (driver north star): dedup,
+similarity search, text analysis — each implemented with the package's
+operators and, wherever the computation is portable, oracle-checked against
+DuckDB. Hashing is md5/integer-arithmetic only (functions.hashing), so the
+oracle replicates the EXACT computation, not an approximation of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# X1 — exact dedup: hash-groupBy on the text digest
+# --------------------------------------------------------------------------
+@query(
+    "x01_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS digest, MIN(doc_id) AS keeper, COUNT(*) AS dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def x01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# X2 — fingerprint dedup: case/word-order-insensitive key
+# --------------------------------------------------------------------------
+@query(
+    "x02_dedup_fingerprint",
+    oracle="""
+    SELECT md5(array_to_string(
+             list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+           AS fingerprint,
+           MIN(doc_id) AS keeper, COUNT(*) AS dups
+    FROM documents GROUP BY fingerprint
+    """,
+)
+def x02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import fingerprint_dedup
+
+    return fingerprint_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle(num_hashes: int = 8, rows_per_band: int = 2) -> str:
+    """Shared oracle CTE text: word-3-gram shingles -> md5 min-hashes ->
+    band buckets. Mirrors operators.dedup.minhash_signatures/minhash_bands
+    computation exactly (md5 hex MIN is engine-portable)."""
+    hash_cols = ",\n             ".join(
+        f"MIN(substr(md5('{j}:' || sh), 1, 8)) AS h{j}"
+        for j in range(num_hashes)
+    )
+    n_bands = num_hashes // rows_per_band
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig".format(
+            b=b,
+            cols=" || '|' || ".join(
+                f"h{j}"
+                for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      FROM ws
+    ),
+    sig AS (
+      SELECT doc_id,
+             {hash_cols}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS ({band_selects})
+    """
+
+
+# --------------------------------------------------------------------------
+# X3 — MinHash LSH band buckets (signature computation, per doc x band)
+# --------------------------------------------------------------------------
+@query(
+    "x03_minhash_bands",
+    oracle=_minhash_oracle() + "SELECT doc_id, band, bucket FROM bands",
+)
+def x03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_bands, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_bands(minhash_signatures(docs)).select(
+        "doc_id", "band", "bucket"
+    )
+
+
+# --------------------------------------------------------------------------
+# X4 — MinHash LSH candidate pairs (bucket self-join)
+# --------------------------------------------------------------------------
+@query(
+    "x04_minhash_pairs",
+    oracle=_minhash_oracle()
+    + """
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+def x04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        minhash_bands,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(minhash_bands(minhash_signatures(docs)))
+
+
+# --------------------------------------------------------------------------
+# X5 — SimHash fingerprints (16-bit oracle variant)
+# --------------------------------------------------------------------------
+@query(
+    "x05_simhash",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    hv AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1) AS v
+      FROM ws
+    ),
+    bits AS (
+      SELECT doc_id,
+             {sums}
+      FROM hv GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({assemble} AS INT) AS sh FROM bits
+    """.format(
+        sums=",\n             ".join(
+            f"SUM(CASE WHEN (v >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+            for b in range(16)
+        ),
+        assemble=" + ".join(
+            f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(16)
+        ),
+    ),
+)
+def x05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", simhash_col(F.col("text"), n_bits=16).alias("sh")
+    )
+
+
+# --------------------------------------------------------------------------
+# X6 — n-gram (word-set) Jaccard: top-20 most similar pairs
+# --------------------------------------------------------------------------
+@query(
+    "x06_ngram_jaccard",
+    oracle="""
+    WITH w AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id,
+           FLOOR((inter / (sa.n + sb.n - inter)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+    FROM inter
+    JOIN sizes sa ON a_id = sa.doc_id
+    JOIN sizes sb ON b_id = sb.doc_id
+    ORDER BY jaccard DESC, a_id, b_id
+    LIMIT 20
+    """,
+)
+def x06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, top_n=20)
+
+
+# --------------------------------------------------------------------------
+# X7 — brute-force cosine top-k similarity search (exact baseline)
+# --------------------------------------------------------------------------
+@query(
+    "x07_similarity_topk",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, UNNEST(emb) AS v, GENERATE_SUBSCRIPTS(emb, 1) AS d
+      FROM e
+    ),
+    norms AS (SELECT vec_id, SQRT(SUM(v*v)) AS nrm FROM ex GROUP BY vec_id),
+    q AS (SELECT * FROM ex WHERE vec_id < 10),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, SUM(q.v * c.v) AS dot
+      FROM q JOIN ex c ON q.d = c.d AND q.vec_id <> c.vec_id
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    scored AS (
+      SELECT query_id, cand_id, dot / (nq.nrm * nc.nrm) AS cos_raw
+      FROM dots
+      JOIN norms nq ON query_id = nq.vec_id
+      JOIN norms nc ON cand_id = nc.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, cos_raw,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_raw DESC, cand_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, cand_id, FLOOR((cos_raw) * 10000.0 + 0.5) / 10000.0 AS cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def x07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries, k=5)
+
+
+# --------------------------------------------------------------------------
+# X8 — LSH-bucketed approximate NN (the 100 TB scale path). Hyperplanes are
+# driver-generated floats, not portable to SQL -> rows-only check; recall vs
+# the exact baseline is pinned by tests/test_similarity.py.
+# --------------------------------------------------------------------------
+@query("x08_similarity_ann_lsh", oracle=None)
+def x08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_ann_topk(emb, queries, k=5, dim=64)
+
+
+# --------------------------------------------------------------------------
+# X9 — embedding-cosine near-duplicate pairs (rows-only; LSH planes)
+# --------------------------------------------------------------------------
+@query("x09_embedding_near_dup", oracle=None)
+def x09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.9)
+
+
+# --------------------------------------------------------------------------
+# X10 — token counting / text stats
+# --------------------------------------------------------------------------
+@query(
+    "x10_text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS token_cnt,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS uniq_cnt,
+           CAST(length(text) AS INT) AS char_cnt
+    FROM documents
+    """,
+)
+def x10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count_col, words_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("token_cnt"),
+        F.size(F.array_distinct(words_col(F.col("text")))).alias("uniq_cnt"),
+        F.length("text").alias("char_cnt"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X11 — quality scoring (length/word-length/uniqueness/punctuation bands)
+# --------------------------------------------------------------------------
+@query(
+    "x11_text_quality",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS nw,
+             len(list_distinct(string_split(text, ' '))) AS uq,
+             length(text) AS nc,
+             length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct
+      FROM documents
+    )
+    SELECT doc_id,
+           FLOOR((
+             0.25 * (CASE WHEN nw >= 10 AND nw <= 1000 THEN 1 ELSE 0 END)
+           + 0.25 * (CASE WHEN nc / nw >= 2.0 AND nc / nw <= 12.0
+                          THEN 1 ELSE 0 END)
+           + 0.25 * (uq / nw)
+           + 0.25 * (1.0 - least(punct / nc * 10.0, 1.0))) * 10000.0 + 0.5) / 10000.0 AS quality
+    FROM f
+    """,
+)
+def x11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import quality_score_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", quality_score_col(F.col("text")).alias("quality")
+    )
+
+
+# --------------------------------------------------------------------------
+# X12 — language-ID heuristic (stopword-hit argmax, ties -> earliest code)
+# --------------------------------------------------------------------------
+def _langid_oracle() -> str:
+    from ..functions.text import STOPWORDS
+
+    hit_cols = ",\n             ".join(
+        "len(list_filter(list_distinct(string_split(lower(text), ' ')), "
+        f"w -> list_contains({STOPWORDS[lang]!r}, w))) AS h_{lang}"
+        for lang in sorted(STOPWORDS)
+    )
+    return f"""
+    WITH h AS (
+      SELECT doc_id,
+             {hit_cols}
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'unk'
+                WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                WHEN h_es >= h_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM h
+    """
+
+
+@query("x12_lang_id", oracle=_langid_oracle())
+def x12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import lang_id_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", lang_id_col(F.col("text")).alias("lang_pred")
+    )
+
+
+# --------------------------------------------------------------------------
+# X13 — rolling-hash document fingerprint (winnowing-style min window hash)
+# --------------------------------------------------------------------------
+@query(
+    "x13_rolling_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_min(list_transform(
+             generate_series(1, length(text) - 7),
+             i -> list_reduce(
+                    list_transform(generate_series(0, 7),
+                                   j -> CAST(ascii(substr(text, i + j, 1)) AS BIGINT)),
+                    (acc, x) -> (acc * 257 + x) % 1000000007)
+           )) AS fingerprint
+    FROM documents
+    """,
+)
+def x13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import rolling_hash_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_hash_col(F.col("text"), window=8).alias("fingerprint")
+    )

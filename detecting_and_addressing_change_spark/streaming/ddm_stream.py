@@ -1,0 +1,126 @@
+"""Structured Streaming DDM (SURVEY §2.6 T1, §4.2 item 1 — streaming side).
+
+``applyInPandasWithState`` keyed by ``detector_id``: state is the tiny
+DDMState tuple; each micro-batch's rows are sorted by ``seq_id`` within the
+key before being scanned. The source must deliver per-key monotonically
+increasing ``seq_id`` across micro-batches (the replay source does); rows
+arriving out of order ACROSS batches would be a semantic error for DDM, as
+it is for the reference's strictly-ordered stream
+(``streams/stream_data.py:116-157``).
+
+Batch/stream parity (SURVEY §5.2.5): with the same ordered input this emits
+exactly what ``operators.ddm.detect_drift`` emits — pinned by
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.ddm import DDM_OUTPUT_SCHEMA, DDMState
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("sample_count", T.LongType()),
+        T.StructField("miss_prob", T.DoubleType()),
+        T.StructField("miss_std", T.DoubleType()),
+        T.StructField("miss_prob_sd_min", T.DoubleType()),
+        T.StructField("miss_prob_min", T.DoubleType()),
+        T.StructField("miss_sd_min", T.DoubleType()),
+        T.StructField("in_concept_change", T.BooleanType()),
+    ]
+)
+
+_INF = float("inf")
+
+
+def _state_to_tuple(st: DDMState) -> tuple:
+    def enc(x: float) -> float:
+        return 1e308 if math.isinf(x) else x
+
+    return (
+        st.sample_count,
+        st.miss_prob,
+        st.miss_std,
+        enc(st.miss_prob_sd_min),
+        enc(st.miss_prob_min),
+        enc(st.miss_sd_min),
+        st.in_concept_change,
+    )
+
+
+def _tuple_to_state(t: tuple, **params) -> DDMState:
+    def dec(x: float) -> float:
+        return _INF if x >= 1e308 else x
+
+    st = DDMState(**params)
+    (
+        st.sample_count,
+        st.miss_prob,
+        st.miss_std,
+        st.miss_prob_sd_min,
+        st.miss_prob_min,
+        st.miss_sd_min,
+        st.in_concept_change,
+    ) = (t[0], t[1], t[2], dec(t[3]), dec(t[4]), dec(t[5]), t[6])
+    return st
+
+
+def detect_drift_stream(
+    stream_df: DataFrame,
+    detector_col: str = "detector_id",
+    seq_col: str = "seq_id",
+    error_col: str = "error",
+    min_num_instances: int = 30,
+    warning_level: float = 2.0,
+    out_control_level: float = 3.0,
+) -> DataFrame:
+    """Streaming DDM over an (unbounded) DataFrame[detector_id, seq_id,
+    error]. Returns the same schema as the batch operator."""
+    params = dict(
+        min_num_instances=min_num_instances,
+        warning_level=warning_level,
+        out_control_level=out_control_level,
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        st = (
+            _tuple_to_state(state.get, **params)
+            if state.exists
+            else DDMState(**params)
+        )
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(seq_col)
+        flags = [st.add_element(e) for e in pdf[error_col].astype(float)]
+        state.update(_state_to_tuple(st))
+        yield pd.DataFrame(
+            {
+                "detector_id": [key[0]] * len(pdf),
+                "seq_id": pdf[seq_col].astype("int64").values,
+                "error": pdf[error_col].astype(float).values,
+                "flag": flags,
+            }
+        )
+
+    src = stream_df.select(
+        F.col(detector_col).cast("string").alias(detector_col),
+        F.col(seq_col).cast("long").alias(seq_col),
+        F.col(error_col).cast("double").alias(error_col),
+    )
+    return src.groupBy(detector_col).applyInPandasWithState(
+        fn,
+        outputStructType=DDM_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,77 @@
+"""Prequential (test-then-train) evaluation loop (SURVEY §2.6 T3).
+
+Reference: ``models/wos_train_nb.py:65-114`` / ``streams/run_stream_supervised.py:41-85``
+interleave predict -> metrics -> detector -> partial_fit per micro-batch.
+The canonical Structured Streaming pattern is ``foreachBatch``: each
+micro-batch is scored against the CURRENT model state, metrics feed the
+drift detector, then the model state is updated — here the model is the
+Gaussian-NB sufficient-statistics table (operators.nb), so "training" is an
+exact relational merge, and the whole loop is deterministic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.ddm import DDMState
+from ..operators.nb import nb_fit, nb_merge, nb_predict
+
+
+@dataclass
+class PrequentialNB:
+    """Driver-held pipeline state: NB stats table + DDM detector.
+
+    The stats DataFrame is tiny (n_classes x dim); it is re-persisted per
+    batch. At reference scale (batch 32, SURVEY BASELINE) this is exactly
+    the partial_fit cadence."""
+
+    features_col: str = "features"
+    label_col: str = "label"
+    id_col: str = "doc_id"
+    min_num_instances: int = 30
+    stats: DataFrame | None = None
+    detector: DDMState = field(default_factory=DDMState)
+    history: list = field(default_factory=list)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        # ---- test (skip while the model has never been fit)
+        if self.stats is not None:
+            preds = nb_predict(
+                batch_df,
+                self.stats,
+                features_col=self.features_col,
+                id_cols=(self.id_col,),
+            )
+            scored = preds.join(
+                batch_df.select(self.id_col, self.label_col), self.id_col
+            )
+            agg = scored.agg(
+                F.avg(
+                    (F.col("pred") == F.col(self.label_col)).cast("double")
+                ).alias("acc")
+            ).collect()[0]
+            accuracy = agg["acc"] if agg["acc"] is not None else 0.0
+            flag = self.detector.add_element(1.0 - accuracy)
+            self.history.append((batch_id, accuracy, flag))
+        # ---- then train (exact sufficient-stats merge == partial_fit)
+        new_stats = nb_fit(
+            batch_df, features_col=self.features_col, label_col=self.label_col
+        )
+        if self.stats is None:
+            self.stats = new_stats.persist()
+            self.stats.count()
+        else:
+            merged = nb_merge(self.stats, new_stats).persist()
+            merged.count()  # materialize before unpersisting the old state
+            self.stats.unpersist()
+            self.stats = merged
+        batch_df.unpersist()
+
+    def results(self) -> list[tuple[int, float, str]]:
+        """[(batch_id, accuracy, flag)] — the reference's result series
+        (SURVEY §1.1 'Result series')."""
+        return list(self.history)

@@ -1,0 +1,40 @@
+"""Generated dimension tables for the drift experiments.
+
+σ-schedule (SURVEY §2.2 R5 / §2.4 J5): the reference builds
+``torch.arange(0, max_std, step)`` and indexes it positionally
+(``drift_detection/drift_experiments_supervised.py:200-204``,
+``streams/run_stream_supervised.py:50-54``). Here it is a generated,
+broadcast-joinable table: (batch_id, sigma), zero before ``warm_start``
+(the T4 gate), then a linear ramp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def sigma_schedule(
+    spark: SparkSession,
+    n_batches: int,
+    warm_start: int = 30,
+    max_std: float = 2.0,
+    steps: int | None = None,
+) -> DataFrame:
+    """DataFrame[bucket, sigma]: sigma = 0 for bucket < warm_start, then
+    (bucket - warm_start) * (max_std / steps) — the reference's linear
+    arange schedule made explicit."""
+    steps = steps if steps is not None else max(n_batches - warm_start, 1)
+    step = max_std / steps
+    return spark.range(n_batches).select(
+        F.col("id").cast("int").alias("bucket"),
+        F.when(F.col("id") < warm_start, F.lit(0.0))
+        .otherwise((F.col("id") - warm_start) * F.lit(step))
+        .alias("sigma"),
+    )
+
+
+def class_universe(spark: SparkSession, n_classes: int) -> DataFrame:
+    """A8: the fixed label dim table (np.arange(n_classes) in reference,
+    models/wos_train_nb.py:55)."""
+    return spark.range(n_classes).select(F.col("id").cast("int").alias("cls"))

@@ -1,0 +1,86 @@
+"""Dedup operators: planted duplicates must be found; determinism across
+partitionings (SURVEY §5.2.4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from detecting_and_addressing_change_spark.operators.dedup import (
+    exact_dedup,
+    fingerprint_dedup,
+    minhash_bands,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_dedup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill with great interest today"
+    )
+    near = base.replace("great", "mild")  # one word differs
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, near),  # near dup of 0
+        (3, "The Quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill with great interest today"),
+        (4, "completely different text about spark query engines and "
+            "distributed shuffle partitioning strategies at scale"),
+        (5, "another unrelated document mentioning gaussian naive bayes "
+            "classifiers and concept drift detection methods"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["keeper"]: r["dups"] for r in exact_dedup(docs).collect()}
+    assert out[0] == 2  # docs 0 and 1 collapse
+    assert sum(out.values()) == 6
+
+
+def test_fingerprint_dedup_case_insensitive(docs):
+    out = {r["keeper"]: r["dups"] for r in fingerprint_dedup(docs).collect()}
+    # 0, 1 and 3 (case-differing) collapse on the fingerprint
+    assert out[0] == 3
+
+
+def test_minhash_finds_near_dups(docs):
+    sigs = minhash_signatures(docs)
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_candidate_pairs(minhash_bands(sigs)).collect()
+    }
+    assert (0, 1) in pairs  # identical docs always collide
+    assert (0, 2) in pairs  # one-word-out near dup should band-collide
+    assert (0, 4) not in pairs and (0, 5) not in pairs
+
+
+def test_simhash_near_dups(docs):
+    pairs = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in simhash_dedup_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+    assert (0, 4) not in pairs
+
+
+def test_ngram_jaccard_ranking(docs):
+    top = ngram_jaccard_pairs(docs, top_n=3).collect()
+    assert (top[0]["a_id"], top[0]["b_id"]) == (0, 1)
+    assert top[0]["jaccard"] == 1.0
+
+
+@pytest.mark.parametrize("partitions", [1, 4])
+def test_minhash_deterministic_across_partitions(spark, docs, partitions):
+    sigs = (
+        minhash_signatures(docs.repartition(partitions))
+        .orderBy("doc_id")
+        .collect()
+    )
+    sigs2 = minhash_signatures(docs.repartition(2)).orderBy("doc_id").collect()
+    assert [tuple(r) for r in sigs] == [tuple(r) for r in sigs2]

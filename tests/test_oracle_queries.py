@@ -1,0 +1,29 @@
+"""Every oracle-declared query must hash-match DuckDB at sf0.001 — the same
+comparison the driver's t2 gate runs at sf0.01 (SURVEY §5.2.1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from detecting_and_addressing_change_spark.queries import ORACLE_SQL, QUERIES
+
+from .conftest import SF_SMOKE
+from .oracle_harness import compare
+
+ORACLE_NAMES = sorted(ORACLE_SQL)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_query(spark, name):
+    df = QUERIES[name](spark, SF_SMOKE)
+    compare(df, ORACLE_SQL[name], SF_SMOKE)
+
+
+NON_ORACLE = sorted(set(QUERIES) - set(ORACLE_SQL))
+
+
+@pytest.mark.parametrize("name", NON_ORACLE)
+def test_rows_only_query_runs(spark, name):
+    df = QUERIES[name](spark, SF_SMOKE)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0

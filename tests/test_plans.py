@@ -1,0 +1,63 @@
+"""Physical-plan contracts (SURVEY §4): pushdown reaches the scan, small
+dims broadcast, relational surface stays in WholeStageCodegen. These are the
+100 TB design assertions — run on the real queries."""
+
+from __future__ import annotations
+
+from detecting_and_addressing_change_spark.plans import (
+    explain_str,
+    has_broadcast_hash_join,
+    has_partial_aggregate_before_shuffle,
+    wholestage_codegen_spans,
+)
+from detecting_and_addressing_change_spark.queries import QUERIES
+
+from .conftest import SF_SMOKE
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["q02_filter_predicate"](spark, SF_SMOKE)
+    s = explain_str(df)
+    assert "PushedFilters: [" in s
+    # the discount range and shipdate bounds must be pushed
+    assert "l_discount" in s.split("PushedFilters")[1][:400]
+
+
+def test_column_pruning_reads_only_needed(spark):
+    df = QUERIES["q01_scan_project_cast"](spark, SF_SMOKE)
+    s = explain_str(df)
+    read = s.split("ReadSchema")[1][:300]
+    assert "l_quantity" in read
+    assert "l_extendedprice" not in read  # untouched column pruned
+
+
+def test_dim_joins_broadcast(spark):
+    for name in ["q07_multi_join_agg", "q11_broadcast_dim_join", "q23_mse"]:
+        df = QUERIES[name](spark, SF_SMOKE)
+        assert has_broadcast_hash_join(df), name
+
+
+def test_agg_uses_wholestage_codegen(spark):
+    df = QUERIES["q12_grouped_agg"](spark, SF_SMOKE)
+    assert wholestage_codegen_spans(df) >= 1
+
+
+def test_agg_has_mapside_combine(spark):
+    # partial aggregation below the exchange: the shuffle carries
+    # group-count rows, not input rows — the property that makes the agg
+    # survive a 100x scale-up
+    df = QUERIES["q12_grouped_agg"](spark, SF_SMOKE)
+    assert has_partial_aggregate_before_shuffle(df)
+    df = QUERIES["q04_word_count_topk"](spark, SF_SMOKE)
+    assert has_partial_aggregate_before_shuffle(df)
+
+
+def test_no_cartesian_in_joins(spark):
+    for name in [
+        "q06_inner_join",
+        "q07_multi_join_agg",
+        "q08_left_outer_join",
+        "q11_broadcast_dim_join",
+    ]:
+        s = explain_str(QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in s, name

@@ -1,0 +1,117 @@
+"""Streaming e2e (SURVEY §5.2.5): replay the events table through the
+streaming DDM pipeline and require batch/stream parity; run the prequential
+(test-then-train) loop and sanity-check its result series."""
+
+from __future__ import annotations
+
+import tempfile
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from detecting_and_addressing_change_spark.operators.ddm import (
+    ddm_scan,
+    detect_drift,
+)
+
+
+@pytest.fixture(scope="module")
+def error_rows():
+    rng = np.random.RandomState(11)
+    rows = []
+    for det, flip_at in [("d1", 300), ("d2", 500)]:
+        for i in range(800):
+            p = 0.1 if i < flip_at else 0.5
+            rows.append((det, i, float(rng.binomial(1, p))))
+    return rows
+
+
+def test_stream_matches_batch(spark, error_rows):
+    """applyInPandasWithState over micro-batched replay == batch operator ==
+    pure-Python kernel, flag for flag."""
+    from detecting_and_addressing_change_spark.streaming.ddm_stream import (
+        detect_drift_stream,
+    )
+    from detecting_and_addressing_change_spark.streaming.replay import (
+        read_replay_stream,
+        stage_replay_files,
+    )
+
+    df = spark.createDataFrame(
+        error_rows, "detector_id string, seq_id long, error double"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        staged = f"{tmp}/staged"
+        n_buckets = stage_replay_files(df, "seq_id", staged, batch_size=200)
+        assert n_buckets == 4
+        stream = read_replay_stream(
+            spark, staged, "detector_id string, seq_id long, error double"
+        )
+        out = detect_drift_stream(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ddm_out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "SELECT * FROM ddm_out ORDER BY detector_id, seq_id"
+        ).collect()
+
+    batch = {
+        (r["detector_id"], r["seq_id"]): r["flag"]
+        for r in detect_drift(df).collect()
+    }
+    assert len(got) == len(error_rows)
+    for r in got:
+        assert batch[(r["detector_id"], r["seq_id"])] == r["flag"], (
+            r["detector_id"],
+            r["seq_id"],
+        )
+    # and both equal the pure-python kernel
+    by_det = {}
+    for det, i, e in error_rows:
+        by_det.setdefault(det, []).append(e)
+    for det, errs in by_det.items():
+        expected = ddm_scan(errs)
+        got_det = [
+            r["flag"]
+            for r in sorted(
+                (x for x in got if x["detector_id"] == det),
+                key=lambda r: r["seq_id"],
+            )
+        ]
+        assert got_det == expected, det
+
+
+def test_prequential_loop(spark):
+    """NB test-then-train over ordered micro-batches: accuracy should climb
+    once the model has seen data; detector flags stay sane ('N' early)."""
+    from detecting_and_addressing_change_spark.streaming.prequential import (
+        PrequentialNB,
+    )
+
+    rng = np.random.RandomState(3)
+    n, dim, classes, batch = 640, 8, 3, 64
+    y = rng.randint(0, classes, size=n)
+    x = rng.randn(n, dim) + y[:, None] * 2.0
+    loop = PrequentialNB(features_col="features", label_col="label")
+    for b in range(n // batch):
+        sl = slice(b * batch, (b + 1) * batch)
+        rows = [
+            (int(i), x[i].tolist(), int(y[i]))
+            for i in range(sl.start, sl.stop)
+        ]
+        bdf = spark.createDataFrame(
+            rows, "doc_id long, features array<double>, label int"
+        )
+        loop.process_batch(bdf, b)
+    res = loop.results()
+    assert len(res) == n // batch - 1  # first batch trains only
+    accs = [a for _, a, _ in res]
+    assert accs[-1] > 0.8  # separable classes -> NB learns quickly
+    assert all(f in {"N", "W", "D"} for _, _, f in res)
