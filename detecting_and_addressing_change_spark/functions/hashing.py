@@ -40,11 +40,71 @@ def md5_minhash_col(shingle: Column, perm: int) -> Column:
     return F.substring(F.md5(F.concat(F.lit(f"{perm}:"), shingle)), 1, 8)
 
 
+M32 = 4_294_967_296  # 2^32
+
+
+def km_hash_pair_cols(shingle: Column) -> tuple[Column, Column]:
+    """Kirsch-Mitzenmacher base pair: ONE md5 per shingle split into two
+    32-bit ints; h_j = (hx + j*hy) mod 2^32 then provides k independent-
+    enough min-wise hashes at 1/k the digest cost. Engine-portable: DuckDB
+    computes the same ints via ('0x' || substr(md5(sh), ...))::BIGINT."""
+    digest = F.md5(shingle)
+    hx = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+    hy = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
+    return hx, hy
+
+
+def km_minhash_col(shingle: Column, perm: int) -> Column:
+    """j-th Kirsch-Mitzenmacher hash of a shingle (max intermediate
+    ~(1+j)*2^32 — safely inside int64)."""
+    hx, hy = km_hash_pair_cols(shingle)
+    return (hx + F.lit(perm) * hy) % F.lit(M32)
+
+
 def md5_u16_col(s: Column) -> Column:
     """First 16 bits of md5(s) as an integer — the per-feature hash for
     SimHash. conv(hex, 16, 10) is available in Spark; the oracle uses
     DuckDB's from_hex/CAST equivalent arithmetic."""
     return F.conv(F.substring(F.md5(s), 1, 4), 16, 10).cast("int")
+
+
+def rolling_fingerprint_udf(window: int = 8, base: int = 257, mod: int = 1_000_000_007):
+    """Vectorized (Arrow-batched) rolling-hash fingerprint: MIN over all
+    window hashes of the character stream — numerically identical to
+    ``rolling_hash_col`` for ASCII text, but computed with `window` numpy
+    ops per document instead of an O(len*window) Catalyst expression tree
+    (~10x faster at sf0.1). The expression variant remains the
+    cross-engine-audited definition; this is the production path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: `from __future__ import annotations` stringifies hints, which
+    # pandas_udf cannot resolve — set real annotations explicitly.
+    def fp(texts):
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, s in enumerate(texts):
+            # match ascii(char-of-split): per-codepoint, not per-byte
+            b = np.array([ord(c) for c in (s or "")], dtype=np.int64)
+            w = min(window, len(b)) if len(b) else 0
+            if w == 0:
+                out[i] = 0
+                continue
+            if len(b) == w:
+                h = 0
+                for c in b:
+                    h = (h * base + int(c)) % mod
+                out[i] = h
+                continue
+            sw = np.lib.stride_tricks.sliding_window_view(b, w)
+            h = np.zeros(len(sw), dtype=np.int64)
+            for j in range(w):
+                h = (h * base + sw[:, j]) % mod
+            out[i] = int(h.min())
+        return pd.Series(out)
+
+    fp.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(fp, "long")
 
 
 def rolling_hash_col(text: Column, window: int = 8, base: int = 257, mod: int = 1_000_000_007) -> Column:

@@ -22,7 +22,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_minhash_col
 from ..functions.rounding import portable_round
 from ..functions.text import sorted_word_fingerprint_col, word_ngrams_col
 
@@ -56,22 +55,29 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_size: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signature: DataFrame[id, h0..h{k-1}].
+    """Per-doc MinHash signature: DataFrame[id, h0..h{k-1}] (int64).
 
     Shingles are word n-grams built with a higher-order function (no
-    explode); each permutation's min-hash is the lexicographic MIN of the
-    md5-hex of '<perm>:<shingle>' — engine-portable and exact. The explode
-    is shingles-per-doc (linear in corpus size); the groupBy(id) agg is
-    map-side combinable so the shuffle carries k hex strings per doc."""
-    shingles = df.select(
+    explode for the n-gram construction itself); ONE md5 per shingle is
+    split into two 32-bit ints and expanded to k hashes with the
+    Kirsch-Mitzenmacher scheme h_j = (hx + j*hy) mod 2^32 — 1/k the digest
+    cost of k independent md5s, still engine-portable. The groupBy(id) agg
+    is map-side combinable so the shuffle carries k ints per doc."""
+    from ..functions.hashing import M32, km_hash_pair_cols
+    from ..sources.tables import spread_small_input
+
+    hx, hy = km_hash_pair_cols(F.col("sh"))
+    hashed = spread_small_input(df).select(
         F.col(id_col),
         F.explode(word_ngrams_col(F.col(text_col), shingle_size)).alias("sh"),
-    )
+    ).select(F.col(id_col), hx.alias("hx"), hy.alias("hy"))
     aggs = [
-        F.min(md5_minhash_col(F.col("sh"), j)).alias(f"h{j}")
+        F.min((F.col("hx") + F.lit(j) * F.col("hy")) % F.lit(M32)).alias(
+            f"h{j}"
+        )
         for j in range(num_hashes)
     ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_bands(
@@ -149,6 +155,44 @@ def simhash_col(text: Column, n_bits: int = 16) -> Column:
     return out.cast("int")
 
 
+def simhash_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 16,
+) -> DataFrame:
+    """SimHash as a relational pipeline: explode words -> hash each word
+    ONCE -> one groupBy(id) with n_bits conditional sums -> assemble bits.
+
+    This is the scale formulation (the expression-tree variant in
+    ``simhash_col`` re-evaluates the hashed-word array once per bit): the
+    explode is linear, the aggregation is map-side combinable, and the
+    word hash is computed exactly once per token."""
+    from ..sources.tables import spread_small_input
+
+    words = spread_small_input(df).select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    hv = words.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("int").alias("v"),
+    )
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("v"), b).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"b{b}")
+        for b in range(n_bits)
+    ]
+    bits = hv.groupBy(id_col).agg(*aggs)
+    sh = F.lit(0)
+    for b in range(n_bits):
+        sh = sh + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bits.select(F.col(id_col), sh.cast("int").alias("sh"))
+
+
 def simhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -160,9 +204,7 @@ def simhash_dedup_pairs(
     """Near-dup pairs by SimHash: block on the top `block_bits` bits (at
     scale: multiple rotated blockings to bound recall), then exact Hamming
     filter inside blocks via bit_count(xor)."""
-    sh = df.select(
-        F.col(id_col), simhash_col(F.col(text_col), n_bits).alias("sh")
-    )
+    sh = simhash_df(df, text_col, id_col, n_bits)
     block = (F.col("sh") / (1 << (n_bits - block_bits))).cast("int")
     a = sh.select(
         block.alias("blk"), F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh")

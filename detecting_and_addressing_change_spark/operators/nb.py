@@ -119,10 +119,11 @@ def nb_predict(
     exactly on the same data."""
     import math
 
-    total = stats.agg(F.sum("cnt")).collect()[0][0]
-    max_var = (
-        stats.select(F.max(F.array_max("vars")).alias("mv")).collect()[0]["mv"]
-    )
+    stats = stats.persist()
+    agg = stats.agg(
+        F.sum("cnt").alias("total"), F.max(F.array_max("vars")).alias("mv")
+    ).collect()[0]
+    total, max_var = agg["total"], agg["mv"]
     eps = var_smoothing * float(max_var if max_var is not None else 1.0)
 
     st = F.broadcast(

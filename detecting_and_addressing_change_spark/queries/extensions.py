@@ -50,11 +50,12 @@ def x02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle(num_hashes: int = 8, rows_per_band: int = 2) -> str:
-    """Shared oracle CTE text: word-3-gram shingles -> md5 min-hashes ->
-    band buckets. Mirrors operators.dedup.minhash_signatures/minhash_bands
-    computation exactly (md5 hex MIN is engine-portable)."""
+    """Shared oracle CTE text: word-3-gram shingles -> one md5 split into a
+    Kirsch-Mitzenmacher 32-bit pair -> k min-hashes -> band buckets. Mirrors
+    operators.dedup.minhash_signatures/minhash_bands computation exactly
+    (integer arithmetic on md5 halves is engine-portable)."""
     hash_cols = ",\n             ".join(
-        f"MIN(substr(md5('{j}:' || sh), 1, 8)) AS h{j}"
+        f"MIN((hx + {j} * hy) % 4294967296) AS h{j}"
         for j in range(num_hashes)
     )
     n_bands = num_hashes // rows_per_band
@@ -62,7 +63,7 @@ def _minhash_oracle(num_hashes: int = 8, rows_per_band: int = 2) -> str:
         "SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig".format(
             b=b,
             cols=" || '|' || ".join(
-                f"h{j}"
+                f"h{j}::VARCHAR"
                 for j in range(b * rows_per_band, (b + 1) * rows_per_band)
             ),
         )
@@ -79,10 +80,16 @@ def _minhash_oracle(num_hashes: int = 8, rows_per_band: int = 2) -> str:
                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       FROM ws
     ),
+    hp AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 8))::BIGINT AS hx,
+             ('0x' || substr(md5(sh), 9, 8))::BIGINT AS hy
+      FROM sh
+    ),
     sig AS (
       SELECT doc_id,
              {hash_cols}
-      FROM sh GROUP BY doc_id
+      FROM hp GROUP BY doc_id
     ),
     bands AS ({band_selects})
     """
@@ -162,12 +169,10 @@ def x04(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def x05(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import simhash_col
+    from ..operators.dedup import simhash_df
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", simhash_col(F.col("text"), n_bits=16).alias("sh")
-    )
+    return simhash_df(docs, n_bits=16)
 
 
 # --------------------------------------------------------------------------
@@ -384,9 +389,12 @@ def x12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.hashing import rolling_hash_col
+    from ..functions.hashing import rolling_fingerprint_udf
 
+    # no repartition: the vectorized kernel does ~0.3s of work per million
+    # chars, so the scan's natural split count is always enough parallelism
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", rolling_hash_col(F.col("text"), window=8).alias("fingerprint")
+        "doc_id",
+        rolling_fingerprint_udf(window=8)(F.col("text")).alias("fingerprint"),
     )

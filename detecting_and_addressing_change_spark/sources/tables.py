@@ -153,6 +153,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the scan produced fewer partitions than cores
+    (single-file testdata): heavy per-row compute (hashing, shingling)
+    otherwise runs on one core. At real scale the scan already has enough
+    splits and this is a no-op — no shuffle is added."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
