@@ -1,1 +1,12 @@
-from . import topk, windows, ddm, metrics, nb, procrustes, dedup, similarity  # noqa: F401
+from . import (  # noqa: F401
+    ddm,
+    dedup,
+    embedder,
+    mapping,
+    metrics,
+    nb,
+    procrustes,
+    similarity,
+    topk,
+    windows,
+)

@@ -1,0 +1,122 @@
+"""Pluggable embedder interface (SURVEY §2.2 R3 / §2.7 U7).
+
+Reference: HuggingFace tokenizer + transformer forward, truncation at 512,
+selecting one hidden state (``constants/transformers.py:32-52``); three
+model families BERT / SciBERT / DistilBERT (``:12-19``). The Spark surface
+is ``mapInPandas``: text column in, ``array<array<float>>`` token embeddings
+out, with per-partition model initialization (cold-start amortized over the
+partition, SURVEY §7 'what's hard' #4).
+
+Backends:
+- ``hash``  — deterministic hash embedder (FIXTURES.md §2's formula:
+  emb(word, model)[d] = frac(sin(hash31(word, model, d))) * 2 - 1). Fully
+  reproducible across runs/partitions; distinct "models" are distinct
+  functions of the text, which is what the drift experiments need (swapping
+  the embedding space mid-stream IS the abrupt-drift simulation, SURVEY §0
+  item 6a).
+- ``hf``    — real transformers, gated behind an import-try (not available
+  in this container; the interface is the contract).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("model", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.ArrayType(T.FloatType()))),
+        T.StructField("seq_len", T.IntegerType()),
+    ]
+)
+
+
+def _hash31(word: str, model: str, d: int) -> int:
+    h = 7
+    for ch in f"{model}:{word}:{d}":
+        h = (h * 31 + ord(ch)) % 2_147_483_647
+    return h
+
+
+def hash_embed_tokens(
+    text: str, model: str, dim: int, max_seq_len: int = 512
+) -> list[list[float]]:
+    """Per-token deterministic embedding; truncates at max_seq_len exactly
+    like the reference tokenizer (constants/transformers.py:45)."""
+    words = text.split(" ")[:max_seq_len]
+    out = []
+    for w in words:
+        vec = [
+            math.modf(math.sin(_hash31(w, model, d)))[0] * 2 - 1
+            for d in range(dim)
+        ]
+        out.append(vec)
+    return out
+
+
+def embed_documents(
+    docs: DataFrame,
+    model: str = "BERT",
+    dim: int = 8,
+    max_seq_len: int = 512,
+    backend: str = "hash",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """S3/R3: text -> ragged token-embedding arrays via mapInPandas.
+    Returns DataFrame[doc_id, model, tokens, seq_len]."""
+    if backend == "hash":
+
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # per-partition init would go here for a real model
+            for pdf in batches:
+                toks = [
+                    hash_embed_tokens(t or "", model, dim, max_seq_len)
+                    for t in pdf[text_col]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf[id_col].values,
+                        "model": [model] * len(pdf),
+                        "tokens": toks,
+                        "seq_len": [len(t) for t in toks],
+                    }
+                )
+
+        return docs.select(id_col, text_col).mapInPandas(fn, EMBED_SCHEMA)
+
+    if backend == "hf":  # pragma: no cover - heavyweight deps absent here
+        try:
+            import transformers  # noqa: F401
+            import torch  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "HF backend requires transformers+torch; install them and "
+                "this branch loads the model once per partition inside the "
+                "same mapInPandas contract"
+            ) from e
+        raise NotImplementedError("hf backend wiring lands with real deps")
+
+    raise ValueError(f"unknown backend {backend!r}")
+
+
+def materialize_embeddings(
+    docs: DataFrame, out_path: str, models: tuple[str, ...] = ("BERT",),
+    dim: int = 8,
+) -> None:
+    """S3 sink: embed once, persist as parquet partitioned by model — the
+    reference's transform_data.py materialization (its profiler shows the
+    55% wall-time win, SURVEY §6) as a partition-pruned table."""
+    frames = None
+    for m in models:
+        df = embed_documents(docs, model=m, dim=dim)
+        frames = df if frames is None else frames.unionByName(df)
+    frames.write.mode("overwrite").partitionBy("model").parquet(out_path)

@@ -178,6 +178,29 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q39 — full abrupt-drift experiment E2E (SURVEY §3.2): documents -> hash
+# embedder (space A/B) -> mean pool -> NB train on A -> score A then B
+# through ONE detector with continuous seq_id -> windowed accuracy + flags.
+# Model compute + sequential detector -> rows-only check; semantics pinned
+# by tests/test_pipeline.py on separable synthetic classes.
+# --------------------------------------------------------------------------
+@query("q39_abrupt_drift_experiment", oracle=None)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipelines import abrupt_drift_experiment
+
+    docs = load_table(spark, sf_dir, "documents")
+    # language as the class label (dense-coded deterministically)
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    code = F.array(*[F.lit(x) for x in sorted(langs)])
+    labeled = docs.select(
+        "doc_id",
+        "text",
+        (F.array_position(code, F.col("lang")) - 1).cast("int").alias("label"),
+    )
+    return abrupt_drift_experiment(labeled, batch_size=32)
+
+
+# --------------------------------------------------------------------------
 # Q30 — σ-schedule generation + warm-start gate (J5 + T4): the gradual-drift
 # noise schedule (drift_experiments_supervised.py:200-204 in reference) as a
 # generated dim table joined to count-window buckets.

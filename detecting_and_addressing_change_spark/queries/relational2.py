@@ -1,0 +1,159 @@
+"""Second relational batch: event-time windows, cube grouping, exact
+percentiles, portable string-function coverage — extensions past the
+reference's count-based windows (SURVEY §2.6 note: event-time semantics
+come free from running the same operators over the events table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import portable_round
+from ..sources.tables import load_table
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# Q34 — event-time tumbling window (wall-clock analogue of A3's count
+# windows; in streaming mode the same agg runs under withWatermark)
+# --------------------------------------------------------------------------
+@query(
+    "q34_time_window",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS hour_start,
+           event_type,
+           COUNT(*) AS cnt,
+           FLOOR((AVG(value)) * 100.0 + 0.5) / 100.0 AS avg_value
+    FROM events
+    GROUP BY hour_start, event_type
+    """,
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            portable_round(F.avg("value"), 2).alias("avg_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q35 — CUBE grouping sets (beyond Q14's rollup)
+# --------------------------------------------------------------------------
+@query(
+    "q35_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           FLOOR((SUM(o_totalprice)) * 100.0 + 0.5) / 100.0 AS sum_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            portable_round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q36 — exact percentiles (median/quartiles with linear interpolation;
+# Spark `percentile` and DuckDB `quantile_cont` share the definition)
+# --------------------------------------------------------------------------
+@query(
+    "q36_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           FLOOR((QUANTILE_CONT(l_extendedprice, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50,
+           FLOOR((QUANTILE_CONT(l_extendedprice, 0.9)) * 10000.0 + 0.5) / 10000.0 AS p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        portable_round(
+            F.percentile(F.col("l_extendedprice"), F.lit(0.5)), 4
+        ).alias("p50"),
+        portable_round(
+            F.percentile(F.col("l_extendedprice"), F.lit(0.9)), 4
+        ).alias("p90"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q37 — portable string-function coverage (concat/substr/upper/replace/
+# lpad/reverse/left-pad lengths)
+# --------------------------------------------------------------------------
+@query(
+    "q37_string_functions",
+    oracle="""
+    SELECT o_orderkey,
+           UPPER(o_orderpriority) AS up,
+           SUBSTR(o_orderpriority, 1, 1) AS first_ch,
+           REPLACE(o_orderpriority, '-', '_') AS repl,
+           LPAD(CAST(o_orderkey AS VARCHAR), 12, '0') AS padded,
+           REVERSE(o_orderstatus) AS rev,
+           CAST(LENGTH(o_orderpriority) AS INT) AS plen,
+           CONCAT(o_orderstatus, '/', o_orderpriority) AS joined
+    FROM orders
+    """,
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("up"),
+        F.substring("o_orderpriority", 1, 1).alias("first_ch"),
+        F.replace(
+            F.col("o_orderpriority"), F.lit("-"), F.lit("_")
+        ).alias("repl"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("padded"),
+        F.reverse("o_orderstatus").alias("rev"),
+        F.length("o_orderpriority").alias("plen"),
+        F.concat_ws("/", "o_orderstatus", "o_orderpriority").alias("joined"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q38 — conditional scalar coverage: least/greatest/coalesce/nullif + CASE
+# --------------------------------------------------------------------------
+@query(
+    "q38_conditional_scalars",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           FLOOR((LEAST(l_discount, l_tax)) * 10000.0 + 0.5) / 10000.0 AS lo,
+           FLOOR((GREATEST(l_discount, l_tax)) * 10000.0 + 0.5) / 10000.0 AS hi,
+           COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_none,
+           CASE WHEN l_quantity >= 25 THEN 'bulk'
+                WHEN l_quantity >= 10 THEN 'mid'
+                ELSE 'small' END AS size_band
+    FROM lineitem
+    """,
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        portable_round(F.least("l_discount", "l_tax"), 4).alias("lo"),
+        portable_round(F.greatest("l_discount", "l_tax"), 4).alias("hi"),
+        F.coalesce(
+            F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")
+        ).alias("flag_or_none"),
+        F.when(F.col("l_quantity") >= 25, F.lit("bulk"))
+        .when(F.col("l_quantity") >= 10, F.lit("mid"))
+        .otherwise(F.lit("small"))
+        .alias("size_band"),
+    )
