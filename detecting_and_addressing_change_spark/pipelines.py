@@ -54,8 +54,10 @@ def abrupt_drift_experiment(
     accuracy; 1-accuracy into the shared detector."""
     labels = docs.select(id_col, F.col(label_col).alias("label"))
 
-    feats_a = pooled_features(docs, model_a, dim, id_col)
-    feats_b = pooled_features(docs, model_b, dim, id_col)
+    # embedding is the dominant cost (SURVEY §4.3) and each feature table is
+    # read by both fit and predict — materialize once
+    feats_a = pooled_features(docs, model_a, dim, id_col).persist()
+    feats_b = pooled_features(docs, model_b, dim, id_col).persist()
 
     train = feats_a.join(labels, id_col)
     stats = nb_fit(train, features_col="features", label_col="label")
@@ -100,4 +102,128 @@ def abrupt_drift_experiment(
     return (
         per_batch.join(flags, "seq_id")
         .select("seq_id", "stream", F.round("accuracy", 6).alias("accuracy"), "flag")
+    )
+
+
+def mapping_experiment(
+    docs: DataFrame,
+    label_col: str = "label",
+    model_a: str = "BERT",
+    model_b: str = "SCIBERT",
+    dim: int = 8,
+    batch_size: int = 32,
+    top_k: int = 200,
+    id_col: str = "doc_id",
+):
+    """SURVEY §3.3 entry point C: Procrustes adaptation.
+
+    Build the word-level pair set (A1/A2/U7x2/J2), solve the orthogonal map
+    space-B -> space-A (U6), then score the B stream twice: raw and mapped
+    through the solved matrix (R6). Returns (result_df, mse_before,
+    mse_after): result rows are per-batch accuracies for the raw and mapped
+    B streams; the MSEs are on the pair set (the reference's own logged
+    check, adaptation/mapping.py:107-121)."""
+    import numpy as np  # noqa: F401
+
+    from .operators.procrustes import mapping_mse, procrustes_solve
+    from .sources.pair_cache import build_adaptation_pairs
+
+    labels = docs.select(id_col, F.col(label_col).alias("label"))
+    feats_a = pooled_features(docs, model_a, dim, id_col).persist()
+    feats_b = pooled_features(docs, model_b, dim, id_col).persist()
+    stats = nb_fit(
+        feats_a.join(labels, id_col), features_col="features",
+        label_col="label",
+    )
+
+    # pair set: source = space B, target = space A (we adapt B into A)
+    pairs = build_adaptation_pairs(
+        docs, source_model=model_b, target_model=model_a, dim=dim, top_k=top_k
+    ).persist()
+    m = procrustes_solve(pairs)
+    mse_before = mapping_mse(pairs)
+    from .operators.procrustes import apply_mapping
+
+    mapped_pairs = apply_mapping(pairs, m, vec_col="source", out_col="mapped")
+    mse_after = mapping_mse(
+        mapped_pairs.select("word", "mapped", "target"), "mapped", "target"
+    )
+
+    feats_b_mapped = apply_mapping(
+        feats_b, m, vec_col="features", out_col="mapped"
+    ).select(id_col, F.col("mapped").alias("features"))
+
+    def accuracy_series(feats: DataFrame, tag: str) -> DataFrame:
+        preds = nb_predict(
+            feats, stats, features_col="features", id_cols=(id_col,)
+        )
+        scored = preds.join(labels, id_col).select(
+            F.col(id_col).alias("seq_id"),
+            (F.col("pred") == F.col("label")).cast("int").alias("correct"),
+        )
+        return count_window_agg(
+            scored,
+            seq_col="seq_id",
+            batch_size=batch_size,
+            aggs=[F.avg("correct").alias("accuracy")],
+        ).select(
+            F.col("bucket").cast("long").alias("seq_id"),
+            F.lit(tag).alias("stream"),
+            F.round("accuracy", 6).alias("accuracy"),
+        )
+
+    result = accuracy_series(feats_b, "untrained_raw").unionByName(
+        accuracy_series(feats_b_mapped, "untrained_mapped")
+    )
+    return result, mse_before, mse_after
+
+
+def unsupervised_drift_experiment(
+    docs: DataFrame,
+    model_a: str = "BERT",
+    model_b: str = "SCIBERT",
+    dim: int = 8,
+    batch_size: int = 32,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """SURVEY §0 item 7 / §2.4 J3: unsupervised drift detection — the
+    trained model's OWN predictions on the space-A stream become
+    pseudo-labels; the space-B stream's predictions are scored against them
+    (join on doc_id, the reference's positional batch alignment,
+    run_stream_unsupervised.py:53-55,82-84). No true labels are consulted
+    after training."""
+    labels = docs.select(id_col, F.col(label_col).alias("label"))
+    feats_a = pooled_features(docs, model_a, dim, id_col).persist()
+    feats_b = pooled_features(docs, model_b, dim, id_col).persist()
+    stats = nb_fit(
+        feats_a.join(labels, id_col), features_col="features",
+        label_col="label",
+    )
+    pseudo = nb_predict(
+        feats_a, stats, features_col="features", id_cols=(id_col,)
+    ).select(id_col, F.col("pred").alias("pseudo_label"))
+    preds_b = nb_predict(
+        feats_b, stats, features_col="features", id_cols=(id_col,)
+    ).select(id_col, "pred")
+    scored = preds_b.join(pseudo, id_col).select(
+        F.col(id_col).alias("seq_id"),
+        (F.col("pred") == F.col("pseudo_label")).cast("int").alias("agree"),
+    )
+    per_batch = count_window_agg(
+        scored,
+        seq_col="seq_id",
+        batch_size=batch_size,
+        aggs=[F.avg("agree").alias("agreement")],
+    ).select(
+        F.lit("unsup").alias("detector_id"),
+        F.col("bucket").cast("long").alias("seq_id"),
+        (1.0 - F.col("agreement")).alias("error"),
+        "agreement",
+    )
+    flags = detect_drift(
+        per_batch.select("detector_id", "seq_id", "error")
+    ).select("seq_id", "flag")
+    return per_batch.join(flags, "seq_id").select(
+        "seq_id", F.round("agreement", 6).alias("agreement"), "flag"
     )

@@ -75,3 +75,30 @@ class PrequentialNB:
         """[(batch_id, accuracy, flag)] — the reference's result series
         (SURVEY §1.1 'Result series')."""
         return list(self.history)
+
+
+def fine_tune_nb(
+    loop: "PrequentialNB",
+    new_data: DataFrame,
+    n_batches: int,
+    batch_size: int = 32,
+    seq_col: str = "doc_id",
+) -> "PrequentialNB":
+    """U8 fine-tune session (adaptation/fine_tuning.py:10-97): continue
+    test-then-train over the first n_batches of a NEW-distribution table —
+    a bounded replay (T5). The NB 'fine-tune' is the exact partial_fit merge,
+    so adaptation is deterministic and order-exact."""
+    from pyspark.sql import functions as F
+
+    bounded = new_data.filter(
+        F.col(seq_col) < n_batches * batch_size
+    ).withColumn("__bucket", F.floor(F.col(seq_col) / batch_size))
+    buckets = sorted(
+        r["__bucket"]
+        for r in bounded.select("__bucket").distinct().collect()
+    )
+    for b in buckets:
+        loop.process_batch(
+            bounded.filter(F.col("__bucket") == b).drop("__bucket"), int(b)
+        )
+    return loop

@@ -1,0 +1,47 @@
+"""Determinism harness (SURVEY §5.2.4): representative queries produce
+byte-identical sorted output across repeated runs and across partition
+counts / shuffle settings."""
+
+from __future__ import annotations
+
+import pytest
+
+from detecting_and_addressing_change_spark.queries import QUERIES
+
+from .conftest import SF_SMOKE
+
+REPRESENTATIVE = [
+    "q04_word_count_topk",
+    "q12_grouped_agg",
+    "q22_hash_split",
+    "q28_nb_fit_predict",
+    "x03_minhash_bands",
+    "x05_simhash",
+    "x13_rolling_fingerprint",
+    "q33_seeded_noise_gate",
+]
+
+
+def canonical(df):
+    cols = sorted(df.columns)
+    rows = [tuple(str(v) for v in r) for r in df.select(*cols).collect()]
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_repeatable(spark, name):
+    a = canonical(QUERIES[name](spark, SF_SMOKE))
+    b = canonical(QUERIES[name](spark, SF_SMOKE))
+    assert a == b, name
+
+
+def test_shuffle_partition_invariance(spark):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        low = canonical(QUERIES["q12_grouped_agg"](spark, SF_SMOKE))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        high = canonical(QUERIES["q12_grouped_agg"](spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert low == high
