@@ -26,6 +26,24 @@ from ..functions.rounding import portable_round
 from ..functions.text import sorted_word_fingerprint_col, word_ngrams_col
 
 
+def duplication_rate_estimate(
+    df: DataFrame, text_col: str = "text", rsd: float = 0.02
+) -> float:
+    """Cheap pre-flight: estimated fraction of duplicate rows via
+    approx_count_distinct (HyperLogLog++, one pass, no shuffle of texts —
+    only the sketch merges). Gate expensive dedup stages on this: a corpus
+    with ~0 duplication skips the MinHash/banding pipeline entirely
+    (SURVEY §7 phase 5: 'approx_count_distinct-gated exact dedup')."""
+    row = df.agg(
+        F.count(text_col).alias("n"),
+        F.approx_count_distinct(text_col, rsd).alias("d"),
+    ).collect()[0]
+    n = row["n"] or 0
+    if n == 0:
+        return 0.0
+    return max(0.0, 1.0 - row["d"] / n)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """DataFrame[digest, keeper, dups]: groups of byte-identical texts.
     keeper = min(id) (deterministic); dups = group size."""

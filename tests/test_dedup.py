@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from detecting_and_addressing_change_spark.operators.dedup import (
     exact_dedup,
     fingerprint_dedup,
@@ -73,6 +75,18 @@ def test_ngram_jaccard_ranking(docs):
     top = ngram_jaccard_pairs(docs, top_n=3).collect()
     assert (top[0]["a_id"], top[0]["b_id"]) == (0, 1)
     assert top[0]["jaccard"] == 1.0
+
+
+def test_duplication_rate_estimate(spark, docs):
+    from detecting_and_addressing_change_spark.operators.dedup import (
+        duplication_rate_estimate,
+    )
+
+    rate = duplication_rate_estimate(docs)
+    # docs fixture: 6 rows, one exact duplicate pair -> ~1/6 duplication
+    assert 0.05 < rate < 0.35
+    uniq = docs.select("doc_id", F.concat_ws("-", "doc_id").alias("text"))
+    assert duplication_rate_estimate(uniq) < 0.05
 
 
 @pytest.mark.parametrize("partitions", [1, 4])
