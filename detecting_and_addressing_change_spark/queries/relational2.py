@@ -157,3 +157,97 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("small"))
         .alias("size_band"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q40 — RANGE window frame (value-based, vs Q17's ROWS frame)
+# --------------------------------------------------------------------------
+@query(
+    "q40_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS near_cnt
+    FROM orders
+    """,
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.count("*").over(w).cast("bigint").alias("near_cnt")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q41 — first/last/nth window values over full-partition frames
+# --------------------------------------------------------------------------
+@query(
+    "q41_first_last_nth",
+    oracle="""
+    SELECT o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+           LAST_VALUE(o_orderkey) OVER w AS last_ok,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_ok
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q42 — array scalar functions over the split word array (size, contains,
+# position, distinct-sorted join) — scalar outputs only, so the value hash
+# is type-stable in both engines
+# --------------------------------------------------------------------------
+@query(
+    "q42_array_functions",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+           CASE WHEN list_contains(string_split(text, ' '), 'scan')
+                THEN 1 ELSE 0 END AS has_scan,
+           CAST(COALESCE(list_position(string_split(text, ' '), 'scan'), 0)
+                AS INT) AS scan_pos,
+           array_to_string(
+             list_sort(list_distinct(
+               list_slice(string_split(text, ' '), 1, 5))), ',') AS head_sorted
+    FROM documents
+    """,
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        F.array_contains(ws, "scan").cast("int").alias("has_scan"),
+        F.array_position(ws, "scan").cast("int").alias("scan_pos"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.slice(ws, 1, 5))), ","
+        ).alias("head_sorted"),
+    )

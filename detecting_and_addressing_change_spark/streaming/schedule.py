@@ -34,6 +34,21 @@ def sigma_schedule(
     )
 
 
+def synthetic_detector_feed(
+    spark: SparkSession, n: int, seed: int = 42, scale: float = 0.1
+) -> DataFrame:
+    """T6 (SURVEY §2.6 / §8 Q2): the reference's unsupervised labeling pass
+    feeds DDM `1 - uniform(0.9, 1.0)` RANDOM errors rather than real
+    accuracy (streams/run_stream_unsupervised.py:62,175). Reproduced behind
+    this explicit generator: DataFrame[detector_id, seq_id, error] with
+    seeded rand so the experiment shape is reproducible within a run."""
+    return spark.range(n).select(
+        F.lit("synthetic").alias("detector_id"),
+        F.col("id").alias("seq_id"),
+        (F.rand(seed) * scale).alias("error"),
+    )
+
+
 def class_universe(spark: SparkSession, n_classes: int) -> DataFrame:
     """A8: the fixed label dim table (np.arange(n_classes) in reference,
     models/wos_train_nb.py:55)."""

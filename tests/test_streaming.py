@@ -115,3 +115,15 @@ def test_prequential_loop(spark):
     accs = [a for _, a, _ in res]
     assert accs[-1] > 0.8  # separable classes -> NB learns quickly
     assert all(f in {"N", "W", "D"} for _, _, f in res)
+
+
+def test_synthetic_detector_feed_stays_calm(spark):
+    """T6: low uniform errors through DDM produce no drift signal."""
+    from detecting_and_addressing_change_spark.streaming.schedule import (
+        synthetic_detector_feed,
+    )
+
+    feed = synthetic_detector_feed(spark, n=500, seed=42)
+    flags = [r["flag"] for r in detect_drift(feed).collect()]
+    assert len(flags) == 500
+    assert "D" not in flags
