@@ -251,3 +251,86 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.array_distinct(F.slice(ws, 1, 5))), ","
         ).alias("head_sorted"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q43 — as-of join (operators/asof.py): for every event, the value of the
+# same user's most recent 'purchase' at-or-before it. Oracle expresses the
+# identical semantics as a correlated window in SQL.
+# --------------------------------------------------------------------------
+@query(
+    "q43_asof_join",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             MAX(CASE WHEN event_type = 'purchase' THEN ts END) OVER w
+               AS last_purchase_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    with_val AS (
+      SELECT t.event_id, t.user_id,
+             FLOOR((p.value) * 100.0 + 0.5) / 100.0 AS last_purchase_value
+      FROM tagged t
+      LEFT JOIN events p
+        ON p.user_id = t.user_id AND p.ts = t.last_purchase_ts
+       AND p.event_type = 'purchase'
+    )
+    SELECT event_id, user_id, last_purchase_value FROM with_val
+    """,
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = as_of_join(
+        ev,
+        purchases,
+        key="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_value="value",
+        out_col="last_purchase_value",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        portable_round(F.col("last_purchase_value"), 2).alias(
+            "last_purchase_value"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q44 — range join into value bins (broadcast non-equi join)
+# --------------------------------------------------------------------------
+@query(
+    "q44_range_join_bins",
+    oracle="""
+    WITH bins AS (
+      SELECT UNNEST(GENERATE_SERIES(0, 9)) * 10.0 AS lo,
+             (UNNEST(GENERATE_SERIES(0, 9)) + 1) * 10.0 AS hi
+    )
+    SELECT CAST(b.lo AS INT) AS bin_lo, COUNT(*) AS cnt,
+           FLOOR((AVG(e.value)) * 10000.0 + 0.5) / 10000.0 AS avg_value
+    FROM events e JOIN bins b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.lo
+    """,
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import range_join_bins
+
+    ev = load_table(spark, sf_dir, "events")
+    bins = spark.range(10).select(
+        (F.col("id") * 10.0).alias("lo"),
+        ((F.col("id") + 1) * 10.0).alias("hi"),
+    )
+    joined = range_join_bins(ev, bins, "value")
+    return joined.groupBy(F.col("lo").cast("int").alias("bin_lo")).agg(
+        F.count("*").alias("cnt"),
+        portable_round(F.avg("value"), 4).alias("avg_value"),
+    )
