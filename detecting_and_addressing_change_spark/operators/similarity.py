@@ -6,9 +6,16 @@ Two paths, per the driver's north star:
   (it is small by construction); each executor scans its partition of the
   corpus and keeps top-k per query via window rank. Zero shuffle of the
   corpus; the only shuffle is the (queries x k) result.
-- LSH-bucketed ANN (random hyperplane signatures): the scale path. A
+- LSH-bucketed ANN (sign-random-projection signatures): the scale path. A
   candidate meets a query only when their `plane_bits` signatures collide in
   at least one rotation, cutting the scanned fraction ~2^-bits per table.
+
+The hyperplanes are DETERMINISTIC ±1 sign planes derived from a
+multiplicative integer hash (Knuth 2654435761), and the projection runs on
+vectors quantized to integers (round(v*1000)) — so the signature arithmetic
+is exact int64, order-independent, and reproducible bit-for-bit in any
+engine (this is what makes x08/x09 DuckDB-oracle-checkable, unlike float
+Gaussian planes whose near-zero dots are summation-order sensitive).
 
 Dot products fold left-to-right in double precision via higher-order
 functions (functions.arrays.dot_col) — JVM-side, no Python worker.
@@ -16,9 +23,9 @@ functions (functions.arrays.dot_col) — JVM-side, no Python worker.
 
 from __future__ import annotations
 
-import numpy as np
+import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.arrays import cosine_col, dot_col
@@ -68,21 +75,77 @@ def brute_force_topk(
     )
 
 
-def _random_hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
-    rng = np.random.RandomState(seed)
-    return rng.randn(n_planes, dim)
+QUANT_SCALE = 1000
 
 
-def lsh_signature_col(vec_col, planes: np.ndarray):
-    """Signature int: bit p set iff dot(plane_p, vec) > 0. Planes are
-    embedded as literals (n_planes x dim doubles — small)."""
+def plane_sign(g: int, d: int) -> int:
+    """±1 entry of global plane g at dimension d — pure integer hash, so the
+    identical plane is reconstructable in SQL on any engine."""
+    h = ((g * 40503 + d + 1) * 2654435761) % 2**31
+    return 1 if (h // 32768) % 2 == 0 else -1
+
+
+def sign_planes(g0: int, n_planes: int, dim: int) -> list[list[int]]:
+    """n_planes consecutive ±1 planes starting at global index g0."""
+    return [
+        [plane_sign(g0 + p, d) for d in range(dim)] for p in range(n_planes)
+    ]
+
+
+def quantize_col(vec_col: Column, scale: int = QUANT_SCALE) -> Column:
+    """array<float> -> array<bigint> via round-half-up at `scale` — the
+    portable fixed-point representation the signatures are computed on."""
+    return F.transform(
+        vec_col, lambda v: F.floor(v.cast("double") * scale + F.lit(0.5))
+    )
+
+
+def lsh_signature_col(qvec_col: Column, planes: list[list[int]]) -> Column:
+    """Signature int over a QUANTIZED vector: bit p set iff
+    sum_d(plane[p][d] * qvec[d]) > 0. Exact int64 arithmetic throughout."""
     bits = F.lit(0)
-    for p, plane in enumerate(planes):
-        row = F.array(*[F.lit(float(v)) for v in plane])
-        bits = bits + F.when(
-            dot_col(row, vec_col) > 0, F.lit(1 << p)
-        ).otherwise(F.lit(0))
+    for p, srow in enumerate(planes):
+        sarr = F.array(*[F.lit(int(s)) for s in srow])
+        dot = F.aggregate(
+            F.zip_with(sarr, qvec_col, lambda s, q: s.cast("long") * q),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bits = bits + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bits.cast("int")
+
+
+def _with_sigs(
+    df: DataFrame,
+    role: str,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+) -> DataFrame:
+    """Explode each row into one (tbl, sig) bucket row per LSH table.
+    Table t uses global planes [t*n_planes, (t+1)*n_planes)."""
+    qv = quantize_col(F.col(vec_col))
+    sigs = []
+    for t in range(n_tables):
+        planes = sign_planes(t * n_planes, n_planes, dim)
+        sigs.append(
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_signature_col(qv, planes).alias("sig"),
+            )
+        )
+    return df.select(
+        F.col(id_col).alias(f"{role}_id"),
+        F.col(vec_col).alias(f"{role}_emb"),
+        F.explode(F.array(*sigs)).alias("ts"),
+    ).select(
+        f"{role}_id",
+        f"{role}_emb",
+        F.col("ts.tbl").alias("tbl"),
+        F.col("ts.sig").alias("sig"),
+    )
 
 
 def lsh_ann_topk(
@@ -93,7 +156,6 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     n_planes: int = 8,
     n_tables: int = 4,
-    seed: int = 42,
     dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: join query and corpus on any colliding
@@ -105,39 +167,35 @@ def lsh_ann_topk(
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
 
-    def with_sigs(df: DataFrame, role: str) -> DataFrame:
-        sigs = []
-        for t in range(n_tables):
-            planes = _random_hyperplanes(dim, n_planes, seed + t)
-            sigs.append(
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    lsh_signature_col(F.col(vec_col), planes).alias("sig"),
-                )
-            )
-        return df.select(
-            F.col(id_col).alias(f"{role}_id"),
-            F.col(vec_col).alias(f"{role}_emb"),
-            F.explode(F.array(*sigs)).alias("ts"),
-        ).select(
-            f"{role}_id",
-            f"{role}_emb",
-            F.col("ts.tbl").alias("tbl"),
-            F.col("ts.sig").alias("sig"),
-        )
-
-    q = F.broadcast(with_sigs(queries, "query"))
-    c = with_sigs(corpus, "cand")
+    q = F.broadcast(
+        _with_sigs(queries, "query", id_col, vec_col, n_planes, n_tables, dim)
+    )
+    c = _with_sigs(corpus, "cand", id_col, vec_col, n_planes, n_tables, dim)
+    # dedup candidate PAIRS of ids only — the embedding arrays would bloat
+    # the distinct's shuffle by ~dim*8 bytes/row; re-attach them afterwards
     candidates = (
-        c.join(q, ["tbl", "sig"])
+        c.drop("cand_emb")
+        .join(q.drop("query_emb"), ["tbl", "sig"])
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", "query_emb", "cand_emb")
+        .select("query_id", "cand_id")
         .distinct()
     )
-    scored = candidates.select(
-        "query_id",
-        "cand_id",
-        cosine_col(F.col("query_emb"), F.col("cand_emb")).alias("cos_raw"),
+    qe = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_emb")
+        )
+    )
+    ce = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_emb")
+    )
+    scored = (
+        candidates.join(qe, "query_id")
+        .join(ce, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            cosine_col(F.col("query_emb"), F.col("cand_emb")).alias("cos_raw"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_raw"), F.asc("cand_id")
@@ -151,6 +209,81 @@ def lsh_ann_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    query_filter: Column,
+    n_centroids: int = 8,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer assigns every vector to the cell of
+    its nearest centroid; a query probes only its own cell and ranks the
+    cell's members by exact cosine.
+
+    The coarse centroids are the first ``n_centroids`` vectors by id — a
+    deterministic stand-in for sampled/k-means centroids (at 100 TB the
+    centroid set comes from a KMeans fit on a sample and is broadcast the
+    same way). Cell assignment uses EXACT integer dot products over
+    round(v*1000) fixed-point vectors (argmax, ties to the lowest centroid
+    id), so the partitioning — and therefore the candidate set — is
+    bit-reproducible in any engine: this is what makes the query
+    oracle-checkable. The cell join shuffles on `cell` (n_centroids
+    buckets); candidate lists stay small because each cell holds ~1/n of
+    the corpus."""
+    cent_rows = sorted(
+        (r[0], r[1])
+        for r in corpus.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    qv = quantize_col(F.col(vec_col))
+    cells = []
+    for cid, cvec in cent_rows:
+        qc = [int(math.floor(float(v) * QUANT_SCALE + 0.5)) for v in cvec]
+        qc_arr = F.array(*[F.lit(c) for c in qc])
+        dot = F.aggregate(
+            F.zip_with(qc_arr, qv, lambda c, x: c.cast("long") * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        # struct max: highest dot wins, then highest -cent_id = lowest id
+        cells.append(F.struct(dot.alias("d"), F.lit(-cid).alias("nc")))
+    cell_expr = (-F.array_max(F.array(*cells))["nc"]).cast("int")
+
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col), cell_expr.alias("cell")
+    )
+    q = F.broadcast(
+        assigned.filter(query_filter).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_emb"),
+            "cell",
+        )
+    )
+    cand = assigned.join(q, "cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("cand_id"),
+        cosine_col(F.col("q_emb"), F.col(vec_col)).alias("cos_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            portable_round(F.col("cos_raw"), 4).alias("cosine"),
+            "rnk",
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -158,47 +291,36 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 8,
     n_tables: int = 4,
-    seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via the same LSH bucketing:
-    pairs colliding in any table with cosine >= threshold."""
-    dim = len(corpus.select(vec_col).first()[0])
+    pairs colliding in any table with ROUNDED cosine >= threshold (the
+    threshold is applied post-rounding so the boundary is engine-portable)."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
 
-    def with_sigs(df: DataFrame, role: str) -> DataFrame:
-        sigs = []
-        for t in range(n_tables):
-            planes = _random_hyperplanes(dim, n_planes, seed + t)
-            sigs.append(
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    lsh_signature_col(F.col(vec_col), planes).alias("sig"),
-                )
-            )
-        return df.select(
-            F.col(id_col).alias(f"{role}_id"),
-            F.col(vec_col).alias(f"{role}_emb"),
-            F.explode(F.array(*sigs)).alias("ts"),
-        ).select(
-            f"{role}_id",
-            f"{role}_emb",
-            F.col("ts.tbl").alias("tbl"),
-            F.col("ts.sig").alias("sig"),
-        )
-
-    a = with_sigs(corpus, "a")
-    b = with_sigs(corpus, "b")
+    a = _with_sigs(corpus, "a", id_col, vec_col, n_planes, n_tables, dim)
+    b = _with_sigs(corpus, "b", id_col, vec_col, n_planes, n_tables, dim)
+    # id-only pair dedup (arrays re-attached after the distinct — see
+    # lsh_ann_topk for why)
     pairs = (
-        a.join(b, ["tbl", "sig"])
+        a.drop("a_emb")
+        .join(b.drop("b_emb"), ["tbl", "sig"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_emb", "b_emb")
+        .select("a_id", "b_id")
         .distinct()
     )
+    ea = corpus.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_emb"))
+    eb = corpus.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_emb"))
     return (
-        pairs.select(
+        pairs.join(ea, "a_id")
+        .join(eb, "b_id")
+        .select(
             "a_id",
             "b_id",
-            cosine_col(F.col("a_emb"), F.col("b_emb")).alias("cos_raw"),
+            portable_round(
+                cosine_col(F.col("a_emb"), F.col("b_emb")), 4
+            ).alias("cosine"),
         )
-        .filter(F.col("cos_raw") >= threshold)
-        .select("a_id", "b_id", portable_round(F.col("cos_raw"), 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )

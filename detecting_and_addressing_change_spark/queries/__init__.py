@@ -9,6 +9,7 @@ from . import relational  # noqa: F401,E402
 from . import relational2  # noqa: F401,E402
 from . import arrays_ml  # noqa: F401,E402
 from . import extensions  # noqa: F401,E402
+from . import extensions2  # noqa: F401,E402
 from . import drift  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLE_SQL", "query"]

@@ -252,11 +252,82 @@ def x07(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# X8 — LSH-bucketed approximate NN (the 100 TB scale path). Hyperplanes are
-# driver-generated floats, not portable to SQL -> rows-only check; recall vs
-# the exact baseline is pinned by tests/test_similarity.py.
+# X8 — LSH-bucketed approximate NN (the 100 TB scale path). The hyperplanes
+# are deterministic ±1 sign planes from an integer hash, computed over
+# round(v*1000) fixed-point vectors — exact int64 arithmetic, so the same
+# signatures (and hence the same candidate set) are reproducible in DuckDB
+# SQL and the query is fully oracle-checkable. Recall vs the exact baseline
+# is additionally pinned by tests/test_similarity.py.
 # --------------------------------------------------------------------------
-@query("x08_similarity_ann_lsh", oracle=None)
+# 4 tables x 8 planes over dim-64 vectors (operators.similarity defaults).
+_LSH_SIG_CTE = """
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    ex AS (
+      SELECT vec_id, UNNEST(emb) AS v, GENERATE_SUBSCRIPTS(emb, 1) - 1 AS d
+      FROM e
+    ),
+    exq AS (
+      SELECT vec_id, d, v, CAST(FLOOR(v * 1000.0 + 0.5) AS BIGINT) AS qv
+      FROM ex
+    ),
+    planes AS (
+      SELECT g, d,
+             CASE WHEN ((((g * 40503 + d + 1) * 2654435761) % 2147483648)
+                        // 32768) % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM generate_series(0, 31) t1(g), generate_series(0, 63) t2(d)
+    ),
+    dots AS (
+      SELECT exq.vec_id, pl.g, SUM(pl.s * exq.qv) AS dotv
+      FROM exq JOIN planes pl ON exq.d = pl.d
+      GROUP BY exq.vec_id, pl.g
+    ),
+    sigs AS (
+      SELECT vec_id, g // 8 AS tbl,
+             SUM(CASE WHEN dotv > 0 THEN CAST(POW(2, g % 8) AS BIGINT)
+                 ELSE 0 END) AS sig
+      FROM dots GROUP BY vec_id, g // 8
+    ),
+    norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id)
+"""
+
+
+@query(
+    "x08_similarity_ann_lsh",
+    oracle=f"""
+    WITH {_LSH_SIG_CTE},
+    qsig AS (SELECT * FROM sigs WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+      FROM qsig q
+      JOIN sigs c ON q.tbl = c.tbl AND q.sig = c.sig
+                 AND c.vec_id <> q.vec_id
+    ),
+    cdots AS (
+      SELECT cand.query_id, cand.cand_id, SUM(a.v * b.v) AS dot
+      FROM cand
+      JOIN ex a ON a.vec_id = cand.query_id
+      JOIN ex b ON b.vec_id = cand.cand_id AND a.d = b.d
+      GROUP BY cand.query_id, cand.cand_id
+    ),
+    scored AS (
+      SELECT query_id, cand_id, dot / (nq.nrm * nc.nrm) AS cos_raw
+      FROM cdots
+      JOIN norms nq ON query_id = nq.vec_id
+      JOIN norms nc ON cand_id = nc.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, cos_raw,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_raw DESC, cand_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, cand_id,
+           FLOOR(cos_raw * 10000.0 + 0.5) / 10000.0 AS cosine,
+           CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
 def x08(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import lsh_ann_topk
 
@@ -266,14 +337,42 @@ def x08(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# X9 — embedding-cosine near-duplicate pairs (rows-only; LSH planes)
+# X9 — embedding-cosine near-duplicate pairs over the same portable LSH
+# buckets; the >= threshold filter applies to the ROUNDED cosine so the
+# boundary is engine-portable.
 # --------------------------------------------------------------------------
-@query("x09_embedding_near_dup", oracle=None)
+@query(
+    "x09_embedding_near_dup",
+    oracle=f"""
+    WITH {_LSH_SIG_CTE},
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM sigs a
+      JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    pdots AS (
+      SELECT pairs.a_id, pairs.b_id, SUM(x.v * y.v) AS dot
+      FROM pairs
+      JOIN ex x ON x.vec_id = pairs.a_id
+      JOIN ex y ON y.vec_id = pairs.b_id AND x.d = y.d
+      GROUP BY pairs.a_id, pairs.b_id
+    ),
+    scored AS (
+      SELECT a_id, b_id,
+             FLOOR((dot / (na.nrm * nb.nrm)) * 10000.0 + 0.5) / 10000.0
+               AS cosine
+      FROM pdots
+      JOIN norms na ON a_id = na.vec_id
+      JOIN norms nb ON b_id = nb.vec_id
+    )
+    SELECT a_id, b_id, cosine FROM scored WHERE cosine >= 0.9
+    """,
+)
 def x09(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import embedding_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.9)
+    return embedding_near_dup_pairs(emb, threshold=0.9, dim=64)
 
 
 # --------------------------------------------------------------------------
