@@ -210,6 +210,158 @@ def x15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q47 — native session windows (F.session_window, 5-minute gap): the same
+# sessionization semantics q27 builds by hand from lag + cumulative sum,
+# expressed with Spark's built-in operator. Window = [min(ts),
+# max(ts) + gap); oracle reconstructs it with the gap/cumsum formulation.
+# In streaming mode the identical expression runs under a watermark with
+# state cleanup — this query pins the batch semantics.
+# --------------------------------------------------------------------------
+@query(
+    "q47_session_window",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             -- Spark session windows are [start, last_ts + gap): an event
+             -- exactly gap after its predecessor opens a NEW session
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 5 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q48 — distribution window functions: ntile / percent_rank / cume_dist
+# over a fully-deterministic ordering (totalprice, orderkey tie-break).
+# --------------------------------------------------------------------------
+@query(
+    "q48_window_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           FLOOR(PERCENT_RANK() OVER w * 1000000.0 + 0.5) / 1000000.0
+             AS pct_rank,
+           FLOOR(CUME_DIST() OVER w * 1000000.0 + 0.5) / 1000000.0
+             AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        portable_round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        portable_round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X17 — TF-IDF top terms per document, fully relational (term-frequency
+# join document-frequency; sklearn-style smooth idf = ln((N+1)/(df+1))+1).
+# The canonical text-featurization step of an LLM data pipeline — two
+# map-side-combinable aggregations and one broadcast-sized join on term.
+# --------------------------------------------------------------------------
+@query(
+    "x17_tfidf_topk",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * (LN((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term,
+           FLOOR(tfidf * 1000000.0 + 0.5) / 1000000.0 AS tfidf,
+           CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def x17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = words.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.count()
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf")
+            * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + F.lit(1.0))
+        ).alias("tfidf_raw"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            portable_round(F.col("tfidf_raw"), 6).alias("tfidf"),
+            "rnk",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # X16 — BPE-ish regex tokenizer stats: alpha runs / digit runs / single
 # punctuation marks as tokens (the whitespace tokenizer is x10).
 # --------------------------------------------------------------------------

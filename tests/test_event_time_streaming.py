@@ -89,3 +89,77 @@ def test_materialized_embeddings_partition_pruning(spark):
         part = s.split("PartitionFilters")[1][:200]
         assert "model" in part
         assert one.count() == 20
+
+
+def test_session_window_stream_matches_batch(spark):
+    """q47's native session windows (5-min gap) under Structured Streaming:
+    append-mode emission gated by the watermark must equal the batch run.
+    Two far-future sentinel buckets advance the watermark past every real
+    session (append mode only emits a session once the watermark passes its
+    end) and then flush them in a following non-empty micro-batch."""
+    import datetime
+
+    ev = load_table(spark, SF, "events").select("event_id", "user_id", "ts")
+    batch = (
+        ev.groupBy("user_id", F.session_window("ts", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("ss"),
+            F.col("session_window.end").alias("se"),
+            "n_events",
+        )
+    )
+    expected = {
+        (r["user_id"], r["ss"], r["se"], r["n_events"])
+        for r in batch.collect()
+    }
+
+    mx = ev.agg(
+        F.max("event_id").alias("mid"), F.max("ts").alias("mts")
+    ).collect()[0]
+    batch_size = 256
+    base = (mx["mid"] // batch_size + 1) * batch_size
+    sentinels = spark.createDataFrame(
+        [
+            (base, -1, mx["mts"] + datetime.timedelta(days=1)),
+            (base + batch_size, -1, mx["mts"] + datetime.timedelta(days=2)),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    staged_df = ev.unionByName(sentinels)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        staged = f"{tmp}/staged"
+        stage_replay_files(staged_df, "event_id", staged, batch_size=batch_size)
+        stream = read_replay_stream(
+            spark, staged, "event_id long, user_id long, ts timestamp",
+            files_per_trigger=1,
+        )
+        agg = (
+            stream.withWatermark("ts", "1 minute")
+            .groupBy("user_id", F.session_window("ts", "5 minutes"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("ss"),
+                F.col("session_window.end").alias("se"),
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("sessw")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {
+            (r["user_id"], r["ss"], r["se"], r["n_events"])
+            for r in spark.sql(
+                "SELECT * FROM sessw WHERE user_id >= 0"
+            ).collect()
+        }
+    assert got == expected
