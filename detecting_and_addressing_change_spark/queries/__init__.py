@@ -7,6 +7,7 @@ it to the driver.
 from .registry import QUERIES, ORACLE_SQL, query  # noqa: F401
 from . import relational  # noqa: F401,E402
 from . import relational2  # noqa: F401,E402
+from . import relational3  # noqa: F401,E402
 from . import arrays_ml  # noqa: F401,E402
 from . import extensions  # noqa: F401,E402
 from . import extensions2  # noqa: F401,E402
