@@ -135,6 +135,144 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q53 — correlated scalar subquery shape: orders above their customer's
+# average. The DataFrame side de-correlates explicitly (grouped avg +
+# equi-join) — exactly the rewrite Catalyst performs on the subquery form.
+# --------------------------------------------------------------------------
+@query(
+    "q53_correlated_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           FLOOR((o_totalprice - cavg) * 100.0 + 0.5) / 100.0 AS above_avg_by
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             (SELECT AVG(i.o_totalprice) FROM orders i
+              WHERE i.o_custkey = o.o_custkey) AS cavg
+      FROM orders o
+    )
+    WHERE o_totalprice > cavg
+    """,
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cavg = orders.groupBy("o_custkey").agg(
+        F.avg("o_totalprice").alias("cavg")
+    )
+    return (
+        orders.join(cavg, "o_custkey")
+        .filter(F.col("o_totalprice") > F.col("cavg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            portable_round(
+                F.col("o_totalprice") - F.col("cavg"), 2
+            ).alias("above_avg_by"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q54 — UNPIVOT (wide -> long): lineitem measures melted to rows.
+# --------------------------------------------------------------------------
+@query(
+    "q54_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, value FROM (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS DOUBLE) AS qty,
+             CAST(l_extendedprice AS DOUBLE) AS price,
+             CAST(l_discount AS DOUBLE) AS discount
+      FROM lineitem
+    ) UNPIVOT (value FOR measure IN (qty, price, discount))
+    """,
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_discount").cast("double").alias("discount"),
+    )
+    return wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["qty", "price", "discount"],
+        "measure",
+        "value",
+    )
+
+
+# --------------------------------------------------------------------------
+# Q55 — multiset set ops: EXCEPT ALL / INTERSECT ALL (q19 covers the
+# DISTINCT variants), tagged and unioned into one result.
+# --------------------------------------------------------------------------
+@query(
+    "q55_except_intersect_all",
+    oracle="""
+    SELECT 'except_all' AS op, k FROM (
+      SELECT o_custkey AS k FROM orders
+      EXCEPT ALL
+      SELECT c_custkey FROM customer
+    )
+    UNION ALL
+    SELECT 'intersect_all' AS op, k FROM (
+      SELECT o_custkey AS k FROM orders
+      INTERSECT ALL
+      SELECT c_custkey FROM customer
+    )
+    """,
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    ex = orders.exceptAll(cust).select(F.lit("except_all").alias("op"), "k")
+    inter = orders.intersectAll(cust).select(
+        F.lit("intersect_all").alias("op"), "k"
+    )
+    return ex.unionByName(inter)
+
+
+# --------------------------------------------------------------------------
+# Q56 — higher-order array lambdas (transform / filter / aggregate /
+# sort) over tokenized text — the JVM-side expression family every pooling
+# operator (R7-R9) is built from.
+# --------------------------------------------------------------------------
+@query(
+    "q56_array_lambdas",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(list_sum(list_transform(toks, w -> length(w))) AS INT)
+             AS total_chars,
+           CAST(list_max(list_transform(toks, w -> length(w))) AS INT)
+             AS max_len,
+           CAST(len(list_filter(toks, w -> length(w) > 5)) AS INT)
+             AS n_long,
+           list_sort(toks)[1] AS first_tok
+    FROM t
+    """,
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    lens = F.transform(toks, lambda w: F.length(w))
+    return docs.select(
+        "doc_id",
+        F.aggregate(lens, F.lit(0), lambda acc, x: acc + x).alias(
+            "total_chars"
+        ),
+        F.array_max(lens).alias("max_len"),
+        F.size(F.filter(toks, lambda w: F.length(w) > 5)).alias("n_long"),
+        F.element_at(F.sort_array(toks), 1).alias("first_tok"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Q52 — LSTM inference (U1/U3) over the embeddings table: each embedding is
 # a one-token sequence through the 2-layer numpy LSTM with deterministic
 # seed-0 weights, Arrow-batched via mapInPandas. Rows-only (model compute);
