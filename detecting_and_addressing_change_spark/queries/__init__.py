@@ -11,6 +11,7 @@ from . import relational3  # noqa: F401,E402
 from . import arrays_ml  # noqa: F401,E402
 from . import extensions  # noqa: F401,E402
 from . import extensions2  # noqa: F401,E402
+from . import extensions3  # noqa: F401,E402
 from . import drift  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLE_SQL", "query"]

@@ -1,0 +1,214 @@
+"""Third wave of LLM-pipeline extension queries: the sketch family
+(`operators/sketches.py`) — Bloom-filter join pre-filtering, count-min
+heavy hitters, and deterministic stratified sampling.
+
+All three are fully DuckDB-oracle-checked: the sketches use the portable
+md5 / Kirsch-Mitzenmacher hashes, so the oracle reproduces the exact same
+bitset / cells / priorities in SQL (no reference counterpart — SURVEY
+§1.2; extension family per §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+_HP = """
+         ('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 8))::BIGINT AS hx,
+         ('0x' || substr(md5(CAST({k} AS VARCHAR)), 9, 8))::BIGINT AS hy
+"""
+
+
+# --------------------------------------------------------------------------
+# X18 — Bloom-filter join pre-filter (runtime-filter pattern): build a
+# 4096-bit / 4-hash Bloom set from BUILDING-segment customers, apply it
+# map-side to orders (k chained broadcast semi joins — zero probe shuffle),
+# and report pass counts vs the exact semi join per order priority. The
+# false-positive column IS the sketch's accuracy contract, measured.
+# --------------------------------------------------------------------------
+@query(
+    "x18_bloom_join_filter",
+    oracle=f"""
+    WITH build AS (
+      SELECT DISTINCT c_custkey AS bk FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+    ),
+    bh AS (
+      SELECT {_HP.format(k="bk")}
+      FROM build
+    ),
+    pos AS (
+      SELECT DISTINCT (hx + j.g * hy) % 4096 AS p
+      FROM bh, generate_series(0, 3) j(g)
+    ),
+    ph AS (
+      SELECT o_orderkey, o_orderpriority, {_HP.format(k="o_custkey")}
+      FROM orders
+    ),
+    bloomed AS (
+      SELECT o_orderkey, o_orderpriority
+      FROM (
+        SELECT ph.o_orderkey, ph.o_orderpriority,
+               (ph.hx + j.g * ph.hy) % 4096 AS p
+        FROM ph, generate_series(0, 3) j(g)
+      )
+      WHERE p IN (SELECT p FROM pos)
+      GROUP BY o_orderkey, o_orderpriority
+      HAVING COUNT(*) = 4
+    ),
+    bl AS (
+      SELECT o_orderpriority, COUNT(*) AS bloom_pass FROM bloomed GROUP BY 1
+    ),
+    ex AS (
+      SELECT o_orderpriority, COUNT(*) AS exact_pass FROM orders
+      WHERE o_custkey IN (SELECT bk FROM build) GROUP BY 1
+    )
+    SELECT bl.o_orderpriority, bl.bloom_pass,
+           COALESCE(ex.exact_pass, 0) AS exact_pass,
+           bl.bloom_pass - COALESCE(ex.exact_pass, 0) AS false_pos
+    FROM bl LEFT JOIN ex USING (o_orderpriority)
+    """,
+)
+def x18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import bloom_build, bloom_prefilter
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    build = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .distinct()
+    )
+    bloom = bloom_build(build, "c_custkey", m=4096, k=4)
+    bl = (
+        bloom_prefilter(orders, "o_custkey", bloom, m=4096, k=4)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("bloom_pass"))
+    )
+    ex = (
+        orders.join(
+            F.broadcast(build),
+            orders.o_custkey == build.c_custkey,
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("exact_pass"))
+    )
+    return bl.join(ex, "o_orderpriority", "left").select(
+        "o_orderpriority",
+        "bloom_pass",
+        F.coalesce(F.col("exact_pass"), F.lit(0).cast("long")).alias(
+            "exact_pass"
+        ),
+        (
+            F.col("bloom_pass")
+            - F.coalesce(F.col("exact_pass"), F.lit(0).cast("long"))
+        ).alias("false_pos"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X19 — count-min-sketch heavy hitters: 3x1024 CMS over document tokens;
+# report the top-20 exact tokens with their CMS estimate and overcount.
+# The sketch is O(d*w) rows regardless of corpus size -> broadcast join.
+# --------------------------------------------------------------------------
+@query(
+    "x19_cms_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS item FROM documents
+    ),
+    counts AS (
+      SELECT item, COUNT(*) AS exact_cnt FROM toks
+      WHERE item <> '' GROUP BY item
+    ),
+    h AS (
+      SELECT item, exact_cnt,
+             ('0x' || substr(md5(item), 1, 8))::BIGINT AS hx,
+             ('0x' || substr(md5(item), 9, 8))::BIGINT AS hy
+      FROM counts
+    ),
+    cells AS (
+      SELECT j.g AS j, (hx + j.g * hy) % 1024 AS p,
+             CAST(SUM(exact_cnt) AS BIGINT) AS cell_total
+      FROM h, generate_series(0, 2) j(g)
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT item, j.g AS j, (hx + j.g * hy) % 1024 AS p
+      FROM h, generate_series(0, 2) j(g)
+    ),
+    est AS (
+      SELECT probes.item, MIN(c.cell_total) AS cms_est
+      FROM probes JOIN cells c ON c.j = probes.j AND c.p = probes.p
+      GROUP BY 1
+    ),
+    top AS (
+      SELECT item, exact_cnt FROM counts
+      ORDER BY exact_cnt DESC, item LIMIT 20
+    )
+    SELECT t.item AS token, t.exact_cnt, e.cms_est,
+           e.cms_est - t.exact_cnt AS overcount
+    FROM top t JOIN est e ON e.item = t.item
+    """,
+)
+def x19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cms_cells, cms_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("item")
+    ).filter(F.col("item") != "")
+    cells = cms_cells(toks, "item", depth=3, width=1024)
+    est = cms_estimate(toks, "item", cells, depth=3, width=1024)
+    top = (
+        toks.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("item").asc())
+        .limit(20)
+    )
+    return top.join(est, "item").select(
+        F.col("item").alias("token"),
+        "exact_cnt",
+        F.col("est").alias("cms_est"),
+        (F.col("est") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X20 — deterministic stratified sample: 8 customers per market segment,
+# ranked by stable hash priority (reservoir-sampling shape, same rows on
+# every run and every engine).
+# --------------------------------------------------------------------------
+@query(
+    "x20_stratified_sample",
+    oracle="""
+    WITH h AS (
+      SELECT c_custkey, c_name, c_mktsegment,
+             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+               AS hx
+      FROM customer
+    )
+    SELECT c_mktsegment, c_custkey, c_name, CAST(srank AS INT) AS srank
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_name,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment ORDER BY hx, c_custkey
+             ) AS srank
+      FROM h
+    )
+    WHERE srank <= 8
+    """,
+)
+def x20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import stratified_topn
+
+    cust = load_table(spark, sf_dir, "customer")
+    return stratified_topn(cust, "c_mktsegment", "c_custkey", 8).select(
+        "c_mktsegment", "c_custkey", "c_name", "srank"
+    )
