@@ -212,3 +212,38 @@ def x20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_topn(cust, "c_mktsegment", "c_custkey", 8).select(
         "c_mktsegment", "c_custkey", "c_name", "srank"
     )
+
+
+# --------------------------------------------------------------------------
+# X21 — salted skew join on the correctness gate: orders⋈customer salted
+# 8 ways (operators/skew.py) must produce EXACTLY the plain equi-join's
+# aggregate — the oracle is the unsalted SQL join, so any salt-induced
+# row loss/duplication hash-mismatches immediately.
+# --------------------------------------------------------------------------
+@query(
+    "x21_salted_skew_join",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_orders,
+           FLOOR(SUM(o_totalprice) * 100.0 + 0.5) / 100.0 AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def x21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import portable_round
+    from ..operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), "o_totalprice"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_nationkey"
+    )
+    return (
+        salted_join(orders, dim, "k", n_salts=8)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            portable_round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
