@@ -68,6 +68,29 @@ def test_bloom_prefilter_keeps_schema(spark, tabs):
     assert out.columns == orders.columns  # helper columns dropped
 
 
+def test_bloom_prefilter_plan_is_shuffle_free(spark, tabs):
+    """The whole point of the runtime-filter pattern: k broadcast semi
+    joins, no Exchange anywhere above the probe scan."""
+    cust, orders = tabs
+    build = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .distinct()
+    )
+    bloom = bloom_build(build, "c_custkey", m=4096, k=4)
+    plan = (
+        bloom_prefilter(orders, "o_custkey", bloom, m=4096, k=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 4
+    # build-side distinct() may hash-partition its tiny position set, but
+    # the probe table must never be hash-partitioned on anything
+    assert "Exchange hashpartitioning(o_" not in plan
+    assert "Exchange hashpartitioning(_b" not in plan
+
+
 def test_cms_one_sided_error(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     toks = docs.select(
