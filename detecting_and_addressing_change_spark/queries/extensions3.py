@@ -247,3 +247,35 @@ def x21(spark: SparkSession, sf_dir: str) -> DataFrame:
             portable_round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X22 — one-pass data-quality profile (operators/profile.py) of orders:
+# per-column rows/nulls/distincts/range in a single scan. Columns chosen
+# to have engine-portable string casts (int, string, date); doubles need a
+# DECIMAL pin first (Java vs DuckDB float formatting diverge at 1e7+).
+# --------------------------------------------------------------------------
+_PROFILE_COLS = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+
+
+def _profile_oracle_one(c: str) -> str:
+    return f"""
+    SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_s,
+           CAST(MAX({c}) AS VARCHAR) AS max_s
+    FROM orders
+    """
+
+
+@query(
+    "x22_table_profile",
+    oracle=" UNION ALL ".join(_profile_oracle_one(c) for c in _PROFILE_COLS),
+)
+def x22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(orders, _PROFILE_COLS)
