@@ -115,6 +115,46 @@ def lsh_signature_col(qvec_col: Column, planes: list[list[int]]) -> Column:
     return bits.cast("int")
 
 
+def lsh_sigs_udf(n_planes: int, n_tables: int, dim: int):
+    """Arrow-batched production path for the per-table signatures: ONE
+    numpy int64 matmul `(batch, dim) @ (dim, n_tables*n_planes)` instead
+    of a ~n_tables*n_planes*dim-node Catalyst expression tree per row
+    (~6x faster at sf0.01, and the codegen stays compilable as
+    n_planes grows). Bit-identical to `lsh_signature_col`: same float64
+    quantization (`floor(v*scale + 0.5)`), same ±1 planes, exact int64
+    dots — the expression variant remains the cross-engine-audited
+    definition (cf. hashing.rolling_fingerprint_udf precedent)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.array(
+        sign_planes(0, n_tables * n_planes, dim), dtype=np.int64
+    ).T  # (dim, n_tables*n_planes), column g = global plane g
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def sigs(embs):
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack(
+            [
+                np.floor(
+                    np.asarray(e, dtype=np.float64) * QUANT_SCALE + 0.5
+                ).astype(np.int64)
+                for e in embs
+            ]
+        )
+        bits = (M @ P) > 0  # (batch, n_tables*n_planes)
+        sig = (
+            bits.reshape(len(embs), n_tables, n_planes).astype(np.int64)
+            @ weights
+        ).astype(np.int32)
+        return pd.Series(list(sig))
+
+    sigs.__annotations__ = {"embs": pd.Series, "return": pd.Series}
+    return pandas_udf(sigs, "array<int>")
+
+
 def _with_sigs(
     df: DataFrame,
     role: str,
@@ -123,9 +163,21 @@ def _with_sigs(
     n_planes: int,
     n_tables: int,
     dim: int,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Explode each row into one (tbl, sig) bucket row per LSH table.
-    Table t uses global planes [t*n_planes, (t+1)*n_planes)."""
+    Table t uses global planes [t*n_planes, (t+1)*n_planes). Default is
+    the Arrow-batched numpy path; `vectorized=False` keeps the pure
+    Catalyst expression variant (same bits — asserted in
+    tests/test_similarity.py)."""
+    if vectorized:
+        return df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(vec_col).alias(f"{role}_emb"),
+            F.posexplode(
+                lsh_sigs_udf(n_planes, n_tables, dim)(F.col(vec_col))
+            ).alias("tbl", "sig"),
+        )
     qv = quantize_col(F.col(vec_col))
     sigs = []
     for t in range(n_tables):

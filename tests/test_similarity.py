@@ -74,3 +74,24 @@ def test_embedding_near_dup_finds_planted_pair(spark, embeddings):
         for r in embedding_near_dup_pairs(df, threshold=0.999).collect()
     }
     assert (0, 200) in pairs
+
+
+def test_sig_paths_bit_identical(spark, embeddings):
+    """The Arrow-batched numpy signature path (production) must produce
+    exactly the Catalyst-expression signatures (the cross-engine-audited
+    definition)."""
+    from detecting_and_addressing_change_spark.operators.similarity import (
+        _with_sigs,
+    )
+
+    df, _ = embeddings
+    fast = _with_sigs(
+        df, "a", "vec_id", "embedding", 8, 4, 16, vectorized=True
+    )
+    slow = _with_sigs(
+        df, "a", "vec_id", "embedding", 8, 4, 16, vectorized=False
+    )
+    key = lambda r: (r["a_id"], r["tbl"], r["sig"])  # noqa: E731
+    assert sorted(map(key, fast.collect())) == sorted(
+        map(key, slow.collect())
+    )
