@@ -279,3 +279,53 @@ def x22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return profile_table(orders, _PROFILE_COLS)
+
+
+# --------------------------------------------------------------------------
+# X23 — dedup cluster resolution: connected components over the MinHash
+# candidate-pair graph (operators/graph.py, iterative hash-min), labeling
+# every document with its cluster's min doc_id and flagging the canonical
+# survivor. Oracle: the same pair graph closed transitively with a
+# recursive CTE — fixpoint label = MIN over all reachable nodes.
+# --------------------------------------------------------------------------
+def _x23_oracle() -> str:
+    from .extensions import _minhash_oracle
+
+    base = _minhash_oracle().replace("WITH ws", "WITH RECURSIVE ws", 1)
+    return (
+        base
+        + """
+    , pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT a_id AS a, b_id AS b FROM pairs
+      UNION
+      SELECT b_id, a_id FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id,
+           node = MIN(lbl) AS is_canonical
+    FROM reach GROUP BY node
+    """
+    )
+
+
+@query("x23_dedup_clusters", oracle=_x23_oracle())
+def x23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        minhash_bands,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+    from ..operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(minhash_bands(minhash_signatures(docs)))
+    return dedup_clusters(docs.select("doc_id"), pairs)

@@ -1,0 +1,52 @@
+"""Connected components (operators/graph.py): chains collapse to one
+cluster, isolated nodes stay singletons, labels are min-id, and the
+result is identical across input partitionings."""
+
+from __future__ import annotations
+
+from detecting_and_addressing_change_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def test_chain_and_isolated(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(7)], ["doc_id"])
+    # chain 1-2-3-4 (diameter 3), pair 5-6, node 0 isolated
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], ["a_id", "b_id"]
+    )
+    got = {
+        r.node: r.lbl
+        for r in connected_components(
+            nodes, edges, "doc_id", "a_id", "b_id"
+        ).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+
+
+def test_dedup_clusters_canonical_flag(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(4)], ["doc_id"])
+    edges = spark.createDataFrame([(0, 2), (2, 3)], ["a_id", "b_id"])
+    rows = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in dedup_clusters(nodes, edges).collect()
+    }
+    assert rows == {
+        0: (0, True),
+        1: (1, True),
+        2: (0, False),
+        3: (0, False),
+    }
+
+
+def test_partitioning_invariance(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(20)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 18, 2)] + [(1, 19)], ["a_id", "b_id"]
+    )
+    a = connected_components(nodes, edges, "doc_id", "a_id", "b_id")
+    b = connected_components(
+        nodes.repartition(7), edges.repartition(5), "doc_id", "a_id", "b_id"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
