@@ -114,6 +114,35 @@ def linear_map_col(vec: Column, matrix: list[list[float]]) -> Column:
     return F.transform(rows, lambda r: dot_col(r, vec))
 
 
+def linear_map_udf(matrix: list[list[float]]):
+    """Arrow-batched production path for `linear_map_col`, bit-identical
+    to the expression fold: accumulates over input dims IN ORDER
+    (`acc += M[:, d] * v[d]` elementwise), so every float64 add/mul
+    happens in exactly the left-to-right sequence the Catalyst
+    `aggregate` — and the DuckDB oracle's list fold — performs. numpy's
+    own `dot`/`matmul` would be faster still but pairwise-sums, which
+    diverges in the last ulp and off the oracle gate."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    M = np.array(matrix, dtype=np.float64)  # (out_dim, in_dim)
+
+    def fn(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in vecs]
+        )  # (n, in_dim)
+        acc = np.zeros((len(vecs), M.shape[0]), dtype=np.float64)
+        for d in range(M.shape[1]):
+            acc += V[:, d, None] * M[None, :, d]
+        return pd.Series(list(acc))
+
+    fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(fn, "array<double>")
+
+
 def add_gaussian_noise_col(vec: Column, sigma: Column, seed: int) -> Column:
     """R5 Gaussian noise injection with a per-batch σ schedule
     (streams/run_stream_supervised.py:50-54 in reference). Seeded randn for

@@ -48,15 +48,17 @@ TOK = 8  # tokens per vector when chunking
     """,
 )
 def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.arrays import linear_map_col
+    from ..functions.arrays import linear_map_udf
 
     matrix = [
         [((i * 31 + d * 17) % 7 - 3) / 10.0 for d in range(DIM)]
         for i in range(DIM)
     ]
     emb = load_table(spark, sf_dir, "embeddings")
+    # Arrow-batched ordered-fold matmul — bit-identical to the audited
+    # linear_map_col expression (parity test in tests/test_arrays.py)
     mapped = emb.select(
-        "vec_id", linear_map_col(F.col("embedding"), matrix).alias("m")
+        "vec_id", linear_map_udf(matrix)(F.col("embedding")).alias("m")
     )
     return mapped.select(
         "vec_id", F.posexplode("m").alias("i", "mv")

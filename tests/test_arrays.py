@@ -93,3 +93,32 @@ def test_argmax_first_max_ties(spark):
     )
     out = [r[0] for r in df.select(argmax_col(F.col("probs"))).collect()]
     assert out == [1, 0]  # first maximum wins, like torch.argmax
+
+
+def test_linear_map_udf_bit_identical(spark):
+    """Arrow-batched ordered-fold matmul must equal the Catalyst
+    expression fold bit-for-bit (no rounding in the comparison)."""
+    from detecting_and_addressing_change_spark.functions.arrays import (
+        linear_map_col,
+        linear_map_udf,
+    )
+    from detecting_and_addressing_change_spark.sources.tables import load_table
+
+    matrix = [
+        [((i * 31 + d * 17) % 7 - 3) / 10.0 for d in range(16)]
+        for i in range(16)
+    ]
+    emb = (
+        load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        .select("vec_id", F.slice("embedding", 1, 16).alias("v"))
+        .limit(200)
+    )
+    a = emb.select(
+        "vec_id", linear_map_udf(matrix)(F.col("v")).alias("m")
+    ).collect()
+    b = emb.select(
+        "vec_id", linear_map_col(F.col("v"), matrix).alias("m")
+    ).collect()
+    am = {r.vec_id: list(r.m) for r in a}
+    bm = {r.vec_id: list(r.m) for r in b}
+    assert am == bm  # exact float equality, not approx
