@@ -317,6 +317,122 @@ def _x23_oracle() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# X24 — vocabulary build + token-id encoding: top-512 tokens by frequency
+# become ids 1..512 (rank order, ties by token), every document is
+# re-expressed as (doc_id, pos, token_id) with OOV -> 0. The tokenize ->
+# ids step of a training-data pipeline, end-to-end on the oracle gate.
+# --------------------------------------------------------------------------
+@query(
+    "x24_vocab_encode",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, UNNEST(generate_series(1, len(w))) AS g, w FROM ws
+    ),
+    tok2 AS (
+      SELECT doc_id, g - 1 AS pos, w[g] AS item FROM tok WHERE w[g] <> ''
+    ),
+    counts AS (SELECT item, COUNT(*) AS cnt FROM tok2 GROUP BY item),
+    vocab AS (
+      SELECT item,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, item) AS INT)
+               AS token_id
+      FROM counts ORDER BY cnt DESC, item LIMIT 512
+    )
+    SELECT t.doc_id, CAST(t.pos AS INT) AS pos,
+           COALESCE(v.token_id, 0) AS token_id
+    FROM tok2 t LEFT JOIN vocab v USING (item)
+    """,
+)
+def x24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "item"),
+    ).filter(F.col("item") != "")
+    # vocab: aggregate -> take the 512 heaviest -> rank (the window runs
+    # over 512 rows, not the corpus)
+    top = (
+        toks.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("item").asc())
+        .limit(512)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("item").asc())
+    vocab = top.select(
+        "item", F.row_number().over(w).cast("int").alias("token_id")
+    )
+    return toks.join(F.broadcast(vocab), "item", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(0)).alias("token_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X25 — CDC changelog upsert (operators/upsert.py): base snapshot (v1) +
+# synthetic upserts (v2, every 10th key re-priced) + deletes (v3, every
+# 17th key) merged latest-wins; oracle is the same union ranked by a
+# window in SQL.
+# --------------------------------------------------------------------------
+@query(
+    "x25_changelog_upsert",
+    oracle="""
+    WITH chg AS (
+      SELECT o_orderkey AS k, o_totalprice AS p, 1 AS v, 'U' AS op
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_totalprice * 1.1, 2, 'U' FROM orders
+      WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, 0.0, 3, 'D' FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    latest AS (
+      SELECT k, p, op,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+      FROM chg
+    )
+    SELECT k AS o_orderkey, FLOOR(p * 100.0 + 0.5) / 100.0 AS price
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def x25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import portable_round
+    from ..operators.upsert import apply_changelog
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("p"),
+        F.lit(1).alias("version"),
+        F.lit("U").alias("op"),
+    )
+    upd = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice") * 1.1).alias("p"),
+        F.lit(2).alias("version"),
+        F.lit("U").alias("op"),
+    )
+    dels = orders.filter(F.col("o_orderkey") % 17 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(0.0).alias("p"),
+        F.lit(3).alias("version"),
+        F.lit("D").alias("op"),
+    )
+    merged = apply_changelog(
+        base.unionByName(upd).unionByName(dels), ["k"]
+    )
+    return merged.select(
+        F.col("k").alias("o_orderkey"),
+        portable_round(F.col("p"), 2).alias("price"),
+    )
+
+
 @query("x23_dedup_clusters", oracle=_x23_oracle())
 def x23(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import (
