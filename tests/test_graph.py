@@ -50,3 +50,54 @@ def test_partitioning_invariance(spark):
         nodes.repartition(7), edges.repartition(5), "doc_id", "a_id", "b_id"
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _union_find(n, edges):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id label per component
+    return {i: find(i) for i in range(n)}
+
+
+@given(
+    st.integers(min_value=2, max_value=12).flatmap(
+        lambda n: st.tuples(
+            st.just(n),
+            st.lists(
+                st.tuples(
+                    st.integers(0, n - 1), st.integers(0, n - 1)
+                ).filter(lambda e: e[0] != e[1]),
+                max_size=15,
+            ),
+        )
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_cc_matches_union_find(spark, graph):
+    n, edges = graph
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    if edges:
+        edf = spark.createDataFrame(edges, ["a_id", "b_id"])
+    else:
+        edf = spark.createDataFrame([], "a_id long, b_id long")
+    got = {
+        r.node: r.lbl
+        for r in connected_components(
+            nodes, edf, "doc_id", "a_id", "b_id"
+        ).collect()
+    }
+    assert got == _union_find(n, edges)
