@@ -19,17 +19,32 @@ SURVEY §8); extension family per SURVEY §2.9.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
 def profile_table(
-    df: DataFrame, cols: list[str], exact_distinct: bool = True
+    df: DataFrame,
+    cols: list[str],
+    exact_distinct: bool = True,
+    decimal_pin: dict[str, int] | None = None,
 ) -> DataFrame:
     """Long-format profile `(column, n_rows, n_null, n_distinct, min_s,
     max_s)` for each named column. min/max are canonical strings so mixed
     column types fit one schema (numeric columns keep their natural
-    ordering by aggregating BEFORE the cast)."""
+    ordering by aggregating BEFORE the cast).
+
+    Float/double columns must appear in `decimal_pin` (column -> scale):
+    their min/max are pinned to DECIMAL(38, scale) before the string
+    cast, because raw float formatting is engine-specific (Java flips to
+    scientific notation at 1e7; DuckDB does not)."""
+    decimal_pin = decimal_pin or {}
+
+    def _str(agg: Column, c: str) -> Column:
+        if c in decimal_pin:
+            agg = agg.cast(f"decimal(38,{decimal_pin[c]})")
+        return agg.cast("string")
+
     aggs = []
     for c in cols:
         col = F.col(c)
@@ -41,8 +56,8 @@ def profile_table(
                 if exact_distinct
                 else F.approx_count_distinct(col)
             ).alias(f"{c}__dist"),
-            F.min(col).cast("string").alias(f"{c}__min"),
-            F.max(col).cast("string").alias(f"{c}__max"),
+            _str(F.min(col), c).alias(f"{c}__min"),
+            _str(F.max(col), c).alias(f"{c}__max"),
         ]
     wide = df.agg(*aggs)
     per_col = [

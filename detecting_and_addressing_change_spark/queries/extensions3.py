@@ -255,17 +255,28 @@ def x21(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to have engine-portable string casts (int, string, date); doubles need a
 # DECIMAL pin first (Java vs DuckDB float formatting diverge at 1e7+).
 # --------------------------------------------------------------------------
-_PROFILE_COLS = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+_PROFILE_COLS = [
+    "o_custkey",
+    "o_orderstatus",
+    "o_orderpriority",
+    "o_orderdate",
+    "o_totalprice",
+]
+_PROFILE_PINS = {"o_totalprice": 2}  # doubles: DECIMAL-pin the range strings
 
 
 def _profile_oracle_one(c: str) -> str:
+    mn, mx = f"MIN({c})", f"MAX({c})"
+    if c in _PROFILE_PINS:
+        mn = f"CAST({mn} AS DECIMAL(38,{_PROFILE_PINS[c]}))"
+        mx = f"CAST({mx} AS DECIMAL(38,{_PROFILE_PINS[c]}))"
     return f"""
     SELECT '{c}' AS "column", COUNT(*) AS n_rows,
            CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_null,
            COUNT(DISTINCT {c}) AS n_distinct,
-           CAST(MIN({c}) AS VARCHAR) AS min_s,
-           CAST(MAX({c}) AS VARCHAR) AS max_s
+           CAST({mn} AS VARCHAR) AS min_s,
+           CAST({mx} AS VARCHAR) AS max_s
     FROM orders
     """
 
@@ -278,7 +289,7 @@ def x22(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profile import profile_table
 
     orders = load_table(spark, sf_dir, "orders")
-    return profile_table(orders, _PROFILE_COLS)
+    return profile_table(orders, _PROFILE_COLS, decimal_pin=_PROFILE_PINS)
 
 
 # --------------------------------------------------------------------------
