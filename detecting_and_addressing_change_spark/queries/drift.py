@@ -20,11 +20,74 @@ from .registry import query
 
 # --------------------------------------------------------------------------
 # Q25 — DDM drift detection over the events error stream (T1).
-# Non-SQL-expressible (sequential recurrence with resets) -> rows-only check;
-# exactness is pinned by golden tests against the pure-Python kernel
-# (tests/test_ddm.py).
+# The recurrence is sequential-with-resets, but every step is plain IEEE
+# double arithmetic (one divide, one sqrt), so a DuckDB recursive CTE that
+# advances exactly one row per iteration reproduces the Python kernel
+# BIT-EXACTLY (verified against operators/ddm.py::ddm_scan). Per-batch
+# error = k/32 is an exact dyadic rational, so no rounding is needed at the
+# output boundary. Flag transitions (N/W/D + reset) are exercised by golden
+# tests (tests/test_ddm.py); the oracle pins the full running-state math on
+# real data.
 # --------------------------------------------------------------------------
-@query("q25_ddm_drift_flags", oracle=None)
+_DDM_ORACLE = """
+WITH RECURSIVE seq AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY bucket) AS rn, bucket AS seq_id, error
+  FROM (
+    SELECT CAST(FLOOR(event_id / 32) AS BIGINT) AS bucket,
+           AVG(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END) AS error
+    FROM events
+    GROUP BY bucket
+  )
+),
+scan AS (
+  SELECT 0::BIGINT AS rn, CAST(NULL AS BIGINT) AS seq_id,
+         CAST(NULL AS DOUBLE) AS error, CAST(NULL AS VARCHAR) AS flag,
+         1::BIGINT AS n, 1.0::DOUBLE AS p,
+         'infinity'::DOUBLE AS psmin, 'infinity'::DOUBLE AS pmin,
+         'infinity'::DOUBLE AS smin, FALSE AS in_change
+  UNION ALL
+  SELECT rn, seq_id, error,
+         CASE WHEN n1 < 30 THEN 'N'
+              WHEN p1 + s1 > pmin1 + 3.0 * smin1 THEN 'D'
+              WHEN p1 + s1 > pmin1 + 2.0 * smin1 THEN 'W'
+              ELSE 'N' END AS flag,
+         n1 AS n, p1 AS p, psmin1 AS psmin, pmin1 AS pmin, smin1 AS smin,
+         (n1 >= 30 AND p1 + s1 > pmin1 + 3.0 * smin1) AS in_change
+  FROM (
+    SELECT rn, seq_id, error, n1, p1, s1,
+           CASE WHEN n1 >= 30 AND p1 + s1 <= psmin0
+                THEN p1 + s1 ELSE psmin0 END AS psmin1,
+           CASE WHEN n1 >= 30 AND p1 + s1 <= psmin0
+                THEN p1 ELSE pmin0 END AS pmin1,
+           CASE WHEN n1 >= 30 AND p1 + s1 <= psmin0
+                THEN s1 ELSE smin0 END AS smin1
+    FROM (
+      SELECT rn, seq_id, error, n0 + 1 AS n1, p1,
+             SQRT(GREATEST(p1 * (1.0 - p1), 0.0) / n0) AS s1,
+             psmin0, pmin0, smin0
+      FROM (
+        SELECT scan.rn + 1 AS rn, seq.seq_id, seq.error,
+               CASE WHEN scan.in_change THEN 1 ELSE scan.n END AS n0,
+               (CASE WHEN scan.in_change THEN 1.0 ELSE scan.p END)
+                 + (seq.error
+                    - (CASE WHEN scan.in_change THEN 1.0 ELSE scan.p END))
+                   / (CASE WHEN scan.in_change THEN 1 ELSE scan.n END) AS p1,
+               CASE WHEN scan.in_change THEN 'infinity'::DOUBLE
+                    ELSE scan.psmin END AS psmin0,
+               CASE WHEN scan.in_change THEN 'infinity'::DOUBLE
+                    ELSE scan.pmin END AS pmin0,
+               CASE WHEN scan.in_change THEN 'infinity'::DOUBLE
+                    ELSE scan.smin END AS smin0
+        FROM scan JOIN seq ON seq.rn = scan.rn + 1
+      )
+    )
+  )
+)
+SELECT seq_id, error, flag FROM scan WHERE rn >= 1
+"""
+
+
+@query("q25_ddm_drift_flags", oracle=_DDM_ORACLE)
 def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ddm import detect_drift
     from ..operators.windows import count_window_agg
@@ -42,9 +105,7 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("long").alias("seq_id"),
         "error",
     )
-    return detect_drift(per_batch).select(
-        "seq_id", F.round("error", 6).alias("error"), "flag"
-    )
+    return detect_drift(per_batch).select("seq_id", "error", "flag")
 
 
 # --------------------------------------------------------------------------
@@ -181,10 +242,159 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q39 — full abrupt-drift experiment E2E (SURVEY §3.2): documents -> hash
 # embedder (space A/B) -> mean pool -> NB train on A -> score A then B
 # through ONE detector with continuous seq_id -> windowed accuracy + flags.
-# Model compute + sequential detector -> rows-only check; semantics pinned
-# by tests/test_pipeline.py on separable synthetic classes.
+# FULL oracle: every stage is portable — the hash embedder is pure integer
+# polyhash + libm sin (bit-identical both engines), mean pooling is an
+# ordered fold reproduced with LIST(.. ORDER BY pos) + list_reduce, NB is
+# the q28 sufficient-statistics SQL, and DDM is the q25 recursive CTE.
+# seq is MATERIALIZED so the recursion doesn't re-run the pipeline per
+# iteration. Semantics additionally pinned by tests/test_pipeline.py on
+# separable synthetic classes.
 # --------------------------------------------------------------------------
-@query("q39_abrupt_drift_experiment", oracle=None)
+_Q39_ORACLE = """
+WITH RECURSIVE
+langcode AS (
+  SELECT lang, CAST(ROW_NUMBER() OVER (ORDER BY lang) - 1 AS INT) AS label
+  FROM (SELECT DISTINCT lang FROM documents)
+),
+docs AS (
+  SELECT d.doc_id, COALESCE(d.text, '') AS text, lc.label
+  FROM documents d JOIN langcode lc ON d.lang = lc.lang
+),
+n_docs AS (SELECT COUNT(*) AS n FROM docs),
+doc_words AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word,
+         GENERATE_SUBSCRIPTS(string_split(text, ' '), 1) AS pos
+  FROM docs
+),
+doc_words_t AS (SELECT * FROM doc_words WHERE pos <= 512),
+words AS (SELECT DISTINCT word FROM doc_words_t),
+dims AS (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS d),
+models AS (SELECT UNNEST(['BERT', 'SCIBERT']) AS model),
+word_pre AS (
+  -- hash the 'model:word:' prefix once; each dim appends one digit char
+  SELECT w.word, m.model,
+         list_reduce(
+             [7::BIGINT] || list_transform(
+               string_split_regex(m.model || ':' || w.word || ':', ''),
+               c -> ord(c)::BIGINT),
+             (a, b) -> (a * 31 + b) % 2147483647) AS hpre
+  FROM words w CROSS JOIN models m
+),
+word_emb AS (
+  SELECT wp.word, wp.model, dm.d,
+         CAST(sin((wp.hpre * 31 + 48 + dm.d) % 2147483647) * 2 - 1
+              AS REAL) AS v32
+  FROM word_pre wp CROSS JOIN dims dm
+),
+-- ordered-fold mean pooling: sum float32 tokens (as double) in pos order
+pooled AS (
+  SELECT dw.doc_id, we.model, we.d,
+         list_reduce([0.0::DOUBLE] || LIST(we.v32::DOUBLE ORDER BY dw.pos),
+                     (a, b) -> a + b) / COUNT(*) AS v
+  FROM doc_words_t dw JOIN word_emb we ON dw.word = we.word
+  GROUP BY dw.doc_id, we.model, we.d
+),
+train AS (
+  SELECT p.doc_id, p.d, p.v, dc.label
+  FROM pooled p JOIN docs dc ON p.doc_id = dc.doc_id
+  WHERE p.model = 'BERT'
+),
+stats AS (
+  SELECT label, d, COUNT(*) AS n, SUM(v)/COUNT(*) AS mean,
+         SUM(v*v)/COUNT(*) - (SUM(v)/COUNT(*))*(SUM(v)/COUNT(*)) AS var
+  FROM train GROUP BY label, d
+),
+mv AS (SELECT MAX(var) AS maxvar FROM stats),
+priors AS (SELECT label, COUNT(*) AS cnt FROM train WHERE d = 0 GROUP BY label),
+total AS (SELECT COUNT(*) AS n_total FROM docs),
+scored AS (
+  SELECT p.model, p.doc_id, s.label AS cls,
+         SUM(-0.5*LN(2*PI()*(s.var + 1e-9*mv.maxvar))
+             - (p.v - s.mean)*(p.v - s.mean)
+               / (2*(s.var + 1e-9*mv.maxvar))) AS ll
+  FROM pooled p JOIN stats s ON p.d = s.d
+  CROSS JOIN mv
+  GROUP BY p.model, p.doc_id, s.label
+),
+post AS (
+  SELECT sc.model, sc.doc_id, sc.cls,
+         sc.ll + LN(pr.cnt::DOUBLE / t.n_total) AS lp
+  FROM scored sc JOIN priors pr ON sc.cls = pr.label CROSS JOIN total t
+),
+best AS (
+  SELECT model, doc_id, cls,
+         ROW_NUMBER() OVER (PARTITION BY model, doc_id
+                            ORDER BY lp DESC, cls) AS r
+  FROM post
+),
+preds AS (SELECT model, doc_id, cls AS pred FROM best WHERE r = 1),
+correct AS (
+  SELECT CASE WHEN p.model = 'BERT' THEN p.doc_id
+              ELSE p.doc_id + (SELECT n FROM n_docs) END AS seq_id,
+         CASE WHEN p.model = 'BERT' THEN 'trained' ELSE 'untrained' END AS stream,
+         CASE WHEN p.pred = dc.label THEN 1 ELSE 0 END AS c
+  FROM preds p JOIN docs dc ON p.doc_id = dc.doc_id
+),
+buckets AS (
+  SELECT CAST(FLOOR(seq_id / 32) AS BIGINT) AS seq_id,
+         AVG(c::DOUBLE) AS accuracy, MAX(stream) AS stream
+  FROM correct GROUP BY 1
+),
+seq AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY seq_id) AS rn, seq_id,
+         1.0 - accuracy AS error, accuracy, stream
+  FROM buckets
+),
+scan AS (
+  SELECT 0::BIGINT AS rn, CAST(NULL AS BIGINT) AS seq_id,
+         CAST(NULL AS VARCHAR) AS flag,
+         1::BIGINT AS n, 1.0::DOUBLE AS p,
+         'infinity'::DOUBLE AS psmin, 'infinity'::DOUBLE AS pmin,
+         'infinity'::DOUBLE AS smin, FALSE AS in_change
+  UNION ALL
+  SELECT rn, seq_id,
+         CASE WHEN n1 < 30 THEN 'N'
+              WHEN p1 + s1 > pmin1 + 3.0 * smin1 THEN 'D'
+              WHEN p1 + s1 > pmin1 + 2.0 * smin1 THEN 'W'
+              ELSE 'N' END AS flag,
+         n1 AS n, p1 AS p, psmin1 AS psmin, pmin1 AS pmin, smin1 AS smin,
+         (n1 >= 30 AND p1 + s1 > pmin1 + 3.0 * smin1) AS in_change
+  FROM (
+    SELECT rn, seq_id, n1, p1, s1,
+           CASE WHEN n1 >= 30 AND p1 + s1 <= psmin0
+                THEN p1 + s1 ELSE psmin0 END AS psmin1,
+           CASE WHEN n1 >= 30 AND p1 + s1 <= psmin0
+                THEN p1 ELSE pmin0 END AS pmin1,
+           CASE WHEN n1 >= 30 AND p1 + s1 <= psmin0
+                THEN s1 ELSE smin0 END AS smin1
+    FROM (
+      SELECT rn, seq_id, n0 + 1 AS n1, p1,
+             SQRT(GREATEST(p1 * (1.0 - p1), 0.0) / n0) AS s1,
+             psmin0, pmin0, smin0
+      FROM (
+        SELECT scan.rn + 1 AS rn, seq.seq_id,
+               CASE WHEN scan.in_change THEN 1 ELSE scan.n END AS n0,
+               (CASE WHEN scan.in_change THEN 1.0 ELSE scan.p END)
+                 + (seq.error
+                    - (CASE WHEN scan.in_change THEN 1.0 ELSE scan.p END))
+                   / (CASE WHEN scan.in_change THEN 1 ELSE scan.n END) AS p1,
+               CASE WHEN scan.in_change THEN 'infinity'::DOUBLE
+                    ELSE scan.psmin END AS psmin0,
+               CASE WHEN scan.in_change THEN 'infinity'::DOUBLE
+                    ELSE scan.pmin END AS pmin0,
+               CASE WHEN scan.in_change THEN 'infinity'::DOUBLE
+                    ELSE scan.smin END AS smin0
+        FROM scan JOIN seq ON seq.rn = scan.rn + 1
+      )
+    )
+  )
+)
+SELECT sq.seq_id, sq.stream, sq.accuracy, sc.flag
+FROM seq sq JOIN scan sc ON sq.seq_id = sc.seq_id
+"""
+
+
+@query("q39_abrupt_drift_experiment", oracle=_Q39_ORACLE)
 def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipelines import abrupt_drift_experiment
 
