@@ -12,6 +12,7 @@ from . import arrays_ml  # noqa: F401,E402
 from . import extensions  # noqa: F401,E402
 from . import extensions2  # noqa: F401,E402
 from . import extensions3  # noqa: F401,E402
+from . import extensions4  # noqa: F401,E402
 from . import drift  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLE_SQL", "query"]
