@@ -7,7 +7,9 @@ writes nothing) so the measured time is real plan execution, not count()
 shortcuts. The query set covers every operator family: scan/cast, string
 pipeline, word-count/top-k, joins (broadcast + shuffle), grouped agg,
 windows, set ops, hash split, count-window mean, DDM, NB fit/predict,
-MinHash/SimHash dedup, cosine top-k.
+MinHash/SimHash dedup, cosine top-k, TF-IDF, connected-components dedup
+clusters, bigram top-k, salted top-k-per-group, and the full abrupt-drift
+E2E (the workload the reference's own 97-150s profile measures).
 """
 
 from __future__ import annotations
@@ -45,6 +47,11 @@ BENCH_QUERIES = [
     "x10_text_stats",
     "x11_text_quality",
     "x13_rolling_fingerprint",
+    "x17_tfidf_topk",
+    "x23_dedup_clusters",
+    "x28_bigram_topk",
+    "q57_topk_per_group",
+    "q39_abrupt_drift_experiment",
 ]
 
 

@@ -46,38 +46,43 @@ def connected_components(
     `nodes`: one row per node (isolated nodes keep their own id as
     label). `edges`: undirected pairs (each stored once is fine).
     Returns DataFrame[node, lbl]."""
+    # materialize the symmetrized edge list ONCE — without this, every
+    # hash-min round re-executes the upstream pipeline that produced the
+    # pairs (for dedup that is the whole MinHash band/join cascade)
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .union(
             edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select(F.col(id_col).alias("node")).withColumn(
         "lbl", F.col("node")
     )
+    # labels only ever DECREASE, so the label sum is a strictly monotone
+    # convergence witness: unchanged sum <=> fixpoint. One scalar agg per
+    # round instead of a join+count. decimal accumulator so the witness
+    # cannot overflow at 1e9+-node graphs.
+    prev_sum = None
     for _ in range(max_iter):
         # push each node's label to its neighbors, then take the min of
         # {own label} ∪ {neighbor labels}
         pushed = sym.join(
             labels.withColumnRenamed("node", "a"), "a"
         ).select(F.col("b").alias("node"), "lbl")
-        new_labels = (
+        labels = (
             labels.union(pushed)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("lbl", "old"), "node"
-            )
-            .filter(F.col("lbl") < F.col("old"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 
