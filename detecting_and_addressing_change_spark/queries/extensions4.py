@@ -207,3 +207,58 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_round(F.col("o_totalprice"), 2).alias("price"),
         F.col("rn").cast("int").alias("rn"),
     )
+
+
+# --------------------------------------------------------------------------
+# x29 — embedding L2-normalize + symmetric int8 quantization: the standard
+# preprocessing in front of ANN indexes (x08/x15) — unit-norm makes cosine
+# an inner product, int8 shrinks the index 4x. The norm is an ORDERED fold
+# (F.aggregate vs list_reduce) so both engines sum in the same order ->
+# bit-identical doubles; the quantizer is the portable FLOOR(x*127+0.5).
+# Row-level array math, JVM-side, no shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "x29_vector_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, emb,
+             SQRT(list_reduce([0.0::DOUBLE] || emb, (a, b) -> a + b * b))
+               AS nrm
+      FROM e
+    ),
+    ex AS (
+      SELECT vec_id, nrm, UNNEST(emb) AS v,
+             GENERATE_SUBSCRIPTS(emb, 1) AS d
+      FROM n
+    )
+    SELECT vec_id, CAST(d - 1 AS INT) AS d,
+           CAST(FLOOR(v / nrm * 127 + 0.5) AS INT) AS q,
+           FLOOR(nrm * 1000000.0 + 0.5) / 1000000.0 AS norm
+    FROM ex
+    """,
+)
+def x29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import portable_round
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "emb"
+        ),
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.col("emb"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    ex = vecs.withColumn("nrm", nrm).select(
+        "vec_id", "nrm", F.posexplode("emb").alias("d", "v")
+    )
+    return ex.select(
+        "vec_id",
+        F.col("d").cast("int").alias("d"),
+        F.floor(F.col("v") / F.col("nrm") * 127 + 0.5).cast("int").alias("q"),
+        portable_round(F.col("nrm"), 6).alias("norm"),
+    )
