@@ -17,6 +17,7 @@ reference's scale; distributed training is explicitly out of scope
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -120,6 +121,174 @@ def lstm_predict(
                 lp = weights.forward_one(arr)
                 lps.append(lp.tolist())
                 preds.append(int(lp.argmax()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "log_probs": lps,
+                    "pred": preds,
+                }
+            )
+
+    return df.select(id_col, tokens_col).mapInPandas(fn, LSTM_OUTPUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Portable kernel: the same architecture with every FP operation chosen to be
+# reproducible in ANSI SQL (q52's DuckDB oracle mirrors it op-for-op):
+#   - weights from the embedder's polyhash31 + libm sin (bit-identical in
+#     DuckDB) instead of MT19937,
+#   - explicit left-to-right folds instead of BLAS matmul (BLAS unrolls and
+#     reorders FP sums),
+#   - libm exp; tanh as 1 - 2/(exp(2x)+1) (DuckDB has no tanh built-in, so
+#     BOTH sides use the exp formula),
+#   - weight scale must be an exact power of two (e.g. 1/sqrt(16) = 0.25) so
+#     the scaling multiply is exact.
+# The numpy path above stays the fast path for real inference; this kernel
+# exists so LSTM inference is oracle-checkable end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def hash_uniform(tag: str, i: int, j: int) -> float:
+    """Deterministic uniform-ish weight in (-3, 1): frac-sin of the
+    embedder's polyhash (operators/embedder.py::_hash31) — the exact
+    engine-portable construction FIXTURES.md §2 uses for embeddings."""
+    from .embedder import _hash31
+
+    return math.modf(math.sin(_hash31(f"{tag}:{i}", "lstmw", j)))[0] * 2 - 1
+
+
+def init_hash_weights(
+    input_dim: int, hidden: int, n_layers: int, n_classes: int
+) -> LSTMWeights:
+    """Hash-derived LSTMWeights. ``hidden`` must be a power of 4 so the
+    1/sqrt(hidden) scale is an exact binary fraction."""
+    scale = 1.0 / math.sqrt(hidden)
+    ws = LSTMWeights()
+    for layer in range(n_layers):
+        in_dim = input_dim if layer == 0 else hidden
+        ws.w.append(
+            np.array(
+                [
+                    [
+                        hash_uniform(f"w{layer}", i, j) * scale
+                        for j in range(4 * hidden)
+                    ]
+                    for i in range(in_dim)
+                ]
+            )
+        )
+        ws.u.append(
+            np.array(
+                [
+                    [
+                        hash_uniform(f"u{layer}", k, j) * scale
+                        for j in range(4 * hidden)
+                    ]
+                    for k in range(hidden)
+                ]
+            )
+        )
+        ws.b.append(
+            np.array(
+                [hash_uniform(f"b{layer}", 0, j) * scale for j in range(4 * hidden)]
+            )
+        )
+    ws.head_w = np.array(
+        [
+            [hash_uniform("hw", d, c) * scale for c in range(n_classes)]
+            for d in range(hidden)
+        ]
+    )
+    ws.head_b = np.array(
+        [hash_uniform("hb", 0, c) * scale for c in range(n_classes)]
+    )
+    return ws
+
+
+def forward_one_portable(ws: LSTMWeights, tokens) -> list[float]:
+    """Bit-portable forward pass (pure Python / libm). Semantically the
+    same network as ``LSTMWeights.forward_one``; numerically it fixes the
+    summation order so a SQL engine can reproduce every bit."""
+    hid = ws.hidden
+    h_seq = [[float(v) for v in t] for t in tokens]
+    for layer in range(len(ws.w)):
+        w = ws.w[layer].tolist()
+        u = ws.u[layer].tolist()
+        b = ws.b[layer].tolist()
+        h = [0.0] * hid
+        c = [0.0] * hid
+        outs = []
+        for x in h_seq:
+            g = []
+            for j in range(4 * hid):
+                sx = 0.0
+                for i in range(len(x)):
+                    sx += x[i] * w[i][j]
+                sh = 0.0
+                for k in range(hid):
+                    sh += h[k] * u[k][j]
+                g.append(sx + sh + b[j])
+            nc = []
+            nh = []
+            for d in range(hid):
+                i_g = 1.0 / (1.0 + math.exp(-g[d]))
+                f_g = 1.0 / (1.0 + math.exp(-g[hid + d]))
+                g_g = 1.0 - 2.0 / (math.exp(2.0 * g[2 * hid + d]) + 1.0)
+                o_g = 1.0 / (1.0 + math.exp(-g[3 * hid + d]))
+                cd = f_g * c[d] + i_g * g_g
+                nc.append(cd)
+                nh.append(o_g * (1.0 - 2.0 / (math.exp(2.0 * cd) + 1.0)))
+            h, c = nh, nc
+            outs.append(h)
+        h_seq = outs
+    # R7 signed abs-max pooling, first-max ties (strict > keeps earlier)
+    pooled = []
+    for d in range(hid):
+        best = h_seq[0][d]
+        for t_i in range(1, len(h_seq)):
+            if abs(h_seq[t_i][d]) > abs(best):
+                best = h_seq[t_i][d]
+        pooled.append(best)
+    head_w = ws.head_w.tolist()
+    head_b = ws.head_b.tolist()
+    logits = []
+    for cls in range(len(head_b)):
+        s = 0.0
+        for d in range(hid):
+            s += pooled[d] * head_w[d][cls]
+        logits.append(s + head_b[cls])
+    m = logits[0]
+    for v in logits[1:]:
+        if v > m:
+            m = v
+    se = 0.0
+    for v in logits:
+        se += math.exp(v - m)
+    lse = math.log(se)
+    return [(v - m) - lse for v in logits]
+
+
+def lstm_predict_portable(
+    df: DataFrame,
+    weights: LSTMWeights,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """lstm_predict with the portable kernel — same mapInPandas
+    distribution model (weights broadcast in the closure, Arrow batches),
+    different arithmetic core."""
+
+    def fn(batches):
+        for pdf in batches:
+            lps, preds = [], []
+            for toks in pdf[tokens_col]:
+                lp = forward_one_portable(weights, toks)
+                best = 0
+                for cls in range(1, len(lp)):
+                    if lp[cls] > lp[best]:
+                        best = cls
+                lps.append(lp)
+                preds.append(best)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,

@@ -274,13 +274,144 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Q52 — LSTM inference (U1/U3) over the embeddings table: each embedding is
-# a one-token sequence through the 2-layer numpy LSTM with deterministic
-# seed-0 weights, Arrow-batched via mapInPandas. Rows-only (model compute);
-# the forward pass is pinned by tests/test_lstm.py.
+# a one-token sequence through the 2-layer LSTM (hidden 16), Arrow-batched
+# via mapInPandas. FULL oracle: weights are hash-derived (polyhash+sin, the
+# FIXTURES.md §2 construction; scale 1/sqrt(16)=0.25 is an exact binary
+# fraction) and the portable kernel fixes every FP operation — ordered
+# folds instead of BLAS, libm exp, tanh as 1-2/(exp(2x)+1) since DuckDB
+# lacks tanh — so the SQL mirror is BIT-EXACT. The general numpy fast path
+# stays pinned by tests/test_lstm.py.
 # --------------------------------------------------------------------------
-@query("q52_lstm_infer", oracle=None)
+_Q52_ORACLE = """
+WITH cls AS (SELECT CAST(MAX(label) + 1 AS INT) AS c FROM embeddings),
+widx AS (
+  SELECT 'w0' AS tag, i.range AS i, j.range AS j
+  FROM range(0,64) i CROSS JOIN range(0,64) j
+  UNION ALL SELECT 'u0', k.range, j.range
+  FROM range(0,16) k CROSS JOIN range(0,64) j
+  UNION ALL SELECT 'b0', 0, j.range FROM range(0,64) j
+  UNION ALL SELECT 'w1', i.range, j.range
+  FROM range(0,16) i CROSS JOIN range(0,64) j
+  UNION ALL SELECT 'u1', k.range, j.range
+  FROM range(0,16) k CROSS JOIN range(0,64) j
+  UNION ALL SELECT 'b1', 0, j.range FROM range(0,64) j
+  UNION ALL SELECT 'hw', d.range, c2.range
+  FROM range(0,16) d CROSS JOIN range(0,64) c2 CROSS JOIN cls
+  WHERE c2.range < cls.c
+  UNION ALL SELECT 'hb', 0, c2.range FROM range(0,64) c2 CROSS JOIN cls
+  WHERE c2.range < cls.c
+),
+wts AS (
+  SELECT tag, i, j,
+         (sin(list_reduce(
+            [7::BIGINT] || list_transform(
+              string_split_regex('lstmw:' || tag || ':' || i || ':' || j, ''),
+              ch -> ord(ch)::BIGINT),
+            (a, b) -> (a * 31 + b) % 2147483647)) * 2 - 1) * 0.25 AS w
+  FROM widx
+),
+mats AS (SELECT tag, i, LIST(w ORDER BY j) AS wrow FROM wts GROUP BY tag, i),
+m2 AS (SELECT tag, LIST(wrow ORDER BY i) AS mat FROM mats GROUP BY tag),
+wm AS MATERIALIZED (
+  SELECT (SELECT mat FROM m2 WHERE tag = 'w0') AS w0,
+         (SELECT mat FROM m2 WHERE tag = 'u0') AS u0,
+         (SELECT mat[1] FROM m2 WHERE tag = 'b0') AS b0,
+         (SELECT mat FROM m2 WHERE tag = 'w1') AS w1,
+         (SELECT mat FROM m2 WHERE tag = 'u1') AS u1,
+         (SELECT mat[1] FROM m2 WHERE tag = 'b1') AS b1,
+         (SELECT mat FROM m2 WHERE tag = 'hw') AS hw,
+         (SELECT mat[1] FROM m2 WHERE tag = 'hb') AS hb,
+         (SELECT c FROM cls) AS nc
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+g1 AS (
+  SELECT vec_id,
+         list_transform(range(0,64), j ->
+             list_reduce([0.0::DOUBLE] || list_transform(range(0,64),
+                 i -> x[i+1] * w0[i+1][j+1]), (a,b) -> a + b)
+           + list_reduce([0.0::DOUBLE] || list_transform(range(0,16),
+                 k -> 0.0 * u0[k+1][j+1]), (a,b) -> a + b)
+           + b0[j+1]) AS g
+  FROM e CROSS JOIN wm
+),
+c1 AS (
+  SELECT vec_id, g,
+         list_transform(range(0,16), d ->
+             (1.0/(1.0+exp(-g[17+d]))) * 0.0
+           + (1.0/(1.0+exp(-g[1+d])))
+             * (1.0 - 2.0/(exp(2.0*g[33+d]) + 1.0))) AS c
+  FROM g1
+),
+h1 AS (
+  SELECT vec_id,
+         list_transform(range(0,16), d ->
+             (1.0/(1.0+exp(-g[49+d])))
+             * (1.0 - 2.0/(exp(2.0*c[d+1]) + 1.0))) AS h
+  FROM c1
+),
+g2 AS (
+  SELECT vec_id,
+         list_transform(range(0,64), j ->
+             list_reduce([0.0::DOUBLE] || list_transform(range(0,16),
+                 i -> h[i+1] * w1[i+1][j+1]), (a,b) -> a + b)
+           + list_reduce([0.0::DOUBLE] || list_transform(range(0,16),
+                 k -> 0.0 * u1[k+1][j+1]), (a,b) -> a + b)
+           + b1[j+1]) AS g
+  FROM h1 CROSS JOIN wm
+),
+c2t AS (
+  SELECT vec_id, g,
+         list_transform(range(0,16), d ->
+             (1.0/(1.0+exp(-g[17+d]))) * 0.0
+           + (1.0/(1.0+exp(-g[1+d])))
+             * (1.0 - 2.0/(exp(2.0*g[33+d]) + 1.0))) AS c
+  FROM g2
+),
+h2 AS (
+  SELECT vec_id,
+         list_transform(range(0,16), d ->
+             (1.0/(1.0+exp(-g[49+d])))
+             * (1.0 - 2.0/(exp(2.0*c[d+1]) + 1.0))) AS h
+  FROM c2t
+),
+logits AS (
+  SELECT vec_id,
+         list_transform(range(0, nc), cl ->
+             list_reduce([0.0::DOUBLE] || list_transform(range(0,16),
+                 d -> h[d+1] * hw[d+1][cl+1]), (a,b) -> a + b)
+           + hb[cl+1]) AS lg
+  FROM h2 CROSS JOIN wm
+),
+mx AS (
+  SELECT vec_id, lg,
+         list_reduce(lg, (a,b) -> CASE WHEN b > a THEN b ELSE a END) AS m
+  FROM logits
+),
+lsev AS (
+  SELECT vec_id, lg, m,
+         ln(list_reduce([0.0::DOUBLE] || list_transform(lg,
+             v -> exp(v - m)), (a,b) -> a + b)) AS l
+  FROM mx
+),
+lp AS (SELECT vec_id, list_transform(lg, v -> (v - m) - l) AS lpv FROM lsev),
+ex2 AS (
+  SELECT vec_id, UNNEST(lpv) AS v, GENERATE_SUBSCRIPTS(lpv, 1) AS cl FROM lp
+),
+best AS (
+  SELECT vec_id, cl - 1 AS pred, v,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY v DESC, cl) AS r
+  FROM ex2
+)
+SELECT vec_id AS doc_id, CAST(pred AS INT) AS pred,
+       FLOOR(v * 1000000.0 + 0.5) / 1000000.0 AS lp_pred
+FROM best WHERE r = 1
+"""
+
+
+@query("q52_lstm_infer", oracle=_Q52_ORACLE)
 def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.lstm import LSTMWeights, lstm_predict
+    from ..functions.rounding import portable_round
+    from ..operators.lstm import init_hash_weights, lstm_predict_portable
 
     emb = load_table(spark, sf_dir, "embeddings")
     n_classes = emb.agg(F.max("label")).collect()[0][0] + 1
@@ -288,7 +419,11 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"),
         F.array(F.col("embedding")).alias("tokens"),
     )
-    weights = LSTMWeights.init(
-        input_dim=64, hidden=16, n_layers=2, n_classes=int(n_classes), seed=0
+    weights = init_hash_weights(
+        input_dim=64, hidden=16, n_layers=2, n_classes=int(n_classes)
     )
-    return lstm_predict(seqs, weights).select("doc_id", "pred")
+    preds = lstm_predict_portable(seqs, weights)
+    lp_pred = F.element_at(F.col("log_probs"), F.col("pred") + 1)
+    return preds.select(
+        "doc_id", "pred", portable_round(lp_pred, 6).alias("lp_pred")
+    )

@@ -47,3 +47,26 @@ def test_deterministic_across_runs(spark, model_and_docs):
     for (ia, lpa, pa), (ib, lpb, pb) in zip(a, b):
         assert ia == ib and pa == pb
         np.testing.assert_allclose(lpa, lpb, atol=0)
+
+
+def test_portable_kernel_matches_numpy_semantics():
+    """The portable (ordered-fold / formula-tanh) kernel is the SAME
+    network as the numpy fast path — only FP association differs, so
+    outputs agree to ~1e-9 while bits may differ."""
+    import numpy as np
+
+    from detecting_and_addressing_change_spark.operators.lstm import (
+        forward_one_portable,
+        init_hash_weights,
+    )
+
+    ws = init_hash_weights(6, 4, 2, 3)
+    tokens = [
+        [0.1 * i - 0.25 * d for d in range(6)] for i in range(5)
+    ]
+    lp_np = ws.forward_one(np.array(tokens, dtype=np.float64))
+    lp_po = forward_one_portable(ws, tokens)
+    assert np.allclose(lp_np, np.array(lp_po), atol=1e-9)
+    assert int(np.argmax(lp_np)) == max(
+        range(len(lp_po)), key=lambda c: (lp_po[c], -c)
+    )
