@@ -13,6 +13,7 @@ from . import extensions  # noqa: F401,E402
 from . import extensions2  # noqa: F401,E402
 from . import extensions3  # noqa: F401,E402
 from . import extensions4  # noqa: F401,E402
+from . import extensions5  # noqa: F401,E402
 from . import drift  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLE_SQL", "query"]

@@ -1,0 +1,150 @@
+"""Fifth wave of extension queries: event-time analytics — hypertable-style
+time-hierarchy rollups and sequential funnel analysis over the events
+stream. Both fully DuckDB-oracle-checked; ``events.ts`` goes through
+``load_table``'s nanos→µs truncation so the timestamps agree with DuckDB
+to the microsecond. No reference counterpart (SURVEY §1.2); extension
+family per §2.9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# x30 — time-hierarchy rollup (hypertable continuous-aggregate shape):
+# per-(day, hour) and per-day event stats from ONE pass via GROUPING SETS.
+# Map-side partial aggregation collapses each scan partition to the tiny
+# (day × hour × type) key space before the shuffle, so this holds at any
+# event volume; the multi-granularity output is what a downstream dashboard
+# would otherwise maintain as separate materialized views.
+# --------------------------------------------------------------------------
+@query(
+    "x30_time_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           CAST(GROUPING(date_trunc('hour', ts)) AS INT) AS is_day_level,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts)),
+                            (date_trunc('day', ts)))
+    """,
+)
+def x30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import portable_round
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "user_id",
+        "value",
+    )
+    return ev.groupingSets(
+        [["day", "hour"], ["day"]], "day", "hour"
+    ).agg(
+        F.grouping("hour").cast("int").alias("is_day_level"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        portable_round(F.sum("value"), 2).alias("total_value"),
+    ).select(
+        "day", "hour", "is_day_level", "n_events", "n_users", "total_value"
+    )
+
+
+# --------------------------------------------------------------------------
+# x31 — sequential funnel (view → click → purchase) per user, single-pass.
+# The naive formulation is three self-joins (first view, first click after
+# it, first purchase after that); here each stage is a running conditional
+# MIN over ONE event-time window — the default RANGE frame makes same-
+# timestamp events peers, which matches the oracle's strict ts > bound on
+# ties — then one groupBy on the same key, so the whole funnel costs a
+# single shuffle on user_id and scales with users, not event pairs.
+# --------------------------------------------------------------------------
+@query(
+    "x31_event_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    u AS (SELECT DISTINCT user_id FROM events)
+    SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(CASE WHEN v.t_view IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END
+              AS INT) AS stage
+    FROM u
+    LEFT JOIN v ON u.user_id = v.user_id
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    """,
+)
+def x31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    # default frame = RANGE UNBOUNDED PRECEDING..CURRENT ROW: same-ts rows
+    # are peers, so a click at exactly the first view's timestamp sees
+    # t_view == its own ts and is excluded — identical to the strict
+    # ts > bound in the oracle
+    w = Window.partitionBy("user_id").orderBy("ts")
+    staged = (
+        ev.withColumn(
+            "fv",
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "ce",
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("fv")),
+                F.col("ts"),
+            ),
+        )
+        .withColumn("fc", F.min("ce").over(w))
+        .withColumn(
+            "pe",
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("fc")),
+                F.col("ts"),
+            ),
+        )
+    )
+    agg = staged.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("t_view"),
+        F.min("ce").alias("t_click"),
+        F.min("pe").alias("t_purchase"),
+    )
+    stage = (
+        F.when(F.col("t_view").isNull(), 0).otherwise(1)
+        + F.when(F.col("t_click").isNull(), 0).otherwise(1)
+        + F.when(F.col("t_purchase").isNull(), 0).otherwise(1)
+    )
+    return agg.select(
+        "user_id",
+        "t_view",
+        "t_click",
+        "t_purchase",
+        stage.cast("int").alias("stage"),
+    )
