@@ -25,12 +25,15 @@ if _REPO_ROOT not in sys.path:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the TPC-H-Q1-shaped grouped
-    aggregation (SURVEY §2.8 Q12) — scan -> group -> agg, the minimum
-    end-to-end slice from SURVEY §7 Phase 1."""
+    """Flagship query on /root/testdata/sf0.001: the full abrupt-drift
+    experiment (SURVEY §3.2 — embed -> pool -> NB train/score -> windowed
+    accuracy -> DDM across the embedding-swap seam), i.e. the reference's
+    headline workload end-to-end, fully DuckDB-oracle-checked (q39)."""
     from detecting_and_addressing_change_spark.queries import QUERIES
 
-    return QUERIES["q12_grouped_agg"](spark, "/root/testdata/sf0.001")
+    return QUERIES["q39_abrupt_drift_experiment"](
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

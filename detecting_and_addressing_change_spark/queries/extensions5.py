@@ -148,3 +148,45 @@ def x31(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_purchase",
         stage.cast("int").alias("stage"),
     )
+
+
+# --------------------------------------------------------------------------
+# x32 — cohort retention: users grouped by first-seen day, counted by
+# day-offset of later activity. Two aggregations on the SAME user_id key
+# (first-seen, then the join back), so the second shuffle is avoided by
+# partitioning reuse; the final (cohort, offset) matrix is tiny at any
+# scale. DATE arithmetic stays in integer day-diffs; cohort day is cast to
+# TIMESTAMP on both engines (DATE-typed outputs never hash-match — DuckDB
+# upcasts DATE to datetime64 in pandas).
+# --------------------------------------------------------------------------
+@query(
+    "x32_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS cohort
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort AS cohort_day,
+           CAST(date_diff('day', CAST(f.cohort AS DATE),
+                          CAST(date_trunc('day', e.ts) AS DATE)) AS INT)
+             AS day_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def x32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort")
+    )
+    return (
+        ev.join(first_seen, "user_id")
+        .groupBy(
+            F.col("cohort").alias("cohort_day"),
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort"))
+            .cast("int")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
