@@ -88,3 +88,37 @@ def quarantine_split(
     clean = df.filter(df[corrupt_col].isNull()).drop(corrupt_col)
     bad = df.filter(df[corrupt_col].isNotNull())
     return clean, bad
+
+
+def read_parquet_evolved(
+    spark,
+    paths: list[str],
+    target_schema: StructType,
+):
+    """Read parquet written under an EVOLVING schema (columns added over
+    time) against one explicit target schema.
+
+    Long-lived 100 TB tables accrete columns; old files simply lack the
+    new ones. ``mergeSchema`` reconciles the footers (added columns come
+    back NULL for old files), then the explicit select pins order, types,
+    and presence — so downstream code sees ONE stable contract regardless
+    of which file vintage a partition came from. Dropping or renaming
+    columns is NOT reconciled here by design: that needs a rewrite (or a
+    table format with column mapping), and silently nulling a renamed
+    column is the failure mode this helper exists to prevent — it raises
+    instead."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    missing = [f.name for f in target_schema.fields if f.name not in df.columns]
+    if missing:
+        raise ValueError(
+            f"target columns absent from every file: {missing}; a rename "
+            "needs a rewrite, not schema merge"
+        )
+    return df.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in target_schema.fields
+        ]
+    )

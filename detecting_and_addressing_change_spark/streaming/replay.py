@@ -22,13 +22,16 @@ def stage_replay_files(
     seq_col: str,
     out_dir: str,
     batch_size: int = 512,
+    start_index: int = 0,
 ) -> int:
     """Write df as one parquet file per floor(seq/batch_size) bucket so a
     file-source stream replays it in order. Returns the bucket count.
 
     Files are named by zero-padded bucket id; Spark's file source lists new
     files in path order, so with maxFilesPerTrigger=1 micro-batch i contains
-    exactly bucket i."""
+    exactly bucket i. ``start_index`` offsets the bucket names so a LATER
+    staging into the same directory (new data arriving after a stream
+    restart) never clashes with already-consumed files."""
     buckets = (
         df.withColumn("__bucket", F.floor(F.col(seq_col) / batch_size))
         .repartition("__bucket")
@@ -41,7 +44,7 @@ def stage_replay_files(
             .drop("__bucket")
             .coalesce(1)
             .write.mode("overwrite")
-            .parquet(os.path.join(out_dir, f"bucket={b:06d}"))
+            .parquet(os.path.join(out_dir, f"bucket={start_index + b:06d}"))
         )
     buckets.unpersist()
     return int(n)

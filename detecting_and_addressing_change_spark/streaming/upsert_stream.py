@@ -50,7 +50,26 @@ class ChangelogSnapshot:
         self.version_col = version_col
         self.op_col = op_col
         self.delete_op = delete_op
-        self.epoch = 0
+        # restart recovery: the snapshot epoch is re-derived from the state
+        # directory, so a restarted query (same checkpointLocation) resumes
+        # merging into the state it left behind — Structured Streaming
+        # replays nothing already committed, and the epoch write below is
+        # the idempotent "write new, then advance" half of that contract
+        self.epoch = self._recover_epoch()
+
+    def _recover_epoch(self) -> int:
+        try:
+            versions = [
+                int(d[1:])
+                for d in os.listdir(self.state_dir)
+                if d.startswith("v") and d[1:].isdigit()
+                and os.path.exists(
+                    os.path.join(self.state_dir, d, "_SUCCESS")
+                )
+            ]
+        except FileNotFoundError:
+            return 0
+        return max(versions, default=0)
 
     def _path(self, epoch: int) -> str:
         return os.path.join(self.state_dir, f"v{epoch}")

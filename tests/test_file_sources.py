@@ -67,3 +67,38 @@ def test_jsonl_permissive_quarantine(spark, jsonl_dir):
     clean, bad = quarantine_split(df)
     assert clean.count() == 2
     assert bad.count() == 1
+
+
+def test_parquet_schema_evolution(spark, tmp_path):
+    """Old files lack the later-added column: merged read nulls it for old
+    vintages, pins the target schema, and refuses silently-vanished
+    columns."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from detecting_and_addressing_change_spark.sources.files import (
+        read_parquet_evolved,
+    )
+
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string").write.parquet(v1)
+    spark.createDataFrame(
+        [(3, "c", 0.5)], "id long, name string, score double"
+    ).write.parquet(v2)
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    got = read_parquet_evolved(spark, [v1, v2], target)
+    assert [f.name for f in got.schema.fields] == ["id", "name", "score"]
+    rows = sorted(map(tuple, got.collect()))
+    assert rows == [(1, "a", None), (2, "b", None), (3, "c", 0.5)]
+
+    bad = T.StructType([T.StructField("renamed_id", T.LongType())])
+    with pytest.raises(ValueError, match="renamed_id"):
+        read_parquet_evolved(spark, [v1, v2], bad)

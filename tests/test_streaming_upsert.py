@@ -102,3 +102,50 @@ def test_tombstone_blocks_late_lower_version(spark):
         q.awaitTermination(180)
         got = sorted(map(tuple, snap.snapshot().collect()))
     assert got == [(2, 25.0)]
+
+
+def test_restart_resumes_from_disk_state(spark):
+    """Kill-and-restart: a NEW ChangelogSnapshot over the same state dir +
+    the same checkpoint must recover its epoch from disk and process only
+    the files staged after the first run — ending exactly at the batch
+    result over the full log."""
+    log = _changelog(spark)
+    first = log.filter(F.col("version") <= 1)
+    rest = log.filter(F.col("version") > 1)
+    want = sorted(
+        map(tuple, apply_changelog(log.drop("seq"), ["k"]).collect())
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        stage_replay_files(first, "seq", f"{tmp}/s", batch_size=700)
+        snap1 = ChangelogSnapshot(spark, f"{tmp}/state", ["k"])
+        q = (
+            read_replay_stream(spark, f"{tmp}/s", LOG_DDL)
+            .drop("seq")
+            .writeStream.foreachBatch(snap1.process_batch)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        epochs_run1 = snap1.epoch
+        assert epochs_run1 > 0
+
+        # "restart": new instance, same state dir + checkpoint; stage the
+        # remaining changes with non-clashing file names
+        stage_replay_files(
+            rest, "seq", f"{tmp}/s", batch_size=700, start_index=1000
+        )
+        snap2 = ChangelogSnapshot(spark, f"{tmp}/state", ["k"])
+        assert snap2.epoch == epochs_run1  # recovered, not reset
+        q2 = (
+            read_replay_stream(spark, f"{tmp}/s", LOG_DDL)
+            .drop("seq")
+            .writeStream.foreachBatch(snap2.process_batch)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(180)
+        assert snap2.epoch > epochs_run1
+        got = sorted(map(tuple, snap2.snapshot().collect()))
+    assert got == want
