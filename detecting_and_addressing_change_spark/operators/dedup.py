@@ -248,19 +248,31 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     top_n: int = 20,
 ) -> DataFrame:
-    """Exact word-set Jaccard for candidate pairs that share >= 1 word,
-    returning the top_n most similar pairs (deterministic tie-break).
+    """Exact word-set Jaccard: the top_n most similar pairs, ordered by
+    (rounded jaccard desc, a_id, b_id).
 
-    jaccard = |A & B| / (|A| + |B| - |A & B|) with distinct words; the
-    intersection count comes from a distinct-word self-join — at 100 TB this
-    is the verification stage AFTER MinHash candidate generation, never a
-    full-corpus self-join on its own."""
+    jaccard = |A & B| / (|A| + |B| - |A & B|) over distinct words. Two
+    physical strategies behind identical semantics:
+
+    - SPARSE vocabulary (the normal corpus): inverted-index self-join on
+      the word — only pairs genuinely sharing a word meet; at 100 TB this
+      is the verification stage AFTER MinHash candidate generation.
+    - DENSE vocabulary (<= 62 distinct words corpus-wide): the inverted
+      index is pathological — every word is a heavy hitter and the join
+      materializes ~all n² pairs per word. Instead each word set becomes
+      one 64-bit MASK; docs collapse to distinct masks; pairwise Jaccard
+      is AND+popcount over the (tiny) distinct-mask table with a cutoff
+      that prunes mask pairs which cannot reach the top_n doc pairs.
+    """
     words = df.select(
         F.col(id_col),
         F.explode(
             F.array_distinct(F.split(F.col(text_col), " "))
         ).alias("w"),
     )
+    n_vocab = words.select("w").distinct().count()
+    if n_vocab <= 62:
+        return _jaccard_dense_vocab(words, id_col, top_n)
     sizes = words.groupBy(id_col).agg(F.count("*").alias("n"))
     a = words.select(F.col(id_col).alias("a_id"), "w")
     b = words.select(F.col(id_col).alias("b_id"), "w")
@@ -285,3 +297,111 @@ def ngram_jaccard_pairs(
         .orderBy(F.desc("jaccard"), "a_id", "b_id")
         .limit(top_n)
     )
+
+
+def _jaccard_dense_vocab(
+    words: DataFrame, id_col: str, top_n: int
+) -> DataFrame:
+    """Dense-vocabulary Jaccard top-n via 64-bit set masks.
+
+    Docs with identical word sets share a mask, so the pairwise stage runs
+    on DISTINCT masks only (integer AND + bit_count, broadcast join — no
+    shuffle of pairs). Exactness of the doc-level top_n is kept by:
+    - multiplicity-aware cutoff: a mask pair is kept only if fewer than
+      top_n doc pairs carry a strictly better (rounded) jaccard — computed
+      from the per-jaccard histogram, not a giant window;
+    - bounded expansion: per group only the top_n+1 smallest doc ids can
+      appear in the first top_n pairs of any (jaccard, a_id, b_id)
+      ordering, so each kept mask pair expands to at most (top_n+1)² rows.
+    """
+    from pyspark.sql import Window
+
+    vocab = (
+        words.select("w")
+        .distinct()
+        .withColumn("wid", F.row_number().over(Window.orderBy("w")) - 1)
+    )
+    masks = (
+        words.join(F.broadcast(vocab), "w")
+        .groupBy(id_col)
+        .agg(F.sum(F.expr("shiftleft(1L, CAST(wid AS INT))")).alias("mask"))
+    )
+    groups = (
+        masks.groupBy("mask")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.slice(
+                F.array_sort(F.collect_list(F.col(id_col))), 1, top_n + 1
+            ).alias("members"),
+        )
+    )
+    ga = groups.select(
+        F.col("mask").alias("ma"),
+        F.col("cnt").alias("ca"),
+        F.col("members").alias("mem_a"),
+    )
+    gb = groups.select(
+        F.col("mask").alias("mb"),
+        F.col("cnt").alias("cb"),
+        F.col("members").alias("mem_b"),
+    )
+    inter = F.bit_count(F.col("ma").bitwiseAND(F.col("mb")))
+    union = (
+        F.bit_count(F.col("ma")) + F.bit_count(F.col("mb")) - inter
+    )
+    cross = (
+        ga.join(F.broadcast(gb), F.col("ma") < F.col("mb"))
+        .filter(inter > 0)
+        .select(
+            portable_round(inter / union, 6).alias("jr"),
+            (F.col("ca") * F.col("cb")).cast("long").alias("mult"),
+            "mem_a",
+            "mem_b",
+            F.lit(False).alias("same"),
+        )
+    )
+    same = groups.filter(F.col("cnt") >= 2).select(
+        F.lit(1.0).alias("jr"),
+        (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("long").alias("mult"),
+        F.col("members").alias("mem_a"),
+        F.col("members").alias("mem_b"),
+        F.lit(True).alias("same"),
+    )
+    pairs = cross.unionByName(same)
+    # per-jaccard histogram -> smallest jr still able to contribute
+    hist = pairs.groupBy("jr").agg(F.sum("mult").alias("m"))
+    cum_strict = (
+        F.sum("m")
+        .over(Window.orderBy(F.desc("jr")).rowsBetween(
+            Window.unboundedPreceding, -1
+        ))
+    )
+    cutoff_rows = (
+        hist.withColumn("before", F.coalesce(cum_strict, F.lit(0)))
+        .filter(F.col("before") < top_n)
+        .agg(F.min("jr").alias("jr_min"))
+        .collect()
+    )
+    if not cutoff_rows or cutoff_rows[0]["jr_min"] is None:
+        spark = words.sparkSession
+        return spark.createDataFrame(
+            [], "a_id long, b_id long, jaccard double"
+        )
+    jr_min = cutoff_rows[0]["jr_min"]
+    kept = pairs.filter(F.col("jr") >= jr_min)
+    expanded = (
+        kept.select(
+            "jr", "same", F.explode("mem_a").alias("da"), "mem_b"
+        )
+        .select("jr", "same", "da", F.explode("mem_b").alias("db"))
+        .filter(
+            (~F.col("same") & (F.col("da") != F.col("db")))
+            | (F.col("same") & (F.col("da") < F.col("db")))
+        )
+        .select(
+            F.least("da", "db").alias("a_id"),
+            F.greatest("da", "db").alias("b_id"),
+            F.col("jr").alias("jaccard"),
+        )
+    )
+    return expanded.orderBy(F.desc("jaccard"), "a_id", "b_id").limit(top_n)

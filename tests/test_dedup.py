@@ -98,3 +98,61 @@ def test_minhash_deterministic_across_partitions(spark, docs, partitions):
     )
     sigs2 = minhash_signatures(docs.repartition(2)).orderBy("doc_id").collect()
     assert [tuple(r) for r in sigs] == [tuple(r) for r in sigs2]
+
+
+def _brute_jaccard_topn(rows, top_n=20):
+    """Python reference: exact top-n word-set Jaccard pairs with the
+    operator's ordering (rounded jaccard desc, a_id, b_id)."""
+    import math
+
+    sets = {i: set(t.split(" ")) for i, t in rows}
+    out = []
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = inter / len(sets[a] | sets[b])
+            out.append((a, b, math.floor(j * 1e6 + 0.5) / 1e6))
+    out.sort(key=lambda r: (-r[2], r[0], r[1]))
+    return out[:top_n]
+
+
+def test_jaccard_dense_and_sparse_paths_agree_with_brute_force(spark):
+    from detecting_and_addressing_change_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    # dense path: 8-word vocab, heavy duplicate sets and ties
+    vocab = [f"w{i}" for i in range(8)]
+    rows = []
+    for i in range(40):
+        ws = [vocab[(i + k) % 8] for k in range(1 + i % 5)]
+        rows.append((i, " ".join(sorted(set(ws)))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.a_id, r.b_id, r.jaccard)
+        for r in ngram_jaccard_pairs(df, top_n=10)
+        .orderBy("a_id", "b_id")
+        .collect()
+    ]
+    want = sorted(_brute_jaccard_topn(rows, 10))
+    assert sorted(got) == want
+
+    # sparse path: 70-word vocab forces the inverted-index join
+    vocab70 = [f"v{i}" for i in range(70)]
+    rows70 = [
+        (i, " ".join(vocab70[(i * 3) % 70 : (i * 3) % 70 + 6]))
+        for i in range(30)
+    ]
+    df70 = spark.createDataFrame(rows70, "doc_id long, text string")
+    got70 = [
+        (r.a_id, r.b_id, r.jaccard)
+        for r in ngram_jaccard_pairs(df70, top_n=10)
+        .orderBy("a_id", "b_id")
+        .collect()
+    ]
+    want70 = sorted(_brute_jaccard_topn(rows70, 10))
+    assert sorted(got70) == want70
