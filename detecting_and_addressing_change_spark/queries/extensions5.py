@@ -190,3 +190,118 @@ def x32(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# x33 — blocked fuzzy matching (data-cleaning / entity-resolution family):
+# candidate pairs share a cheap blocking key (first word), then exact
+# Levenshtein on a bounded prefix decides the match. Blocking is what makes
+# fuzzy joins scale: the edit-distance compute runs only within blocks, and
+# the shuffle key is the block — at 100 TB you additionally cap block width
+# (skew guard) and tier the blocking key (first word, then SimHash band).
+# Levenshtein is bit-identical across engines (integer DP).
+# --------------------------------------------------------------------------
+@query(
+    "x33_fuzzy_join",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ')[1] AS blk,
+             substr(text, 1, 24) AS pfx
+      FROM documents
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(levenshtein(a.pfx, b.pfx) AS INT) AS dist
+    FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pfx, b.pfx) <= 8
+    """,
+)
+def x33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.element_at(F.split(F.col("text"), " "), 1).alias("blk"),
+        F.substring(F.col("text"), 1, 24).alias("pfx"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("a_id"), "blk", F.col("pfx").alias("pa")
+    )
+    b = d.select(
+        F.col("doc_id").alias("b_id"), "blk", F.col("pfx").alias("pb")
+    )
+    dist = F.levenshtein(F.col("pa"), F.col("pb"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(dist <= 8)
+        .select("a_id", "b_id", dist.cast("int").alias("dist"))
+    )
+
+
+# --------------------------------------------------------------------------
+# x34 — robust outlier detection via median / MAD per group. Two grouped
+# percentile aggregations on the SAME key plus a broadcast join of the tiny
+# stats table back onto the facts — no second full shuffle. The stats are
+# pinned to 4 decimals BEFORE the threshold compare, so the outlier
+# boundary is engine-portable (raw interpolated quantiles can differ in
+# the last ulp between engines).
+# --------------------------------------------------------------------------
+@query(
+    "x34_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority,
+             FLOOR((QUANTILE_CONT(o_totalprice, 0.5)) * 10000.0 + 0.5)
+               / 10000.0 AS med
+      FROM orders GROUP BY o_orderpriority
+    ),
+    dev AS (
+      SELECT o.o_orderpriority, o.o_orderkey,
+             ABS(o.o_totalprice - m.med) AS adev, m.med
+      FROM orders o JOIN med m ON o.o_orderpriority = m.o_orderpriority
+    ),
+    mad AS (
+      SELECT o_orderpriority,
+             FLOOR((QUANTILE_CONT(adev, 0.5)) * 10000.0 + 0.5)
+               / 10000.0 AS mad
+      FROM dev GROUP BY o_orderpriority
+    )
+    SELECT d.o_orderpriority, d.med, mad.mad,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN d.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad ON d.o_orderpriority = mad.o_orderpriority
+    GROUP BY d.o_orderpriority, d.med, mad.mad
+    """,
+)
+def x34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import portable_round
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    med = orders.groupBy("o_orderpriority").agg(
+        portable_round(
+            F.percentile(F.col("o_totalprice"), F.lit(0.5)), 4
+        ).alias("med")
+    )
+    dev = orders.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "med",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        portable_round(F.percentile(F.col("adev"), F.lit(0.5)), 4).alias(
+            "mad"
+        )
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select("o_orderpriority", "med", "mad", "n", "n_outliers")
+    )
