@@ -61,3 +61,22 @@ def test_no_cartesian_in_joins(spark):
     ]:
         s = explain_str(QUERIES[name](spark, SF_SMOKE))
         assert "CartesianProduct" not in s, name
+
+
+def test_funnel_single_exchange(spark):
+    """x31: window stages + final groupBy all share the user_id key — the
+    whole funnel must cost exactly ONE shuffle."""
+    import re
+
+    df = QUERIES["x31_event_funnel"](spark, SF_SMOKE)
+    s = explain_str(df)
+    # node-detail headers like "(4) Exchange", not tree-rendering mentions
+    assert len(re.findall(r"\(\d+\) Exchange", s)) == 1, s
+
+
+def test_topk_per_group_two_phase(spark):
+    """q57: the salted top-k runs TWO Window nodes (local per-salt, then
+    global) — the anti-straggler shape, not one giant per-group window."""
+    df = QUERIES["q57_topk_per_group"](spark, SF_SMOKE)
+    s = explain_str(df)
+    assert s.count("Window") >= 2, s
