@@ -305,3 +305,36 @@ def x34(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderpriority", "med", "mad", "n", "n_outliers")
     )
+
+
+# --------------------------------------------------------------------------
+# q58 — global ranking at scale: every order ranked under the total order
+# (price desc, key asc) WITHOUT a single-partition window — range
+# repartition + per-partition offsets + local enumeration
+# (operators/order.py). The oracle is the plain one-window ROW_NUMBER.
+# --------------------------------------------------------------------------
+@query(
+    "q58_global_rank",
+    oracle="""
+    SELECT o_orderkey,
+           FLOOR(o_totalprice * 100.0 + 0.5) / 100.0 AS price,
+           ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+             AS rank
+    FROM orders
+    """,
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import portable_round
+    from ..operators.order import global_rank
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    ranked = global_rank(
+        orders, [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    )
+    return ranked.select(
+        "o_orderkey",
+        portable_round(F.col("o_totalprice"), 2).alias("price"),
+        "rank",
+    )
