@@ -338,3 +338,211 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_round(F.col("o_totalprice"), 2).alias("price"),
         "rank",
     )
+
+
+# --------------------------------------------------------------------------
+# x36 — LSTM inference over REAL token sequences (U1/U3 with the recurrence
+# exercised): documents -> hash token embeddings (dim 8, truncated at 16
+# tokens) -> 2-layer portable LSTM (hidden 4) -> signed abs-max pool over
+# the hidden sequence -> head -> log_softmax. The oracle advances the
+# recurrence ONE TIMESTEP PER RECURSION ITERATION, carrying (h1,c1,h2,c2,
+# running abs-max pool) as DOUBLE[] state — bit-exact against the portable
+# kernel (ordered folds, libm exp, formula-tanh; weight scale 1/sqrt(4)=0.5
+# exact). Composes the q39 embedder SQL with the q52 weight machinery.
+# Spark side: same mapInPandas distribution model as q52; detectors of the
+# recurrence (docs) scale horizontally, the 16-step loop is per-row local.
+# --------------------------------------------------------------------------
+_X36_ORACLE = """
+WITH RECURSIVE
+doc_words AS (
+  SELECT doc_id, word, pos FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS word,
+           GENERATE_SUBSCRIPTS(string_split(text, ' '), 1) AS pos
+    FROM documents
+  ) WHERE pos <= 16
+),
+word_pre AS (
+  SELECT word,
+         list_reduce(
+             [7::BIGINT] || list_transform(
+               string_split_regex('BERT:' || word || ':', ''),
+               c -> ord(c)::BIGINT),
+             (a, b) -> (a * 31 + b) % 2147483647) AS hpre
+  FROM (SELECT DISTINCT word FROM doc_words)
+),
+word_emb AS (
+  SELECT wp.word, dm.range AS d,
+         CAST(sin((wp.hpre * 31 + 48 + dm.range) % 2147483647) * 2 - 1
+              AS REAL) AS v32
+  FROM word_pre wp CROSS JOIN range(0, 8) dm
+),
+toks AS MATERIALIZED (
+  SELECT dw.doc_id, dw.pos,
+         LIST(we.v32::DOUBLE ORDER BY we.d) AS x
+  FROM doc_words dw JOIN word_emb we ON dw.word = we.word
+  GROUP BY dw.doc_id, dw.pos
+),
+widx AS (
+  SELECT 'w0' AS tag, i.range AS i, j.range AS j
+  FROM range(0,8) i CROSS JOIN range(0,16) j
+  UNION ALL SELECT 'u0', k.range, j.range
+  FROM range(0,4) k CROSS JOIN range(0,16) j
+  UNION ALL SELECT 'b0', 0, j.range FROM range(0,16) j
+  UNION ALL SELECT 'w1', i.range, j.range
+  FROM range(0,4) i CROSS JOIN range(0,16) j
+  UNION ALL SELECT 'u1', k.range, j.range
+  FROM range(0,4) k CROSS JOIN range(0,16) j
+  UNION ALL SELECT 'b1', 0, j.range FROM range(0,16) j
+  UNION ALL SELECT 'hw', d.range, c2.range
+  FROM range(0,4) d CROSS JOIN range(0,5) c2
+  UNION ALL SELECT 'hb', 0, c2.range FROM range(0,5) c2
+),
+wts AS (
+  SELECT tag, i, j,
+         (sin(list_reduce(
+            [7::BIGINT] || list_transform(
+              string_split_regex('lstmw:' || tag || ':' || i || ':' || j, ''),
+              ch -> ord(ch)::BIGINT),
+            (a, b) -> (a * 31 + b) % 2147483647)) * 2 - 1) * 0.5 AS w
+  FROM widx
+),
+mats AS (SELECT tag, i, LIST(w ORDER BY j) AS wrow FROM wts GROUP BY tag, i),
+m2 AS (SELECT tag, LIST(wrow ORDER BY i) AS mat FROM mats GROUP BY tag),
+wm AS MATERIALIZED (
+  SELECT (SELECT mat FROM m2 WHERE tag = 'w0') AS w0,
+         (SELECT mat FROM m2 WHERE tag = 'u0') AS u0,
+         (SELECT mat[1] FROM m2 WHERE tag = 'b0') AS b0,
+         (SELECT mat FROM m2 WHERE tag = 'w1') AS w1,
+         (SELECT mat FROM m2 WHERE tag = 'u1') AS u1,
+         (SELECT mat[1] FROM m2 WHERE tag = 'b1') AS b1,
+         (SELECT mat FROM m2 WHERE tag = 'hw') AS hw,
+         (SELECT mat[1] FROM m2 WHERE tag = 'hb') AS hb
+),
+scan AS (
+  SELECT doc_id, 0::BIGINT AS t,
+         [0.0,0.0,0.0,0.0]::DOUBLE[] AS h1,
+         [0.0,0.0,0.0,0.0]::DOUBLE[] AS c1,
+         [0.0,0.0,0.0,0.0]::DOUBLE[] AS h2,
+         [0.0,0.0,0.0,0.0]::DOUBLE[] AS c2,
+         CAST(NULL AS DOUBLE[]) AS pooled
+  FROM (SELECT DISTINCT doc_id FROM toks)
+  UNION ALL
+  SELECT doc_id, t, h1n AS h1, c1n AS c1, h2n AS h2, c2n AS c2,
+         CASE WHEN pooled IS NULL THEN h2n
+              ELSE list_transform(range(0,4), d ->
+                CASE WHEN abs(h2n[d+1]) > abs(pooled[d+1])
+                     THEN h2n[d+1] ELSE pooled[d+1] END)
+         END AS pooled
+  FROM (
+    SELECT doc_id, t, h1n, c1n, c2n, pooled,
+           list_transform(range(0,4), d ->
+             (1.0/(1.0+exp(-g2[13+d]))) *
+             (1.0 - 2.0/(exp(2.0*c2n[d+1]) + 1.0))) AS h2n
+    FROM (
+      SELECT doc_id, t, h1n, c1n, g2, pooled,
+             list_transform(range(0,4), d ->
+               (1.0/(1.0+exp(-g2[5+d]))) * c2[d+1]
+             + (1.0/(1.0+exp(-g2[1+d])))
+               * (1.0 - 2.0/(exp(2.0*g2[9+d]) + 1.0))) AS c2n
+      FROM (
+        SELECT doc_id, t, h1n, c1n, c2, pooled,
+               list_transform(range(0,16), j ->
+                   list_reduce([0.0::DOUBLE] || list_transform(range(0,4),
+                       i -> h1n[i+1] * w1[i+1][j+1]), (a,b) -> a + b)
+                 + list_reduce([0.0::DOUBLE] || list_transform(range(0,4),
+                       k -> h2[k+1] * u1[k+1][j+1]), (a,b) -> a + b)
+                 + b1[j+1]) AS g2
+        FROM (
+          SELECT doc_id, t, h1n, c1n, h2, c2, pooled, w1, u1, b1
+          FROM (
+            SELECT doc_id, t, g1, c1n, h2, c2, pooled, w1, u1, b1,
+                   list_transform(range(0,4), d ->
+                     (1.0/(1.0+exp(-g1[13+d]))) *
+                     (1.0 - 2.0/(exp(2.0*c1n[d+1]) + 1.0))) AS h1n
+            FROM (
+              SELECT doc_id, t, g1, c1, h2, c2, pooled, w1, u1, b1,
+                     list_transform(range(0,4), d ->
+                       (1.0/(1.0+exp(-g1[5+d]))) * c1[d+1]
+                     + (1.0/(1.0+exp(-g1[1+d])))
+                       * (1.0 - 2.0/(exp(2.0*g1[9+d]) + 1.0))) AS c1n
+              FROM (
+                SELECT s.doc_id, s.t + 1 AS t, s.c1, s.h2, s.c2, s.pooled,
+                       wm.w1, wm.u1, wm.b1,
+                       list_transform(range(0,16), j ->
+                           list_reduce([0.0::DOUBLE] ||
+                               list_transform(range(0,8),
+                                 i -> tk.x[i+1] * wm.w0[i+1][j+1]),
+                               (a,b) -> a + b)
+                         + list_reduce([0.0::DOUBLE] ||
+                               list_transform(range(0,4),
+                                 k -> s.h1[k+1] * wm.u0[k+1][j+1]),
+                               (a,b) -> a + b)
+                         + wm.b0[j+1]) AS g1
+                FROM scan s
+                JOIN toks tk ON tk.doc_id = s.doc_id AND tk.pos = s.t + 1
+                CROSS JOIN wm
+              )
+            )
+          )
+        )
+      )
+    )
+  )
+),
+final AS (
+  SELECT doc_id, pooled,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY t DESC) AS r
+  FROM scan WHERE t >= 1
+),
+logits AS (
+  SELECT f.doc_id,
+         list_transform(range(0,5), cl ->
+             list_reduce([0.0::DOUBLE] || list_transform(range(0,4),
+                 d -> f.pooled[d+1] * wm.hw[d+1][cl+1]), (a,b) -> a + b)
+           + wm.hb[cl+1]) AS lg
+  FROM final f CROSS JOIN wm WHERE f.r = 1
+),
+mx AS (
+  SELECT doc_id, lg,
+         list_reduce(lg, (a,b) -> CASE WHEN b > a THEN b ELSE a END) AS m
+  FROM logits
+),
+lsev AS (
+  SELECT doc_id, lg, m,
+         ln(list_reduce([0.0::DOUBLE] || list_transform(lg,
+             v -> exp(v - m)), (a,b) -> a + b)) AS l
+  FROM mx
+),
+lp AS (SELECT doc_id, list_transform(lg, v -> (v - m) - l) AS lpv FROM lsev),
+ex2 AS (
+  SELECT doc_id, UNNEST(lpv) AS v, GENERATE_SUBSCRIPTS(lpv, 1) AS cl FROM lp
+),
+best AS (
+  SELECT doc_id, cl - 1 AS pred, v,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY v DESC, cl) AS r
+  FROM ex2
+)
+SELECT doc_id, CAST(pred AS INT) AS pred,
+       FLOOR(v * 1000000.0 + 0.5) / 1000000.0 AS lp_pred
+FROM best WHERE r = 1
+"""
+
+
+@query("x36_lstm_sequence", oracle=_X36_ORACLE)
+def x36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import portable_round
+    from ..operators.embedder import embed_documents
+    from ..operators.lstm import init_hash_weights, lstm_predict_portable
+
+    docs = load_table(spark, sf_dir, "documents")
+    seqs = embed_documents(
+        docs, model="BERT", dim=8, max_seq_len=16
+    ).select("doc_id", "tokens")
+    weights = init_hash_weights(
+        input_dim=8, hidden=4, n_layers=2, n_classes=5
+    )
+    preds = lstm_predict_portable(seqs, weights)
+    lp_pred = F.element_at(F.col("log_probs"), F.col("pred") + 1)
+    return preds.select(
+        "doc_id", "pred", portable_round(lp_pred, 6).alias("lp_pred")
+    )
