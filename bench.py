@@ -52,6 +52,16 @@ BENCH_QUERIES = [
     "x28_bigram_topk",
     "q57_topk_per_group",
     "q39_abrupt_drift_experiment",
+    "x06_ngram_jaccard",
+    "x26_pii_scrub",
+    "x27_length_histogram",
+    "x29_vector_quantize",
+    "x30_time_rollup",
+    "x31_event_funnel",
+    "x32_cohort_retention",
+    "x33_fuzzy_join",
+    "x34_mad_outliers",
+    "q58_global_rank",
 ]
 
 
