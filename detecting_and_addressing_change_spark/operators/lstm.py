@@ -280,14 +280,15 @@ def lstm_predict_portable(
 
     def fn(batches):
         for pdf in batches:
-            lps, preds = [], []
-            for toks in pdf[tokens_col]:
-                lp = forward_one_portable(weights, toks)
+            lps = forward_batch_portable(
+                weights, [list(t) for t in pdf[tokens_col]]
+            )
+            preds = []
+            for lp in lps:
                 best = 0
                 for cls in range(1, len(lp)):
                     if lp[cls] > lp[best]:
                         best = cls
-                lps.append(lp)
                 preds.append(best)
             yield pd.DataFrame(
                 {
@@ -298,3 +299,89 @@ def lstm_predict_portable(
             )
 
     return df.select(id_col, tokens_col).mapInPandas(fn, LSTM_OUTPUT_SCHEMA)
+
+
+def _exp_scalar(arr: np.ndarray) -> np.ndarray:
+    """Elementwise libm exp. np.exp is SIMD and differs from libm (and
+    from SQL engines' exp) in the last ulp for ~1 in 4 inputs, so portable
+    code must route every exp through math.exp. Everything AROUND the exp
+    (+,-,*,/) is IEEE-identical between numpy and scalar code and safe to
+    vectorize."""
+    flat = arr.ravel()
+    out = np.fromiter(
+        (math.exp(v) for v in flat), dtype=np.float64, count=flat.size
+    )
+    return out.reshape(arr.shape)
+
+
+def forward_batch_portable(
+    ws: LSTMWeights, token_batch: list[list[list[float]]]
+) -> list[list[float]]:
+    """Vectorized-portable forward: bit-identical to running
+    ``forward_one_portable`` per row, ~10x faster.
+
+    Rows are grouped by sequence length; within a group the fold loops
+    run as numpy ELEMENTWISE ops across rows (per-row operation order is
+    unchanged — only the exp calls are scalar, see _exp_scalar)."""
+    hid = ws.hidden
+    results: list[list[float] | None] = [None] * len(token_batch)
+    by_len: dict[int, list[int]] = {}
+    for idx, toks in enumerate(token_batch):
+        by_len.setdefault(len(toks), []).append(idx)
+    for seq_len, idxs in by_len.items():
+        x_all = np.array(
+            [[list(map(float, t)) for t in token_batch[i]] for i in idxs],
+            dtype=np.float64,
+        )  # (n, seq_len, in_dim)
+        n = len(idxs)
+        h_seq = x_all
+        for layer in range(len(ws.w)):
+            w = ws.w[layer]
+            u = ws.u[layer]
+            b = ws.b[layer]
+            h = np.zeros((n, hid))
+            c = np.zeros((n, hid))
+            outs = np.empty((n, seq_len, hid))
+            for t_i in range(seq_len):
+                x = h_seq[:, t_i, :]
+                # explicit fold over input dims: g accumulates in the
+                # same left-to-right order as the scalar kernel
+                g = np.zeros((n, 4 * hid))
+                for i in range(x.shape[1]):
+                    g = g + x[:, i : i + 1] * w[i][None, :]
+                sh = np.zeros((n, 4 * hid))
+                for k in range(hid):
+                    sh = sh + h[:, k : k + 1] * u[k][None, :]
+                g = g + sh + b[None, :]
+                i_g = 1.0 / (1.0 + _exp_scalar(-g[:, :hid]))
+                f_g = 1.0 / (1.0 + _exp_scalar(-g[:, hid : 2 * hid]))
+                g_g = 1.0 - 2.0 / (
+                    _exp_scalar(2.0 * g[:, 2 * hid : 3 * hid]) + 1.0
+                )
+                o_g = 1.0 / (1.0 + _exp_scalar(-g[:, 3 * hid :]))
+                c = f_g * c + i_g * g_g
+                h = o_g * (1.0 - 2.0 / (_exp_scalar(2.0 * c) + 1.0))
+                outs[:, t_i, :] = h
+            h_seq = outs
+        # signed abs-max pool, first-max ties (argmax is first-occurrence)
+        pool_idx = np.abs(h_seq).argmax(axis=1)
+        pooled = np.take_along_axis(
+            h_seq, pool_idx[:, None, :], axis=1
+        )[:, 0, :]
+        logits = np.zeros((n, len(ws.head_b)))
+        for d in range(hid):
+            logits = logits + pooled[:, d : d + 1] * ws.head_w[d][None, :]
+        logits = logits + ws.head_b[None, :]
+        m = logits.max(axis=1, keepdims=True)
+        shifted = logits - m
+        se = np.zeros((n, 1))
+        for cls in range(shifted.shape[1]):
+            se = se + _exp_scalar(shifted[:, cls : cls + 1])
+        # np.log is SIMD like np.exp — scalar libm log for parity
+        lse = np.fromiter(
+            (math.log(v) for v in se[:, 0]), dtype=np.float64, count=n
+        )[:, None]
+        lp = shifted - lse
+        for row, i in enumerate(idxs):
+            results[i] = [float(v) for v in lp[row]]
+    return results  # type: ignore[return-value]

@@ -70,3 +70,38 @@ def test_portable_kernel_matches_numpy_semantics():
     assert int(np.argmax(lp_np)) == max(
         range(len(lp_po)), key=lambda c: (lp_po[c], -c)
     )
+
+
+def test_batch_kernel_bitwise_equals_scalar():
+    """forward_batch_portable must be BIT-identical to the scalar portable
+    kernel — elementwise numpy keeps per-row fold order; only exp/log go
+    through libm scalars."""
+    import random
+
+    import numpy as np
+
+    from detecting_and_addressing_change_spark.operators.embedder import (
+        hash_embed_tokens,
+    )
+    from detecting_and_addressing_change_spark.operators.lstm import (
+        forward_batch_portable,
+        forward_one_portable,
+        init_hash_weights,
+    )
+
+    ws = init_hash_weights(8, 4, 2, 5)
+    rng = random.Random(11)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    texts = [
+        " ".join(rng.choices(words, k=rng.randint(1, 20))) for _ in range(60)
+    ]
+    toks = [
+        [
+            [float(np.float32(v)) for v in t]
+            for t in hash_embed_tokens(s, "BERT", 8, 16)
+        ]
+        for s in texts
+    ]
+    one = [forward_one_portable(ws, t) for t in toks]
+    bat = forward_batch_portable(ws, toks)
+    assert one == bat
