@@ -546,3 +546,193 @@ def x36(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preds.select(
         "doc_id", "pred", portable_round(lp_pred, 6).alias("lp_pred")
     )
+
+
+# --------------------------------------------------------------------------
+# x37 — BM25 ranking against a fixed query (retrieval / quality-filter
+# family, the saturation-weighted upgrade of x17's TF-IDF). All stats are
+# integers (tf, df, doc len, N) so the float math is identical-op-order on
+# both engines; the per-document score sums its three query terms in a
+# FIXED order (one conditional aggregate per term) because a SUM over a
+# term-rows group would be engine-order-dependent. Two shuffles total
+# (doc-term tf, then per-doc roll-up); df and avg length are broadcast
+# scalars.
+# --------------------------------------------------------------------------
+_BM25_TERMS = ["spark", "data", "table"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_term_sql(t: str) -> str:
+    return f"""
+      COALESCE(SUM(CASE WHEN term = '{t}' THEN
+        idf * tf * ({_BM25_K1} + 1.0)
+            / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
+               + {_BM25_B} * len_d / avg_len)) END), 0.0)"""
+
+
+@query(
+    "x37_bm25_topk",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+    ),
+    lens AS (
+      SELECT doc_id, LEN(string_split(text, ' ')) AS len_d FROM documents
+    ),
+    stats AS (
+      SELECT AVG(len_d) AS avg_len, (SELECT COUNT(*) FROM documents) AS n
+      FROM lens
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM words
+      WHERE term IN ('spark', 'data', 'table')
+      GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM words
+      WHERE term IN ('spark', 'data', 'table')
+      GROUP BY term
+    ),
+    scored_terms AS (
+      SELECT tf.doc_id, tf.term, tf.tf, lens.len_d, stats.avg_len,
+             LN((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) AS idf
+      FROM tf
+      JOIN df ON tf.term = df.term
+      JOIN lens ON tf.doc_id = lens.doc_id
+      CROSS JOIN stats
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             {_bm25_term_sql('spark')}
+           + {_bm25_term_sql('data')}
+           + {_bm25_term_sql('table')} AS score
+      FROM scored_terms GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, FLOOR(score * 1000000.0 + 0.5) / 1000000.0 AS score,
+             ROW_NUMBER() OVER (
+               ORDER BY FLOOR(score * 1000000.0 + 0.5) / 1000000.0 DESC,
+                        doc_id) AS rnk
+      FROM per_doc
+    )
+    SELECT doc_id, score, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def x37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import portable_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term").isin(_BM25_TERMS))
+    lens = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("len_d")
+    )
+    st = lens.agg(
+        F.avg("len_d").alias("avg_len"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    avg_len, n_docs = st["avg_len"], st["n"]
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log((n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .select(
+            "doc_id",
+            "term",
+            (
+                idf
+                * F.col("tf")
+                * (_BM25_K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (
+                        1.0
+                        - _BM25_B
+                        + _BM25_B * F.col("len_d") / F.lit(avg_len)
+                    )
+                )
+            ).alias("ts"),
+        )
+    )
+
+    def term_sum(t: str):
+        return F.coalesce(
+            F.sum(F.when(F.col("term") == t, F.col("ts"))), F.lit(0.0)
+        )
+
+    per_doc = scored.groupBy("doc_id").agg(
+        (
+            term_sum("spark") + term_sum("data") + term_sum("table")
+        ).alias("score_raw")
+    )
+    from pyspark.sql import Window
+
+    score = portable_round(F.col("score_raw"), 6)
+    ranked = per_doc.select("doc_id", score.alias("score")).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        ),
+    )
+    return ranked.filter(F.col("rnk") <= 10).select(
+        "doc_id", "score", F.col("rnk").cast("int").alias("rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# x38 — deterministic weighted sampling without replacement (exponential
+# clocks / A-ES): key = -ln(u)/w with u from the portable md5 hash; the k
+# smallest keys per stratum are the sample. One shuffle on the stratum;
+# identical doubles on both engines make the order (and hence the sample)
+# reproducible anywhere. Weighted variant of x20's uniform stratified
+# sample.
+# --------------------------------------------------------------------------
+@query(
+    "x38_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT o_orderpriority, o_orderkey,
+             -LN((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                  + 1.0) / 4294967297.0) / o_totalprice AS k
+      FROM orders
+    ),
+    ranked AS (
+      SELECT o_orderpriority, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY k, o_orderkey) AS rnk
+      FROM keyed
+    )
+    SELECT o_orderpriority, o_orderkey, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def x38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    u = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / 4294967297.0
+    keyed = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        (-F.log(u) / F.col("o_totalprice")).alias("k"),
+    )
+    ranked = keyed.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("o_orderpriority").orderBy(
+                F.asc("k"), F.asc("o_orderkey")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rnk") <= 5).select(
+        "o_orderpriority", "o_orderkey", F.col("rnk").cast("int").alias("rnk")
+    )
