@@ -736,3 +736,119 @@ def x38(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rnk") <= 5).select(
         "o_orderpriority", "o_orderkey", F.col("rnk").cast("int").alias("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# x39 — hopping (sliding) window aggregation: 2-hour windows every hour,
+# so each event lands in exactly two windows. Spark's F.window handles the
+# window assignment natively (no self-join); the oracle reproduces the
+# epoch-aligned window starts with integer epoch arithmetic (avoiding
+# DuckDB interval arithmetic entirely). Bounded output keyspace — the
+# shuffle carries only (window, type) partials.
+# --------------------------------------------------------------------------
+@query(
+    "x39_sliding_window",
+    oracle="""
+    WITH hops AS (SELECT UNNEST([0, 1]) AS k),
+    assigned AS (
+      SELECT make_timestamp(
+               ((CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) - hops.k) * 3600)
+               * 1000000) AS win_start,
+             event_type, value
+      FROM events CROSS JOIN hops
+    )
+    SELECT win_start, event_type,
+           COUNT(*) AS n,
+           FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS total
+    FROM assigned
+    GROUP BY win_start, event_type
+    """,
+)
+def x39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import portable_round
+
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "2 hours", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            portable_round(F.sum("value"), 2).alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x40 — per-user EWMA (exponential moving average) over the event stream:
+# the second sequential recurrence after DDM, same execution contract —
+# sequential WITHIN a user (applyInPandas sorted scan), horizontal ACROSS
+# users. alpha = 0.25 (exact binary fraction). Oracle: recursive CTE, one
+# event per user per iteration, all users advancing in lockstep.
+# --------------------------------------------------------------------------
+_EWMA_ORACLE = """
+WITH RECURSIVE seq AS MATERIALIZED (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+scan AS (
+  SELECT user_id, event_id, value, rn, value AS ewma
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.value, s.rn,
+         0.25 * s.value + 0.75 * scan.ewma AS ewma
+  FROM scan JOIN seq s
+    ON s.user_id = scan.user_id AND s.rn = scan.rn + 1
+)
+SELECT user_id, event_id,
+       FLOOR(ewma * 1000000.0 + 0.5) / 1000000.0 AS ewma
+FROM scan
+"""
+
+
+@query("x40_ewma", oracle=_EWMA_ORACLE)
+def x40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ..functions.rounding import portable_round
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out = []
+        y = None
+        for v in pdf["value"].astype(float):
+            # mirrors the oracle op-for-op: first value seeds the state
+            y = v if y is None else 0.25 * v + 0.75 * y
+            out.append(y)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].values,
+                "event_id": pdf["event_id"].values,
+                "ewma": out,
+            }
+        )
+
+    res = ev.groupBy("user_id").applyInPandas(scan, schema)
+    return res.select(
+        "user_id", "event_id", portable_round(F.col("ewma"), 6).alias("ewma")
+    )
