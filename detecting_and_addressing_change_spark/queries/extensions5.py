@@ -852,3 +852,82 @@ def x40(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "user_id", "event_id", portable_round(F.col("ewma"), 6).alias("ewma")
     )
+
+
+# --------------------------------------------------------------------------
+# x41 — table diff / audit: classify every key across two snapshot versions
+# as added / deleted / changed (kept rows are filtered out — at 100 TB the
+# unchanged mass is the bulk and never leaves the join). One full-outer
+# join on the key; with both snapshots bucketed on the key it is
+# Exchange-free. The v2 snapshot is synthesized deterministically from
+# orders (same technique as x25's changelog).
+# --------------------------------------------------------------------------
+@query(
+    "x41_table_diff",
+    oracle="""
+    WITH v2 AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS p
+      FROM orders WHERE o_orderkey % 17 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000, o_totalprice FROM orders
+      WHERE o_orderkey % 23 = 0
+    ),
+    v1 AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+    d AS (
+      SELECT COALESCE(v1.k, v2.k) AS k,
+             CASE WHEN v1.k IS NULL THEN 'A'
+                  WHEN v2.k IS NULL THEN 'D'
+                  WHEN v1.p <> v2.p THEN 'C'
+                  ELSE 'K' END AS op,
+             v1.p AS old_p, v2.p AS new_p
+      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    )
+    SELECT k, op,
+           FLOOR(COALESCE(old_p, 0.0) * 100.0 + 0.5) / 100.0 AS old_p,
+           FLOOR(COALESCE(new_p, 0.0) * 100.0 + 0.5) / 100.0 AS new_p
+    FROM d WHERE op <> 'K'
+    """,
+)
+def x41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import portable_round
+
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    v2 = (
+        orders.filter(F.col("o_orderkey") % 17 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(
+                F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") * 1.1
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("p"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 23 == 0).select(
+                (F.col("o_orderkey") + 1000000).alias("k"),
+                F.col("o_totalprice").alias("p"),
+            )
+        )
+    )
+    a = v1.select(F.col("k"), F.col("p").alias("old_p"))
+    b = v2.select(F.col("k"), F.col("p").alias("new_p"))
+    d = a.join(b, "k", "full_outer").select(
+        "k",
+        F.when(F.col("old_p").isNull(), "A")
+        .when(F.col("new_p").isNull(), "D")
+        .when(F.col("old_p") != F.col("new_p"), "C")
+        .otherwise("K")
+        .alias("op"),
+        portable_round(F.coalesce(F.col("old_p"), F.lit(0.0)), 2).alias(
+            "old_p"
+        ),
+        portable_round(F.coalesce(F.col("new_p"), F.lit(0.0)), 2).alias(
+            "new_p"
+        ),
+    )
+    return d.filter(F.col("op") != "K")
