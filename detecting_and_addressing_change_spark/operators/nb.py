@@ -119,15 +119,19 @@ def nb_predict(
     exactly on the same data."""
     import math
 
-    stats = stats.persist()
-    agg = stats.agg(
-        F.sum("cnt").alias("total"), F.max(F.array_max("vars")).alias("mv")
-    ).collect()[0]
-    total, max_var = agg["total"], agg["mv"]
+    # stats is n_classes x dim — always driver-small. Collect it ONCE and
+    # rebuild a local DataFrame: one job instead of (persist + agg job +
+    # broadcast-build job), and no cached RDD left behind for the caller
+    # to leak.
+    rows = stats.collect()
+    total = sum(r["cnt"] for r in rows)
+    per_class_max = [max(r["vars"]) for r in rows if r["vars"]]
+    max_var = max(per_class_max) if per_class_max else None
     eps = var_smoothing * float(max_var if max_var is not None else 1.0)
+    stats_local = df.sparkSession.createDataFrame(rows, stats.schema)
 
     st = F.broadcast(
-        stats.select(
+        stats_local.select(
             F.col("label").alias("nb_label"),
             (F.log(F.col("cnt") / F.lit(float(total)))).alias("log_prior"),
             "means",

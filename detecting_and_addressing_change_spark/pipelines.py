@@ -20,10 +20,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .functions.arrays import mean_pool_col
+from .functions.rounding import portable_round
 from .operators.ddm import detect_drift
 from .operators.embedder import embed_documents
 from .operators.nb import nb_fit, nb_predict
 from .operators.windows import count_window_agg
+
+
+def _collect_local(df: DataFrame) -> DataFrame:
+    """Materialize a small result eagerly, detached from its lineage.
+
+    The experiment results are per-batch accuracy series (n_docs /
+    batch_size rows — the same series DDM already pulls driver-side, so
+    this adds no new asymptotic cost). Cutting the lineage lets the
+    pipelines unpersist their cached feature tables deterministically in
+    a ``finally`` block instead of leaking cached RDDs across calls in a
+    long-lived session."""
+    return df.sparkSession.createDataFrame(df.collect(), df.schema)
 
 
 def pooled_features(
@@ -58,7 +71,23 @@ def abrupt_drift_experiment(
     # read by both fit and predict — materialize once
     feats_a = pooled_features(docs, model_a, dim, id_col).persist()
     feats_b = pooled_features(docs, model_b, dim, id_col).persist()
+    try:
+        return _abrupt_drift_body(
+            docs, labels, feats_a, feats_b, batch_size, id_col
+        )
+    finally:
+        feats_a.unpersist()
+        feats_b.unpersist()
 
+
+def _abrupt_drift_body(
+    docs: DataFrame,
+    labels: DataFrame,
+    feats_a: DataFrame,
+    feats_b: DataFrame,
+    batch_size: int,
+    id_col: str,
+) -> DataFrame:
     train = feats_a.join(labels, id_col)
     stats = nb_fit(train, features_col="features", label_col="label")
 
@@ -99,9 +128,13 @@ def abrupt_drift_experiment(
     flags = detect_drift(
         per_batch.select("detector_id", "seq_id", "error")
     ).select("seq_id", "flag")
-    return (
-        per_batch.join(flags, "seq_id")
-        .select("seq_id", "stream", F.round("accuracy", 6).alias("accuracy"), "flag")
+    return _collect_local(
+        per_batch.join(flags, "seq_id").select(
+            "seq_id",
+            "stream",
+            portable_round(F.col("accuracy"), 6).alias("accuracy"),
+            "flag",
+        )
     )
 
 
@@ -123,14 +156,32 @@ def mapping_experiment(
     mse_after): result rows are per-batch accuracies for the raw and mapped
     B streams; the MSEs are on the pair set (the reference's own logged
     check, adaptation/mapping.py:107-121)."""
-    import numpy as np  # noqa: F401
+    labels = docs.select(id_col, F.col(label_col).alias("label"))
+    cached: list[DataFrame] = []
+    try:
+        return _mapping_experiment_body(
+            docs, labels, model_a, model_b, dim, batch_size, top_k,
+            id_col, cached,
+        )
+    finally:
+        for c in cached:
+            c.unpersist()
 
-    from .operators.procrustes import mapping_mse, procrustes_solve
+
+def _mapping_experiment_body(
+    docs, labels, model_a, model_b, dim, batch_size, top_k, id_col, cached
+):
+    from .operators.procrustes import (
+        apply_mapping,
+        mapping_mse,
+        procrustes_solve,
+    )
     from .sources.pair_cache import build_adaptation_pairs
 
-    labels = docs.select(id_col, F.col(label_col).alias("label"))
     feats_a = pooled_features(docs, model_a, dim, id_col).persist()
+    cached.append(feats_a)
     feats_b = pooled_features(docs, model_b, dim, id_col).persist()
+    cached.append(feats_b)
     stats = nb_fit(
         feats_a.join(labels, id_col), features_col="features",
         label_col="label",
@@ -140,10 +191,9 @@ def mapping_experiment(
     pairs = build_adaptation_pairs(
         docs, source_model=model_b, target_model=model_a, dim=dim, top_k=top_k
     ).persist()
+    cached.append(pairs)
     m = procrustes_solve(pairs)
     mse_before = mapping_mse(pairs)
-    from .operators.procrustes import apply_mapping
-
     mapped_pairs = apply_mapping(pairs, m, vec_col="source", out_col="mapped")
     mse_after = mapping_mse(
         mapped_pairs.select("word", "mapped", "target"), "mapped", "target"
@@ -169,11 +219,13 @@ def mapping_experiment(
         ).select(
             F.col("bucket").cast("long").alias("seq_id"),
             F.lit(tag).alias("stream"),
-            F.round("accuracy", 6).alias("accuracy"),
+            portable_round(F.col("accuracy"), 6).alias("accuracy"),
         )
 
-    result = accuracy_series(feats_b, "untrained_raw").unionByName(
-        accuracy_series(feats_b_mapped, "untrained_mapped")
+    result = _collect_local(
+        accuracy_series(feats_b, "untrained_raw").unionByName(
+            accuracy_series(feats_b_mapped, "untrained_mapped")
+        )
     )
     return result, mse_before, mse_after
 
@@ -196,6 +248,22 @@ def unsupervised_drift_experiment(
     labels = docs.select(id_col, F.col(label_col).alias("label"))
     feats_a = pooled_features(docs, model_a, dim, id_col).persist()
     feats_b = pooled_features(docs, model_b, dim, id_col).persist()
+    try:
+        return _unsupervised_drift_body(
+            labels, feats_a, feats_b, batch_size, id_col
+        )
+    finally:
+        feats_a.unpersist()
+        feats_b.unpersist()
+
+
+def _unsupervised_drift_body(
+    labels: DataFrame,
+    feats_a: DataFrame,
+    feats_b: DataFrame,
+    batch_size: int,
+    id_col: str,
+) -> DataFrame:
     stats = nb_fit(
         feats_a.join(labels, id_col), features_col="features",
         label_col="label",
@@ -224,6 +292,10 @@ def unsupervised_drift_experiment(
     flags = detect_drift(
         per_batch.select("detector_id", "seq_id", "error")
     ).select("seq_id", "flag")
-    return per_batch.join(flags, "seq_id").select(
-        "seq_id", F.round("agreement", 6).alias("agreement"), "flag"
+    return _collect_local(
+        per_batch.join(flags, "seq_id").select(
+            "seq_id",
+            portable_round(F.col("agreement"), 6).alias("agreement"),
+            "flag",
+        )
     )

@@ -389,7 +389,9 @@ scan AS (
     )
   )
 )
-SELECT sq.seq_id, sq.stream, sq.accuracy, sc.flag
+SELECT sq.seq_id, sq.stream,
+       FLOOR(sq.accuracy * 1000000.0 + 0.5) / 1000000.0 AS accuracy,
+       sc.flag
 FROM seq sq JOIN scan sc ON sq.seq_id = sc.seq_id
 """
 

@@ -51,3 +51,13 @@ def test_abrupt_drift_detected(spark, labeled_docs):
     # stream tags carried through
     assert all(r["stream"] == "trained" for r in trained)
     assert all(r["stream"] == "untrained" for r in untrained)
+
+
+def test_no_cached_rdds_leak_across_runs(spark, labeled_docs):
+    """VERDICT r1 finding: repeated experiment runs in a long-lived
+    session must not accumulate cached RDDs (persist without unpersist
+    degrades executor memory over a service lifetime)."""
+    jsc = spark.sparkContext._jsc.sc()
+    for _ in range(2):
+        abrupt_drift_experiment(labeled_docs, dim=8, batch_size=32)
+    assert jsc.getPersistentRDDs().size() == 0
