@@ -39,27 +39,52 @@ EMBED_SCHEMA = T.StructType(
 )
 
 
+_M31 = 2_147_483_647
+
+
 def _hash31(word: str, model: str, d: int) -> int:
     h = 7
     for ch in f"{model}:{word}:{d}":
-        h = (h * 31 + ord(ch)) % 2_147_483_647
+        h = (h * 31 + ord(ch)) % _M31
     return h
 
 
+def _word_vec(
+    word: str, model: str, dim: int, memo: dict[str, list[float]]
+) -> list[float]:
+    """One word's embedding, memoized. The polyhash is sequential over the
+    string, so the shared ``f"{model}:{word}:"`` prefix is hashed once and
+    only the digits of ``d`` are folded in per dimension — bit-identical to
+    ``_hash31`` (the q39/x36 SQL oracles pin the exact values). Memoization
+    matters because corpora are Zipfian: at sf0.1 the documents table has
+    ~60x more word occurrences than distinct words."""
+    v = memo.get(word)
+    if v is None:
+        h0 = 7
+        for ch in f"{model}:{word}:":
+            h0 = (h0 * 31 + ord(ch)) % _M31
+        v = []
+        for d in range(dim):
+            h = h0
+            for ch in str(d):
+                h = (h * 31 + ord(ch)) % _M31
+            v.append(math.modf(math.sin(h))[0] * 2 - 1)
+        memo[word] = v
+    return v
+
+
 def hash_embed_tokens(
-    text: str, model: str, dim: int, max_seq_len: int = 512
+    text: str,
+    model: str,
+    dim: int,
+    max_seq_len: int = 512,
+    _memo: dict[str, list[float]] | None = None,
 ) -> list[list[float]]:
     """Per-token deterministic embedding; truncates at max_seq_len exactly
     like the reference tokenizer (constants/transformers.py:45)."""
+    memo = _memo if _memo is not None else {}
     words = text.split(" ")[:max_seq_len]
-    out = []
-    for w in words:
-        vec = [
-            math.modf(math.sin(_hash31(w, model, d)))[0] * 2 - 1
-            for d in range(dim)
-        ]
-        out.append(vec)
-    return out
+    return [_word_vec(w, model, dim, memo) for w in words]
 
 
 def embed_documents(
@@ -76,10 +101,13 @@ def embed_documents(
     if backend == "hash":
 
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            # per-partition init would go here for a real model
+            # per-partition init would go here for a real model; for the
+            # hash backend it's the word-vector memo (vocabulary is shared
+            # across every doc in the partition)
+            memo: dict[str, list[float]] = {}
             for pdf in batches:
                 toks = [
-                    hash_embed_tokens(t or "", model, dim, max_seq_len)
+                    hash_embed_tokens(t or "", model, dim, max_seq_len, memo)
                     for t in pdf[text_col]
                 ]
                 yield pd.DataFrame(
@@ -91,7 +119,13 @@ def embed_documents(
                     }
                 )
 
-        return docs.select(id_col, text_col).mapInPandas(fn, EMBED_SCHEMA)
+        from ..sources.tables import spread_small_input
+
+        # model inference is the dominant cost (SURVEY §4.3) and is
+        # embarrassingly parallel: never let a single-file scan serialize it
+        return spread_small_input(docs.select(id_col, text_col)).mapInPandas(
+            fn, EMBED_SCHEMA
+        )
 
     if backend == "hf":  # pragma: no cover - heavyweight deps absent here
         try:

@@ -18,6 +18,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("label", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("means", T.ArrayType(T.DoubleType())),
+        T.StructField("vars", T.ArrayType(T.DoubleType())),
+    ]
+)
 
 
 def nb_fit(
@@ -102,9 +112,17 @@ def nb_merge(stats_a: DataFrame, stats_b: DataFrame) -> DataFrame:
     )
 
 
+def nb_collect_stats(stats: DataFrame) -> list:
+    """Materialize a fit-stats plan driver-side (n_classes x dim — always
+    tiny). Callers scoring several frames against ONE fit should collect
+    once and pass the rows to each ``nb_predict``; otherwise every predict
+    re-runs the whole fit aggregation (and whatever lineage feeds it)."""
+    return stats.collect()
+
+
 def nb_predict(
     df: DataFrame,
-    stats: DataFrame,
+    stats,
     features_col: str = "features",
     var_smoothing: float = 1e-9,
     id_cols: tuple[str, ...] = ("doc_id",),
@@ -116,19 +134,28 @@ def nb_predict(
 
     sklearn adds var_smoothing = eps * max(var) to every variance; replicated
     here (computed from the stats table) so fit/predict matches sklearn
-    exactly on the same data."""
+    exactly on the same data.
+
+    ``stats`` is either the fit-stats DataFrame or a pre-collected row list
+    from :func:`nb_collect_stats` (plus the stats schema is reconstructed
+    from the rows)."""
     import math
 
     # stats is n_classes x dim — always driver-small. Collect it ONCE and
     # rebuild a local DataFrame: one job instead of (persist + agg job +
     # broadcast-build job), and no cached RDD left behind for the caller
     # to leak.
-    rows = stats.collect()
+    if isinstance(stats, DataFrame):
+        rows = stats.collect()
+        schema = stats.schema
+    else:
+        rows = list(stats)
+        schema = STATS_SCHEMA
     total = sum(r["cnt"] for r in rows)
     per_class_max = [max(r["vars"]) for r in rows if r["vars"]]
     max_var = max(per_class_max) if per_class_max else None
     eps = var_smoothing * float(max_var if max_var is not None else 1.0)
-    stats_local = df.sparkSession.createDataFrame(rows, stats.schema)
+    stats_local = df.sparkSession.createDataFrame(rows, schema)
 
     st = F.broadcast(
         stats_local.select(
@@ -138,13 +165,21 @@ def nb_predict(
             F.transform("vars", lambda v: v + F.lit(eps)).alias("vars_s"),
         )
     )
-    feats = F.transform(F.col(features_col), lambda x: x.cast("double"))
-    ll_terms = F.zip_with(
-        F.zip_with(feats, F.col("means"), lambda x, m: (x - m) * (x - m)),
-        F.col("vars_s"),
-        lambda d2, v: -0.5 * F.log(2.0 * math.pi * v) - d2 / (2.0 * v),
-    )
-    log_lik = F.aggregate(ll_terms, F.lit(0.0), lambda acc, t: acc + t)
+    # Per-dim arithmetic is UNROLLED over element_at instead of written as
+    # zip_with/aggregate lambdas: higher-order array functions evaluate
+    # interpreted (outside whole-stage codegen), and this expression runs
+    # once per (row x class) — the hottest expression in the pipeline. The
+    # fold order (d = 1..dim, left to right) is unchanged, so results stay
+    # bit-identical to the SQL oracles.
+    dim = len(rows[0]["means"]) if rows else 0
+    log_lik = F.lit(0.0)
+    for d in range(1, dim + 1):
+        x = F.element_at(F.col(features_col), d).cast("double")
+        m = F.element_at(F.col("means"), d)
+        v = F.element_at(F.col("vars_s"), d)
+        log_lik = log_lik + (
+            -0.5 * F.log(2.0 * math.pi * v) - (x - m) * (x - m) / (2.0 * v)
+        )
 
     scored = df.crossJoin(st).withColumn(
         "log_post", F.col("log_prior") + log_lik

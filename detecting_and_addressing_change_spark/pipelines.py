@@ -23,7 +23,7 @@ from .functions.arrays import mean_pool_col
 from .functions.rounding import portable_round
 from .operators.ddm import detect_drift
 from .operators.embedder import embed_documents
-from .operators.nb import nb_fit, nb_predict
+from .operators.nb import nb_collect_stats, nb_fit, nb_predict
 from .operators.windows import count_window_agg
 
 
@@ -89,7 +89,12 @@ def _abrupt_drift_body(
     id_col: str,
 ) -> DataFrame:
     train = feats_a.join(labels, id_col)
-    stats = nb_fit(train, features_col="features", label_col="label")
+    # collect the tiny fit-stats table ONCE: both score() calls broadcast it,
+    # and sum(cnt) doubles as n_docs (train covers every doc) — two fewer
+    # jobs than collecting inside each predict plus a separate count()
+    stats = nb_collect_stats(
+        nb_fit(train, features_col="features", label_col="label")
+    )
 
     def score(feats: DataFrame, tag: str, seq_offset) -> DataFrame:
         preds = nb_predict(
@@ -104,7 +109,7 @@ def _abrupt_drift_body(
             )
         )
 
-    n_docs = docs.count()
+    n_docs = sum(r["cnt"] for r in stats)
     scored = score(feats_a, "trained", 0).unionByName(
         score(feats_b, "untrained", n_docs)
     )
@@ -182,9 +187,11 @@ def _mapping_experiment_body(
     cached.append(feats_a)
     feats_b = pooled_features(docs, model_b, dim, id_col).persist()
     cached.append(feats_b)
-    stats = nb_fit(
-        feats_a.join(labels, id_col), features_col="features",
-        label_col="label",
+    stats = nb_collect_stats(
+        nb_fit(
+            feats_a.join(labels, id_col), features_col="features",
+            label_col="label",
+        )
     )
 
     # pair set: source = space B, target = space A (we adapt B into A)
@@ -264,9 +271,11 @@ def _unsupervised_drift_body(
     batch_size: int,
     id_col: str,
 ) -> DataFrame:
-    stats = nb_fit(
-        feats_a.join(labels, id_col), features_col="features",
-        label_col="label",
+    stats = nb_collect_stats(
+        nb_fit(
+            feats_a.join(labels, id_col), features_col="features",
+            label_col="label",
+        )
     )
     pseudo = nb_predict(
         feats_a, stats, features_col="features", id_cols=(id_col,)

@@ -132,24 +132,32 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan for one table. Declarative: pushdown/pruning are free.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright; it is read as a raw nanosecond long
-    (legacy nanosAsLong) and truncated to microseconds — exactly what DuckDB
-    does when it surfaces the column as TIMESTAMP (verified: ...778549829 ns
-    -> ...778549 us), so both engines see identical values."""
+    ``events.ts`` has been generated with two different physical types across
+    testdata generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    reader rejects unless read as a raw long via legacy nanosAsLong, then
+    truncated ns→µs exactly like DuckDB does) and plain ``timestamp[us]``
+    (which loads directly, as TIMESTAMP_NTZ). Branch on the *loaded* dtype so
+    both generations work: LongType → nanos path; TIMESTAMP_NTZ → cast to
+    session-TZ timestamp (identity under the UTC session, but keeps every
+    downstream watermark/window/interval op on one timestamp class)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     from ..session import ensure_package_on_executors
 
     ensure_package_on_executors(spark)
     if name == "events":
+        # Harmless for µs data: nanosAsLong only changes how NANOS columns
+        # are surfaced, and is required to read them at all.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer div, NOT double division: ns epochs (~1.7e18) exceed the
-        # 53-bit double mantissa and would lose microseconds.
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # integer div, NOT double division: ns epochs (~1.7e18) exceed
+            # the 53-bit double mantissa and would lose microseconds.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

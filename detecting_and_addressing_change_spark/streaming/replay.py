@@ -25,29 +25,43 @@ def stage_replay_files(
     start_index: int = 0,
 ) -> int:
     """Write df as one parquet file per floor(seq/batch_size) bucket so a
-    file-source stream replays it in order. Returns the bucket count.
+    file-source stream replays it in order. Returns the count of buckets
+    staged by this call.
 
-    Files are named by zero-padded bucket id; Spark's file source lists new
-    files in path order, so with maxFilesPerTrigger=1 micro-batch i contains
-    exactly bucket i. ``start_index`` offsets the bucket names so a LATER
-    staging into the same directory (new data arriving after a stream
-    restart) never clashes with already-consumed files."""
-    buckets = (
-        df.withColumn("__bucket", F.floor(F.col(seq_col) / batch_size))
-        .repartition("__bucket")
-        .persist()
+    ONE shuffle + ONE write job: ``repartition`` on the bucket key makes each
+    bucket a single task, and ``partitionBy`` lays every bucket directory
+    down in the same job — the round-2 per-bucket filter/coalesce loop was n
+    full passes over the frame. The bucket id is zero-padded into the
+    partition value, and file mtimes are then bumped in bucket order on the
+    driver: Spark's file stream source orders files by modification time, and
+    a single write job would otherwise give every bucket the same mtime
+    (ties resolve arbitrarily). ``start_index`` offsets the bucket names so a
+    LATER staging into the same directory (new data arriving after a stream
+    restart) never clashes with already-consumed files — later stagings also
+    get strictly later mtimes for free."""
+    buckets = df.withColumn(
+        "__bucket",
+        F.format_string(
+            "%06d", F.floor(F.col(seq_col) / batch_size) + F.lit(start_index)
+        ),
+    ).repartition("__bucket")
+    buckets.write.mode("append").partitionBy("__bucket").parquet(out_dir)
+
+    # Enumerate + order the staged buckets from the directory listing —
+    # driver-side metadata work, no extra Spark job over the data.
+    staged = sorted(
+        d
+        for d in os.listdir(out_dir)
+        if d.startswith("__bucket=")
+        and int(d.split("=", 1)[1]) >= start_index
     )
-    n = buckets.agg(F.max("__bucket")).collect()[0][0] + 1
-    for b in range(n):
-        (
-            buckets.filter(F.col("__bucket") == b)
-            .drop("__bucket")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(out_dir, f"bucket={start_index + b:06d}"))
-        )
-    buckets.unpersist()
-    return int(n)
+    base = os.stat(out_dir).st_mtime + 1.0
+    for i, d in enumerate(staged):
+        t = base + i
+        for root, _, files in os.walk(os.path.join(out_dir, d)):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t, t))
+    return len(staged)
 
 
 def read_replay_stream(

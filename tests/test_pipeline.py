@@ -58,6 +58,9 @@ def test_no_cached_rdds_leak_across_runs(spark, labeled_docs):
     session must not accumulate cached RDDs (persist without unpersist
     degrades executor memory over a service lifetime)."""
     jsc = spark.sparkContext._jsc.sc()
+    # Delta, not global zero: earlier tests in a full-suite run may have
+    # legitimately-persisted (or abort-leaked) RDDs outside our control.
+    before = jsc.getPersistentRDDs().size()
     for _ in range(2):
         abrupt_drift_experiment(labeled_docs, dim=8, batch_size=32)
-    assert jsc.getPersistentRDDs().size() == 0
+    assert jsc.getPersistentRDDs().size() - before == 0

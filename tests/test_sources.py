@@ -79,3 +79,21 @@ def test_build_adaptation_pairs(spark):
     assert all(len(r["source"]) == 4 and len(r["target"]) == 4 for r in pairs)
     # source/target come from different embedding functions
     assert pairs[0]["source"] != pairs[0]["target"]
+
+
+def test_events_ts_loads_as_timestamp(spark):
+    """Regression (round-2 verdict #1): the driver's testdata generation
+    switched events.ts from parquet TIMESTAMP(NANOS) to timestamp[us];
+    load_table must branch on the loaded dtype instead of unconditionally
+    applying the nanos workaround (which threw DATATYPE_MISMATCH on a
+    TIMESTAMP_NTZ column and broke every events-reading surface)."""
+    from pyspark.sql import types as T
+
+    from detecting_and_addressing_change_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
+    row = ev.orderBy("event_id").select("ts").first()
+    assert row["ts"] is not None
+    # and the frame is actually scannable end-to-end
+    assert ev.count() > 0
