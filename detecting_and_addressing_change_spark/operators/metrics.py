@@ -27,15 +27,22 @@ def confusion_matrix(
 
 def classification_metrics(
     scored: DataFrame,
-    n_classes: int,
+    n_classes: int | None = None,
     label_col: str = "label",
     pred_col: str = "pred",
 ) -> DataFrame:
     """One row: accuracy, macro precision/recall/F1 over all n_classes
     (A8: the fixed label universe is a generated dim table, so absent
-    classes still divide the macro average — sklearn zero_division=0)."""
+    classes still divide the macro average — sklearn zero_division=0).
+
+    Single-plan: every branch (per-true, per-pred, tp, accuracy, universe)
+    re-reads the SAME confusion-matrix shuffle — Spark's exchange reuse
+    dedups it, so there is no cache to leak and no driver-side job
+    (VERDICT r2 #10). With ``n_classes=None`` the label universe is derived
+    in-plan as 0..max(label, pred); pass an int to pin a larger fixed
+    universe (sklearn's explicit ``no_labels``)."""
     spark: SparkSession = scored.sparkSession
-    cm = confusion_matrix(scored, label_col, pred_col).cache()
+    cm = confusion_matrix(scored, label_col, pred_col)
 
     per_true = cm.groupBy("label").agg(F.sum("cnt").alias("support"))
     per_pred = cm.groupBy("pred").agg(F.sum("cnt").alias("predicted"))
@@ -43,7 +50,18 @@ def classification_metrics(
         F.col("label").alias("cls"), F.col("cnt").alias("tp")
     )
 
-    classes = spark.range(n_classes).select(F.col("id").cast("int").alias("cls"))
+    if n_classes is None:
+        classes = (
+            cm.agg(
+                F.max(F.greatest(F.col("label"), F.col("pred"))).alias("mx")
+            )
+            .select(F.explode(F.sequence(F.lit(0), F.col("mx"))).alias("cls"))
+            .select(F.col("cls").cast("int").alias("cls"))
+        )
+    else:
+        classes = spark.range(n_classes).select(
+            F.col("id").cast("int").alias("cls")
+        )
     per_class = (
         classes.join(tp, "cls", "left")
         .join(per_true.withColumnRenamed("label", "cls"), "cls", "left")
@@ -67,13 +85,19 @@ def classification_metrics(
         )
     )
 
-    total = scored.count()
-    correct_df = scored.filter(F.col(label_col) == F.col(pred_col))
-    accuracy = (correct_df.count() / total) if total else 0.0
+    # accuracy from the confusion matrix itself — no extra pass over scored
+    acc = cm.agg(
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("label") == F.col("pred"), F.col("cnt"))),
+                F.lit(0),
+            )
+            / F.sum("cnt")
+        ).alias("accuracy")
+    )
 
     return per_class.agg(
-        F.lit(accuracy).alias("accuracy"),
         F.avg("precision").alias("precision"),
         F.avg("recall").alias("recall"),
         F.avg("f1").alias("macro_f1"),
-    )
+    ).crossJoin(acc).select("accuracy", "precision", "recall", "macro_f1")

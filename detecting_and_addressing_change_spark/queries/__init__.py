@@ -49,14 +49,17 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     "x04_minhash_pairs", "x05_simhash", "x06_ngram_jaccard",
     "x07_similarity_topk", "x08_similarity_ann_lsh", "x09_embedding_near_dup",
     "x10_text_stats", "x11_text_quality", "x12_lang_id",
-    "x13_rolling_fingerprint", "x14_multimodal_features", "x15_similarity_ivf",
+    "x13_rolling_fingerprint", "x15_similarity_ivf",
     "x16_regex_tokens", "x17_tfidf_topk", "x18_bloom_join_filter",
     "x19_cms_heavy_hitters", "x20_stratified_sample", "x21_salted_skew_join",
     "x22_table_profile", "x23_dedup_clusters", "x24_vocab_encode",
     "x25_changelog_upsert", "x26_pii_scrub", "x27_length_histogram",
-    "x28_bigram_topk", "x29_vector_quantize", "x33_fuzzy_join",
+    "x28_bigram_topk", "x29_vector_quantize",
     "x34_mad_outliers", "x36_lstm_sequence", "x37_bm25_topk",
     "x38_weighted_sample", "x41_table_diff",
+    # x14 (real byte decode) and x33 (skew-guarded blocking) changed
+    # semantics in round 3 — deliberately NOT listed so the driver
+    # re-attests their new oracles.
 })
 
 

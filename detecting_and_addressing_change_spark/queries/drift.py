@@ -219,17 +219,19 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.metrics import classification_metrics
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n_classes = emb.agg(F.max("label")).collect()[0][0] + 1
-    scored = emb.select(
+    # class count rides the plan as a broadcast singleton — no driver-side
+    # collect job (VERDICT r2 #10); the metrics universe is derived in-plan
+    nc = emb.agg((F.max("label") + 1).alias("__nc"))
+    scored = emb.crossJoin(F.broadcast(nc)).select(
         "label",
         F.when(
             F.col("vec_id") % 5 == 0,
-            (F.col("label") + 1) % F.lit(n_classes),
+            (F.col("label") + 1) % F.col("__nc"),
         )
         .otherwise(F.col("label"))
         .alias("pred"),
     )
-    m = classification_metrics(scored, n_classes)
+    m = classification_metrics(scored)
     return m.select(
         portable_round(F.col("accuracy"), 6).alias("accuracy"),
         portable_round(F.col("precision"), 6).alias("precision"),
@@ -398,16 +400,24 @@ FROM seq sq JOIN scan sc ON sq.seq_id = sc.seq_id
 
 @query("q39_abrupt_drift_experiment", oracle=_Q39_ORACLE)
 def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     from ..pipelines import abrupt_drift_experiment
 
     docs = load_table(spark, sf_dir, "documents")
-    # language as the class label (dense-coded deterministically)
-    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
-    code = F.array(*[F.lit(x) for x in sorted(langs)])
-    labeled = docs.select(
-        "doc_id",
-        "text",
-        (F.array_position(code, F.col("lang")) - 1).cast("int").alias("label"),
+    # language as the class label, dense-coded deterministically IN-PLAN:
+    # rank the tiny distinct-lang set and broadcast-join it back — same
+    # coding as sorted(collect()) but no driver-side job (VERDICT r2 #10)
+    lang_codes = (
+        docs.select("lang")
+        .distinct()
+        .withColumn(
+            "label",
+            (F.dense_rank().over(Window.orderBy("lang")) - 1).cast("int"),
+        )
+    )
+    labeled = docs.join(F.broadcast(lang_codes), "lang").select(
+        "doc_id", "text", "label"
     )
     return abrupt_drift_experiment(labeled, batch_size=32)
 
@@ -440,16 +450,16 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import count_window_agg
-    from ..streaming.schedule import sigma_schedule
+    from ..streaming.schedule import sigma_schedule_for
 
     ev = load_table(spark, sf_dir, "events")
     buckets = count_window_agg(
         ev, seq_col="event_id", batch_size=32,
         aggs=[F.count("*").alias("cnt")],
     )
-    max_bucket = buckets.agg(F.max("bucket")).collect()[0][0]
-    sched = sigma_schedule(
-        spark, n_batches=max_bucket + 1, warm_start=30, max_std=2.0, steps=150
+    # schedule sized in-plan from the buckets' own max — no driver collect
+    sched = sigma_schedule_for(
+        buckets, warm_start=30, max_std=2.0, steps=150
     )
     return (
         buckets.join(F.broadcast(sched), "bucket")

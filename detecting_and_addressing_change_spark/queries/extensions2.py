@@ -81,55 +81,107 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# X14 — multimodal binary-column pipeline on the oracle path: documents ->
-# opaque media bytes (binary column) -> Arrow mapInPandas feature extraction
-# (stubbed deterministic decode) -> metadata + fingerprint. The md5 / byte
-# length / kind dispatch are engine-portable; feat_dim comes back from the
-# actual UDF output, so a broken mapInPandas stage fails the hash compare.
+# X14 — multimodal binary-column pipeline on the oracle path with REAL byte
+# decode (VERDICT r2 #9): documents -> per-doc GENUINE media files (PPM P6
+# images with pixels (doc_id*7 + p*13) % 256; PCM-16 WAVs with samples
+# (doc_id*31 + i*17) % 1000 - 500) encoded in an Arrow stage -> decoder
+# 'auto' parses the actual file structure back (multimodal/binary_ops.py
+# decode_ppm / decode_wav_pcm16) -> decoded pixel/sample statistics. The
+# oracle recomputes those statistics in CLOSED FORM from the generating
+# expressions, so any header/endianness/offset bug in the codecs breaks the
+# hash compare. Video has no dependency-free container format: mp4 rows run
+# the documented deterministic fake and are pinned to -1 here.
 # --------------------------------------------------------------------------
 @query(
     "x14_multimodal_features",
     oracle="""
-    SELECT doc_id AS media_id,
-           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+    WITH img AS (
+      SELECT doc_id,
+             AVG((doc_id * 7 + p * 13) % 256) AS mean_v,
+             CAST(MAX((doc_id * 7 + p * 13) % 256) AS DOUBLE) AS max_v
+      FROM documents, UNNEST(GENERATE_SERIES(0, 47)) AS t(p)
+      WHERE doc_id % 3 = 0 GROUP BY doc_id
+    ),
+    aud AS (
+      SELECT doc_id,
+             AVG(ABS((doc_id * 31 + i * 17) % 1000 - 500)) AS mean_v,
+             CAST(MAX((doc_id * 31 + i * 17) % 1000 - 500) AS DOUBLE) AS max_v
+      FROM documents, UNNEST(GENERATE_SERIES(0, 31)) AS t(i)
+      WHERE doc_id % 3 = 1 GROUP BY doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                 ELSE 'video' END AS kind,
-           CAST(octet_length(encode(text)) AS INT) AS nbytes,
-           md5(text) AS digest,
+           CASE d.doc_id % 3 WHEN 0 THEN 59 WHEN 1 THEN 108
+                ELSE CAST(octet_length(encode(d.text)) AS INT) END AS nbytes,
+           FLOOR(COALESCE(i.mean_v, a.mean_v, -1.0) * 10000.0 + 0.5)
+             / 10000.0 AS stat_mean,
+           COALESCE(i.max_v, a.max_v, -1.0) AS stat_max,
            16 AS feat_dim
-    FROM documents
+    FROM documents d
+    LEFT JOIN img i ON d.doc_id = i.doc_id
+    LEFT JOIN aud a ON d.doc_id = a.doc_id
     """,
 )
 def x14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..multimodal.binary_ops import extract_features
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.rounding import portable_round
+    from ..multimodal.binary_ops import (
+        MEDIA_SCHEMA,
+        encode_ppm,
+        encode_wav_pcm16,
+        extract_features,
+    )
+    from ..sources.tables import spread_small_input
 
     docs = load_table(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
-        ).alias("kind"),
-        F.element_at(
-            F.array(F.lit("png"), F.lit("wav"), F.lit("mp4")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
-        ).alias("fmt"),
-        F.encode(F.col("text"), "UTF-8").alias("data"),
-        F.struct(
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("int").alias("sample_rate"),
-            F.lit(None).cast("int").alias("duration_ms"),
-        ).alias("meta"),
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                kind = ["image", "audio", "video"][doc_id % 3]
+                if kind == "image":
+                    px = (np.arange(48, dtype=np.int64) * 13 + doc_id * 7) % 256
+                    data = encode_ppm(px.astype(np.uint8).reshape(4, 4, 3))
+                    fmt = "ppm"
+                elif kind == "audio":
+                    s = (
+                        (np.arange(32, dtype=np.int64) * 17 + doc_id * 31)
+                        % 1000
+                    ) - 500
+                    data = encode_wav_pcm16(8000, s.astype(np.int16))
+                    fmt = "wav"
+                else:
+                    data = text.encode("utf-8")
+                    fmt = "mp4"
+                rows.append((doc_id, kind, fmt, data, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "fmt", "data", "meta"]
+            )
+
+    media = spread_small_input(docs.select("doc_id", "text")).mapInPandas(
+        encode, MEDIA_SCHEMA
     )
-    feats = extract_features(media, dim=16).select("media_id", "feat_dim")
-    side = media.select(
+    feats = extract_features(media, dim=16, decoder="auto")
+    sizes = media.select(
+        "media_id", F.length("data").cast("int").alias("nbytes")
+    )
+    real = F.col("kind").isin("image", "audio")
+    return feats.join(sizes, "media_id").select(
         "media_id",
         "kind",
-        F.length("data").cast("int").alias("nbytes"),
-        F.md5("data").alias("digest"),
-    )
-    return side.join(feats, "media_id").select(
-        "media_id", "kind", "nbytes", "digest", "feat_dim"
+        "nbytes",
+        F.when(real, portable_round(F.element_at("feature", 3), 4))
+        .otherwise(F.lit(-1.0))
+        .alias("stat_mean"),
+        F.when(real, F.element_at("feature", 4).cast("double"))
+        .otherwise(F.lit(-1.0))
+        .alias("stat_max"),
+        "feat_dim",
     )
 
 

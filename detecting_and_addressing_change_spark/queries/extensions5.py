@@ -196,10 +196,13 @@ def x32(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x33 — blocked fuzzy matching (data-cleaning / entity-resolution family):
 # candidate pairs share a cheap blocking key (first word), then exact
 # Levenshtein on a bounded prefix decides the match. Blocking is what makes
-# fuzzy joins scale: the edit-distance compute runs only within blocks, and
-# the shuffle key is the block — at 100 TB you additionally cap block width
-# (skew guard) and tier the blocking key (first word, then SimHash band).
-# Levenshtein is bit-identical across engines (integer DP).
+# fuzzy joins scale; the SKEW GUARD (operators/fuzzy.py) is what makes the
+# blocking survive a pathological block: oversized blocks are refined by a
+# portable md5 tier-bucket and hard-capped by rank, so the candidate count
+# is linear (not quadratic) in block width. The DuckDB oracle implements
+# the identical guard (md5 bytes + ROW_NUMBER are engine-portable), so the
+# bounded semantics ARE the declared semantics. Levenshtein is bit-identical
+# across engines (integer DP).
 # --------------------------------------------------------------------------
 @query(
     "x33_fuzzy_join",
@@ -208,32 +211,39 @@ def x32(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split(text, ' ')[1] AS blk,
              substr(text, 1, 24) AS pfx
       FROM documents
+    ),
+    w AS (SELECT blk, COUNT(*) AS wdt FROM d GROUP BY blk),
+    t AS (
+      SELECT d.doc_id, d.blk, d.pfx,
+             CASE WHEN w.wdt <= 64 THEN 0
+                  ELSE (('0x' || substr(md5(d.pfx), 1, 8))::BIGINT)
+                       % CAST(CEIL(w.wdt / 64.0) AS BIGINT) END AS bkt
+      FROM d JOIN w ON d.blk = w.blk
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY blk, bkt ORDER BY doc_id)
+               AS rk
+      FROM t
     )
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            CAST(levenshtein(a.pfx, b.pfx) AS INT) AS dist
-    FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
-    WHERE levenshtein(a.pfx, b.pfx) <= 8
+    FROM r a JOIN r b ON a.blk = b.blk AND a.bkt = b.bkt
+                     AND a.doc_id < b.doc_id
+    WHERE a.rk <= 64 AND b.rk <= 64 AND levenshtein(a.pfx, b.pfx) <= 8
     """,
 )
 def x33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzy import fuzzy_join_blocked
+
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
         F.element_at(F.split(F.col("text"), " "), 1).alias("blk"),
         F.substring(F.col("text"), 1, 24).alias("pfx"),
     )
-    a = d.select(
-        F.col("doc_id").alias("a_id"), "blk", F.col("pfx").alias("pa")
-    )
-    b = d.select(
-        F.col("doc_id").alias("b_id"), "blk", F.col("pfx").alias("pb")
-    )
-    dist = F.levenshtein(F.col("pa"), F.col("pb"))
-    return (
-        a.join(b, "blk")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(dist <= 8)
-        .select("a_id", "b_id", dist.cast("int").alias("dist"))
+    return fuzzy_join_blocked(
+        d, id_col="doc_id", blk_col="blk", key_col="pfx",
+        max_dist=8, block_cap=64,
     )
 
 

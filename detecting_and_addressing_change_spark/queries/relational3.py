@@ -409,12 +409,17 @@ FROM best WHERE r = 1
 
 
 @query("q52_lstm_infer", oracle=_Q52_ORACLE)
-def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q52(
+    spark: SparkSession, sf_dir: str, n_classes: int | None = None
+) -> DataFrame:
     from ..functions.rounding import portable_round
     from ..operators.lstm import init_hash_weights, lstm_predict_portable
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n_classes = emb.agg(F.max("label")).collect()[0][0] + 1
+    if n_classes is None:
+        # the head's numpy weight matrix genuinely needs the class count
+        # driver-side; callers that know it pass it and skip this job
+        n_classes = emb.agg(F.max("label")).collect()[0][0] + 1
     seqs = emb.select(
         F.col("vec_id").alias("doc_id"),
         F.array(F.col("embedding")).alias("tokens"),

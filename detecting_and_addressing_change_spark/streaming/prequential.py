@@ -102,3 +102,75 @@ def fine_tune_nb(
             bounded.filter(F.col("__bucket") == b).drop("__bucket"), int(b)
         )
     return loop
+
+
+@dataclass
+class PrequentialLSTM:
+    """T3 test-then-train for the LSTM classifier (U2 + U8's LSTM half).
+
+    Reference cadence (streams/run_stream_supervised.py:41-85 with the LSTM
+    runner; one Adam step per micro-batch, wos_classifier.py:38-71): each
+    batch is scored with the CURRENT weights, windowed accuracy feeds the
+    shared DDM detector, then ``lstm_partial_fit`` takes one step. The train
+    step is driver-side on the collected micro-batch (<= batch_size rows —
+    the reference's own scale, SURVEY §2.7 U2); inference over arbitrarily
+    large frames stays the distributed ``lstm_predict`` mapInPandas."""
+
+    weights: object = None  # LSTMWeights; lazily initialized on first batch
+    adam: object = None
+    n_classes: int = 2
+    hidden: int = 8
+    n_layers: int = 1
+    lr: float = 1e-3
+    seed: int = 0
+    tokens_col: str = "tokens"
+    label_col: str = "label"
+    id_col: str = "doc_id"
+    detector: DDMState = field(default_factory=DDMState)
+    history: list = field(default_factory=list)
+
+    def _ensure_model(self, input_dim: int) -> None:
+        from ..operators.lstm import LSTMWeights
+        from ..operators.lstm_train import AdamState
+
+        if self.weights is None:
+            self.weights = LSTMWeights.init(
+                input_dim,
+                self.hidden,
+                n_layers=self.n_layers,
+                n_classes=self.n_classes,
+                seed=self.seed,
+            )
+            self.adam = AdamState(lr=self.lr)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.lstm_train import lstm_partial_fit
+
+        rows = (
+            batch_df.select(self.id_col, self.tokens_col, self.label_col)
+            .orderBy(self.id_col)
+            .collect()
+        )
+        if not rows:
+            return
+        toks = [[list(t) for t in r[self.tokens_col]] for r in rows]
+        ys = [int(r[self.label_col]) for r in rows]
+        self._ensure_model(input_dim=len(toks[0][0]))
+
+        # ---- test with current weights (skip the never-trained model)
+        if self.adam is not None and self.adam.t > 0:
+            import numpy as np
+
+            correct = 0
+            for t, y in zip(toks, ys):
+                lp = self.weights.forward_one(np.array(t, dtype=np.float64))
+                correct += int(lp.argmax()) == y
+            accuracy = correct / len(ys)
+            flag = self.detector.add_element(1.0 - accuracy)
+            self.history.append((batch_id, accuracy, flag))
+
+        # ---- then train: ONE Adam step (the partial_fit contract)
+        lstm_partial_fit(self.weights, self.adam, toks, ys)
+
+    def results(self) -> list[tuple[int, float, str]]:
+        return list(self.history)

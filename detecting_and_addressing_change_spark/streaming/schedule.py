@@ -53,3 +53,31 @@ def class_universe(spark: SparkSession, n_classes: int) -> DataFrame:
     """A8: the fixed label dim table (np.arange(n_classes) in reference,
     models/wos_train_nb.py:55)."""
     return spark.range(n_classes).select(F.col("id").cast("int").alias("cls"))
+
+
+def sigma_schedule_for(
+    buckets: DataFrame,
+    bucket_col: str = "bucket",
+    warm_start: int = 30,
+    max_std: float = 2.0,
+    steps: int | None = None,
+) -> DataFrame:
+    """In-plan sigma_schedule: sized from the data's own max bucket via an
+    aggregate-then-explode instead of a driver-side collect job (VERDICT r2
+    #10). Semantics identical to sigma_schedule(spark, max_bucket + 1, ...)."""
+    mx = buckets.agg(F.max(F.col(bucket_col)).alias("__mx"))
+    step = (
+        F.lit(max_std) / F.lit(float(steps))
+        if steps is not None
+        else F.lit(max_std)
+        / F.greatest(F.col("__mx") + 1 - warm_start, F.lit(1)).cast("double")
+    )
+    return mx.select(
+        F.explode(F.sequence(F.lit(0), F.col("__mx"))).alias("bucket"),
+        step.alias("__step"),
+    ).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.when(F.col("bucket") < warm_start, F.lit(0.0))
+        .otherwise((F.col("bucket") - warm_start) * F.col("__step"))
+        .alias("sigma"),
+    )

@@ -1,9 +1,16 @@
-"""Multimodal plumbing: schema, batch shape, determinism of the stubbed
-decode (the Spark-side contract is real even though the codec is fake)."""
+"""Multimodal plumbing + real byte codecs: schema, batch shape, decode
+determinism, and PPM/WAV roundtrips (VERDICT r2 #9)."""
 
 from __future__ import annotations
 
+import numpy as np
+import pytest
+
 from detecting_and_addressing_change_spark.multimodal.binary_ops import (
+    decode_ppm,
+    decode_wav_pcm16,
+    encode_ppm,
+    encode_wav_pcm16,
     extract_features,
     synth_media,
 )
@@ -24,6 +31,55 @@ def test_feature_extraction_shape_and_determinism(spark):
 
 def test_metadata_only_ops_never_touch_bytes(spark):
     media = synth_media(spark, n=64)
-    wide = media.filter("meta.width is not null and meta.width > 100")
+    wide = media.filter("meta.width is not null and meta.width > 5")
     # column pruning: the binary column must not appear in the read schema
     assert wide.select("media_id", "meta.width").count() > 0
+
+
+def test_ppm_roundtrip():
+    rng = np.random.RandomState(0)
+    arr = rng.randint(0, 256, size=(5, 7, 3)).astype(np.uint8)
+    data = encode_ppm(arr)
+    assert data.startswith(b"P6")
+    np.testing.assert_array_equal(decode_ppm(data), arr)
+
+
+def test_ppm_header_comments():
+    arr = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    data = b"P6\n# a netpbm comment\n2 2\n255\n" + arr.tobytes()
+    np.testing.assert_array_equal(decode_ppm(data), arr)
+
+
+def test_wav_roundtrip():
+    rng = np.random.RandomState(1)
+    s = rng.randint(-32768, 32767, size=100).astype(np.int16)
+    data = encode_wav_pcm16(16000, s)
+    rate, got = decode_wav_pcm16(data)
+    assert rate == 16000
+    np.testing.assert_array_equal(got, s)
+    assert len(data) == 44 + 200  # canonical 44-byte header
+
+
+def test_real_decode_on_spark(spark):
+    """decoder='auto': real formats produce interpretable stats (width,
+    height, rate, sample count), fakes stay deterministic."""
+    media = synth_media(spark, n=12)
+    rows = {
+        r["media_id"]: r
+        for r in extract_features(media, dim=8, decoder="auto").collect()
+    }
+    for i, r in rows.items():
+        if r["kind"] == "image":
+            w, h = 4 + i % 5, 3 + i % 4
+            assert r["feature"][0] == w and r["feature"][1] == h
+        elif r["kind"] == "audio":
+            assert r["feature"][0] == 8000 and r["feature"][1] == 32
+
+
+def test_real_decoder_raises_on_unsupported():
+    from detecting_and_addressing_change_spark.multimodal.binary_ops import (
+        _real_decode,
+    )
+
+    with pytest.raises(NotImplementedError):
+        _real_decode(b"\x00\x01", "mp4", 8)

@@ -127,3 +127,34 @@ def test_synthetic_detector_feed_stays_calm(spark):
     flags = [r["flag"] for r in detect_drift(feed).collect()]
     assert len(flags) == 500
     assert "D" not in flags
+
+
+def test_prequential_lstm_loop(spark):
+    """U2/U8 LSTM half: test-then-train with one Adam step per micro-batch
+    (reference wos_classifier.py:38-71 cadence) — accuracy climbs on
+    separable sequences, flags stay well-formed, and the same loop shape
+    sits next to the NB one (VERDICT r2 task #6)."""
+    from detecting_and_addressing_change_spark.streaming.prequential import (
+        PrequentialLSTM,
+    )
+
+    rng = np.random.RandomState(11)
+    n, dim, classes, batch = 512, 4, 2, 32
+    loop = PrequentialLSTM(n_classes=classes, hidden=8, lr=5e-2, seed=7)
+    for b in range(n // batch):
+        rows = []
+        for i in range(b * batch, (b + 1) * batch):
+            y = int(rng.randint(0, classes))
+            seq = rng.randn(int(rng.randint(2, 5)), dim) * 0.1
+            seq[:, y] += 3.0
+            rows.append((i, [list(map(float, t)) for t in seq], y))
+        bdf = spark.createDataFrame(
+            rows, "doc_id long, tokens array<array<double>>, label int"
+        )
+        loop.process_batch(bdf, b)
+    res = loop.results()
+    assert len(res) == n // batch - 1  # first batch trains only
+    accs = [a for _, a, _ in res]
+    assert accs[-1] > 0.85  # marker dimension -> learnable fast
+    assert np.mean(accs[-4:]) > np.mean(accs[:4])  # learning curve climbs
+    assert all(f in {"N", "W", "D"} for _, _, f in res)
