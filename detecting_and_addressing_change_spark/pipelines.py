@@ -96,22 +96,32 @@ def _abrupt_drift_body(
         nb_fit(train, features_col="features", label_col="label")
     )
 
-    def score(feats: DataFrame, tag: str, seq_offset) -> DataFrame:
-        preds = nb_predict(
-            feats, stats, features_col="features", id_cols=(id_col,)
-        )
-        return (
-            preds.join(labels, id_col)
-            .select(
-                (F.col(id_col) + F.lit(seq_offset)).alias("seq_id"),
-                F.lit(tag).alias("stream"),
-                (F.col("pred") == F.col("label")).cast("int").alias("correct"),
-            )
-        )
-
     n_docs = sum(r["cnt"] for r in stats)
-    scored = score(feats_a, "trained", 0).unionByName(
-        score(feats_b, "untrained", n_docs)
+
+    # ONE predict pass over the tagged union (continuous seq_id across the
+    # seam) instead of one per stream: per-row scoring is independent, so
+    # the union changes nothing numerically but halves the predict stages
+    both = feats_a.select(
+        id_col,
+        "features",
+        F.lit("trained").alias("stream"),
+        F.col(id_col).alias("seq_id"),
+    ).unionByName(
+        feats_b.select(
+            id_col,
+            "features",
+            F.lit("untrained").alias("stream"),
+            (F.col(id_col) + F.lit(n_docs)).alias("seq_id"),
+        )
+    )
+    preds = nb_predict(
+        both, stats, features_col="features",
+        id_cols=(id_col, "stream", "seq_id"),
+    )
+    scored = preds.join(labels, id_col).select(
+        "seq_id",
+        "stream",
+        (F.col("pred") == F.col("label")).cast("int").alias("correct"),
     )
 
     per_batch = count_window_agg(

@@ -31,3 +31,157 @@ def x42(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_round(F.element_at("pc", 1), 4).alias("pc1"),
         portable_round(F.element_at("pc", 2), 4).alias("pc2"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# x43 — audio frame sampling over REAL WAV bytes: per-doc PCM-16 files
+# (samples (doc_id*31 + i*17) % 1000 - 500, the x14 generator) -> decode ->
+# hop-strided frames -> per-frame RMS/peak. The oracle recomputes each
+# frame's RMS in closed form: frame length 16 is a power of two so AVG is
+# exact, and IEEE sqrt is correctly rounded in both engines — the compare
+# is bit-exact, pinning header parsing, sample endianness, AND the frame
+# stride arithmetic.
+# --------------------------------------------------------------------------
+@query(
+    "x43_audio_frames",
+    oracle="""
+    WITH aud AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+    frames AS (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS frame_id),
+    samp AS (
+      SELECT a.doc_id, f.frame_id, i,
+             CAST((a.doc_id * 31 + i * 17) % 1000 - 500 AS DOUBLE) AS s
+      FROM aud a, frames f,
+           UNNEST(GENERATE_SERIES(0, 15)) AS t(j),
+           LATERAL (SELECT f.frame_id * 8 + j AS i)
+    )
+    SELECT doc_id AS media_id, CAST(frame_id AS INT) AS frame_id,
+           frame_id * 1000.0 AS start_us,
+           16 AS n_samples,
+           FLOOR(SQRT(AVG(s * s)) * 10000.0 + 0.5) / 10000.0 AS rms,
+           MAX(ABS(s)) AS peak
+    FROM samp GROUP BY doc_id, frame_id
+    """,
+)
+def x43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..multimodal.binary_ops import (
+        MEDIA_SCHEMA,
+        encode_wav_pcm16,
+        sample_audio_frames,
+    )
+    from ..sources.tables import spread_small_input
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 1
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                s = (
+                    (np.arange(32, dtype=np.int64) * 17 + doc_id * 31) % 1000
+                ) - 500
+                rows.append(
+                    (
+                        doc_id,
+                        "audio",
+                        "wav",
+                        encode_wav_pcm16(8000, s.astype(np.int16)),
+                        None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "fmt", "data", "meta"]
+            )
+
+    media = spread_small_input(docs.select("doc_id")).mapInPandas(
+        encode, MEDIA_SCHEMA
+    )
+    frames = sample_audio_frames(media, frame_len=16, hop=8)
+    return frames.select(
+        "media_id",
+        "frame_id",
+        # 8 samples hop at 8000 Hz = exactly 1 ms; expose microseconds so
+        # the oracle column is integral-valued doubles on both engines
+        (F.col("start_ms") * 1000.0).alias("start_us"),
+        "n_samples",
+        portable_round(F.col("rms"), 4).alias("rms"),
+        "peak",
+    )
+
+
+# --------------------------------------------------------------------------
+# x44 — image resize over REAL PPM bytes: encode 4x4 (pixels
+# (doc_id*7 + p*13) % 256), nearest-neighbor resize to 2x2 through the real
+# decode->remap->re-encode path, then feature-extract the RESIZED file. The
+# oracle selects exactly the 12 bytes nearest-neighbor keeps
+# (y,x in {0,2}, c in 0..2 => p = (y*4+x)*3 + c) and averages them — a
+# wrong stride, header, or index map changes the mean and fails the hash.
+# --------------------------------------------------------------------------
+@query(
+    "x44_image_resize",
+    oracle="""
+    WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+    px AS (
+      SELECT i.doc_id, ((y * 4 + x) * 3 + c) AS p
+      FROM img i,
+           UNNEST([0, 2]) AS ty(y),
+           UNNEST([0, 2]) AS tx(x),
+           UNNEST(GENERATE_SERIES(0, 2)) AS tc(c)
+    )
+    SELECT doc_id AS media_id, 2 AS width, 2 AS height,
+           FLOOR(AVG((doc_id * 7 + p * 13) % 256) * 10000.0 + 0.5)
+             / 10000.0 AS mean_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def x44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..multimodal.binary_ops import (
+        MEDIA_SCHEMA,
+        encode_ppm,
+        extract_features,
+        resize_images,
+    )
+    from ..sources.tables import spread_small_input
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                px = (np.arange(48, dtype=np.int64) * 13 + doc_id * 7) % 256
+                rows.append(
+                    (
+                        doc_id,
+                        "image",
+                        "ppm",
+                        encode_ppm(px.astype(np.uint8).reshape(4, 4, 3)),
+                        None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "fmt", "data", "meta"]
+            )
+
+    media = spread_small_input(docs.select("doc_id")).mapInPandas(
+        encode, MEDIA_SCHEMA
+    )
+    resized = resize_images(media, out_w=2, out_h=2)
+    feats = extract_features(resized, dim=8, decoder="real")
+    return feats.select(
+        "media_id",
+        F.element_at("feature", 1).cast("int").alias("width"),
+        F.element_at("feature", 2).cast("int").alias("height"),
+        portable_round(F.element_at("feature", 3), 4).alias("mean_px"),
+    )

@@ -83,3 +83,52 @@ def test_real_decoder_raises_on_unsupported():
 
     with pytest.raises(NotImplementedError):
         _real_decode(b"\x00\x01", "mp4", 8)
+
+
+def test_resize_images_real(spark):
+    """Nearest-neighbor resize on real PPM bytes: exact index remap."""
+    from detecting_and_addressing_change_spark.multimodal.binary_ops import (
+        resize_images,
+    )
+
+    media = synth_media(spark, n=9)
+    out = resize_images(media, out_w=2, out_h=2)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 9  # non-image rows pass through
+    for i, r in rows.items():
+        if r["kind"] != "image":
+            continue
+        src = {x["media_id"]: x for x in media.collect()}[i]
+        arr = decode_ppm(bytes(src["data"]))
+        h, w, _ = arr.shape
+        yi = (np.arange(2) * h) // 2
+        xi = (np.arange(2) * w) // 2
+        want = arr[yi][:, xi]
+        got = decode_ppm(bytes(r["data"]))
+        np.testing.assert_array_equal(got, want)
+        assert r["meta"]["width"] == 2 and r["meta"]["height"] == 2
+
+
+def test_sample_audio_frames_real(spark):
+    """Hop-strided frames over real WAV bytes: counts, offsets, RMS."""
+    from detecting_and_addressing_change_spark.multimodal.binary_ops import (
+        sample_audio_frames,
+    )
+
+    media = synth_media(spark, n=9)
+    frames = sample_audio_frames(media, frame_len=8, hop=4).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    audio_ids = [r["media_id"] for r in media.collect() if r["kind"] == "audio"]
+    assert set(by_media) == set(audio_ids)
+    for mid, frs in by_media.items():
+        # 32 samples, frame 8 hop 4 -> 7 frames
+        assert sorted(r["frame_id"] for r in frs) == list(range(7))
+        src = {x["media_id"]: x for x in media.collect()}[mid]
+        rate, s = decode_wav_pcm16(bytes(src["data"]))
+        sd = s.astype(np.float64)
+        for r in frs:
+            fr = sd[r["frame_id"] * 4 : r["frame_id"] * 4 + 8]
+            assert abs(r["rms"] - float(np.sqrt((fr * fr).mean()))) < 1e-12
+            assert r["start_ms"] == r["frame_id"] * 4 * 1000.0 / rate

@@ -80,3 +80,21 @@ def test_topk_per_group_two_phase(spark):
     df = QUERIES["q57_topk_per_group"](spark, SF_SMOKE)
     s = explain_str(df)
     assert s.count("Window") >= 2, s
+
+
+def test_fuzzy_join_no_cartesian_and_keyed(spark):
+    """x33's skew-guarded blocking must stay an equi-join on
+    (block, tier-bucket) — never a cartesian/nested-loop pair expansion."""
+    s = explain_str(QUERIES["x33_fuzzy_join"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_media_pipeline_stays_narrow(spark):
+    """x43/x44: media bytes move scan -> mapInPandas -> project with no
+    Exchange carrying the binary column (frames/features may shuffle,
+    the payloads must not)."""
+    s = explain_str(QUERIES["x43_audio_frames"](spark, SF_SMOKE))
+    # the only exchanges allowed are for the final small aggregations;
+    # the encode->decode chain itself is back-to-back python evals
+    assert s.count("ArrowEvalPython") + s.count("MapInPandas") >= 2
