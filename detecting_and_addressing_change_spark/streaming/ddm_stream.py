@@ -124,3 +124,93 @@ def detect_drift_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4.x transformWithStateInPandas variant (SURVEY §4.2 item 1): the
+# successor API to applyInPandasWithState — explicit typed ValueState,
+# init/close lifecycle, and composable state variables. Same semantics, same
+# bit-exact kernel; parity with both the batch operator and the
+# applyInPandasWithState path is pinned in tests/test_streaming.py (the test
+# skips where the API's protobuf dependency is absent — this container has
+# no google.protobuf, which TWS's state protocol requires at runtime).
+# ---------------------------------------------------------------------------
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs google.protobuf for its state
+    protocol (pyspark/sql/streaming/proto); absent here, the query crashes
+    at pre-init. Capability-gate like the HF embedder backend."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def detect_drift_stream_tws(
+    stream_df: DataFrame,
+    detector_col: str = "detector_id",
+    seq_col: str = "seq_id",
+    error_col: str = "error",
+    min_num_instances: int = 30,
+    warning_level: float = 2.0,
+    out_control_level: float = 3.0,
+) -> DataFrame:
+    """Streaming DDM via ``transformWithStateInPandas`` — one ValueState
+    per detector key holding the 7-field DDM tuple."""
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas requires google.protobuf, which is "
+            "not installed in this container; use detect_drift_stream "
+            "(applyInPandasWithState) — identical semantics"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    params = dict(
+        min_num_instances=min_num_instances,
+        warning_level=warning_level,
+        out_control_level=out_control_level,
+    )
+
+    class DDMProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("ddm", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            st = (
+                _tuple_to_state(tuple(self._state.get()), **params)
+                if self._state.exists()
+                else DDMState(**params)
+            )
+            pdf = pd.concat(list(rows), ignore_index=True)
+            pdf = pdf.sort_values(seq_col)
+            flags = [st.add_element(e) for e in pdf[error_col].astype(float)]
+            self._state.update(_state_to_tuple(st))
+            yield pd.DataFrame(
+                {
+                    "detector_id": [key[0]] * len(pdf),
+                    "seq_id": pdf[seq_col].astype("int64").values,
+                    "error": pdf[error_col].astype(float).values,
+                    "flag": flags,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    src = stream_df.select(
+        F.col(detector_col).cast("string").alias(detector_col),
+        F.col(seq_col).cast("long").alias(seq_col),
+        F.col(error_col).cast("double").alias(error_col),
+    )
+    return src.groupBy(detector_col).transformWithStateInPandas(
+        statefulProcessor=DDMProcessor(),
+        outputStructType=DDM_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

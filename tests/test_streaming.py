@@ -158,3 +158,53 @@ def test_prequential_lstm_loop(spark):
     assert accs[-1] > 0.85  # marker dimension -> learnable fast
     assert np.mean(accs[-4:]) > np.mean(accs[:4])  # learning curve climbs
     assert all(f in {"N", "W", "D"} for _, _, f in res)
+
+
+def test_tws_stream_matches_batch(spark, error_rows):
+    """transformWithStateInPandas DDM == batch operator flag-for-flag (the
+    Spark 4.x stateful API next to the applyInPandasWithState path).
+    Skips where TWS's protobuf dependency is absent (this container)."""
+    from detecting_and_addressing_change_spark.streaming.ddm_stream import (
+        detect_drift_stream_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        import pytest
+
+        pytest.skip("google.protobuf absent: transformWithStateInPandas "
+                    "cannot initialize its state protocol here")
+    from detecting_and_addressing_change_spark.streaming.replay import (
+        read_replay_stream,
+        stage_replay_files,
+    )
+
+    df = spark.createDataFrame(
+        error_rows, "detector_id string, seq_id long, error double"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        staged = f"{tmp}/staged"
+        stage_replay_files(df, "seq_id", staged, batch_size=200)
+        stream = read_replay_stream(
+            spark, staged, "detector_id string, seq_id long, error double"
+        )
+        out = detect_drift_stream_tws(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ddm_tws_out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "SELECT * FROM ddm_tws_out ORDER BY detector_id, seq_id"
+        ).collect()
+
+    batch = {
+        (r["detector_id"], r["seq_id"]): r["flag"]
+        for r in detect_drift(df).collect()
+    }
+    assert len(got) == len(error_rows)
+    for r in got:
+        assert batch[(r["detector_id"], r["seq_id"])] == r["flag"]
