@@ -31,17 +31,42 @@ STATS_SCHEMA = T.StructType(
 
 
 def nb_fit(
-    df: DataFrame, features_col: str = "features", label_col: str = "label"
+    df: DataFrame,
+    features_col: str = "features",
+    label_col: str = "label",
+    dim: int | None = None,
 ) -> DataFrame:
     """Fit: DataFrame[label, cnt, means: array<double>, vars: array<double>].
 
-    features is array<numeric>. posexplode to (label, dim, value), then
-    groupBy(label, dim) computes count/sum/sum-of-squares — map-side
-    partial aggregation collapses each partition to n_classes x dim rows
-    before the shuffle, so this scales to arbitrary row counts. Finally the
-    per-dim stats are re-assembled into arrays ordered by dim:
+    features is array<numeric>. With ``dim`` known (it is a schema contract
+    everywhere this engine runs), the per-dimension count/sum/sum-of-squares
+    run as 2*dim+1 UNROLLED aggregate expressions in ONE groupBy(label) —
+    no row explosion, one shuffle, map-side partial agg collapsing each
+    partition to n_classes rows of 2*dim+1 doubles. Without ``dim`` the
+    posexplode fallback computes the same statistics in two shuffles.
     mean = s1/n, var = s2/n - mean^2 (population variance, matching
-    sklearn's internal update)."""
+    sklearn's internal update). Summation ORDER differs between the paths
+    (floating sums are partition-order-dependent in any distributed agg);
+    every consumer compares at the prediction/rounded level, which both
+    paths satisfy identically."""
+    if dim is not None:
+        aggs = [F.count("*").alias("cnt")]
+        for d in range(1, dim + 1):
+            x = F.element_at(F.col(features_col), d).cast("double")
+            aggs.append(F.sum(x).alias(f"__s1_{d}"))
+            aggs.append(F.sum(x * x).alias(f"__s2_{d}"))
+        g = df.groupBy(F.col(label_col).alias("label")).agg(*aggs)
+        means = [F.col(f"__s1_{d}") / F.col("cnt") for d in range(1, dim + 1)]
+        variances = [
+            F.col(f"__s2_{d}") / F.col("cnt") - m * m
+            for d, m in zip(range(1, dim + 1), means)
+        ]
+        return g.select(
+            "label",
+            "cnt",
+            F.array(*means).alias("means"),
+            F.array(*variances).alias("vars"),
+        )
     exploded = df.select(
         F.col(label_col).alias("label"),
         F.posexplode(F.col(features_col)).alias("d", "v"),

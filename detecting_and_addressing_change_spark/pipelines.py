@@ -73,7 +73,7 @@ def abrupt_drift_experiment(
     feats_b = pooled_features(docs, model_b, dim, id_col).persist()
     try:
         return _abrupt_drift_body(
-            docs, labels, feats_a, feats_b, batch_size, id_col
+            docs, labels, feats_a, feats_b, batch_size, id_col, dim
         )
     finally:
         feats_a.unpersist()
@@ -87,13 +87,14 @@ def _abrupt_drift_body(
     feats_b: DataFrame,
     batch_size: int,
     id_col: str,
+    dim: int,
 ) -> DataFrame:
     train = feats_a.join(labels, id_col)
     # collect the tiny fit-stats table ONCE: both score() calls broadcast it,
     # and sum(cnt) doubles as n_docs (train covers every doc) — two fewer
     # jobs than collecting inside each predict plus a separate count()
     stats = nb_collect_stats(
-        nb_fit(train, features_col="features", label_col="label")
+        nb_fit(train, features_col="features", label_col="label", dim=dim)
     )
 
     n_docs = sum(r["cnt"] for r in stats)

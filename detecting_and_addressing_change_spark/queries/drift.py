@@ -158,7 +158,9 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.nb import nb_fit, nb_predict
 
     emb = load_table(spark, sf_dir, "embeddings")
-    stats = nb_fit(emb, features_col="embedding", label_col="label")
+    # dim=64 is the embeddings-table contract (same constant q52 pins);
+    # known dim => single-shuffle unrolled fit, no posexplode
+    stats = nb_fit(emb, features_col="embedding", label_col="label", dim=64)
     preds = nb_predict(
         emb, stats, features_col="embedding", id_cols=("vec_id",)
     )
