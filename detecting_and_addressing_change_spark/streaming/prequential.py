@@ -38,6 +38,14 @@ class PrequentialNB:
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
+        try:
+            self._process(batch_df, batch_id)
+        finally:
+            # unpersist even when a stage throws mid-batch: an aborted
+            # pipeline must not leave cached RDDs behind (r2 verdict #2)
+            batch_df.unpersist()
+
+    def _process(self, batch_df: DataFrame, batch_id: int) -> None:
         # ---- test (skip while the model has never been fit)
         if self.stats is not None:
             preds = nb_predict(
@@ -69,7 +77,13 @@ class PrequentialNB:
             merged.count()  # materialize before unpersisting the old state
             self.stats.unpersist()
             self.stats = merged
-        batch_df.unpersist()
+
+    def close(self) -> None:
+        """Release the persisted model-state table (call when the loop is
+        done and the stats will not be queried again)."""
+        if self.stats is not None:
+            self.stats.unpersist()
+            self.stats = None
 
     def results(self) -> list[tuple[int, float, str]]:
         """[(batch_id, accuracy, flag)] — the reference's result series

@@ -98,3 +98,10 @@ def test_media_pipeline_stays_narrow(spark):
     # the only exchanges allowed are for the final small aggregations;
     # the encode->decode chain itself is back-to-back python evals
     assert s.count("ArrowEvalPython") + s.count("MapInPandas") >= 2
+
+
+def test_nb_wide_fit_no_explode(spark):
+    """q28 with known dim: the fit must be ONE groupBy over unrolled
+    per-dim aggregates — no Generate (posexplode) row blowup in the plan."""
+    s = explain_str(QUERIES["q28_nb_fit_predict"](spark, SF_SMOKE))
+    assert "Generate" not in s
