@@ -274,8 +274,20 @@ def ngram_jaccard_pairs(
     if n_vocab <= 62:
         return _jaccard_dense_vocab(words, id_col, top_n)
     sizes = words.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = words.select(F.col(id_col).alias("a_id"), "w")
-    b = words.select(F.col(id_col).alias("b_id"), "w")
+    # EXACT pruning: a word occurring in exactly one document cannot appear
+    # in any intersection — and in a Zipfian corpus singletons are most of
+    # the vocabulary, so this shrinks the self-join input (and its skew)
+    # substantially while leaving every (inter, na, nb) unchanged (sizes
+    # are computed from the UNfiltered word sets above).
+    shared = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") >= 2)
+        .select("w")
+    )
+    wj = words.join(shared, "w")
+    a = wj.select(F.col(id_col).alias("a_id"), "w")
+    b = wj.select(F.col(id_col).alias("b_id"), "w")
     inter = (
         a.join(b, "w")
         .filter(F.col("a_id") < F.col("b_id"))

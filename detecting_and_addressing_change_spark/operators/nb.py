@@ -10,8 +10,10 @@ state is (count, mean, variance) — exactly a distributed aggregation:
 The count/mean/M2 merge is associative and order-independent, so the result
 is EXACT regardless of partitioning — a textbook map-side-combinable agg
 (SURVEY §4.3). Fit state lives in a small DataFrame (n_classes x dim);
-predict broadcast-joins it and computes the Gaussian log-likelihood with
-higher-order array functions, JVM-side.
+predict folds it into the plan: a ZERO-shuffle narrow map with the class
+statistics as expression literals when n_classes x dim is small, a
+broadcast join + per-row argmax re-aggregation when the unrolled
+expression would outgrow Catalyst. Either way, all JVM-side.
 """
 
 from __future__ import annotations
@@ -152,36 +154,89 @@ def nb_predict(
     var_smoothing: float = 1e-9,
     id_cols: tuple[str, ...] = ("doc_id",),
 ) -> DataFrame:
-    """Predict: broadcast-join the (tiny) stats table against every row and
-    take argmax over class log-posteriors:
+    """Predict: ZERO-shuffle narrow map. The stats table is driver-small by
+    construction (n_classes x dim), so every class's log-posterior
 
         log P(y) + sum_d [ -0.5 log(2 pi var_yd) - (x_d - mu_yd)^2 / (2 var_yd) ]
 
-    sklearn adds var_smoothing = eps * max(var) to every variance; replicated
-    here (computed from the stats table) so fit/predict matches sklearn
-    exactly on the same data.
+    is unrolled into a plain whole-stage-codegen expression with the class's
+    means/variances/prior folded in as double literals, and the argmax is
+    ``greatest`` over (log_post, -label) structs — lexicographic, so ties
+    pick the LOWEST label (sklearn argmax-first). No crossJoin with the
+    class table, no groupBy re-aggregation: at 100 TB the previous shape
+    shuffled rows x classes; this one shuffles NOTHING.
+
+    sklearn adds var_smoothing = eps * max(var) to every variance;
+    replicated here so fit/predict matches sklearn exactly on the same data.
 
     ``stats`` is either the fit-stats DataFrame or a pre-collected row list
-    from :func:`nb_collect_stats` (plus the stats schema is reconstructed
-    from the rows)."""
+    from :func:`nb_collect_stats`. Consumers compare at the prediction /
+    rounded level (summation-order ulps differ from the previous
+    crossJoin form, exactly as they do between any two partitionings)."""
     import math
 
-    # stats is n_classes x dim — always driver-small. Collect it ONCE and
-    # rebuild a local DataFrame: one job instead of (persist + agg job +
-    # broadcast-build job), and no cached RDD left behind for the caller
-    # to leak.
-    if isinstance(stats, DataFrame):
-        rows = stats.collect()
-        schema = stats.schema
-    else:
-        rows = list(stats)
-        schema = STATS_SCHEMA
+    rows = stats.collect() if isinstance(stats, DataFrame) else list(stats)
+    if not rows:
+        raise ValueError("nb_predict: empty stats — fit saw no data")
     total = sum(r["cnt"] for r in rows)
     per_class_max = [max(r["vars"]) for r in rows if r["vars"]]
     max_var = max(per_class_max) if per_class_max else None
     eps = var_smoothing * float(max_var if max_var is not None else 1.0)
-    stats_local = df.sparkSession.createDataFrame(rows, schema)
 
+    dim = len(rows[0]["means"])
+    if len(rows) * dim > 256:
+        # a fully-unrolled projection with n_classes*dim literal terms blows
+        # up Catalyst analysis (thousands of nodes) and splits codegen; past
+        # this point the broadcast-join form plans faster and its shuffle is
+        # only the per-row argmax re-aggregation
+        return _nb_predict_bcast(
+            df, rows, total, eps, dim, features_col, id_cols
+        )
+    class_structs = []
+    for r in sorted(rows, key=lambda r: r["label"]):
+        lp = F.lit(math.log(r["cnt"] / float(total)))
+        for d in range(dim):
+            v = float(r["vars"][d]) + eps
+            m = float(r["means"][d])
+            x = F.element_at(F.col(features_col), d + 1).cast("double")
+            lp = lp + (
+                F.lit(-0.5 * math.log(2.0 * math.pi * v))
+                - (x - F.lit(m)) * (x - F.lit(m)) / F.lit(2.0 * v)
+            )
+        class_structs.append(
+            F.struct(
+                lp.alias("lp"), F.lit(-int(r["label"])).alias("neg")
+            )
+        )
+    best = (
+        class_structs[0]
+        if len(class_structs) == 1
+        else F.greatest(*class_structs)
+    )
+    return df.select(
+        *id_cols,
+        (-best["neg"]).cast("int").alias("pred"),
+        best["lp"].alias("max_log_post"),
+    )
+
+
+def _nb_predict_bcast(
+    df: DataFrame,
+    rows: list,
+    total,
+    eps: float,
+    dim: int,
+    features_col: str,
+    id_cols: tuple[str, ...],
+) -> DataFrame:
+    """Broadcast-join predict for large n_classes x dim: rows x classes
+    scored via one per-dim unrolled expression over the (tiny, broadcast)
+    class table, argmax re-aggregated per row. One shuffle of
+    rows x classes key/struct pairs — the price of a plannable expression
+    when the fully-unrolled narrow form would exceed Catalyst's comfort."""
+    import math
+
+    stats_local = df.sparkSession.createDataFrame(rows, STATS_SCHEMA)
     st = F.broadcast(
         stats_local.select(
             F.col("label").alias("nb_label"),
@@ -190,13 +245,6 @@ def nb_predict(
             F.transform("vars", lambda v: v + F.lit(eps)).alias("vars_s"),
         )
     )
-    # Per-dim arithmetic is UNROLLED over element_at instead of written as
-    # zip_with/aggregate lambdas: higher-order array functions evaluate
-    # interpreted (outside whole-stage codegen), and this expression runs
-    # once per (row x class) — the hottest expression in the pipeline. The
-    # fold order (d = 1..dim, left to right) is unchanged, so results stay
-    # bit-identical to the SQL oracles.
-    dim = len(rows[0]["means"]) if rows else 0
     log_lik = F.lit(0.0)
     for d in range(1, dim + 1):
         x = F.element_at(F.col(features_col), d).cast("double")
@@ -205,13 +253,9 @@ def nb_predict(
         log_lik = log_lik + (
             -0.5 * F.log(2.0 * math.pi * v) - (x - m) * (x - m) / (2.0 * v)
         )
-
     scored = df.crossJoin(st).withColumn(
         "log_post", F.col("log_prior") + log_lik
     )
-    # argmax over classes per row, window-free: max of a (log_post, -label)
-    # struct is lexicographic, so ties pick the LOWEST label — sklearn's
-    # argmax-first semantics.
     keys = [F.col(c) for c in id_cols]
     best = F.max(
         F.struct(
