@@ -201,7 +201,7 @@ def _mapping_experiment_body(
     stats = nb_collect_stats(
         nb_fit(
             feats_a.join(labels, id_col), features_col="features",
-            label_col="label",
+            label_col="label", dim=dim,
         )
     )
 
@@ -268,7 +268,7 @@ def unsupervised_drift_experiment(
     feats_b = pooled_features(docs, model_b, dim, id_col).persist()
     try:
         return _unsupervised_drift_body(
-            labels, feats_a, feats_b, batch_size, id_col
+            labels, feats_a, feats_b, batch_size, id_col, dim
         )
     finally:
         feats_a.unpersist()
@@ -281,11 +281,12 @@ def _unsupervised_drift_body(
     feats_b: DataFrame,
     batch_size: int,
     id_col: str,
+    dim: int,
 ) -> DataFrame:
     stats = nb_collect_stats(
         nb_fit(
             feats_a.join(labels, id_col), features_col="features",
-            label_col="label",
+            label_col="label", dim=dim,
         )
     )
     pseudo = nb_predict(

@@ -132,3 +132,23 @@ def test_sample_audio_frames_real(spark):
             fr = sd[r["frame_id"] * 4 : r["frame_id"] * 4 + 8]
             assert abs(r["rms"] - float(np.sqrt((fr * fr).mean()))) < 1e-12
             assert r["start_ms"] == r["frame_id"] * 4 * 1000.0 / rate
+
+
+def test_codec_rejects_malformed_bytes():
+    """Corrupt/foreign bytes fail loudly, not with garbage output."""
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 2\n255\n" + b"\x00" * 4)  # P5 (grayscale) magic
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(b"OggS" + b"\x00" * 40)
+    # stereo / non-PCM fmt chunks are refused, not misread
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)  # 2 channels
+    bad = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    )
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(bad)
