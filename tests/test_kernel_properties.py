@@ -83,3 +83,49 @@ def test_hash_embedder_deterministic_and_truncating(text):
     assert len(a) <= 8
     n_words = len(text.split(" "))
     assert len(a) == min(n_words, 8)
+
+
+def test_memoized_embedding_bit_exact_vs_original_formula():
+    """The prefix-hash + memo optimization in hash_embed_tokens must stay
+    bit-identical to the naive per-(word, d) polyhash (the q39/x36 oracles
+    pin these exact values)."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from detecting_and_addressing_change_spark.operators.embedder import (
+        _hash31,
+        hash_embed_tokens,
+    )
+
+    @given(
+        words=st.lists(
+            st.text(
+                alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+                min_size=1,
+                max_size=8,
+            ),
+            min_size=1,
+            max_size=10,
+        ),
+        dim=st.integers(1, 13),
+    )
+    @settings(max_examples=40, deadline=None)
+    def check(words, dim):
+        text = " ".join(words)
+        memo: dict = {}
+        got = hash_embed_tokens(text, "BERT", dim, 16, memo)
+        want = [
+            [
+                math.modf(math.sin(_hash31(w, "BERT", d)))[0] * 2 - 1
+                for d in range(dim)
+            ]
+            for w in text.split(" ")[:16]
+        ]
+        assert got == want
+        # memo reuse across calls stays exact
+        again = hash_embed_tokens(text, "BERT", dim, 16, memo)
+        assert again == want
+
+    check()

@@ -152,3 +152,37 @@ def test_codec_rejects_malformed_bytes():
     )
     with pytest.raises(ValueError):
         decode_wav_pcm16(bad)
+
+
+# ---- property tests: roundtrip over arbitrary payloads -------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        w=st.integers(1, 16),
+        h=st.integers(1, 16),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_ppm_roundtrip_property(w, h, seed):
+        rng = np.random.RandomState(seed)
+        arr = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        out = decode_ppm(encode_ppm(arr))
+        np.testing.assert_array_equal(out, arr)
+
+    @given(
+        n=st.integers(0, 256),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_wav_roundtrip_property(n, rate, seed):
+        rng = np.random.RandomState(seed)
+        s = rng.randint(-32768, 32768, size=n).astype(np.int16)
+        got_rate, got = decode_wav_pcm16(encode_wav_pcm16(rate, s))
+        assert got_rate == rate
+        np.testing.assert_array_equal(got, s)
+
+except ImportError:  # pragma: no cover
+    pass
