@@ -268,10 +268,13 @@ def ivf_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: a coarse quantizer assigns every vector to the cell of
-    its nearest centroid; a query probes only its own cell and ranks the
-    cell's members by exact cosine.
+    its nearest centroid; a query probes its ``nprobe`` nearest cells and
+    ranks their members by exact cosine. ``nprobe=1`` is the classic
+    probe-own-cell tradeoff; raising it is the standard recall knob (the
+    candidate volume grows linearly with nprobe, never quadratically).
 
     The coarse centroids are the first ``n_centroids`` vectors by id — a
     deterministic stand-in for sampled/k-means centroids (at 100 TB the
@@ -301,18 +304,35 @@ def ivf_topk(
         )
         # struct max: highest dot wins, then highest -cent_id = lowest id
         cells.append(F.struct(dot.alias("d"), F.lit(-cid).alias("nc")))
-    cell_expr = (-F.array_max(F.array(*cells))["nc"]).cast("int")
+    cell_structs = F.array(*cells)
+    cell_expr = (-F.array_max(cell_structs)["nc"]).cast("int")
 
     assigned = corpus.select(
         F.col(id_col), F.col(vec_col), cell_expr.alias("cell")
     )
-    q = F.broadcast(
-        assigned.filter(query_filter).select(
+    if nprobe <= 1:
+        q_cells = assigned.filter(query_filter).select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_emb"),
             "cell",
         )
-    )
+    else:
+        # top-nprobe cells per query: ascending struct sort is (d asc,
+        # -cid asc); reversed, ties resolve to the LOWEST centroid id —
+        # the same tie rule as the argmax assignment
+        probe = F.transform(
+            F.slice(F.reverse(F.array_sort(cell_structs)), 1, nprobe),
+            lambda s: (-s["nc"]).cast("int"),
+        )
+        q_cells = (
+            corpus.filter(query_filter)
+            .select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("q_emb"),
+                F.explode(probe).alias("cell"),
+            )
+        )
+    q = F.broadcast(q_cells)
     cand = assigned.join(q, "cell").filter(
         F.col(id_col) != F.col("query_id")
     )

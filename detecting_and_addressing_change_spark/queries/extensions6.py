@@ -185,3 +185,82 @@ def x44(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("feature", 2).cast("int").alias("height"),
         portable_round(F.element_at("feature", 3), 4).alias("mean_px"),
     )
+
+
+# --------------------------------------------------------------------------
+# x45 — IVF multi-probe ANN: same deterministic coarse quantizer as x15,
+# but each query probes its TOP-2 nearest cells (the standard recall knob;
+# candidate volume grows linearly in nprobe, never quadratically). The
+# oracle reuses x15's exact fixed-point assignment with the query-side
+# rank widened to r <= 2.
+# --------------------------------------------------------------------------
+@query(
+    "x45_similarity_ivf_multiprobe",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    ex AS (
+      SELECT vec_id, UNNEST(emb) AS v, GENERATE_SUBSCRIPTS(emb, 1) - 1 AS d
+      FROM e
+    ),
+    exq AS (
+      SELECT vec_id, d, v, CAST(FLOOR(v * 1000.0 + 0.5) AS BIGINT) AS qv
+      FROM ex
+    ),
+    cent AS (SELECT vec_id AS cent_id, d, qv FROM exq WHERE vec_id < 8),
+    cdot AS (
+      SELECT x.vec_id, c.cent_id, SUM(c.qv * x.qv) AS dotq
+      FROM exq x JOIN cent c ON x.d = c.d
+      GROUP BY x.vec_id, c.cent_id
+    ),
+    cellrank AS (
+      SELECT vec_id, cent_id AS cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY dotq DESC, cent_id) AS r
+      FROM cdot
+    ),
+    assign AS (SELECT vec_id, cell FROM cellrank WHERE r = 1),
+    q AS (
+      SELECT vec_id AS query_id, cell FROM cellrank
+      WHERE r <= 2 AND vec_id BETWEEN 100 AND 109
+    ),
+    cand AS (
+      SELECT q.query_id, a.vec_id AS cand_id
+      FROM q JOIN assign a ON q.cell = a.cell AND a.vec_id <> q.query_id
+    ),
+    norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    dots2 AS (
+      SELECT cand.query_id, cand.cand_id, SUM(a.v * b.v) AS dot
+      FROM cand
+      JOIN ex a ON a.vec_id = cand.query_id
+      JOIN ex b ON b.vec_id = cand.cand_id AND a.d = b.d
+      GROUP BY cand.query_id, cand.cand_id
+    ),
+    scored AS (
+      SELECT query_id, cand_id, dot / (nq.nrm * nc.nrm) AS cos_raw
+      FROM dots2
+      JOIN norms nq ON query_id = nq.vec_id
+      JOIN norms nc ON cand_id = nc.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, cos_raw,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_raw DESC, cand_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, cand_id,
+           FLOOR(cos_raw * 10000.0 + 0.5) / 10000.0 AS cosine,
+           CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def x45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        (F.col("vec_id") >= 100) & (F.col("vec_id") <= 109),
+        n_centroids=8,
+        k=3,
+        nprobe=2,
+    )
