@@ -320,3 +320,111 @@ def _unsupervised_drift_body(
             "flag",
         )
     )
+
+
+def gradual_drift_experiment(
+    docs: DataFrame,
+    label_col: str = "label",
+    model: str = "BERT",
+    dim: int = 8,
+    batch_size: int = 32,
+    warm_start: int = 30,
+    max_std: float = 2.0,
+    steps: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The reference's SECOND drift simulation (SURVEY §0 item 6b,
+    drift_detection_gradual_noise, drift_experiments_supervised.py:136-204):
+    one stream, one trained model, Gaussian noise with a linearly RAMPING
+    sigma schedule injected after ``warm_start`` batches — accuracy decays
+    gradually and DDM fires somewhere on the ramp, not at a seam.
+
+    Spark-first: sigma is a generated dim table broadcast-joined on the
+    count-window bucket (J5 + T4), and the noise is the engine-portable
+    hash Box-Muller (the q33 construction) unrolled per dimension — the
+    whole experiment is deterministic, no torch.randn non-reproducibility.
+    Returns DataFrame[seq_id, sigma, accuracy, flag]."""
+    import math
+
+    from .streaming.schedule import sigma_schedule_for
+
+    labels = docs.select(id_col, F.col(label_col).alias("label"))
+    feats = pooled_features(docs, model, dim, id_col).persist()
+    try:
+        stats = nb_collect_stats(
+            nb_fit(
+                feats.join(labels, id_col),
+                features_col="features",
+                label_col="label",
+                dim=dim,
+            )
+        )
+
+        bucketed = feats.withColumn(
+            "bucket", F.floor(F.col(id_col) / batch_size).cast("int")
+        )
+        sched = sigma_schedule_for(
+            bucketed, warm_start=warm_start, max_std=max_std, steps=steps
+        )
+        with_sigma = bucketed.join(F.broadcast(sched), "bucket")
+
+        # portable Box-Muller per (doc, dim) — q33's exact construction
+        def noise(d: int):
+            key = F.col(id_col) * 1000 + F.lit(d)
+            u1 = (
+                (key * 1103515245 + 12345) % F.lit(2147483648) + 1.0
+            ) / 2147483649.0
+            u2 = ((key * 69069 + 1) % F.lit(2147483648)) / 2147483648.0
+            return F.sqrt(-2.0 * F.log(u1)) * F.cos(2.0 * math.pi * u2)
+
+        noisy = with_sigma.select(
+            id_col,
+            "bucket",
+            "sigma",
+            F.array(
+                *[
+                    F.element_at(F.col("features"), d + 1).cast("double")
+                    + F.col("sigma") * noise(d)
+                    for d in range(dim)
+                ]
+            ).alias("features"),
+        )
+        preds = nb_predict(
+            noisy, stats, features_col="features", id_cols=(id_col,)
+        )
+        scored = preds.join(labels, id_col).select(
+            F.col(id_col).alias("seq_id"),
+            (F.col("pred") == F.col("label")).cast("int").alias("correct"),
+        )
+        per_batch = count_window_agg(
+            scored,
+            seq_col="seq_id",
+            batch_size=batch_size,
+            aggs=[F.avg("correct").alias("accuracy")],
+        ).select(
+            F.lit("ddm").alias("detector_id"),
+            F.col("bucket").cast("long").alias("seq_id"),
+            (1.0 - F.col("accuracy")).alias("error"),
+            "accuracy",
+        )
+        flags = detect_drift(
+            per_batch.select("detector_id", "seq_id", "error")
+        ).select("seq_id", "flag")
+        out = (
+            per_batch.join(flags, "seq_id")
+            .join(
+                sched.select(
+                    F.col("bucket").cast("long").alias("seq_id"), "sigma"
+                ),
+                "seq_id",
+            )
+            .select(
+                "seq_id",
+                portable_round(F.col("sigma"), 6).alias("sigma"),
+                portable_round(F.col("accuracy"), 6).alias("accuracy"),
+                "flag",
+            )
+        )
+        return _collect_local(out)
+    finally:
+        feats.unpersist()

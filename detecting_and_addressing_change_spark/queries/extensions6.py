@@ -264,3 +264,189 @@ def x45(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         nprobe=2,
     )
+
+
+# --------------------------------------------------------------------------
+# q59 — the reference's SECOND drift simulation, E2E with a FULL oracle
+# (gradual noise ramp, drift_experiments_supervised.py:136-204): embed ->
+# pool -> NB fit on clean features -> noise with a linear sigma schedule
+# (J5 broadcast + T4 gate) -> predict -> count-window accuracy -> DDM.
+# The oracle reuses q39's machinery (hash embeddings, ordered-fold pooling,
+# NB sufficient stats, recursive-CTE DDM) with the abrupt union swapped
+# for q33's portable Box-Muller noise scaled by the schedule.
+# --------------------------------------------------------------------------
+_Q59_ORACLE = """
+WITH RECURSIVE
+langcode AS (
+  SELECT lang, CAST(ROW_NUMBER() OVER (ORDER BY lang) - 1 AS INT) AS label
+  FROM (SELECT DISTINCT lang FROM documents)
+),
+docs AS (
+  SELECT d.doc_id, COALESCE(d.text, '') AS text, lc.label
+  FROM documents d JOIN langcode lc ON d.lang = lc.lang
+),
+doc_words AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word,
+         GENERATE_SUBSCRIPTS(string_split(text, ' '), 1) AS pos
+  FROM docs
+),
+doc_words_t AS (SELECT * FROM doc_words WHERE pos <= 512),
+words AS (SELECT DISTINCT word FROM doc_words_t),
+dims AS (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS d),
+word_pre AS (
+  SELECT w.word,
+         list_reduce(
+             [7::BIGINT] || list_transform(
+               string_split_regex('BERT:' || w.word || ':', ''),
+               c -> ord(c)::BIGINT),
+             (a, b) -> (a * 31 + b) % 2147483647) AS hpre
+  FROM words w
+),
+word_emb AS (
+  SELECT wp.word, dm.d,
+         CAST(sin((wp.hpre * 31 + 48 + dm.d) % 2147483647) * 2 - 1
+              AS REAL) AS v32
+  FROM word_pre wp CROSS JOIN dims dm
+),
+pooled AS (
+  SELECT dw.doc_id, we.d,
+         list_reduce([0.0::DOUBLE] || LIST(we.v32::DOUBLE ORDER BY dw.pos),
+                     (a, b) -> a + b) / COUNT(*) AS v
+  FROM doc_words_t dw JOIN word_emb we ON dw.word = we.word
+  GROUP BY dw.doc_id, we.d
+),
+stats AS (
+  SELECT dc.label, p.d, COUNT(*) AS n, SUM(p.v)/COUNT(*) AS mean,
+         SUM(p.v*p.v)/COUNT(*) - (SUM(p.v)/COUNT(*))*(SUM(p.v)/COUNT(*)) AS var
+  FROM pooled p JOIN docs dc ON p.doc_id = dc.doc_id
+  GROUP BY dc.label, p.d
+),
+mv AS (SELECT MAX(var) AS maxvar FROM stats),
+priors AS (SELECT label, COUNT(*) AS cnt FROM docs GROUP BY label),
+total AS (SELECT COUNT(*) AS n_total FROM docs),
+sched AS (
+  SELECT p.doc_id, p.d,
+         CAST(FLOOR(p.doc_id / 8) AS BIGINT) AS bucket,
+         CASE WHEN FLOOR(p.doc_id / 8) < 30 THEN 0.0
+              ELSE (FLOOR(p.doc_id / 8) - 30) * (2.0 / 20.0) END AS sigma,
+         p.v
+  FROM pooled p
+),
+noisy AS (
+  SELECT doc_id, d, bucket, sigma,
+         v + sigma *
+           (SQRT(-2.0 * LN((((doc_id * 1000 + d) * 1103515245 + 12345)
+                % 2147483648 + 1.0) / 2147483649.0))
+            * COS(2.0 * PI() * ((((doc_id * 1000 + d) * 69069 + 1)
+                % 2147483648) / 2147483648.0))) AS v
+  FROM sched
+),
+scored AS (
+  SELECT p.doc_id, s.label AS cls,
+         SUM(-0.5*LN(2*PI()*(s.var + 1e-9*mv.maxvar))
+             - (p.v - s.mean)*(p.v - s.mean)
+               / (2*(s.var + 1e-9*mv.maxvar))) AS ll
+  FROM noisy p JOIN stats s ON p.d = s.d
+  CROSS JOIN mv
+  GROUP BY p.doc_id, s.label
+),
+post AS (
+  SELECT sc.doc_id, sc.cls,
+         sc.ll + LN(pr.cnt::DOUBLE / t.n_total) AS lp
+  FROM scored sc JOIN priors pr ON sc.cls = pr.label CROSS JOIN total t
+),
+best AS (
+  SELECT doc_id, cls,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lp DESC, cls) AS r
+  FROM post
+),
+preds AS (SELECT doc_id, cls AS pred FROM best WHERE r = 1),
+correct AS (
+  SELECT p.doc_id, CASE WHEN p.pred = dc.label THEN 1 ELSE 0 END AS c
+  FROM preds p JOIN docs dc ON p.doc_id = dc.doc_id
+),
+buckets AS (
+  SELECT CAST(FLOOR(doc_id / 8) AS BIGINT) AS seq_id,
+         AVG(c::DOUBLE) AS accuracy
+  FROM correct GROUP BY 1
+),
+seq AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY seq_id) AS rn, seq_id,
+         1.0 - accuracy AS error, accuracy,
+         CASE WHEN seq_id < 30 THEN 0.0
+              ELSE (seq_id - 30) * (2.0 / 20.0) END AS sigma
+  FROM buckets
+),
+scan AS (
+  SELECT 0::BIGINT AS rn, CAST(NULL AS BIGINT) AS seq_id,
+         CAST(NULL AS VARCHAR) AS flag,
+         1::BIGINT AS n, 1.0::DOUBLE AS p,
+         'infinity'::DOUBLE AS psmin, 'infinity'::DOUBLE AS pmin,
+         'infinity'::DOUBLE AS smin, FALSE AS in_change
+  UNION ALL
+  SELECT rn, seq_id,
+         CASE WHEN n1 < 30 THEN 'N'
+              WHEN p1 + s1 > pmin1 + 3.0 * smin1 THEN 'D'
+              WHEN p1 + s1 > pmin1 + 2.0 * smin1 THEN 'W'
+              ELSE 'N' END AS flag,
+         n1 AS n, p1 AS p, psmin1 AS psmin, pmin1 AS pmin, smin1 AS smin,
+         (n1 >= 30 AND p1 + s1 > pmin1 + 3.0 * smin1) AS in_change
+  FROM (
+    SELECT rn, seq_id, n1, p1, s1,
+           CASE WHEN n1 >= 30 AND p1 + s1 <= psmin0
+                THEN p1 + s1 ELSE psmin0 END AS psmin1,
+           CASE WHEN n1 >= 30 AND p1 + s1 <= psmin0
+                THEN p1 ELSE pmin0 END AS pmin1,
+           CASE WHEN n1 >= 30 AND p1 + s1 <= psmin0
+                THEN s1 ELSE smin0 END AS smin1
+    FROM (
+      SELECT rn, seq_id, n0 + 1 AS n1, p1,
+             SQRT(GREATEST(p1 * (1.0 - p1), 0.0) / n0) AS s1,
+             psmin0, pmin0, smin0
+      FROM (
+        SELECT scan.rn + 1 AS rn, seq.seq_id,
+               CASE WHEN scan.in_change THEN 1 ELSE scan.n END AS n0,
+               (CASE WHEN scan.in_change THEN 1.0 ELSE scan.p END)
+                 + (seq.error
+                    - (CASE WHEN scan.in_change THEN 1.0 ELSE scan.p END))
+                   / (CASE WHEN scan.in_change THEN 1 ELSE scan.n END) AS p1,
+               CASE WHEN scan.in_change THEN 'infinity'::DOUBLE
+                    ELSE scan.psmin END AS psmin0,
+               CASE WHEN scan.in_change THEN 'infinity'::DOUBLE
+                    ELSE scan.pmin END AS pmin0,
+               CASE WHEN scan.in_change THEN 'infinity'::DOUBLE
+                    ELSE scan.smin END AS smin0
+        FROM scan JOIN seq ON seq.rn = scan.rn + 1
+      )
+    )
+  )
+)
+SELECT sq.seq_id,
+       FLOOR(sq.sigma * 1000000.0 + 0.5) / 1000000.0 AS sigma,
+       FLOOR(sq.accuracy * 1000000.0 + 0.5) / 1000000.0 AS accuracy,
+       sc.flag
+FROM seq sq JOIN scan sc ON sq.seq_id = sc.seq_id
+"""
+
+
+@query("q59_gradual_drift_experiment", oracle=_Q59_ORACLE)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..pipelines import gradual_drift_experiment
+
+    docs = load_table(spark, sf_dir, "documents")
+    lang_codes = (
+        docs.select("lang")
+        .distinct()
+        .withColumn(
+            "label",
+            (F.dense_rank().over(Window.orderBy("lang")) - 1).cast("int"),
+        )
+    )
+    labeled = docs.join(F.broadcast(lang_codes), "lang").select(
+        "doc_id", "text", "label"
+    )
+    return gradual_drift_experiment(
+        labeled, batch_size=8, warm_start=30, max_std=2.0, steps=20
+    )

@@ -64,3 +64,47 @@ def test_no_cached_rdds_leak_across_runs(spark, labeled_docs):
     for _ in range(2):
         abrupt_drift_experiment(labeled_docs, dim=8, batch_size=32)
     assert jsc.getPersistentRDDs().size() - before == 0
+
+
+def test_gradual_drift_detected(spark, labeled_docs):
+    """Reference experiment 6b: sigma ramps after warm_start; accuracy is
+    high in the warm period, decays on the ramp, and DDM fires on the ramp
+    (never during warm-up). Deterministic: two runs agree row-for-row."""
+    from detecting_and_addressing_change_spark.pipelines import (
+        gradual_drift_experiment,
+    )
+
+    # batch 8 -> 80 detector samples: DDM's 30-instance minimum sits well
+    # inside the warm period, so the ramp is detectable
+    res = (
+        gradual_drift_experiment(
+            labeled_docs, dim=8, batch_size=8, warm_start=40, max_std=6.0,
+            steps=20,
+        )
+        .orderBy("seq_id")
+        .collect()
+    )
+    n_batches = 640 // 8
+    assert len(res) == n_batches
+    warm = [r for r in res if r["seq_id"] < 40]
+    ramped = [r for r in res if r["seq_id"] >= 55]
+    assert all(r["sigma"] == 0.0 for r in warm)
+    assert all(r["sigma"] > 0 for r in ramped)
+    assert np.mean([r["accuracy"] for r in warm]) > 0.9
+    # strong noise wrecks the separable signal at the ramp's tail
+    assert np.mean([r["accuracy"] for r in ramped]) < np.mean(
+        [r["accuracy"] for r in warm]
+    )
+    flags = {r["seq_id"]: r["flag"] for r in res}
+    assert all(flags[i] == "N" for i in range(40))
+    assert any(f in ("W", "D") for i, f in flags.items() if i >= 40)
+
+    res2 = (
+        gradual_drift_experiment(
+            labeled_docs, dim=8, batch_size=8, warm_start=40, max_std=6.0,
+            steps=20,
+        )
+        .orderBy("seq_id")
+        .collect()
+    )
+    assert [tuple(r) for r in res] == [tuple(r) for r in res2]
