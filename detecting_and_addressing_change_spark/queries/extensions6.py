@@ -450,3 +450,176 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gradual_drift_experiment(
         labeled, batch_size=8, warm_start=30, max_std=2.0, steps=20
     )
+
+
+# --------------------------------------------------------------------------
+# q60 — the reference's THIRD experiment shape, E2E with a FULL oracle:
+# UNSUPERVISED drift detection via pseudo-labels (SURVEY §0 item 7,
+# run_stream_unsupervised.py:53-55,82-84). The trained model's OWN
+# predictions on the space-A stream become pseudo-labels; the space-B
+# stream's predictions are scored against them (J3 alignment on doc_id);
+# DDM watches 1 - agreement. No true labels are consulted after training.
+# The oracle is q39's two-model machinery with the union seam replaced by
+# per-doc prediction agreement.
+# --------------------------------------------------------------------------
+_Q60_ORACLE = """
+WITH RECURSIVE
+langcode AS (
+  SELECT lang, CAST(ROW_NUMBER() OVER (ORDER BY lang) - 1 AS INT) AS label
+  FROM (SELECT DISTINCT lang FROM documents)
+),
+docs AS (
+  SELECT d.doc_id, COALESCE(d.text, '') AS text, lc.label
+  FROM documents d JOIN langcode lc ON d.lang = lc.lang
+),
+doc_words AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word,
+         GENERATE_SUBSCRIPTS(string_split(text, ' '), 1) AS pos
+  FROM docs
+),
+doc_words_t AS (SELECT * FROM doc_words WHERE pos <= 512),
+words AS (SELECT DISTINCT word FROM doc_words_t),
+dims AS (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS d),
+models AS (SELECT UNNEST(['BERT', 'SCIBERT']) AS model),
+word_pre AS (
+  SELECT w.word, m.model,
+         list_reduce(
+             [7::BIGINT] || list_transform(
+               string_split_regex(m.model || ':' || w.word || ':', ''),
+               c -> ord(c)::BIGINT),
+             (a, b) -> (a * 31 + b) % 2147483647) AS hpre
+  FROM words w CROSS JOIN models m
+),
+word_emb AS (
+  SELECT wp.word, wp.model, dm.d,
+         CAST(sin((wp.hpre * 31 + 48 + dm.d) % 2147483647) * 2 - 1
+              AS REAL) AS v32
+  FROM word_pre wp CROSS JOIN dims dm
+),
+pooled AS (
+  SELECT dw.doc_id, we.model, we.d,
+         list_reduce([0.0::DOUBLE] || LIST(we.v32::DOUBLE ORDER BY dw.pos),
+                     (a, b) -> a + b) / COUNT(*) AS v
+  FROM doc_words_t dw JOIN word_emb we ON dw.word = we.word
+  GROUP BY dw.doc_id, we.model, we.d
+),
+train AS (
+  SELECT p.doc_id, p.d, p.v, dc.label
+  FROM pooled p JOIN docs dc ON p.doc_id = dc.doc_id
+  WHERE p.model = 'BERT'
+),
+stats AS (
+  SELECT label, d, COUNT(*) AS n, SUM(v)/COUNT(*) AS mean,
+         SUM(v*v)/COUNT(*) - (SUM(v)/COUNT(*))*(SUM(v)/COUNT(*)) AS var
+  FROM train GROUP BY label, d
+),
+mv AS (SELECT MAX(var) AS maxvar FROM stats),
+priors AS (SELECT label, COUNT(*) AS cnt FROM train WHERE d = 0 GROUP BY label),
+total AS (SELECT COUNT(*) AS n_total FROM docs),
+scored AS (
+  SELECT p.model, p.doc_id, s.label AS cls,
+         SUM(-0.5*LN(2*PI()*(s.var + 1e-9*mv.maxvar))
+             - (p.v - s.mean)*(p.v - s.mean)
+               / (2*(s.var + 1e-9*mv.maxvar))) AS ll
+  FROM pooled p JOIN stats s ON p.d = s.d
+  CROSS JOIN mv
+  GROUP BY p.model, p.doc_id, s.label
+),
+post AS (
+  SELECT sc.model, sc.doc_id, sc.cls,
+         sc.ll + LN(pr.cnt::DOUBLE / t.n_total) AS lp
+  FROM scored sc JOIN priors pr ON sc.cls = pr.label CROSS JOIN total t
+),
+best AS (
+  SELECT model, doc_id, cls,
+         ROW_NUMBER() OVER (PARTITION BY model, doc_id
+                            ORDER BY lp DESC, cls) AS r
+  FROM post
+),
+preds AS (SELECT model, doc_id, cls AS pred FROM best WHERE r = 1),
+agree AS (
+  SELECT a.doc_id,
+         CASE WHEN b.pred = a.pred THEN 1 ELSE 0 END AS c
+  FROM preds a JOIN preds b ON a.doc_id = b.doc_id
+  WHERE a.model = 'BERT' AND b.model = 'SCIBERT'
+),
+buckets AS (
+  SELECT CAST(FLOOR(doc_id / 8) AS BIGINT) AS seq_id,
+         AVG(c::DOUBLE) AS agreement
+  FROM agree GROUP BY 1
+),
+seq AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY seq_id) AS rn, seq_id,
+         1.0 - agreement AS error, agreement
+  FROM buckets
+),
+scan AS (
+  SELECT 0::BIGINT AS rn, CAST(NULL AS BIGINT) AS seq_id,
+         CAST(NULL AS VARCHAR) AS flag,
+         1::BIGINT AS n, 1.0::DOUBLE AS p,
+         'infinity'::DOUBLE AS psmin, 'infinity'::DOUBLE AS pmin,
+         'infinity'::DOUBLE AS smin, FALSE AS in_change
+  UNION ALL
+  SELECT rn, seq_id,
+         CASE WHEN n1 < 30 THEN 'N'
+              WHEN p1 + s1 > pmin1 + 3.0 * smin1 THEN 'D'
+              WHEN p1 + s1 > pmin1 + 2.0 * smin1 THEN 'W'
+              ELSE 'N' END AS flag,
+         n1 AS n, p1 AS p, psmin1 AS psmin, pmin1 AS pmin, smin1 AS smin,
+         (n1 >= 30 AND p1 + s1 > pmin1 + 3.0 * smin1) AS in_change
+  FROM (
+    SELECT rn, seq_id, n1, p1, s1,
+           CASE WHEN n1 >= 30 AND p1 + s1 <= psmin0
+                THEN p1 + s1 ELSE psmin0 END AS psmin1,
+           CASE WHEN n1 >= 30 AND p1 + s1 <= psmin0
+                THEN p1 ELSE pmin0 END AS pmin1,
+           CASE WHEN n1 >= 30 AND p1 + s1 <= psmin0
+                THEN s1 ELSE smin0 END AS smin1
+    FROM (
+      SELECT rn, seq_id, n0 + 1 AS n1, p1,
+             SQRT(GREATEST(p1 * (1.0 - p1), 0.0) / n0) AS s1,
+             psmin0, pmin0, smin0
+      FROM (
+        SELECT scan.rn + 1 AS rn, seq.seq_id,
+               CASE WHEN scan.in_change THEN 1 ELSE scan.n END AS n0,
+               (CASE WHEN scan.in_change THEN 1.0 ELSE scan.p END)
+                 + (seq.error
+                    - (CASE WHEN scan.in_change THEN 1.0 ELSE scan.p END))
+                   / (CASE WHEN scan.in_change THEN 1 ELSE scan.n END) AS p1,
+               CASE WHEN scan.in_change THEN 'infinity'::DOUBLE
+                    ELSE scan.psmin END AS psmin0,
+               CASE WHEN scan.in_change THEN 'infinity'::DOUBLE
+                    ELSE scan.pmin END AS pmin0,
+               CASE WHEN scan.in_change THEN 'infinity'::DOUBLE
+                    ELSE scan.smin END AS smin0
+        FROM scan JOIN seq ON seq.rn = scan.rn + 1
+      )
+    )
+  )
+)
+SELECT sq.seq_id,
+       FLOOR(sq.agreement * 1000000.0 + 0.5) / 1000000.0 AS agreement,
+       sc.flag
+FROM seq sq JOIN scan sc ON sq.seq_id = sc.seq_id
+"""
+
+
+@query("q60_unsupervised_drift_experiment", oracle=_Q60_ORACLE)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..pipelines import unsupervised_drift_experiment
+
+    docs = load_table(spark, sf_dir, "documents")
+    lang_codes = (
+        docs.select("lang")
+        .distinct()
+        .withColumn(
+            "label",
+            (F.dense_rank().over(Window.orderBy("lang")) - 1).cast("int"),
+        )
+    )
+    labeled = docs.join(F.broadcast(lang_codes), "lang").select(
+        "doc_id", "text", "label"
+    )
+    return unsupervised_drift_experiment(labeled, batch_size=8)
