@@ -188,3 +188,28 @@ class PrequentialLSTM:
 
     def results(self) -> list[tuple[int, float, str]]:
         return list(self.history)
+
+
+def fine_tune_lstm(
+    loop: "PrequentialLSTM",
+    new_data: DataFrame,
+    n_batches: int,
+    batch_size: int = 32,
+    seq_col: str = "doc_id",
+) -> "PrequentialLSTM":
+    """U8 fine-tune session, LSTM half (adaptation/fine_tuning.py:10-97):
+    continue test-then-train over the first n_batches of a NEW-distribution
+    table — a bounded replay (T5) through the same one-Adam-step-per-batch
+    cadence as the original stream. Mirrors fine_tune_nb."""
+    bounded = new_data.filter(
+        F.col(seq_col) < n_batches * batch_size
+    ).withColumn("__bucket", F.floor(F.col(seq_col) / batch_size))
+    buckets = sorted(
+        r["__bucket"]
+        for r in bounded.select("__bucket").distinct().collect()
+    )
+    for b in buckets:
+        loop.process_batch(
+            bounded.filter(F.col("__bucket") == b).drop("__bucket"), int(b)
+        )
+    return loop

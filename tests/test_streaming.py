@@ -208,3 +208,57 @@ def test_tws_stream_matches_batch(spark, error_rows):
     assert len(got) == len(error_rows)
     for r in got:
         assert batch[(r["detector_id"], r["seq_id"])] == r["flag"]
+
+
+def test_fine_tune_lstm_adapts(spark):
+    """U8 LSTM half: after drift (marker dimensions swapped), a bounded
+    fine-tune replay on new-distribution batches recovers accuracy — the
+    reference's adaptation (a) strategy on the LSTM classifier."""
+    from detecting_and_addressing_change_spark.streaming.prequential import (
+        PrequentialLSTM,
+        fine_tune_lstm,
+    )
+
+    rng = np.random.RandomState(21)
+    dim, classes, batch = 4, 2, 32
+
+    def make_rows(n, start, swap):
+        rows = []
+        for i in range(start, start + n):
+            y = int(rng.randint(0, classes))
+            seq = rng.randn(int(rng.randint(2, 5)), dim) * 0.1
+            marker = (y + 1) % classes if swap else y
+            seq[:, marker] += 3.0
+            rows.append((i, [list(map(float, t)) for t in seq], y))
+        return rows
+
+    loop = PrequentialLSTM(n_classes=classes, hidden=8, lr=5e-2, seed=3)
+    # original distribution: train to competence
+    for b in range(12):
+        bdf = spark.createDataFrame(
+            make_rows(batch, b * batch, swap=False),
+            "doc_id long, tokens array<array<double>>, label int",
+        )
+        loop.process_batch(bdf, b)
+    pre = np.mean([a for _, a, _ in loop.results()[-3:]])
+    assert pre > 0.8
+
+    # drifted distribution: score once (accuracy collapses), then fine-tune
+    # label-marker inversion: the hardest drift (the model must unlearn);
+    # convergence takes ~16 one-step batches, replay 24
+    drifted = spark.createDataFrame(
+        make_rows(24 * batch, 10_000, swap=True),
+        "doc_id long, tokens array<array<double>>, label int",
+    )
+    n_before = len(loop.results())
+    fine_tune_lstm(
+        loop,
+        drifted.withColumn("doc_id", F.col("doc_id") - 10_000),
+        n_batches=24,
+        batch_size=batch,
+    )
+    tuned = [a for _, a, _ in loop.results()[n_before:]]
+    # first drifted batch is scored by the pre-drift model: collapsed
+    assert tuned[0] < 0.6
+    # after the bounded replay the model has adapted
+    assert np.mean(tuned[-3:]) > 0.75
