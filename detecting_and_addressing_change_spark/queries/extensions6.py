@@ -623,3 +623,36 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "label"
     )
     return unsupervised_drift_experiment(labeled, batch_size=8)
+
+
+@query("q61_mapping_experiment")
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 entry point C (adaptation/mapping_experiments.py:25): build the
+    word-level adaptation pair set (A1/A2 top-k + dual embed + J2), solve
+    the orthogonal Procrustes map B→A by SVD (U6), then score the B stream
+    raw AND mapped through the solved matrix (R6). The SVD has no portable
+    SQL form, so this registers WITHOUT an oracle (driver rows-only check);
+    the strong signals are tests/test_procrustes.py (golden + MSE-improves
+    properties) and tests/test_adaptation_pipelines.py (pair-set MSE drops
+    after mapping, mapped accuracy recovers). Output: per-batch accuracy
+    series for the raw and mapped untrained streams."""
+    from pyspark.sql import Window
+
+    from ..pipelines import mapping_experiment
+
+    docs = load_table(spark, sf_dir, "documents")
+    lang_codes = (
+        docs.select("lang")
+        .distinct()
+        .withColumn(
+            "label",
+            (F.dense_rank().over(Window.orderBy("lang")) - 1).cast("int"),
+        )
+    )
+    labeled = docs.join(F.broadcast(lang_codes), "lang").select(
+        "doc_id", "text", "label"
+    )
+    result, _mse_before, _mse_after = mapping_experiment(
+        labeled, batch_size=8, top_k=100
+    )
+    return result.orderBy("stream", "seq_id")
