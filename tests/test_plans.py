@@ -105,3 +105,23 @@ def test_nb_wide_fit_no_explode(spark):
     per-dim aggregates — no Generate (posexplode) row blowup in the plan."""
     s = explain_str(QUERIES["q28_nb_fit_predict"](spark, SF_SMOKE))
     assert "Generate" not in s
+
+
+def test_nb_predict_small_classes_zero_shuffle(spark):
+    """The narrow nb_predict form must contain NO Exchange: the class
+    statistics ride the plan as literals, so scoring is a pure map."""
+    from detecting_and_addressing_change_spark.operators.nb import (
+        nb_collect_stats,
+        nb_fit,
+        nb_predict,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5)], i % 2) for i in range(60)],
+        "doc_id long, features array<double>, label int",
+    )
+    stats = nb_collect_stats(nb_fit(df, dim=2))
+    preds = nb_predict(df, stats, id_cols=("doc_id",))
+    s = explain_str(preds)
+    assert "Exchange" not in s
+    assert "Join" not in s
