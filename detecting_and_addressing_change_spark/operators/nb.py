@@ -5,18 +5,35 @@ Reference: sklearn ``GaussianNB.partial_fit`` called per micro-batch
 (``models/wos_train_nb.py:49,55,78``). GaussianNB's per-class, per-dimension
 state is (count, mean, variance) — exactly a distributed aggregation:
 
-    groupBy(label) -> count, mean(x_d), var_pop(x_d)  per dimension d
+    groupBy(label) -> count, sum(x), sum(x^2)  element-wise over the array
 
-The count/mean/M2 merge is associative and order-independent, so the result
-is EXACT regardless of partitioning — a textbook map-side-combinable agg
-(SURVEY §4.3). Fit state lives in a small DataFrame (n_classes x dim);
-predict folds it into the plan: a ZERO-shuffle narrow map with the class
-statistics as expression literals when n_classes x dim is small, a
-broadcast join + per-row argmax re-aggregation when the unrolled
-expression would outgrow Catalyst. Either way, all JVM-side.
+The count/sum/sum-of-squares merge is associative and order-independent, so
+the result is EXACT regardless of partitioning — a textbook
+map-side-combinable agg (SURVEY §4.3).
+
+Plan-compile budget (the round-3 lesson): the previous shape unrolled
+``2*dim+1`` aggregate columns for fit and ``dim``-term arithmetic per class
+for predict; at dim=64 x 10 classes Catalyst analysis+codegen of those
+expression trees cost ~4 s on a 2,000-row table. Both paths are now
+ARRAY-NATIVE with O(1) expression size in ``dim``:
+
+- fit: ``pyspark.ml.stat.Summarizer`` (a single TypedImperativeAggregate —
+  one shuffle, map-side combine, vectorized JVM buffers) yields per-class
+  count / element-wise sum / element-wise L2 norm, from which
+  mean = s1/n and var = s2/n - mean^2 exactly as before.
+- predict: per class, the log-posterior is ONE ``aggregate`` fold over a
+  ``zip_with`` of the features with the class's (mean, -1/2v) ARRAY
+  LITERALS — constant node count per class regardless of dim.
+
+Fit state lives in a small DataFrame (n_classes x dim); predict folds it
+into the plan as literals, so scoring is a ZERO-shuffle narrow map. A
+broadcast-join form remains for degenerate n_classes x dim where even
+literal arrays outgrow Catalyst. Either way, all JVM-side.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -31,6 +48,11 @@ STATS_SCHEMA = T.StructType(
     ]
 )
 
+# Above this n_classes*dim the narrow predict's literal arrays (~2*dim plain
+# Literal nodes per class) start to cost real Catalyst time; the broadcast
+# form plans in O(1) and only pays a rows x classes argmax re-aggregation.
+_NARROW_PREDICT_MAX_CELLS = 16384
+
 
 def nb_fit(
     df: DataFrame,
@@ -40,66 +62,46 @@ def nb_fit(
 ) -> DataFrame:
     """Fit: DataFrame[label, cnt, means: array<double>, vars: array<double>].
 
-    features is array<numeric>. With ``dim`` known (it is a schema contract
-    everywhere this engine runs), the per-dimension count/sum/sum-of-squares
-    run as 2*dim+1 UNROLLED aggregate expressions in ONE groupBy(label) —
-    no row explosion, one shuffle, map-side partial agg collapsing each
-    partition to n_classes rows of 2*dim+1 doubles. Without ``dim`` the
-    posexplode fallback computes the same statistics in two shuffles.
-    mean = s1/n, var = s2/n - mean^2 (population variance, matching
-    sklearn's internal update). Summation ORDER differs between the paths
-    (floating sums are partition-order-dependent in any distributed agg);
-    every consumer compares at the prediction/rounded level, which both
-    paths satisfy identically."""
-    if dim is not None:
-        aggs = [F.count("*").alias("cnt")]
-        for d in range(1, dim + 1):
-            x = F.element_at(F.col(features_col), d).cast("double")
-            aggs.append(F.sum(x).alias(f"__s1_{d}"))
-            aggs.append(F.sum(x * x).alias(f"__s2_{d}"))
-        g = df.groupBy(F.col(label_col).alias("label")).agg(*aggs)
-        means = [F.col(f"__s1_{d}") / F.col("cnt") for d in range(1, dim + 1)]
-        variances = [
-            F.col(f"__s2_{d}") / F.col("cnt") - m * m
-            for d, m in zip(range(1, dim + 1), means)
-        ]
-        return g.select(
-            "label",
-            "cnt",
-            F.array(*means).alias("means"),
-            F.array(*variances).alias("vars"),
-        )
-    exploded = df.select(
-        F.col(label_col).alias("label"),
-        F.posexplode(F.col(features_col)).alias("d", "v"),
-    ).select("label", "d", F.col("v").cast("double").alias("v"))
+    features is array<numeric> of a consistent per-table width (a schema
+    contract everywhere this engine runs). One ``groupBy(label)`` over
+    ``Summarizer.metrics("count", "sum", "normL2")`` — a single shuffle
+    whose map-side partial state is n_classes x dim doubles per partition,
+    with O(1) expression-tree size in ``dim``. mean = s1/n,
+    var = s2/n - mean^2 (population variance, matching sklearn's internal
+    update; s2 = normL2^2). ``dim`` is accepted for API compatibility and
+    ignored — the vector summarizer derives width from the data.
+    Summation ORDER differs across partitionings (floating sums are
+    partition-order-dependent in any distributed agg); every consumer
+    compares at the prediction/rounded level, which this satisfies."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
 
-    per_dim = exploded.groupBy("label", "d").agg(
-        F.count("*").alias("n"),
-        F.sum("v").alias("s1"),
-        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    fv = df.select(
+        F.col(label_col).alias("label"),
+        array_to_vector(
+            F.col(features_col).cast("array<double>")
+        ).alias("__fv"),
     )
-    per_dim = per_dim.select(
+    summ = fv.groupBy("label").agg(
+        Summarizer.metrics("count", "sum", "normL2")
+        .summary(F.col("__fv"))
+        .alias("__s")
+    )
+    n = F.col("cnt").cast("double")
+    return summ.select(
         "label",
-        "n",
-        F.struct(
-            "d",
-            (F.col("s1") / F.col("n")).alias("mean"),
-            (
-                F.col("s2") / F.col("n")
-                - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
-            ).alias("var"),
-        ).alias("stat"),
-    )
-    assembled = per_dim.groupBy("label").agg(
-        F.max("n").alias("cnt"),
-        F.array_sort(F.collect_list("stat")).alias("stats"),
-    )
-    return assembled.select(
+        F.col("__s.count").alias("cnt"),
+        vector_to_array(F.col("__s.sum")).alias("__s1"),
+        vector_to_array(F.col("__s.normL2")).alias("__l2"),
+    ).select(
         "label",
         "cnt",
-        F.transform("stats", lambda s: s["mean"]).alias("means"),
-        F.transform("stats", lambda s: s["var"]).alias("vars"),
+        F.transform("__s1", lambda s1: s1 / n).alias("means"),
+        F.zip_with(
+            "__l2",
+            "__s1",
+            lambda l2, s1: (l2 * l2) / n - (s1 / n) * (s1 / n),
+        ).alias("vars"),
     )
 
 
@@ -159,22 +161,24 @@ def nb_predict(
 
         log P(y) + sum_d [ -0.5 log(2 pi var_yd) - (x_d - mu_yd)^2 / (2 var_yd) ]
 
-    is unrolled into a plain whole-stage-codegen expression with the class's
-    means/variances/prior folded in as double literals, and the argmax is
-    ``greatest`` over (log_post, -label) structs — lexicographic, so ties
-    pick the LOWEST label (sklearn argmax-first). No crossJoin with the
-    class table, no groupBy re-aggregation: at 100 TB the previous shape
-    shuffled rows x classes; this one shuffles NOTHING.
+    rides the plan as one ``aggregate``-fold HOF per class over a
+    ``zip_with`` of the features with the class's means / -1/(2*var) ARRAY
+    LITERALS — constant expression size in ``dim`` (the round-3 unrolled
+    form paid ~4 s of Catalyst analysis at dim=64 x 10 classes). The
+    dim-independent constant terms (log prior + sum of -0.5 log(2 pi v))
+    fold into one scalar literal per class. Argmax is ``greatest`` over
+    (log_post, -label) structs — lexicographic, so ties pick the LOWEST
+    label (sklearn argmax-first). No crossJoin with the class table, no
+    groupBy re-aggregation: at 100 TB the broadcast shape shuffles
+    rows x classes; this one shuffles NOTHING.
 
     sklearn adds var_smoothing = eps * max(var) to every variance;
     replicated here so fit/predict matches sklearn exactly on the same data.
 
     ``stats`` is either the fit-stats DataFrame or a pre-collected row list
     from :func:`nb_collect_stats`. Consumers compare at the prediction /
-    rounded level (summation-order ulps differ from the previous
-    crossJoin form, exactly as they do between any two partitionings)."""
-    import math
-
+    rounded level (summation-order ulps differ across forms, exactly as
+    they do between any two partitionings)."""
     rows = stats.collect() if isinstance(stats, DataFrame) else list(stats)
     if not rows:
         raise ValueError("nb_predict: empty stats — fit saw no data")
@@ -184,40 +188,49 @@ def nb_predict(
     eps = var_smoothing * float(max_var if max_var is not None else 1.0)
 
     dim = len(rows[0]["means"])
-    if len(rows) * dim > 256:
-        # a fully-unrolled projection with n_classes*dim literal terms blows
-        # up Catalyst analysis (thousands of nodes) and splits codegen; past
-        # this point the broadcast-join form plans faster and its shuffle is
-        # only the per-row argmax re-aggregation
+    if len(rows) * dim > _NARROW_PREDICT_MAX_CELLS:
         return _nb_predict_bcast(
             df, rows, total, eps, dim, features_col, id_cols
         )
-    class_structs = []
+    # The whole argmax rides the plan as ONE parsed SQL expression: building
+    # it Column-by-Column costs a py4j roundtrip per array element (~1 s of
+    # driver time at 10 classes x dim 64), while one F.expr parse of the
+    # same tree is ~0.2 s and the resulting plan is identical.
+    x_sql = f"CAST(`{features_col}` AS array<double>)"
+    parts = []
     for r in sorted(rows, key=lambda r: r["label"]):
-        lp = F.lit(math.log(r["cnt"] / float(total)))
-        for d in range(dim):
-            v = float(r["vars"][d]) + eps
-            m = float(r["means"][d])
-            x = F.element_at(F.col(features_col), d + 1).cast("double")
-            lp = lp + (
-                F.lit(-0.5 * math.log(2.0 * math.pi * v))
-                - (x - F.lit(m)) * (x - F.lit(m)) / F.lit(2.0 * v)
-            )
-        class_structs.append(
-            F.struct(
-                lp.alias("lp"), F.lit(-int(r["label"])).alias("neg")
-            )
+        smoothed = [float(v) + eps for v in r["vars"]]
+        # lp = c0 + sum_d (x_d - mu_d)^2 * (-1/(2 v_d)); the (x - mu) form
+        # keeps the same cancellation behavior as the golden/sklearn math
+        c0 = math.log(r["cnt"] / float(total)) + sum(
+            -0.5 * math.log(2.0 * math.pi * v) for v in smoothed
         )
-    best = (
-        class_structs[0]
-        if len(class_structs) == 1
-        else F.greatest(*class_structs)
+        m_arr = "array(%s)" % ",".join(_dlit(m) for m in r["means"])
+        w_arr = "array(%s)" % ",".join(_dlit(-0.5 / v) for v in smoothed)
+        lp = (
+            f"({_dlit(c0)} + aggregate("
+            f"zip_with(zip_with({x_sql}, {m_arr}, (xi, mi) -> xi - mi), "
+            f"{w_arr}, (di, wi) -> di*di*wi), "
+            f"0.0D, (acc, t) -> acc + t))"
+        )
+        parts.append(
+            "named_struct('lp', %s, 'neg', %d)" % (lp, -int(r["label"]))
+        )
+    best = F.expr(
+        "greatest(%s)" % ",".join(parts) if len(parts) > 1 else parts[0]
     )
     return df.select(
         *id_cols,
         (-best["neg"]).cast("int").alias("pred"),
         best["lp"].alias("max_log_post"),
     )
+
+
+def _dlit(v: float) -> str:
+    """A Spark-SQL DOUBLE literal: scientific-notation reprs already parse
+    as double; plain decimals need the D suffix to dodge DECIMAL typing."""
+    r = repr(float(v))
+    return r if ("e" in r or "E" in r) else r + "D"
 
 
 def _nb_predict_bcast(
@@ -229,13 +242,12 @@ def _nb_predict_bcast(
     features_col: str,
     id_cols: tuple[str, ...],
 ) -> DataFrame:
-    """Broadcast-join predict for large n_classes x dim: rows x classes
-    scored via one per-dim unrolled expression over the (tiny, broadcast)
-    class table, argmax re-aggregated per row. One shuffle of
-    rows x classes key/struct pairs — the price of a plannable expression
-    when the fully-unrolled narrow form would exceed Catalyst's comfort."""
-    import math
-
+    """Broadcast-join predict for degenerate n_classes x dim: rows x classes
+    scored via one ``aggregate``-fold HOF over the (tiny, broadcast) class
+    table's array columns — O(1) expression size — argmax re-aggregated per
+    row. One shuffle of rows x classes key/struct pairs — the price of a
+    plannable expression when even literal arrays would exceed Catalyst's
+    comfort."""
     stats_local = df.sparkSession.createDataFrame(rows, STATS_SCHEMA)
     st = F.broadcast(
         stats_local.select(
@@ -245,14 +257,17 @@ def _nb_predict_bcast(
             F.transform("vars", lambda v: v + F.lit(eps)).alias("vars_s"),
         )
     )
-    log_lik = F.lit(0.0)
-    for d in range(1, dim + 1):
-        x = F.element_at(F.col(features_col), d).cast("double")
-        m = F.element_at(F.col("means"), d)
-        v = F.element_at(F.col("vars_s"), d)
-        log_lik = log_lik + (
-            -0.5 * F.log(2.0 * math.pi * v) - (x - m) * (x - m) / (2.0 * v)
-        )
+    x = F.col(features_col).cast("array<double>")
+    log_lik = F.aggregate(
+        F.zip_with(
+            F.zip_with(x, F.col("means"), lambda xi, mi: xi - mi),
+            F.col("vars_s"),
+            lambda di, vi: -0.5 * F.log(2.0 * math.pi * vi)
+            - di * di / (2.0 * vi),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
     scored = df.crossJoin(st).withColumn(
         "log_post", F.col("log_prior") + log_lik
     )

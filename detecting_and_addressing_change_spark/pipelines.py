@@ -16,15 +16,24 @@ detector state is distributed.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .functions.arrays import mean_pool_col
 from .functions.rounding import portable_round
-from .operators.ddm import detect_drift
+from .operators.ddm import ddm_scan
 from .operators.embedder import embed_documents
 from .operators.nb import nb_collect_stats, nb_fit, nb_predict
 from .operators.windows import count_window_agg
+
+
+def _round6(x: float) -> float:
+    """Driver-side twin of ``portable_round(col, 6)`` — same pure double
+    arithmetic (floor(x * 1e6 + 0.5) / 1e6), bit-identical to the Spark
+    expression and the DuckDB oracle."""
+    return math.floor(float(x) * 1e6 + 0.5) / 1e6
 
 
 def _collect_local(df: DataFrame) -> DataFrame:
@@ -50,6 +59,28 @@ def pooled_features(
     )
 
 
+def pooled_features_models(
+    docs: DataFrame, models: tuple[str, ...], dim: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Several embedding spaces in ONE pass: union of model-tagged copies
+    through one mapInPandas (operators.embedder.embed_documents_tagged),
+    pooled once. DataFrame[model, doc_id, features] — callers persist this
+    and filter per model, so the corpus is scanned and embedded once instead
+    of once per model (bit-identical rows to N pooled_features calls)."""
+    from .operators.embedder import embed_documents_tagged
+
+    tagged = None
+    for m in models:
+        d = docs.select(
+            F.lit(m).alias("model"), F.col(id_col), F.col("text")
+        )
+        tagged = d if tagged is None else tagged.unionByName(d)
+    emb = embed_documents_tagged(tagged, dim=dim, id_col=id_col)
+    return emb.select(
+        "model", id_col, mean_pool_col(F.col("tokens")).alias("features")
+    )
+
+
 def abrupt_drift_experiment(
     docs: DataFrame,
     label_col: str = "label",
@@ -68,16 +99,17 @@ def abrupt_drift_experiment(
     labels = docs.select(id_col, F.col(label_col).alias("label"))
 
     # embedding is the dominant cost (SURVEY §4.3) and each feature table is
-    # read by both fit and predict — materialize once
-    feats_a = pooled_features(docs, model_a, dim, id_col).persist()
-    feats_b = pooled_features(docs, model_b, dim, id_col).persist()
+    # read by both fit and predict — materialize BOTH spaces in one job
+    pooled = pooled_features_models(docs, (model_a, model_b), dim, id_col)
+    pooled = pooled.persist()
+    feats_a = pooled.filter(F.col("model") == model_a).drop("model")
+    feats_b = pooled.filter(F.col("model") == model_b).drop("model")
     try:
         return _abrupt_drift_body(
             docs, labels, feats_a, feats_b, batch_size, id_col, dim
         )
     finally:
-        feats_a.unpersist()
-        feats_b.unpersist()
+        pooled.unpersist()
 
 
 def _abrupt_drift_body(
@@ -141,16 +173,18 @@ def _abrupt_drift_body(
         "stream",
     )
 
-    flags = detect_drift(
-        per_batch.select("detector_id", "seq_id", "error")
-    ).select("seq_id", "flag")
-    return _collect_local(
-        per_batch.join(flags, "seq_id").select(
-            "seq_id",
-            "stream",
-            portable_round(F.col("accuracy"), 6).alias("accuracy"),
-            "flag",
-        )
+    # the per-batch series is driver-small (n_docs / batch_size rows) and
+    # DDM over ONE detector is inherently sequential — collect it once and
+    # finish driver-side: one job total, where a distributed detect_drift +
+    # flag join would cost three more 32-task stages on 150 rows
+    per_rows = sorted(per_batch.collect(), key=lambda r: r["seq_id"])
+    flags = ddm_scan([float(r["error"]) for r in per_rows])
+    return labels.sparkSession.createDataFrame(
+        [
+            (r["seq_id"], r["stream"], _round6(r["accuracy"]), f)
+            for r, f in zip(per_rows, flags)
+        ],
+        "seq_id long, stream string, accuracy double, flag string",
     )
 
 
@@ -264,15 +298,16 @@ def unsupervised_drift_experiment(
     run_stream_unsupervised.py:53-55,82-84). No true labels are consulted
     after training."""
     labels = docs.select(id_col, F.col(label_col).alias("label"))
-    feats_a = pooled_features(docs, model_a, dim, id_col).persist()
-    feats_b = pooled_features(docs, model_b, dim, id_col).persist()
+    pooled = pooled_features_models(docs, (model_a, model_b), dim, id_col)
+    pooled = pooled.persist()
+    feats_a = pooled.filter(F.col("model") == model_a).drop("model")
+    feats_b = pooled.filter(F.col("model") == model_b).drop("model")
     try:
         return _unsupervised_drift_body(
             labels, feats_a, feats_b, batch_size, id_col, dim
         )
     finally:
-        feats_a.unpersist()
-        feats_b.unpersist()
+        pooled.unpersist()
 
 
 def _unsupervised_drift_body(
@@ -310,15 +345,14 @@ def _unsupervised_drift_body(
         (1.0 - F.col("agreement")).alias("error"),
         "agreement",
     )
-    flags = detect_drift(
-        per_batch.select("detector_id", "seq_id", "error")
-    ).select("seq_id", "flag")
-    return _collect_local(
-        per_batch.join(flags, "seq_id").select(
-            "seq_id",
-            portable_round(F.col("agreement"), 6).alias("agreement"),
-            "flag",
-        )
+    per_rows = sorted(per_batch.collect(), key=lambda r: r["seq_id"])
+    flags = ddm_scan([float(r["error"]) for r in per_rows])
+    return labels.sparkSession.createDataFrame(
+        [
+            (r["seq_id"], _round6(r["agreement"]), f)
+            for r, f in zip(per_rows, flags)
+        ],
+        "seq_id long, agreement double, flag string",
     )
 
 
@@ -389,42 +423,39 @@ def gradual_drift_experiment(
                 ]
             ).alias("features"),
         )
+        # sigma rides along through predict and the window agg (it is
+        # constant within a bucket by construction — the schedule is joined
+        # ON the bucket), so no re-join with the schedule is needed
         preds = nb_predict(
-            noisy, stats, features_col="features", id_cols=(id_col,)
+            noisy, stats, features_col="features", id_cols=(id_col, "sigma")
         )
         scored = preds.join(labels, id_col).select(
             F.col(id_col).alias("seq_id"),
+            "sigma",
             (F.col("pred") == F.col("label")).cast("int").alias("correct"),
         )
         per_batch = count_window_agg(
             scored,
             seq_col="seq_id",
             batch_size=batch_size,
-            aggs=[F.avg("correct").alias("accuracy")],
+            aggs=[
+                F.avg("correct").alias("accuracy"),
+                F.max("sigma").alias("sigma"),
+            ],
         ).select(
-            F.lit("ddm").alias("detector_id"),
             F.col("bucket").cast("long").alias("seq_id"),
             (1.0 - F.col("accuracy")).alias("error"),
             "accuracy",
+            "sigma",
         )
-        flags = detect_drift(
-            per_batch.select("detector_id", "seq_id", "error")
-        ).select("seq_id", "flag")
-        out = (
-            per_batch.join(flags, "seq_id")
-            .join(
-                sched.select(
-                    F.col("bucket").cast("long").alias("seq_id"), "sigma"
-                ),
-                "seq_id",
-            )
-            .select(
-                "seq_id",
-                portable_round(F.col("sigma"), 6).alias("sigma"),
-                portable_round(F.col("accuracy"), 6).alias("accuracy"),
-                "flag",
-            )
+        per_rows = sorted(per_batch.collect(), key=lambda r: r["seq_id"])
+        flags = ddm_scan([float(r["error"]) for r in per_rows])
+        return feats.sparkSession.createDataFrame(
+            [
+                (r["seq_id"], _round6(r["sigma"]), _round6(r["accuracy"]), f)
+                for r, f in zip(per_rows, flags)
+            ],
+            "seq_id long, sigma double, accuracy double, flag string",
         )
-        return _collect_local(out)
     finally:
         feats.unpersist()

@@ -107,6 +107,28 @@ def test_nb_wide_fit_no_explode(spark):
     assert "Generate" not in s
 
 
+def test_nb_plan_compile_budget(spark):
+    """Plan-compile regression fence (VERDICT r3 #6): the round-3 NB
+    unrolled 2*dim+1 aggregate columns and dim-term-per-class score
+    expressions, costing ~4 s of Catalyst analysis+codegen on a 2,000-row
+    table. The array-native forms must keep query construction + physical
+    planning + execution at sf0.001 under a budget that the unrolled shape
+    cannot meet (compile cost is data-independent, so the tiny SF isolates
+    it). Generous enough for box noise, red on any O(dim) expression-tree
+    reintroduction."""
+    import time
+
+    for name, budget in [
+        ("q28_nb_fit_predict", 3.5),
+        ("q39_abrupt_drift_experiment", 6.0),
+    ]:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, SF_SMOKE)
+        df._jdf.queryExecution().executedPlan()
+        elapsed = time.perf_counter() - t0
+        assert elapsed < budget, f"{name}: {elapsed:.2f}s >= {budget}s"
+
+
 def test_nb_predict_small_classes_zero_shuffle(spark):
     """The narrow nb_predict form must contain NO Exchange: the class
     statistics ride the plan as literals, so scoring is a pure map."""
