@@ -62,6 +62,13 @@ BENCH_QUERIES = [
     "x33_fuzzy_join",
     "x34_mad_outliers",
     "q58_global_rank",
+    # round-4 additions: the three E2E experiment shapes and the real media
+    # codecs are headline capabilities (VERDICT r3 #4)
+    "q59_gradual_drift_experiment",
+    "q60_unsupervised_drift_experiment",
+    "x43_audio_frames",
+    "x44_image_resize",
+    "x45_similarity_ivf_multiprobe",
 ]
 
 

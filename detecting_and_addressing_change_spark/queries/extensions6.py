@@ -1,10 +1,13 @@
 """Round-3 extension queries: PCA projection (U9).
 
 PCA's eigendecomposition is not expressible in portable SQL, so
-x42_pca_project registers WITHOUT a DuckDB oracle (driver records the
-weaker rows-only check); the strong correctness signal is the numpy-golden
-parity test in tests/test_pca.py (components, projections, centering, sign
-convention all pinned against centered SVD).
+x42_pca_project carries a GENERATED literal oracle: an independent numpy
+implementation (tools/gen_golden_oracles.py — same centered-scatter + SVD +
+sign-normalization semantics pinned by tests/test_pca.py) computes the
+expected sf0.01 output and serializes it as a DuckDB VALUES table, turning
+the driver's rows-only check into a full hash compare at its documented
+sf=0.01 scale. q61_mapping_experiment gets the same treatment at the bottom
+of this module.
 """
 
 from __future__ import annotations
@@ -14,10 +17,11 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import portable_round
 from ..sources.tables import load_table
+from ._golden_oracles import Q61_MAPPING_ORACLE, X42_PCA_ORACLE
 from .registry import query
 
 
-@query("x42_pca_project")
+@query("x42_pca_project", oracle=X42_PCA_ORACLE)
 def x42(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U9 (reference adaptation/mapping.py:67-76): project the embeddings
     table onto its top-2 principal axes — centered + sign-normalized, the
@@ -625,14 +629,15 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unsupervised_drift_experiment(labeled, batch_size=8)
 
 
-@query("q61_mapping_experiment")
+@query("q61_mapping_experiment", oracle=Q61_MAPPING_ORACLE)
 def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.3 entry point C (adaptation/mapping_experiments.py:25): build the
     word-level adaptation pair set (A1/A2 top-k + dual embed + J2), solve
     the orthogonal Procrustes map B→A by SVD (U6), then score the B stream
     raw AND mapped through the solved matrix (R6). The SVD has no portable
-    SQL form, so this registers WITHOUT an oracle (driver rows-only check);
-    the strong signals are tests/test_procrustes.py (golden + MSE-improves
+    SQL form, so the oracle is a GENERATED literal (independent numpy
+    pipeline, tools/gen_golden_oracles.py, valid at the driver's sf=0.01);
+    further signals: tests/test_procrustes.py (golden + MSE-improves
     properties) and tests/test_adaptation_pipelines.py (pair-set MSE drops
     after mapping, mapped accuracy recovers). Output: per-batch accuracy
     series for the raw and mapped untrained streams."""

@@ -12,11 +12,20 @@ from .oracle_harness import compare
 
 ORACLE_NAMES = sorted(ORACLE_SQL)
 
+# generated literal oracles (tools/gen_golden_oracles.py) are pinned to the
+# driver's documented compare scale — run those at sf0.01, everything else
+# at the fast smoke scale
+SF_PINNED = {
+    "x42_pca_project": "/root/testdata/sf0.01",
+    "q61_mapping_experiment": "/root/testdata/sf0.01",
+}
+
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_query(spark, name):
-    df = QUERIES[name](spark, SF_SMOKE)
-    compare(df, ORACLE_SQL[name], SF_SMOKE)
+    sf_dir = SF_PINNED.get(name, SF_SMOKE)
+    df = QUERIES[name](spark, sf_dir)
+    compare(df, ORACLE_SQL[name], sf_dir)
 
 
 NON_ORACLE = sorted(set(QUERIES) - set(ORACLE_SQL))
