@@ -352,15 +352,22 @@ def sample_audio_frames(
                     continue
                 rate, s = decode_wav_pcm16(r["data"])
                 sd = s.astype(np.float64)
-                n_frames = max((len(sd) - frame_len) // hop + 1, 0)
-                for fi in range(n_frames):
-                    fr = sd[fi * hop : fi * hop + frame_len]
-                    out["media_id"].append(r["media_id"])
-                    out["frame_id"].append(fi)
-                    out["start_ms"].append(fi * hop * 1000.0 / rate)
-                    out["n_samples"].append(len(fr))
-                    out["rms"].append(float(np.sqrt((fr * fr).mean())))
-                    out["peak"].append(float(np.abs(fr).max()))
+                if len(sd) < frame_len:
+                    continue
+                # all frames of this row at once: a strided view (no copy)
+                # of shape (n_frames, frame_len), reduced per axis
+                w = np.lib.stride_tricks.sliding_window_view(
+                    sd, frame_len
+                )[::hop]
+                n_frames = w.shape[0]
+                out["media_id"].extend([r["media_id"]] * n_frames)
+                out["frame_id"].extend(range(n_frames))
+                out["start_ms"].extend(
+                    (np.arange(n_frames) * hop * 1000.0 / rate).tolist()
+                )
+                out["n_samples"].extend([frame_len] * n_frames)
+                out["rms"].extend(np.sqrt((w * w).mean(axis=1)).tolist())
+                out["peak"].extend(np.abs(w).max(axis=1).tolist())
             yield pd.DataFrame(out)
 
     return media.mapInPandas(fn, FRAME_SCHEMA)

@@ -85,19 +85,21 @@ def classification_metrics(
         )
     )
 
-    # accuracy from the confusion matrix itself — no extra pass over scored
+    # accuracy from the confusion matrix itself — no extra pass over scored;
+    # the whole ratio coalesces so an EMPTY scored frame reports 0.0 (the
+    # numerator-only coalesce left 0/NULL = NULL — ADVICE r3)
     acc = cm.agg(
-        (
-            F.coalesce(
-                F.sum(F.when(F.col("label") == F.col("pred"), F.col("cnt"))),
-                F.lit(0),
-            )
-            / F.sum("cnt")
+        F.coalesce(
+            F.sum(F.when(F.col("label") == F.col("pred"), F.col("cnt")))
+            / F.sum("cnt"),
+            F.lit(0.0),
         ).alias("accuracy")
     )
 
+    # same empty-input contract for the macro averages (zero per-class rows
+    # when the derived class universe is empty)
     return per_class.agg(
-        F.avg("precision").alias("precision"),
-        F.avg("recall").alias("recall"),
-        F.avg("f1").alias("macro_f1"),
+        F.coalesce(F.avg("precision"), F.lit(0.0)).alias("precision"),
+        F.coalesce(F.avg("recall"), F.lit(0.0)).alias("recall"),
+        F.coalesce(F.avg("f1"), F.lit(0.0)).alias("macro_f1"),
     ).crossJoin(acc).select("accuracy", "precision", "recall", "macro_f1")

@@ -443,7 +443,7 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigma AS (
       SELECT bucket,
              CASE WHEN bucket < 30 THEN 0.0
-                  ELSE (bucket - 30) * (2.0 / 150) END AS sigma
+                  ELSE LEAST((bucket - 30) * (2.0 / 150), 2.0) END AS sigma
       FROM sched
     )
     SELECT b.bucket, FLOOR((s.sigma) * 1000000.0 + 0.5) / 1000000.0 AS sigma, b.cnt

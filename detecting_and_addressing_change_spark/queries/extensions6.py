@@ -332,7 +332,8 @@ sched AS (
   SELECT p.doc_id, p.d,
          CAST(FLOOR(p.doc_id / 8) AS BIGINT) AS bucket,
          CASE WHEN FLOOR(p.doc_id / 8) < 30 THEN 0.0
-              ELSE (FLOOR(p.doc_id / 8) - 30) * (2.0 / 20.0) END AS sigma,
+              ELSE LEAST((FLOOR(p.doc_id / 8) - 30) * (2.0 / 20.0), 2.0)
+              END AS sigma,
          p.v
   FROM pooled p
 ),
@@ -378,7 +379,7 @@ seq AS MATERIALIZED (
   SELECT ROW_NUMBER() OVER (ORDER BY seq_id) AS rn, seq_id,
          1.0 - accuracy AS error, accuracy,
          CASE WHEN seq_id < 30 THEN 0.0
-              ELSE (seq_id - 30) * (2.0 / 20.0) END AS sigma
+              ELSE LEAST((seq_id - 30) * (2.0 / 20.0), 2.0) END AS sigma
   FROM buckets
 ),
 scan AS (

@@ -169,6 +169,13 @@ class PrequentialLSTM:
             return
         toks = [[list(t) for t in r[self.tokens_col]] for r in rows]
         ys = [int(r[self.label_col]) for r in rows]
+        # zero-length token sequences have no forward pass (argmax over an
+        # empty axis) and can't size a lazy init — skip them (ADVICE r3)
+        kept = [(t, y) for t, y in zip(toks, ys) if t]
+        if not kept:
+            return
+        toks = [t for t, _ in kept]
+        ys = [y for _, y in kept]
         self._ensure_model(input_dim=len(toks[0][0]))
 
         # ---- test with current weights (skip the never-trained model)

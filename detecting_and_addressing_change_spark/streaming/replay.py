@@ -37,8 +37,13 @@ def stage_replay_files(
     a single write job would otherwise give every bucket the same mtime
     (ties resolve arbitrarily). ``start_index`` offsets the bucket names so a
     LATER staging into the same directory (new data arriving after a stream
-    restart) never clashes with already-consumed files — later stagings also
-    get strictly later mtimes for free."""
+    restart) never clashes with already-consumed files. The mtime base is
+    ``max(every existing file mtime, now) + 1``: earlier stagings bump their
+    files up to ``n_buckets`` seconds into the future, so deriving the base
+    from the directory mtime alone would let a staging within that horizon
+    sort before — or interleave with — the previous one's buckets (a
+    semantic replay-order error on restart with a fresh checkpoint)."""
+    import time
     buckets = df.withColumn(
         "__bucket",
         F.format_string(
@@ -55,7 +60,13 @@ def stage_replay_files(
         if d.startswith("__bucket=")
         and int(d.split("=", 1)[1]) >= start_index
     )
-    base = os.stat(out_dir).st_mtime + 1.0
+    max_mtime = os.stat(out_dir).st_mtime
+    for root, _, files in os.walk(out_dir):
+        for fn in files:
+            max_mtime = max(
+                max_mtime, os.stat(os.path.join(root, fn)).st_mtime
+            )
+    base = max(max_mtime, time.time()) + 1.0
     for i, d in enumerate(staged):
         t = base + i
         for root, _, files in os.walk(os.path.join(out_dir, d)):

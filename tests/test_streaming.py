@@ -262,3 +262,55 @@ def test_fine_tune_lstm_adapts(spark):
     assert tuned[0] < 0.6
     # after the bounded replay the model has adapted
     assert np.mean(tuned[-3:]) > 0.75
+
+
+def test_restaging_mtimes_strictly_follow_earlier_staging(spark):
+    """ADVICE r3 (medium): a second staging within n_buckets seconds of the
+    first must still sort strictly AFTER it — the file stream source orders
+    by mtime, and the first staging bumps its files into the future, so the
+    base must come from max(existing mtimes, now), not the dir mtime."""
+    import os
+
+    from detecting_and_addressing_change_spark.streaming.replay import (
+        stage_replay_files,
+    )
+
+    df1 = spark.createDataFrame(
+        [(i, float(i)) for i in range(400)], "seq_id long, v double"
+    )
+    df2 = spark.createDataFrame(
+        [(i, float(i)) for i in range(200)], "seq_id long, v double"
+    )
+
+    def bucket_mtimes(out_dir, lo, hi):
+        times = {}
+        for d in os.listdir(out_dir):
+            if not d.startswith("__bucket="):
+                continue
+            b = int(d.split("=", 1)[1])
+            if not (lo <= b < hi):
+                continue
+            for root, _, files in os.walk(os.path.join(out_dir, d)):
+                for fn in files:
+                    p = os.path.join(root, fn)
+                    times[b] = max(
+                        times.get(b, 0.0), os.stat(p).st_mtime
+                    )
+        return times
+
+    with tempfile.TemporaryDirectory() as tmp:
+        staged = f"{tmp}/staged"
+        n1 = stage_replay_files(df1, "seq_id", staged, batch_size=100)
+        first = bucket_mtimes(staged, 0, n1)
+        # immediately restage new data — the documented restart case
+        n2 = stage_replay_files(
+            df2, "seq_id", staged, batch_size=100, start_index=n1
+        )
+        second = bucket_mtimes(staged, n1, n1 + n2)
+
+        assert n1 == 4 and n2 == 2
+        # within each staging, buckets ascend; across stagings, every new
+        # bucket is strictly later than every earlier one
+        assert sorted(first) == sorted(first, key=first.get)
+        assert sorted(second) == sorted(second, key=second.get)
+        assert min(second.values()) > max(first.values())
