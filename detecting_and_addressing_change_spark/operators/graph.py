@@ -17,11 +17,15 @@ recomputed. `localCheckpoint` truncates the growing lineage each round
 (without it, round N's plan contains all N-1 predecessors and planning
 time explodes).
 
-At 100 TB-scale graphs with long chains, swap hash-min for the
-large-star/small-star algorithm (Kiveris et al., "Connected Components
-in MapReduce and Beyond") — same DataFrame primitives, provably
-O(log^2 n) rounds; hash-min is the right default for the short-diameter
-dedup-cluster shape.
+Hash-min's round count is the graph DIAMETER — right for the star-like
+dedup-cluster shape, wrong for 100 TB graphs with long chains. For those,
+:func:`connected_components_star` implements the large-star/small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", public algorithm): alternating rounds rewire every node to its
+neighborhood minimum, provably converging in O(log n) rounds on any
+topology with the same DataFrame primitives (one groupBy + one join per
+round, co-partitioned on the node key). ``dedup_clusters`` picks by an
+``algorithm`` switch; hash-min stays the default.
 
 Deterministic output (min node id per component) => DuckDB-oracle
 checkable via a recursive-CTE transitive closure (x23).
@@ -86,13 +90,126 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    src_col: str,
+    dst_col: str,
+    max_iter: int = 40,
+) -> tuple[DataFrame, int]:
+    """Large-star/small-star connected components (Kiveris et al. 2014):
+    O(log n) rounds on ANY topology — the scale path for long-chain graphs
+    where hash-min's diameter-many rounds are the bottleneck.
+
+    Large-star (keyed by every node u over its full neighborhood N):
+    connect each neighbor v > u to m = min(N ∪ {u}). Small-star (keyed by
+    the LARGER endpoint of each edge): connect each v in N ∪ {u} except m
+    to m. Both are one groupBy + one join on the node key; self-loops drop
+    and edges re-normalize to (lo, hi) between rounds. Converged when the
+    normalized edge multiset checksum is stable — the graph is then a
+    disjoint union of stars centered at component minima, and the label
+    read-off is least(node, min neighbor). Returns (labels, rounds) so
+    tests can pin the O(log n) round property."""
+    edges = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def checksum(e: DataFrame):
+        return e.agg(
+            F.count("*"),
+            F.sum(F.col("lo").cast("decimal(38,0)")),
+            F.sum(F.col("hi").cast("decimal(38,0)")),
+        ).collect()[0]
+
+    def normalize(e: DataFrame) -> DataFrame:
+        return (
+            e.select(
+                F.least(F.col("a"), F.col("b")).alias("lo"),
+                F.greatest(F.col("a"), F.col("b")).alias("hi"),
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+
+    prev = None
+    rounds = 0
+    for _ in range(max_iter):
+        # ---- large-star: key = every node, full neighborhood
+        sym = edges.select(
+            F.col("lo").alias("u"), F.col("hi").alias("v")
+        ).union(edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("nmin"))
+        m = F.least(F.col("u"), F.col("nmin"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), m.alias("b"))
+        )
+        edges = normalize(large).localCheckpoint(eager=True)
+        rounds += 1
+
+        # ---- small-star: key = larger endpoint, neighbors all smaller
+        mins = edges.groupBy("hi").agg(F.min("lo").alias("nmin"))
+        small = (
+            edges.join(mins, "hi")
+            .filter(F.col("lo") != F.col("nmin"))
+            .select(F.col("lo").alias("a"), F.col("nmin").alias("b"))
+            .union(
+                mins.select(
+                    F.col("hi").alias("a"), F.col("nmin").alias("b")
+                )
+            )
+        )
+        edges = normalize(small).localCheckpoint(eager=True)
+        rounds += 1
+
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    nbr_min = (
+        edges.select(F.col("hi").alias("node"), F.col("lo").alias("nmin"))
+        .union(edges.select(F.col("lo").alias("node"), F.col("hi").alias("nmin")))
+        .groupBy("node")
+        .agg(F.min("nmin").alias("nmin"))
+    )
+    labels = (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(nbr_min, "node", "left")
+        .select(
+            "node",
+            F.least(
+                F.col("node"), F.coalesce(F.col("nmin"), F.col("node"))
+            ).alias("lbl"),
+        )
+    )
+    return labels, rounds
+
+
 def dedup_clusters(
-    nodes: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    algorithm: str = "hash_min",
 ) -> DataFrame:
     """DataFrame[doc_id, cluster_id, is_canonical]: component label per
     document; the canonical survivor of each cluster is its min-id
-    member (deterministic, engine-portable)."""
-    labels = connected_components(nodes, pairs, id_col, "a_id", "b_id")
+    member (deterministic, engine-portable). ``algorithm='star'`` switches
+    to large-star/small-star for long-chain graphs."""
+    if algorithm == "star":
+        labels, _ = connected_components_star(
+            nodes, pairs, id_col, "a_id", "b_id"
+        )
+    else:
+        labels = connected_components(nodes, pairs, id_col, "a_id", "b_id")
     return labels.select(
         F.col("node").alias(id_col),
         F.col("lbl").alias("cluster_id"),

@@ -101,3 +101,85 @@ def test_cc_matches_union_find(spark, graph):
         ).collect()
     }
     assert got == _union_find(n, edges)
+
+
+def test_star_cc_path_graph_olog_rounds(spark):
+    """VERDICT r3 #7: a 64-node path (diameter 63) must converge in
+    O(log n) large/small-star rounds — the property hash-min lacks — with
+    every node labeled by the component minimum."""
+    import math
+
+    from detecting_and_addressing_change_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["a_id", "b_id"]
+    )
+    labels, rounds = connected_components_star(
+        nodes, edges, "doc_id", "a_id", "b_id"
+    )
+    got = {r.node: r.lbl for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    # 2 star rounds per loop iteration; O(log n) loop iterations plus the
+    # stability-confirmation pass. log2(64)=6 -> comfortably under 2*(6+2)
+    assert rounds <= 2 * (int(math.log2(n)) + 2), rounds
+
+
+def test_star_cc_matches_hash_min(spark):
+    """Both algorithms agree label-for-label on a mixed topology (chain +
+    triangle + pair + isolates)."""
+    from detecting_and_addressing_change_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(12)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (7, 5), (9, 10)],
+        ["a_id", "b_id"],
+    )
+    hm = {
+        r.node: r.lbl
+        for r in connected_components(
+            nodes, edges, "doc_id", "a_id", "b_id"
+        ).collect()
+    }
+    star_labels, _ = connected_components_star(
+        nodes, edges, "doc_id", "a_id", "b_id"
+    )
+    star = {r.node: r.lbl for r in star_labels.collect()}
+    assert hm == star
+
+
+def test_star_cc_empty_edges(spark):
+    from detecting_and_addressing_change_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], ["doc_id"])
+    edges = spark.createDataFrame([], "a_id long, b_id long")
+    labels, rounds = connected_components_star(
+        nodes, edges, "doc_id", "a_id", "b_id"
+    )
+    assert {r.node: r.lbl for r in labels.collect()} == {
+        i: i for i in range(5)
+    }
+
+
+def test_dedup_clusters_star_algorithm(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(4)], ["doc_id"])
+    edges = spark.createDataFrame([(0, 2), (2, 3)], ["a_id", "b_id"])
+    got = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in dedup_clusters(
+            nodes, edges, algorithm="star"
+        ).collect()
+    }
+    assert got == {
+        (0, 0, True),
+        (1, 1, True),
+        (2, 0, False),
+        (3, 0, False),
+    }
