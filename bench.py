@@ -69,6 +69,11 @@ BENCH_QUERIES = [
     "x43_audio_frames",
     "x44_image_resize",
     "x45_similarity_ivf_multiprobe",
+    "x46_quality_filter",
+    "x47_repetition_signals",
+    "x48_decontaminate",
+    "x49_containment_pairs",
+    "x50_centroid_shift",
 ]
 
 

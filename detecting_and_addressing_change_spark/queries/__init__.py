@@ -15,6 +15,7 @@ from . import extensions3  # noqa: F401,E402
 from . import extensions4  # noqa: F401,E402
 from . import extensions5  # noqa: F401,E402
 from . import extensions6  # noqa: F401,E402
+from . import extensions7  # noqa: F401,E402
 from . import drift  # noqa: F401,E402
 
 # The external driver evaluates at most the first 50 registered queries per
@@ -57,9 +58,17 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     "x28_bigram_topk", "x29_vector_quantize",
     "x34_mad_outliers", "x36_lstm_sequence", "x37_bm25_topk",
     "x38_weighted_sample", "x41_table_diff",
-    # x14 (real byte decode) and x33 (skew-guarded blocking) changed
-    # semantics in round 3 — deliberately NOT listed so the driver
-    # re-attests their new oracles.
+    # green rows in CORRECTNESS_r03.json (q25/q30/q47/q59/q60 first-ever
+    # greens; x14/x33 re-attested with their round-3 semantics)
+    "q25_ddm_drift_flags", "q30_sigma_schedule_gate", "q47_session_window",
+    "q59_gradual_drift_experiment", "q60_unsupervised_drift_experiment",
+    "x14_multimodal_features", "x30_time_rollup", "x31_event_funnel",
+    "x32_cohort_retention", "x33_fuzzy_join", "x39_sliding_window",
+    "x40_ewma", "x43_audio_frames", "x44_image_resize",
+    "x45_similarity_ivf_multiprobe",
+    # x42 and q61 were rows-only in round 3 and gained generated literal
+    # hash oracles afterwards — deliberately NOT listed so the driver
+    # attests the new full-hash compare.
 })
 
 

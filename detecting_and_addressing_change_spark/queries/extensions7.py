@@ -1,0 +1,440 @@
+"""Round-4 extension queries: training-data curation signals a large-scale
+LLM pipeline runs between dedup and tokenization — document-quality filter
+stats, n-gram repetition signals (the Gopher/MassiveText rule family),
+benchmark decontamination, containment near-dup scoring, and embedding
+centroid-shift monitoring (the drift theme of the reference,
+``drift_detection/drift_experiments_supervised.py``, lifted from model
+space to corpus space).
+
+Scale notes (100 TB):
+- x46/x47 are ZERO-shuffle narrow maps: every signal is computed per row
+  with O(1)-size expression trees (sorted-run-length folds instead of a
+  gram x gram quadratic scan), so they pipeline inside one
+  WholeStageCodegen over the corpus scan.
+- x48 joins the corpus's n-grams against a BROADCAST of the benchmark
+  gram set — eval suites are tiny next to a training corpus, so the plan
+  is scan -> broadcast-hash-join -> partial-agg with no shuffle of the
+  big side (the same shape published GPT-3/PaLM decontamination uses,
+  with 4-word grams standing in for their 8-13-gram rule at this corpus's
+  ~30-word vocabulary).
+- x49 scores only LSH-candidate pairs (reuses the x03/x04 band machinery;
+  never all-pairs).
+- x50 is one map-side-combinable vector aggregation (Summarizer) per
+  group — n_labels x dim state, independent of row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import portable_round, portable_round_sql
+from ..sources.tables import load_table
+from .extensions import _minhash_oracle
+from .registry import query
+
+_STOPLIST = ("a", "the")
+
+
+def _max_multiplicity(sorted_arr: Column) -> Column:
+    """Largest multiplicity of any element of a SORTED array, via a single
+    linear run-length fold — O(n) work and O(1) expression-tree size per
+    row (vs the O(n^2) distinct x filter scan), all inside codegen."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        nrun = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            nrun.alias("run"),
+            F.greatest(acc["best"], nrun).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, merge, lambda acc: acc["best"])
+
+
+def _singleton_count(sorted_arr: Column) -> Column:
+    """Number of elements of a SORTED array that occur exactly once —
+    same linear fold shape as :func:`_max_multiplicity`."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("singles"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        is_new = x != acc["prev"]
+        return F.struct(
+            x.alias("prev"),
+            F.when(is_new, F.lit(1)).otherwise(acc["run"] + 1).alias("run"),
+            (
+                acc["singles"]
+                + F.when(is_new & (acc["run"] == 1), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("singles"),
+        )
+
+    return F.aggregate(
+        sorted_arr,
+        init,
+        merge,
+        lambda acc: acc["singles"]
+        + F.when(acc["run"] == 1, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def _word_grams(w: Column, k: int) -> Column:
+    """Overlapping k-word grams of a word array (space-joined), empty when
+    the doc has fewer than k words. Built from k shifted ``slice`` views
+    zipped element-wise — each slice is one O(n) array copy and the zip
+    lambda is a plain concat, ~10x faster than indexing ``element_at(w, i)``
+    inside a ``transform`` lambda (which re-walks the source array per
+    gram). Expression size is O(k), not O(len)."""
+    n = F.size(w)
+    m = F.greatest(n - (k - 1), F.lit(0))
+    parts = [F.slice(w, j + 1, m) for j in range(k)]
+    if k == 2:
+        return F.zip_with(
+            parts[0], parts[1], lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.transform(
+        F.arrays_zip(*parts),
+        lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)]),
+    )
+
+
+# --------------------------------------------------------------------------
+# X46 — document-quality filter stats (Gopher-style word-level rules)
+# --------------------------------------------------------------------------
+@query(
+    "x46_quality_filter",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS w,
+             length(replace(text, ' ', '')) AS nchars
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             CAST(nchars AS DOUBLE) / len(w) AS mwl,
+             CAST(coalesce(list_max(list_transform(
+               list_distinct(w),
+               x -> len(list_filter(w, y -> y = x)))), 0) AS DOUBLE)
+               / len(w) AS topf,
+             CAST(len(list_filter(w, y -> y IN ('a', 'the'))) AS DOUBLE)
+               / len(w) AS stopf
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(n_words AS INT) AS n_words,
+           {portable_round_sql('mwl', 4)} AS mean_word_len,
+           {portable_round_sql('topf', 4)} AS top_word_frac,
+           {portable_round_sql('stopf', 4)} AS stop_frac,
+           CAST(CASE WHEN n_words BETWEEN 10 AND 100000
+                      AND mwl BETWEEN 2.0 AND 12.0
+                      AND topf <= 0.2
+                 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM s
+    """,
+)
+def x46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style document filters (Rae et al. 2021 §A1.1):
+    word count bounds, mean word length band, max single-word dominance,
+    stopword fraction, and the resulting keep decision. One narrow
+    projection — no shuffle, no UDF; the dominance signal uses the sorted
+    run-length fold so per-row cost is O(n log n) sort + O(n) scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    w0 = F.split(F.col("text"), " ")
+    # stage the split ONCE as a projected column (HOFs don't codegen, so a
+    # repeated subtree would re-split per consuming signal)
+    staged = docs.select(
+        "doc_id",
+        w0.alias("w"),
+        F.length(F.regexp_replace(F.col("text"), " ", "")).alias("nchars"),
+    )
+    w = F.col("w")
+    n = F.size(w)
+    mwl = F.col("nchars").cast("double") / n
+    topf = _max_multiplicity(F.array_sort(w)).cast("double") / n
+    stopf = (
+        F.size(F.filter(w, lambda y: y.isin(*_STOPLIST))).cast("double") / n
+    )
+    keep = (
+        n.between(10, 100000)
+        & mwl.between(2.0, 12.0)
+        & (topf <= 0.2)
+    ).cast("int")
+    return staged.select(
+        "doc_id",
+        n.alias("n_words"),
+        portable_round(mwl, 4).alias("mean_word_len"),
+        portable_round(topf, 4).alias("top_word_frac"),
+        portable_round(stopf, 4).alias("stop_frac"),
+        keep.alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X47 — n-gram repetition signals (Gopher §A1.1 "repetitious text")
+# --------------------------------------------------------------------------
+@query(
+    "x47_repetition_signals",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, len(w) AS n_words,
+             list_transform(generate_series(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i+1]) AS g2,
+             list_transform(generate_series(1, len(w) - 4),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                 || ' ' || w[i+3] || ' ' || w[i+4]) AS g5
+      FROM f
+    ),
+    s AS (
+      SELECT doc_id, n_words,
+             coalesce(list_max(list_transform(
+               list_distinct(g2),
+               x -> len(list_filter(g2, y -> y = x)))), 0) AS top2,
+             len(g5) AS n5,
+             len(list_filter(list_distinct(g5),
+                 x -> len(list_filter(g5, y -> y = x)) = 1)) AS singles5
+      FROM g
+    )
+    SELECT doc_id,
+           {portable_round_sql('2.0 * top2 / n_words', 4)}
+             AS top_2gram_frac,
+           {portable_round_sql('5.0 * (n5 - singles5) / n_words', 4)}
+             AS dup_5gram_frac
+    FROM s
+    """,
+)
+def x47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals from the Gopher rule family: fraction of words
+    covered by the most frequent word-2-gram, and fraction of words inside
+    duplicated (multiplicity > 1) word-5-grams. Zero shuffle: grams are
+    built with an O(k)-size ``transform`` over index sequences and both
+    statistics come from linear folds over the sorted gram arrays.
+    Overlapping occurrences can push a fraction above 1.0 — kept as-is on
+    both sides (it is a ranking signal, not a probability)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    # materialize the sorted gram arrays ONCE as projected columns so the
+    # (uncodegen'd) HOF chains aren't re-evaluated per consuming expression
+    staged = docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.array_sort(_word_grams(w, 2)).alias("g2"),
+        F.array_sort(_word_grams(w, 5)).alias("g5"),
+    )
+    top2 = _max_multiplicity(F.col("g2"))
+    # every gram is one occurrence, so occurrences inside duplicated grams
+    # = total grams - singleton grams (no second pass over counts)
+    dup5 = F.size("g5") - _singleton_count(F.col("g5"))
+    return staged.select(
+        "doc_id",
+        portable_round(F.lit(2.0) * top2 / F.col("n_words"), 4).alias(
+            "top_2gram_frac"
+        ),
+        portable_round(F.lit(5.0) * dup5 / F.col("n_words"), 4).alias(
+            "dup_5gram_frac"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# X48 — benchmark decontamination (n-gram overlap vs a held-out eval set)
+# --------------------------------------------------------------------------
+@query(
+    "x48_decontaminate",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               generate_series(1, len(w) - 3),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+             ))) AS g
+      FROM f
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 7),
+    train AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 7)
+    SELECT t.doc_id, CAST(COUNT(*) AS INT) AS n_shared_grams
+    FROM train t JOIN bench b USING (g)
+    GROUP BY t.doc_id
+    """,
+)
+def x48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: flag training documents sharing any word-4-gram
+    with a held-out benchmark split (doc_id % 10 = 7) — the published
+    GPT-3/PaLM n-gram collision rule, with 4-grams standing in for 8-13
+    at this corpus's ~30-word vocabulary. Plan: the benchmark's distinct
+    gram set is BROADCAST (eval suites are tiny vs a 100 TB corpus), so
+    the big side streams scan -> broadcast-hash-join -> partial-count with
+    no wide shuffle; only the final per-doc count exchanges, and its
+    cardinality is bounded by contaminated docs, not grams."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_word_grams(w, 4))).alias("g"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 10 == 7).select("g").distinct()
+    )
+    train = grams.filter(F.col("doc_id") % 10 != 7)
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n_shared_grams"))
+    )
+
+
+# --------------------------------------------------------------------------
+# X49 — containment scoring of LSH candidate pairs (asymmetric near-dup)
+# --------------------------------------------------------------------------
+@query(
+    "x49_containment_pairs",
+    oracle=_minhash_oracle()
+    + f""",
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sets AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(w) - 2),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM ws
+    )
+    SELECT p.a_id, p.b_id,
+           {portable_round_sql(
+               'CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)'
+               ' / least(len(sa.s), len(sb.s))', 4)} AS containment
+    FROM pairs p
+    JOIN sets sa ON sa.doc_id = p.a_id
+    JOIN sets sb ON sb.doc_id = p.b_id
+    """,
+)
+def x49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment |A∩B| / min(|A|,|B|) over word-3-gram shingle sets,
+    computed ONLY for MinHash-LSH candidate pairs (x04's band machinery —
+    never all-pairs). Containment catches asymmetric near-dups Jaccard
+    misses: a short doc fully embedded in a long one scores ~1.0 here but
+    low on Jaccard. Two keyed joins attach the shingle sets to the
+    bounded candidate list; at 100 TB both are plain hash joins on doc_id
+    with the pair side orders of magnitude smaller than the corpus."""
+    from ..operators.dedup import (
+        minhash_bands,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        minhash_bands(minhash_signatures(docs))
+    )
+    w = F.split(F.col("text"), " ")
+    sets = docs.select(
+        "doc_id", F.array_distinct(_word_grams(w, 3)).alias("s")
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("a_id"), F.col("s").alias("sa")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("b_id"), F.col("s").alias("sb")
+    )
+    joined = pairs.join(sa, "a_id").join(sb, "b_id")
+    containment = F.size(
+        F.array_intersect("sa", "sb")
+    ).cast("double") / F.least(F.size("sa"), F.size("sb"))
+    return joined.select(
+        "a_id", "b_id", portable_round(containment, 4).alias("containment")
+    )
+
+
+# --------------------------------------------------------------------------
+# X50 — embedding centroid shift per label vs the corpus centroid
+# --------------------------------------------------------------------------
+@query(
+    "x50_centroid_shift",
+    oracle=f"""
+    WITH e AS (
+      SELECT label, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    ex AS (
+      SELECT label, UNNEST(emb) AS v, GENERATE_SUBSCRIPTS(emb, 1) AS d
+      FROM e
+    ),
+    per AS (SELECT label, d, AVG(v) AS c FROM ex GROUP BY label, d),
+    gcent AS (SELECT d, AVG(v) AS g FROM ex GROUP BY d),
+    dots AS (
+      SELECT label, SUM(c * g) AS dot, SQRT(SUM(c * c)) AS nc
+      FROM per JOIN gcent USING (d) GROUP BY label
+    ),
+    gn AS (SELECT SQRT(SUM(g * g)) AS ng FROM gcent),
+    cnt AS (SELECT label, COUNT(*) AS n_vecs FROM e GROUP BY label)
+    SELECT d.label,
+           CAST(cnt.n_vecs AS INT) AS n_vecs,
+           {portable_round_sql('d.dot / (d.nc * gn.ng)', 4)}
+             AS centroid_cos
+    FROM dots d JOIN cnt USING (label) CROSS JOIN gn
+    """,
+)
+def x50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level drift monitoring: cosine of each label's embedding
+    centroid against the global centroid — the reference's drift question
+    (``drift_detection/drift_experiments_supervised.py``) asked of the
+    training corpus itself; a label whose centroid turns away from the
+    corpus signals a shifted ingest slice. One ``Summarizer.mean``
+    aggregation per grouping (array-native, map-side-combinable,
+    n_labels x dim state — independent of row count), then an O(1)-size
+    ``zip_with`` fold for the cosine against the broadcast global
+    centroid."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "v"
+        ),
+    )
+    per = e.groupBy("label").agg(
+        vector_to_array(Summarizer.mean(F.col("v"))).alias("c"),
+        F.count("*").cast("int").alias("n_vecs"),
+    )
+    glob = e.agg(
+        vector_to_array(Summarizer.mean(F.col("v"))).alias("g")
+    )
+    joined = per.join(F.broadcast(glob))
+    dot = F.aggregate(
+        F.zip_with("c", "g", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(col, lambda a: a * a),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = dot / (norm(F.col("c")) * norm(F.col("g")))
+    return joined.select(
+        "label",
+        "n_vecs",
+        portable_round(cos, 4).alias("centroid_cos"),
+    )

@@ -147,3 +147,34 @@ def test_nb_predict_small_classes_zero_shuffle(spark):
     s = explain_str(preds)
     assert "Exchange" not in s
     assert "Join" not in s
+
+
+def test_quality_signals_zero_shuffle(spark):
+    """x46/x47: every curation signal is a per-row fold — the whole query
+    must be a narrow map over the scan (no Exchange, no Generate, no
+    Python eval), the shape that pipelines over a 100 TB corpus scan."""
+    for name in ["x46_quality_filter", "x47_repetition_signals"]:
+        s = explain_str(QUERIES[name](spark, SF_SMOKE))
+        assert "Exchange" not in s, name
+        assert "Generate" not in s, name
+        assert "Python" not in s, name
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """x48: the benchmark gram set must broadcast — the corpus side streams
+    through a BroadcastHashJoin with partial counting below the only
+    per-doc exchange; a sort-merge join here would shuffle the corpus."""
+    df = QUERIES["x48_decontaminate"](spark, SF_SMOKE)
+    s = explain_str(df)
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+    assert has_partial_aggregate_before_shuffle(df)
+
+
+def test_centroid_shift_broadcasts_global(spark):
+    """x50: the single-row global centroid joins the per-label centroids
+    via broadcast (no shuffle pairing), and both aggregations are
+    map-side-combinable vector summaries."""
+    s = explain_str(QUERIES["x50_centroid_shift"](spark, SF_SMOKE))
+    assert "Broadcast" in s
+    assert "CartesianProduct" not in s
