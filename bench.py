@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "x48_decontaminate",
     "x49_containment_pairs",
     "x50_centroid_shift",
+    "x51_quality_drift_monitor",
 ]
 
 

@@ -29,16 +29,26 @@ from .registry import query
 # tests (tests/test_ddm.py); the oracle pins the full running-state math on
 # real data.
 # --------------------------------------------------------------------------
-_DDM_ORACLE = """
+def ddm_scan_oracle(seq_body: str) -> str:
+    """DuckDB recursive-CTE DDM scan over any ``(bucket, error)`` series —
+    the pluggable form of the q25 oracle, reused by the corpus-quality
+    drift monitor (x51). ``seq_body`` must select ``bucket`` and
+    ``error`` columns."""
+    return (
+        """
 WITH RECURSIVE seq AS MATERIALIZED (
   SELECT ROW_NUMBER() OVER (ORDER BY bucket) AS rn, bucket AS seq_id, error
   FROM (
-    SELECT CAST(FLOOR(event_id / 32) AS BIGINT) AS bucket,
-           AVG(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END) AS error
-    FROM events
-    GROUP BY bucket
+"""
+        + seq_body
+        + """
   )
-),
+),"""
+        + _DDM_SCAN_TAIL
+    )
+
+
+_DDM_SCAN_TAIL = """
 scan AS (
   SELECT 0::BIGINT AS rn, CAST(NULL AS BIGINT) AS seq_id,
          CAST(NULL AS DOUBLE) AS error, CAST(NULL AS VARCHAR) AS flag,
@@ -85,6 +95,16 @@ scan AS (
 )
 SELECT seq_id, error, flag FROM scan WHERE rn >= 1
 """
+
+
+_DDM_ORACLE = ddm_scan_oracle(
+    """
+    SELECT CAST(FLOOR(event_id / 32) AS BIGINT) AS bucket,
+           AVG(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END) AS error
+    FROM events
+    GROUP BY bucket
+"""
+)
 
 
 @query("q25_ddm_drift_flags", oracle=_DDM_ORACLE)

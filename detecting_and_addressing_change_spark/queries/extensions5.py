@@ -640,16 +640,21 @@ def x37(spark: SparkSession, sf_dir: str) -> DataFrame:
     lens = docs.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).alias("len_d")
     )
+    # corpus stats ride the plan as a broadcast 1-row aggregate — no
+    # driver collect, no second scan job (avg of exact long sums is
+    # order-independent, so the in-plan value is deterministic)
     st = lens.agg(
-        F.avg("len_d").alias("avg_len"), F.count(F.lit(1)).alias("n")
-    ).collect()[0]
-    avg_len, n_docs = st["avg_len"], st["n"]
+        F.avg("len_d").alias("avg_len"), F.count(F.lit(1)).alias("n_docs")
+    )
     tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    idf = F.log((n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .join(lens, "doc_id")
+        .join(F.broadcast(st))
         .select(
             "doc_id",
             "term",
@@ -663,7 +668,7 @@ def x37(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * (
                         1.0
                         - _BM25_B
-                        + _BM25_B * F.col("len_d") / F.lit(avg_len)
+                        + _BM25_B * F.col("len_d") / F.col("avg_len")
                     )
                 )
             ).alias("ts"),

@@ -365,6 +365,65 @@ def x49(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X51 — corpus-quality drift monitor: curation signal -> rate series -> DDM
+# --------------------------------------------------------------------------
+def _x51_oracle() -> str:
+    from .drift import ddm_scan_oracle
+
+    return ddm_scan_oracle(
+        """
+    SELECT CAST(FLOOR(doc_id / 16) AS BIGINT) AS bucket,
+           AVG(CASE WHEN topf > 0.10 THEN 1.0 ELSE 0.0 END) AS error
+    FROM (
+      SELECT doc_id,
+             CAST(coalesce(list_max(list_transform(
+               list_distinct(w),
+               x -> len(list_filter(w, y -> y = x)))), 0) AS DOUBLE)
+               / len(w) AS topf
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    )
+    GROUP BY bucket
+"""
+    )
+
+
+@query("x51_quality_drift_monitor", oracle=_x51_oracle())
+def x51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's drift question asked of the CORPUS: per 16-doc
+    ingest bucket, the fraction of repetition-degraded documents
+    (max-word dominance > 0.10, the x46 signal) is a Bernoulli rate fed
+    to the same DDM detector that watches model error
+    (``drift_detection/drift_experiments_supervised.py:100``) — a data
+    curation monitor that flags when an ingest slice's quality drifts.
+    Plan: zero-shuffle signal map -> one bounded-key count-window agg ->
+    the sequential DDM scan confined to the tiny per-detector series
+    (bucket count, not row count). Rates k/16 are exact dyadic rationals,
+    so the recursive-CTE oracle compares bit-exactly with no rounding."""
+    from ..operators.ddm import detect_drift
+    from ..operators.windows import count_window_agg
+
+    docs = load_table(spark, sf_dir, "documents")
+    w0 = F.split(F.col("text"), " ")
+    staged = docs.select("doc_id", w0.alias("w"))
+    w = F.col("w")
+    topf = _max_multiplicity(F.array_sort(w)).cast("double") / F.size(w)
+    signals = staged.select(
+        "doc_id", (topf > 0.10).cast("int").alias("bad")
+    )
+    per_batch = count_window_agg(
+        signals,
+        seq_col="doc_id",
+        batch_size=16,
+        aggs=[F.avg("bad").alias("error")],
+    ).select(
+        F.lit("corpus").alias("detector_id"),
+        F.col("bucket").cast("long").alias("seq_id"),
+        "error",
+    )
+    return detect_drift(per_batch).select("seq_id", "error", "flag")
+
+
+# --------------------------------------------------------------------------
 # X50 — embedding centroid shift per label vs the corpus centroid
 # --------------------------------------------------------------------------
 @query(
