@@ -314,3 +314,71 @@ def test_restaging_mtimes_strictly_follow_earlier_staging(spark):
         assert sorted(first) == sorted(first, key=first.get)
         assert sorted(second) == sorted(second, key=second.get)
         assert min(second.values()) > max(first.values())
+
+
+def test_quality_monitor_stream_matches_batch(spark):
+    """x51's corpus-quality rate series through the STREAMING DDM ==
+    the batch monitor, flag for flag — the curation monitor can run as a
+    live ingest watcher with identical semantics."""
+    from detecting_and_addressing_change_spark.queries import QUERIES
+    from detecting_and_addressing_change_spark.streaming.ddm_stream import (
+        detect_drift_stream,
+    )
+    from detecting_and_addressing_change_spark.streaming.replay import (
+        read_replay_stream,
+        stage_replay_files,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    batch = {
+        r["seq_id"]: r["flag"]
+        for r in QUERIES["x51_quality_drift_monitor"](spark, sf).collect()
+    }
+    # the same (detector_id, seq_id, error) series the batch monitor feeds
+    # its detector, staged as an ordered replay
+    from detecting_and_addressing_change_spark.operators.windows import (
+        count_window_agg,
+    )
+    from detecting_and_addressing_change_spark.queries.extensions7 import (
+        _max_multiplicity,
+    )
+    from detecting_and_addressing_change_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    staged_docs = docs.select("doc_id", F.split("text", " ").alias("w"))
+    topf = _max_multiplicity(F.array_sort(F.col("w"))).cast(
+        "double"
+    ) / F.size("w")
+    signals = staged_docs.select(
+        "doc_id", (topf > 0.10).cast("int").alias("bad")
+    )
+    series = count_window_agg(
+        signals, seq_col="doc_id", batch_size=16,
+        aggs=[F.avg("bad").alias("error")],
+    ).select(
+        F.lit("corpus").alias("detector_id"),
+        F.col("bucket").cast("long").alias("seq_id"),
+        "error",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        stage_replay_files(series, "seq_id", f"{tmp}/staged", batch_size=8)
+        stream = read_replay_stream(
+            spark,
+            f"{tmp}/staged",
+            "detector_id string, seq_id long, error double",
+        )
+        q = (
+            detect_drift_stream(stream)
+            .writeStream.format("memory")
+            .queryName("x51_stream")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT seq_id, flag FROM x51_stream").collect()
+    assert len(got) == len(batch)
+    for r in got:
+        assert batch[r["seq_id"]] == r["flag"], r["seq_id"]
