@@ -89,16 +89,22 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/session on the smallest sf so first-query JIT noise
-    # doesn't land on a measured query
-    QUERIES["q12_grouped_agg"](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # warm the JVM on EVERY bench query at the smallest sf first: the heavy
+    # E2E shapes (q39-family NB pipelines) take several runs of Catalyst /
+    # codegen / C2-JIT warm-up (observed 13.2s -> 1.9s over six identical
+    # runs), and a cold first measurement reports JIT depth, not plan cost
+    for name in BENCH_QUERIES:
+        try:
+            QUERIES[name](spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception:
+            pass  # warm-up only; the measured run surfaces real failures
 
     # min over N runs: this box shows multi-second noise spikes on identical
     # plans, and min-of-n is the standard way to report the plan's actual
     # cost rather than scheduler noise
-    runs = int(os.environ.get("BENCH_RUNS", "2"))
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
