@@ -424,6 +424,78 @@ def x51(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X52 — semantic dedup clusters: embedding near-dup pairs -> components
+# --------------------------------------------------------------------------
+def _x52_oracle() -> str:
+    from .extensions import _LSH_SIG_CTE
+
+    return (
+        "WITH RECURSIVE "
+        + _LSH_SIG_CTE
+        + """,
+    pairs0 AS (
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM sigs a
+      JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    pdots AS (
+      SELECT pairs0.a_id, pairs0.b_id, SUM(x.v * y.v) AS dot
+      FROM pairs0
+      JOIN ex x ON x.vec_id = pairs0.a_id
+      JOIN ex y ON y.vec_id = pairs0.b_id AND x.d = y.d
+      GROUP BY pairs0.a_id, pairs0.b_id
+    ),
+    edges AS (
+      SELECT a_id, b_id
+      FROM pdots
+      JOIN norms na ON a_id = na.vec_id
+      JOIN norms nb ON b_id = nb.vec_id
+      WHERE FLOOR((dot / (na.nrm * nb.nrm)) * 10000.0 + 0.5) / 10000.0
+            >= 0.3
+    ),
+    sym AS (
+      SELECT a_id AS a, b_id AS b FROM edges
+      UNION
+      SELECT b_id, a_id FROM edges
+    ),
+    reach(node, lbl) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+    )
+    SELECT node AS vec_id, MIN(lbl) AS cluster_id,
+           node = MIN(lbl) AS is_canonical
+    FROM reach GROUP BY node
+    """
+    )
+
+
+@query("x52_semantic_dedup_clusters", oracle=_x52_oracle())
+def x52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup clusters: LSH-candidate cosine
+    pairs at >= 0.3 (x09's machinery; the threshold is set where this
+    corpus's random-ish embeddings actually form a non-trivial graph —
+    163 edges / 500 nodes at sf0.01 — so the component structure, not
+    just singletons, is what the oracle checks) become edges, and connected
+    components — via the LARGE-STAR/SMALL-STAR algorithm (Kiveris et al.),
+    the O(log n)-round variant a 100 TB near-dup graph with chains needs —
+    label every vector with its cluster's min-id canonical survivor.
+    This makes the star CC path driver-attested, not just property-tested;
+    its labels are identical to hash-min propagation by construction
+    (both converge to per-component min ids)."""
+    from ..operators.graph import dedup_clusters
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.3, dim=64).select(
+        "a_id", "b_id"
+    )
+    return dedup_clusters(
+        emb.select("vec_id"), pairs, id_col="vec_id", algorithm="star"
+    )
+
+
+# --------------------------------------------------------------------------
 # X50 — embedding centroid shift per label vs the corpus centroid
 # --------------------------------------------------------------------------
 @query(
