@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "x49_containment_pairs",
     "x50_centroid_shift",
     "x51_quality_drift_monitor",
+    "x53_sequence_packing",
 ]
 
 

@@ -83,3 +83,64 @@ def global_rank(
             yield pdf
 
     return parts.mapInPandas(enumerate_partition, out_schema)
+
+
+def global_cumsum(
+    df: DataFrame,
+    order: list[Column],
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append the INCLUSIVE running sum of ``value_col`` under a total
+    ordering — the same anti-single-task decomposition as
+    :func:`global_rank`: range-partition on the sort key, one tiny
+    per-partition SUM job, broadcast cumulative offsets, then a local
+    cumsum per partition. Shuffle volume is the range repartition only;
+    the offsets table is ``n_partitions`` rows regardless of data scale.
+
+    ``order`` must define a TOTAL order (include a unique key);
+    ``value_col`` must be integral and non-null (token counts, byte
+    sizes — the pipeline-packing use cases)."""
+    n_parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    parts = (
+        df.repartitionByRange(n_parts, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sums = {
+        r["__pid"]: r["s"]
+        for r in parts.groupBy("__pid")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+
+    out_schema = T.StructType(
+        parts.drop("__pid").schema.fields
+        + [T.StructField(out_col, T.LongType())]
+    )
+
+    def cumsum_partition(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        running = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if running is None:
+                running = offsets[int(pdf["__pid"].iloc[0])]
+            pdf = pdf.drop(columns=["__pid"])
+            csum = pdf[value_col].astype("int64").cumsum() + running
+            running = int(csum.iloc[-1])
+            pdf[out_col] = csum
+            yield pdf
+
+    return parts.mapInPandas(cumsum_partition, out_schema)

@@ -496,6 +496,58 @@ def x52(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X53 — sequence packing: contiguous token-budget packing of the corpus
+# --------------------------------------------------------------------------
+@query(
+    "x53_sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS strt
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CAST(FLOOR(strt / 256) AS INT) AS pack_id,
+           CAST(strt % 256 AS INT) AS pack_offset
+    FROM c
+    """,
+)
+def x53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: lay the corpus's token stream
+    end-to-end in doc_id order and cut it into fixed 256-token packs —
+    each document gets the pack holding its START offset plus its offset
+    inside that pack (boundary-straddling docs belong to their start
+    pack; the trainer pads/splits at read time). The global running sum
+    is NOT a single-partition window: :func:`operators.order.global_cumsum`
+    range-partitions on doc_id, takes one tiny per-partition SUM job,
+    broadcasts the n_partitions cumulative offsets, and cumsums locally —
+    the same anti-straggler decomposition as q58's global rank, so the
+    plan survives a 100 TB token stream."""
+    from ..operators.order import global_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    cum = global_cumsum(toks, [F.asc("doc_id")], "n_tokens", out_col="cum")
+    strt = F.col("cum") - F.col("n_tokens")
+    return cum.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.floor(strt / 256).cast("int").alias("pack_id"),
+        (strt % 256).cast("int").alias("pack_offset"),
+    )
+
+
+# --------------------------------------------------------------------------
 # X50 — embedding centroid shift per label vs the corpus centroid
 # --------------------------------------------------------------------------
 @query(

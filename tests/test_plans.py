@@ -178,3 +178,11 @@ def test_centroid_shift_broadcasts_global(spark):
     s = explain_str(QUERIES["x50_centroid_shift"](spark, SF_SMOKE))
     assert "Broadcast" in s
     assert "CartesianProduct" not in s
+
+
+def test_sequence_packing_no_global_window(spark):
+    """x53: the corpus-wide running token sum must use the range-partition
+    + broadcast-offsets decomposition, never a single-partition
+    ROW frame window (the canonical 100 TB anti-pattern)."""
+    s = explain_str(QUERIES["x53_sequence_packing"](spark, SF_SMOKE))
+    assert "Window" not in s
