@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "x50_centroid_shift",
     "x51_quality_drift_monitor",
     "x53_sequence_packing",
+    "x54_model_quality_filter",
 ]
 
 

@@ -548,6 +548,96 @@ def x53(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X54 — model-based quality filter: bottom decile by NB log-likelihood
+# --------------------------------------------------------------------------
+@query(
+    "x54_model_quality_filter",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, label, UNNEST(emb) AS v,
+             GENERATE_SUBSCRIPTS(emb, 1) AS d
+      FROM e
+    ),
+    stats AS (
+      SELECT label, d, COUNT(*) AS n, SUM(v)/COUNT(*) AS mean,
+             SUM(v*v)/COUNT(*) - (SUM(v)/COUNT(*))*(SUM(v)/COUNT(*)) AS var
+      FROM ex GROUP BY label, d
+    ),
+    mv AS (SELECT MAX(var) AS maxvar FROM stats),
+    priors AS (SELECT label, COUNT(*) AS cnt FROM e GROUP BY label),
+    total AS (SELECT COUNT(*) AS n_total FROM e),
+    scored AS (
+      SELECT ex.vec_id, s.label AS cls,
+             SUM(-0.5*LN(2*PI()*(s.var + 1e-9*mv.maxvar))
+                 - (ex.v - s.mean)*(ex.v - s.mean)
+                   / (2*(s.var + 1e-9*mv.maxvar))) AS ll
+      FROM ex JOIN stats s ON ex.d = s.d
+      CROSS JOIN mv
+      GROUP BY ex.vec_id, s.label
+    ),
+    post AS (
+      SELECT scored.vec_id, cls,
+             ll + LN(p.cnt::DOUBLE / t.n_total) AS lp
+      FROM scored JOIN priors p ON scored.cls = p.label CROSS JOIN total t
+    ),
+    lp6 AS (
+      SELECT vec_id, FLOOR(MAX(lp) * 1000000.0 + 0.5) / 1000000.0 AS lp
+      FROM post GROUP BY vec_id
+    ),
+    ranked AS (
+      SELECT vec_id, lp,
+             ROW_NUMBER() OVER (ORDER BY lp, vec_id) AS r
+      FROM lp6
+    )
+    SELECT vec_id, lp,
+           CAST(CASE WHEN r <= FLOOR(t.n_total / 10) THEN 1 ELSE 0 END
+                AS INT) AS low_quality
+    FROM ranked CROSS JOIN total t
+    """,
+)
+def x54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the CCNet / classifier-filter
+    pattern): fit the corpus's own NB density model, score every
+    embedding's best-class log-posterior, and flag the bottom DECILE as
+    low-quality — documents the model finds implausible under every
+    class. The cutoff is RANK-based on 6-decimal-rounded scores (not a
+    percentile interpolation), so the flag set is engine-portable. Scale:
+    the fit is one Summarizer shuffle, scoring is the zero-shuffle
+    literal-fold predict, and the global rank uses the range-partition +
+    broadcast-offsets decomposition — no single-partition window; the
+    decile size joins in as a broadcast one-row count, no driver
+    collect."""
+    from ..operators.nb import nb_fit, nb_predict
+    from ..operators.order import global_rank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = nb_fit(emb, features_col="embedding", label_col="label", dim=64)
+    preds = nb_predict(
+        emb, stats, features_col="embedding", id_cols=("vec_id",)
+    )
+    scored = preds.select(
+        "vec_id", portable_round(F.col("max_log_post"), 6).alias("lp")
+    )
+    ranked = global_rank(
+        scored, [F.asc("lp"), F.asc("vec_id")], rank_col="r"
+    )
+    n = scored.agg(F.count("*").alias("n_total"))
+    return (
+        ranked.join(F.broadcast(n))
+        .select(
+            "vec_id",
+            "lp",
+            (F.col("r") <= F.floor(F.col("n_total") / 10))
+            .cast("int")
+            .alias("low_quality"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # X50 — embedding centroid shift per label vs the corpus centroid
 # --------------------------------------------------------------------------
 @query(
