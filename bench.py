@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "x51_quality_drift_monitor",
     "x53_sequence_packing",
     "x54_model_quality_filter",
+    "x55_curation_pipeline",
 ]
 
 

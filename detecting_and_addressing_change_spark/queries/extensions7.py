@@ -638,6 +638,139 @@ def x54(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X55 — the curation pipeline composed end-to-end: dedup ∧ quality ∧ clean
+# --------------------------------------------------------------------------
+@query(
+    "x55_curation_pipeline",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w,
+             length(replace(text, ' ', '')) AS nchars, md5(text) AS dg
+      FROM documents
+    ),
+    keepdup AS (SELECT dg, MIN(doc_id) AS keeper FROM f GROUP BY dg),
+    q AS (
+      SELECT doc_id, len(w) AS nw,
+             CAST(nchars AS DOUBLE) / len(w) AS mwl,
+             CAST(coalesce(list_max(list_transform(
+               list_distinct(w),
+               x -> len(list_filter(w, y -> y = x)))), 0) AS DOUBLE)
+               / len(w) AS topf
+      FROM f
+    ),
+    grams AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               generate_series(1, len(w) - 3),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+             ))) AS g
+      FROM f
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 7),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id
+      FROM grams t JOIN bench b USING (g)
+      WHERE t.doc_id % 10 <> 7
+    ),
+    verdicts AS (
+      SELECT f.source, q.nw,
+             CASE WHEN kd.keeper = f.doc_id
+                   AND f.doc_id % 10 <> 7
+                   AND q.nw BETWEEN 10 AND 100000
+                   AND q.mwl BETWEEN 2.0 AND 12.0
+                   AND q.topf <= 0.2
+                   AND c.doc_id IS NULL
+                  THEN 1 ELSE 0 END AS keep
+      FROM f
+      JOIN keepdup kd ON f.dg = kd.dg
+      JOIN q ON q.doc_id = f.doc_id
+      LEFT JOIN contaminated c ON c.doc_id = f.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS INT) AS n_docs,
+           CAST(SUM(keep) AS INT) AS n_kept,
+           FLOOR(SUM(keep) * 1.0 / COUNT(*) * 10000.0 + 0.5) / 10000.0
+             AS kept_frac,
+           CAST(SUM(keep * nw) AS INT) AS kept_tokens
+    FROM verdicts GROUP BY source ORDER BY source
+    """,
+)
+def x55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation stages composed as ONE relational pipeline — a doc
+    survives iff it is (a) its exact-dup group's min-id canonical, (b) not
+    in the held-out benchmark split, (c) inside the x46 quality bands, and
+    (d) not x48-contaminated — reported as per-source keep stats (the
+    dashboard a data team watches). Plan: the quality signals stay a
+    narrow map; dedup is one shuffle keyed on the 16-byte digest; the
+    contamination check is the broadcast gram join; the verdict joins are
+    all keyed on doc_id; the final agg collapses to |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    w0 = F.split(F.col("text"), " ")
+    staged = docs.select(
+        "doc_id",
+        "source",
+        w0.alias("w"),
+        F.length(F.regexp_replace(F.col("text"), " ", "")).alias("nchars"),
+        F.md5(F.col("text")).alias("dg"),
+    )
+    keepdup = staged.groupBy("dg").agg(F.min("doc_id").alias("keeper"))
+    w = F.col("w")
+    n = F.size(w)
+    mwl = F.col("nchars").cast("double") / n
+    topf = _max_multiplicity(F.array_sort(w)).cast("double") / n
+    quality_ok = (
+        n.between(10, 100000) & mwl.between(2.0, 12.0) & (topf <= 0.2)
+    )
+    grams = staged.select(
+        "doc_id", F.explode(F.array_distinct(_word_grams(w, 4))).alias("g")
+    )
+    bench = grams.filter(F.col("doc_id") % 10 == 7).select("g").distinct()
+    contaminated = (
+        grams.filter(F.col("doc_id") % 10 != 7)
+        .join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    verdicts = (
+        staged.select(
+            "doc_id", "source", "dg", n.alias("nw"), quality_ok.alias("qok")
+        )
+        .join(keepdup, "dg")
+        .join(
+            contaminated.withColumn("contam", F.lit(True)),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "source",
+            "nw",
+            (
+                (F.col("keeper") == F.col("doc_id"))
+                & (F.col("doc_id") % 10 != 7)
+                & F.col("qok")
+                & F.col("contam").isNull()
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+    return (
+        verdicts.groupBy("source")
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.sum("keep").cast("int").alias("n_kept"),
+            portable_round(
+                F.sum("keep") * F.lit(1.0) / F.count("*") * 1.0, 4
+            ).alias("kept_frac"),
+            F.sum(F.col("keep") * F.col("nw")).cast("int").alias(
+                "kept_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
 # X50 — embedding centroid shift per label vs the corpus centroid
 # --------------------------------------------------------------------------
 @query(
