@@ -148,8 +148,10 @@ def embed_documents_tagged(
     passes for the two-space drift experiments, and on local[32] it lets
     both models' rows share the same task wave. Bit-identical per row to
     the single-model path (same hash, same per-model memo)."""
-    if backend != "hash":  # pragma: no cover - heavyweight deps absent here
+    if backend == "hf":  # pragma: no cover - heavyweight deps absent here
         _require_hf()
+    elif backend != "hash":
+        raise ValueError(f"unknown backend {backend!r}")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         memos: dict[str, dict[str, list[float]]] = {}

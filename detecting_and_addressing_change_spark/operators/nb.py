@@ -228,8 +228,16 @@ def nb_predict(
 
 def _dlit(v: float) -> str:
     """A Spark-SQL DOUBLE literal: scientific-notation reprs already parse
-    as double; plain decimals need the D suffix to dodge DECIMAL typing."""
-    r = repr(float(v))
+    as double; plain decimals need the D suffix to dodge DECIMAL typing.
+    Non-finite values (degenerate stats: a feature column that is inf/NaN
+    makes a fitted mean/var non-finite) must use the CAST form — 'infD'
+    is not valid SQL and would fail at plan build."""
+    f = float(v)
+    if not math.isfinite(f):
+        if math.isnan(f):
+            return "CAST('NaN' AS DOUBLE)"
+        return "CAST('%sInfinity' AS DOUBLE)" % ("-" if f < 0 else "")
+    r = repr(f)
     return r if ("e" in r or "E" in r) else r + "D"
 
 

@@ -26,6 +26,47 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _staged_range_partitions(
+    df: DataFrame,
+    order: list[Column],
+    num_partitions: int | None,
+    part_agg: Column,
+) -> tuple[DataFrame, dict[int, int]]:
+    """Shared scaffolding for the global-order operators: range-partition +
+    in-partition sort, materialized ONCE (the per-partition agg job and
+    the enumeration job must see the exact same partitioning — range
+    bounds come from sampling, so recomputing the plan per job would make
+    the offsets a race), plus the cumulative per-partition offsets of
+    ``part_agg`` (one tiny row per partition, driver-trivial at any data
+    scale). Returns ``(parts_with___pid, offsets_by_pid)``."""
+    n_parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    parts = (
+        df.repartitionByRange(n_parts, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    vals = {
+        r["__pid"]: r["v"]
+        for r in parts.groupBy("__pid").agg(part_agg.alias("v")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(vals):
+        offsets[pid] = acc
+        acc += vals[pid]
+    return parts, offsets
+
+
+def _with_long_col(parts: DataFrame, out_col: str) -> T.StructType:
+    return T.StructType(
+        parts.drop("__pid").schema.fields
+        + [T.StructField(out_col, T.LongType())]
+    )
+
+
 def global_rank(
     df: DataFrame,
     order: list[Column],
@@ -36,34 +77,10 @@ def global_rank(
 
     ``order``: sort expressions (e.g. ``[F.desc('price'), F.asc('id')]``)
     that must define a TOTAL order (include a unique key)."""
-    n_parts = num_partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    parts, offsets = _staged_range_partitions(
+        df, order, num_partitions, F.count("*")
     )
-    # materialized ONCE: the counts job and the rank job below must see the
-    # exact same partitioning (range bounds come from sampling; recomputing
-    # the plan for each job would make the offsets a race)
-    parts = (
-        df.repartitionByRange(n_parts, *order)
-        .sortWithinPartitions(*order)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    # one tiny row per partition; cumulative offsets broadcast in the
-    # closure below (n_parts entries, driver-trivial at any data scale)
-    counts = {
-        r["__pid"]: r["c"]
-        for r in parts.groupBy("__pid").agg(F.count("*").alias("c")).collect()
-    }
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-
-    out_schema = T.StructType(
-        parts.drop("__pid").schema.fields
-        + [T.StructField(rank_col, T.LongType())]
-    )
+    out_schema = _with_long_col(parts, rank_col)
 
     def enumerate_partition(
         batches: Iterator[pd.DataFrame],
@@ -94,39 +111,17 @@ def global_cumsum(
 ) -> DataFrame:
     """Append the INCLUSIVE running sum of ``value_col`` under a total
     ordering — the same anti-single-task decomposition as
-    :func:`global_rank`: range-partition on the sort key, one tiny
-    per-partition SUM job, broadcast cumulative offsets, then a local
-    cumsum per partition. Shuffle volume is the range repartition only;
-    the offsets table is ``n_partitions`` rows regardless of data scale.
+    :func:`global_rank` with per-partition SUMs as the offsets. Shuffle
+    volume is the range repartition only; the offsets table is
+    ``n_partitions`` rows regardless of data scale.
 
     ``order`` must define a TOTAL order (include a unique key);
     ``value_col`` must be integral and non-null (token counts, byte
     sizes — the pipeline-packing use cases)."""
-    n_parts = num_partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    parts, offsets = _staged_range_partitions(
+        df, order, num_partitions, F.sum(value_col)
     )
-    parts = (
-        df.repartitionByRange(n_parts, *order)
-        .sortWithinPartitions(*order)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    sums = {
-        r["__pid"]: r["s"]
-        for r in parts.groupBy("__pid")
-        .agg(F.sum(value_col).alias("s"))
-        .collect()
-    }
-    offsets = {}
-    acc = 0
-    for pid in sorted(sums):
-        offsets[pid] = acc
-        acc += sums[pid]
-
-    out_schema = T.StructType(
-        parts.drop("__pid").schema.fields
-        + [T.StructField(out_col, T.LongType())]
-    )
+    out_schema = _with_long_col(parts, out_col)
 
     def cumsum_partition(
         batches: Iterator[pd.DataFrame],

@@ -70,7 +70,10 @@ def pooled_features_models(
     from .operators.embedder import embed_documents_tagged
 
     tagged = None
-    for m in models:
+    # dedupe: a repeated model (the A==B control experiment) must not union
+    # a second copy of every row — filter(model == m) would then return
+    # duplicated frames and double every downstream count
+    for m in dict.fromkeys(models):
         d = docs.select(
             F.lit(m).alias("model"), F.col(id_col), F.col("text")
         )

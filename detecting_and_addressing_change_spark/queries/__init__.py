@@ -58,17 +58,20 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     "x28_bigram_topk", "x29_vector_quantize",
     "x34_mad_outliers", "x36_lstm_sequence", "x37_bm25_topk",
     "x38_weighted_sample", "x41_table_diff",
-    # green rows in CORRECTNESS_r03.json (q25/q30/q47/q59/q60 first-ever
-    # greens; x14/x33 re-attested with their round-3 semantics)
-    "q25_ddm_drift_flags", "q30_sigma_schedule_gate", "q47_session_window",
-    "q59_gradual_drift_experiment", "q60_unsupervised_drift_experiment",
+    # green rows in CORRECTNESS_r03.json (q25/q47/q60 first-ever greens;
+    # x14/x33 re-attested with their round-3 semantics)
+    "q25_ddm_drift_flags", "q47_session_window",
+    "q60_unsupervised_drift_experiment",
     "x14_multimodal_features", "x30_time_rollup", "x31_event_funnel",
     "x32_cohort_retention", "x33_fuzzy_join", "x39_sliding_window",
     "x40_ewma", "x43_audio_frames", "x44_image_resize",
     "x45_similarity_ivf_multiprobe",
-    # x42 and q61 were rows-only in round 3 and gained generated literal
-    # hash oracles afterwards — deliberately NOT listed so the driver
-    # attests the new full-hash compare.
+    # Deliberately NOT listed, so the driver attests their post-round-3
+    # semantics: x42/q61 (rows-only -> generated literal hash oracles),
+    # and q30/q59 (the ADVICE-r3 sigma saturation cap changes their
+    # sf0.01 output — steps=150 caps q30's buckets >= 180 at 2.0, and
+    # q59's steps=20 ramp now holds at max_std instead of overshooting —
+    # so their round-3 green hashes no longer describe them).
 })
 
 

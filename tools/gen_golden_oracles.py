@@ -223,6 +223,9 @@ def spark_check(x42_rows, q61_rows) -> None:
         (r["vec_id"], r["pc1"], r["pc2"])
         for r in QUERIES["x42_pca_project"](spark, SF_DIR).collect()
     ]
+    # zip() silently truncates — a cardinality drift must fail loudly, not
+    # self-check "OK" on the common prefix
+    assert len(got42) == len(x42_rows), (len(got42), len(x42_rows))
     mism = [
         (a, b) for a, b in zip(sorted(got42), sorted(x42_rows)) if a != b
     ]
@@ -233,6 +236,7 @@ def spark_check(x42_rows, q61_rows) -> None:
         (r["seq_id"], r["stream"], r["accuracy"])
         for r in QUERIES["q61_mapping_experiment"](spark, SF_DIR).collect()
     )
+    assert len(got61) == len(q61_rows), (len(got61), len(q61_rows))
     mism = [(a, b) for a, b in zip(got61, sorted(q61_rows)) if a != b]
     assert not mism, f"q61 golden mismatch: {mism[:5]}"
     print(f"q61 self-check OK ({len(got61)} rows)")
