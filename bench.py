@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "x53_sequence_packing",
     "x54_model_quality_filter",
     "x55_curation_pipeline",
+    "x56_winsorize",
 ]
 
 

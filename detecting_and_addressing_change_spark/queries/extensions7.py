@@ -771,6 +771,69 @@ def x55(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X56 — winsorization: clamp numeric outliers to per-group [p1, p99]
+# --------------------------------------------------------------------------
+@query(
+    "x56_winsorize",
+    oracle=f"""
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.01) AS p1,
+             quantile_cont(l_extendedprice, 0.99) AS p99
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    w AS (
+      SELECT l.l_returnflag,
+             CASE WHEN l.l_extendedprice < b.p1 THEN 1 ELSE 0 END AS lo,
+             CASE WHEN l.l_extendedprice > b.p99 THEN 1 ELSE 0 END AS hi,
+             LEAST(GREATEST(l.l_extendedprice::DOUBLE, b.p1), b.p99) AS v
+      FROM lineitem l JOIN b USING (l_returnflag)
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS INT) AS n,
+           CAST(SUM(lo) AS INT) AS n_lo,
+           CAST(SUM(hi) AS INT) AS n_hi,
+           {portable_round_sql('SUM(v) / COUNT(*)', 4)} AS w_mean
+    FROM w GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def x56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the numeric-outlier cleaning step of a feature
+    pipeline: per group, values clamp to the exact [p1, p99] band
+    (Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the R-7
+    linear interpolation BIT-EXACTLY, verified on this data). Two passes:
+    one shuffle for the per-group bounds (|groups| rows, broadcast back),
+    one partial-agg shuffle for the clamped stats. Exact per-group
+    percentile buffers a group's values; at 100 TB swap in
+    ``approx_percentile`` (t-digest, mergeable constant-size sketch) —
+    the plan shape is identical, the bounds become approximate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("p1"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    )
+    j = li.join(F.broadcast(bounds), "l_returnflag")
+    x = F.col("l_extendedprice").cast("double")
+    v = F.least(F.greatest(x, F.col("p1")), F.col("p99"))
+    return (
+        j.select(
+            "l_returnflag",
+            (x < F.col("p1")).cast("int").alias("lo"),
+            (x > F.col("p99")).cast("int").alias("hi"),
+            v.alias("v"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("int").alias("n"),
+            F.sum("lo").cast("int").alias("n_lo"),
+            F.sum("hi").cast("int").alias("n_hi"),
+            portable_round(F.sum("v") / F.count("*"), 4).alias("w_mean"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
 # X50 — embedding centroid shift per label vs the corpus centroid
 # --------------------------------------------------------------------------
 @query(
