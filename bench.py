@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "x54_model_quality_filter",
     "x55_curation_pipeline",
     "x56_winsorize",
+    "x57_page_hinkley",
 ]
 
 

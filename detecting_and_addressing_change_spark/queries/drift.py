@@ -487,3 +487,97 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets.join(F.broadcast(sched), "bucket")
         .select("bucket", portable_round(F.col("sigma"), 6).alias("sigma"), "cnt")
     )
+
+
+# --------------------------------------------------------------------------
+# X57 — Page-Hinkley drift flags (second detector of the T1 family).
+# Same bit-exact recursive-CTE strategy as the DDM oracle: every kernel
+# step is IEEE double arithmetic in a fixed order, replayed one row per
+# iteration.
+# --------------------------------------------------------------------------
+def ph_scan_oracle(
+    seq_body: str,
+    delta: float = 0.005,
+    threshold: float = 1.0,
+    min_instances: int = 30,
+) -> str:
+    """DuckDB recursive-CTE Page-Hinkley scan over any ``(bucket, error)``
+    series — mirrors operators.ph.PageHinkleyState.add_element exactly."""
+    return f"""
+WITH RECURSIVE seq AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY bucket) AS rn, bucket AS seq_id, error
+  FROM (
+{seq_body}
+  )
+),
+scan AS (
+  SELECT 0::BIGINT AS rn, CAST(NULL AS BIGINT) AS seq_id,
+         CAST(NULL AS DOUBLE) AS error, CAST(NULL AS VARCHAR) AS flag,
+         0::BIGINT AS t, 0.0::DOUBLE AS mean, 0.0::DOUBLE AS m,
+         'infinity'::DOUBLE AS mmin
+  UNION ALL
+  SELECT rn, seq_id, error,
+         CASE WHEN drift THEN 'D' ELSE 'N' END AS flag,
+         CASE WHEN drift THEN 0 ELSE t1 END AS t,
+         CASE WHEN drift THEN 0.0 ELSE mean1 END AS mean,
+         CASE WHEN drift THEN 0.0 ELSE m1 END AS m,
+         CASE WHEN drift THEN 'infinity'::DOUBLE ELSE mmin1 END AS mmin
+  FROM (
+    SELECT rn, seq_id, error, t1, mean1, m1, mmin1,
+           (t1 >= {min_instances} AND m1 - mmin1 > {threshold}) AS drift
+    FROM (
+      SELECT rn, seq_id, error, t1, mean1, m1,
+             LEAST(mmin0, m1) AS mmin1
+      FROM (
+        SELECT scan.rn + 1 AS rn, seq.seq_id, seq.error,
+               scan.t + 1 AS t1,
+               scan.mean + (seq.error - scan.mean) / (scan.t + 1) AS mean1,
+               scan.m + (seq.error
+                         - (scan.mean + (seq.error - scan.mean)
+                            / (scan.t + 1))
+                         - {delta}) AS m1,
+               scan.mmin AS mmin0
+        FROM scan JOIN seq ON seq.rn = scan.rn + 1
+      )
+    )
+  )
+)
+SELECT seq_id, error, flag FROM scan WHERE rn >= 1
+"""
+
+
+@query(
+    "x57_page_hinkley",
+    oracle=ph_scan_oracle(
+        """
+    SELECT CAST(FLOOR(event_id / 32) AS BIGINT) AS bucket,
+           AVG(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END) AS error
+    FROM events
+    GROUP BY bucket
+"""
+    ),
+)
+def x57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley flags over the same per-batch error series q25 feeds
+    DDM — the two detectors are drop-in alternatives (identical
+    input/output schema), so an experiment can swap detection strategies
+    without touching the pipeline. Same scale posture as DDM: the
+    sequential scan is confined to one detector key's (tiny) bucket
+    series; fleets of detectors parallelize across keys."""
+    from ..operators.ph import detect_drift_ph
+    from ..operators.windows import count_window_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    per_batch = count_window_agg(
+        ev,
+        seq_col="event_id",
+        batch_size=32,
+        aggs=[
+            F.avg((F.col("event_type") == "error").cast("int")).alias("error")
+        ],
+    ).select(
+        F.lit("events").alias("detector_id"),
+        F.col("bucket").cast("long").alias("seq_id"),
+        "error",
+    )
+    return detect_drift_ph(per_batch).select("seq_id", "error", "flag")

@@ -1,0 +1,54 @@
+"""Page-Hinkley kernel properties (the x57 oracle pins the full running
+state on real data; these pin the behavioral contract)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from detecting_and_addressing_change_spark.operators.ph import (
+    PageHinkleyState,
+    detect_drift_ph,
+    ph_scan,
+)
+
+
+def test_detects_mean_shift_and_stays_calm_before():
+    rng = np.random.RandomState(5)
+    series = list(0.1 + 0.02 * rng.randn(200)) + list(
+        0.6 + 0.02 * rng.randn(100)
+    )
+    flags = ph_scan(series)
+    assert set(flags[:200]) == {"N"}  # calm on the stationary prefix
+    assert "D" in flags[200:]  # fires after the shift
+
+
+def test_reset_after_drift_requires_rewarmup():
+    rng = np.random.RandomState(7)
+    series = list(0.1 + 0.02 * rng.randn(100)) + [0.9] * 50
+    flags = ph_scan(series)
+    first_d = flags.index("D")
+    st = PageHinkleyState()
+    for v in series[: first_d + 1]:
+        st.add_element(v)
+    # the detector reset at the drift: fresh warm-up window
+    assert st.sample_count == 0
+    assert st.cum == 0.0
+    # at least min_instances more samples before it can fire again
+    assert "D" not in flags[first_d + 1 : first_d + 30]
+
+
+def test_batch_operator_matches_kernel(spark):
+    rng = np.random.RandomState(11)
+    series = list(0.1 + 0.05 * rng.randn(150)) + list(
+        0.7 + 0.05 * rng.randn(50)
+    )
+    rows = [("d1", i, float(v)) for i, v in enumerate(series)]
+    df = spark.createDataFrame(
+        rows, "detector_id string, seq_id long, error double"
+    )
+    got = {
+        r["seq_id"]: r["flag"]
+        for r in detect_drift_ph(df).collect()
+    }
+    expected = ph_scan(series)
+    assert [got[i] for i in range(len(series))] == expected
