@@ -52,3 +52,50 @@ def test_batch_operator_matches_kernel(spark):
     }
     expected = ph_scan(series)
     assert [got[i] for i in range(len(series))] == expected
+
+
+def test_ph_stream_matches_batch(spark):
+    """Streaming Page-Hinkley (applyInPandasWithState over staged replay)
+    == batch operator flag-for-flag, across micro-batch boundaries and
+    through a drift reset."""
+    import tempfile
+
+    from detecting_and_addressing_change_spark.streaming.ph_stream import (
+        detect_drift_ph_stream,
+    )
+    from detecting_and_addressing_change_spark.streaming.replay import (
+        read_replay_stream,
+        stage_replay_files,
+    )
+
+    rng = np.random.RandomState(3)
+    series = list(0.1 + 0.05 * rng.randn(200)) + list(
+        0.7 + 0.05 * rng.randn(100)
+    )
+    rows = [("d1", i, float(v)) for i, v in enumerate(series)]
+    df = spark.createDataFrame(
+        rows, "detector_id string, seq_id long, error double"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        stage_replay_files(df, "seq_id", f"{tmp}/staged", batch_size=64)
+        stream = read_replay_stream(
+            spark,
+            f"{tmp}/staged",
+            "detector_id string, seq_id long, error double",
+        )
+        q = (
+            detect_drift_ph_stream(stream)
+            .writeStream.format("memory")
+            .queryName("ph_stream")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["seq_id"]: r["flag"]
+            for r in spark.sql("SELECT seq_id, flag FROM ph_stream").collect()
+        }
+    expected = ph_scan(series)
+    assert [got[i] for i in range(len(series))] == expected
+    assert "D" in expected  # the parity covered a fired drift + reset
