@@ -186,3 +186,22 @@ def test_sequence_packing_no_global_window(spark):
     ROW frame window (the canonical 100 TB anti-pattern)."""
     s = explain_str(QUERIES["x53_sequence_packing"](spark, SF_SMOKE))
     assert "Window" not in s
+
+
+def test_winsorize_pruned_scan_and_broadcast_bounds(spark):
+    """x56: the lineitem scan must read ONLY (l_returnflag,
+    l_extendedprice), and the per-group bounds must broadcast back —
+    a sort-merge pairing here would shuffle the fact table twice."""
+    s = explain_str(QUERIES["x56_winsorize"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in s
+    read = s.split("ReadSchema")[1][:200]
+    assert "l_extendedprice" in read
+    assert "l_orderkey" not in read
+
+
+def test_model_quality_filter_no_global_window(spark):
+    """x54: the decile flagging must use the distributed global rank and a
+    broadcast count — no single-partition Window, no sort-merge join."""
+    s = explain_str(QUERIES["x54_model_quality_filter"](spark, SF_SMOKE))
+    assert "Window" not in s
+    assert "Broadcast" in s
