@@ -99,3 +99,33 @@ def test_ph_stream_matches_batch(spark):
     expected = ph_scan(series)
     assert [got[i] for i in range(len(series))] == expected
     assert "D" in expected  # the parity covered a fired drift + reset
+
+
+def test_detector_fleet_parallelism(spark):
+    """The fleet claim (SCALE.md): 64 independent detectors process in ONE
+    keyed applyInPandas job — per-key flags match the kernel run on that
+    key's series alone, for both detectors."""
+    from detecting_and_addressing_change_spark.operators.ddm import (
+        ddm_scan,
+        detect_drift,
+    )
+
+    rng = np.random.RandomState(13)
+    rows, series = [], {}
+    for k in range(64):
+        flip = 100 + (k % 7) * 20
+        s = list(0.1 + 0.03 * rng.randn(flip)) + list(
+            0.6 + 0.03 * rng.randn(280 - flip)
+        )
+        series[f"d{k}"] = s
+        rows += [(f"d{k}", i, float(v)) for i, v in enumerate(s)]
+    df = spark.createDataFrame(
+        rows, "detector_id string, seq_id long, error double"
+    )
+    for op, kernel in ((detect_drift_ph, ph_scan), (detect_drift, ddm_scan)):
+        got = {}
+        for r in op(df).collect():
+            got.setdefault(r["detector_id"], {})[r["seq_id"]] = r["flag"]
+        for det, s in series.items():
+            flags = [got[det][i] for i in range(len(s))]
+            assert flags == kernel(s), (op.__name__, det)
