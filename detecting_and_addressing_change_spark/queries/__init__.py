@@ -22,10 +22,17 @@ from . import drift  # noqa: F401,E402
 # round (CORRECTNESS_r01.json covered exactly the first 50 names).  Rotate the
 # registration order so queries without a driver-verified GREEN row yet come
 # first; queries already attested green in a prior round go to the back.
-# Relative order is preserved within each group.  After round 2 the only
-# unattested names are the 8 that err'd in CORRECTNESS_r02.json on the events
-# loader regression (fixed in sources/tables.py) — they float to the front so
-# round 3 attests them.
+# Relative order is preserved within each group.
+#
+# Round-5 policy (VERDICT r4 task #1): a driver-green row only counts as
+# *current* if the query's implementation has not changed since the round
+# that produced it.  Queries refactored in round 4 after their last green —
+# q28/q39/q60 (array-native NB rewrite, operators/nb.py), x23 (graph.py
+# large-star/small-star rework), q29 (metrics empty-input semantics),
+# x14/x43/x44 (binary_ops vectorization), plus ADVICE-r4's q25 (oracle text
+# refactor) and x37 (collect -> broadcast-join rewrite) — are deliberately
+# NOT listed below so they float to the front of round 5's 50-query window
+# and get fresh sf0.01 hash rows in CORRECTNESS_r05.json.
 _ATTESTED_PRIOR_ROUNDS = frozenset({
     # green rows in CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json
     "q01_scan_project_cast", "q02_filter_predicate", "q03_clean_text",
@@ -36,11 +43,11 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     "q16_window_rank", "q17_window_running_avg", "q18_window_lag",
     "q19a_intersect", "q19b_except", "q19c_union_all_count", "q20_case_flags",
     "q21_date_parts", "q22_hash_split", "q23_mse", "q24_count_window_mean",
-    "q26_json_extract", "q27_sessionize", "q28_nb_fit_predict",
-    "q29_classification_metrics", "q31_linear_map", "q32_poolings",
+    "q26_json_extract", "q27_sessionize",
+    "q31_linear_map", "q32_poolings",
     "q33_seeded_noise_gate", "q34_time_window", "q35_cube", "q36_percentiles",
     "q37_string_functions", "q38_conditional_scalars",
-    "q39_abrupt_drift_experiment", "q40_range_frame", "q41_first_last_nth",
+    "q40_range_frame", "q41_first_last_nth",
     "q42_array_functions", "q43_asof_join", "q44_range_join_bins", "q45_pivot",
     "q46_grouping_sets", "q48_window_distribution", "q49_map_functions",
     "q50_interval_arithmetic", "q51_stats_aggregates", "q52_lstm_infer",
@@ -53,25 +60,31 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     "x13_rolling_fingerprint", "x15_similarity_ivf",
     "x16_regex_tokens", "x17_tfidf_topk", "x18_bloom_join_filter",
     "x19_cms_heavy_hitters", "x20_stratified_sample", "x21_salted_skew_join",
-    "x22_table_profile", "x23_dedup_clusters", "x24_vocab_encode",
+    "x22_table_profile", "x24_vocab_encode",
     "x25_changelog_upsert", "x26_pii_scrub", "x27_length_histogram",
     "x28_bigram_topk", "x29_vector_quantize",
-    "x34_mad_outliers", "x36_lstm_sequence", "x37_bm25_topk",
+    "x34_mad_outliers", "x36_lstm_sequence",
     "x38_weighted_sample", "x41_table_diff",
-    # green rows in CORRECTNESS_r03.json (q25/q47/q60 first-ever greens;
-    # x14/x33 re-attested with their round-3 semantics)
-    "q25_ddm_drift_flags", "q47_session_window",
-    "q60_unsupervised_drift_experiment",
-    "x14_multimodal_features", "x30_time_rollup", "x31_event_funnel",
+    # green rows in CORRECTNESS_r03.json
+    "q47_session_window",
+    "x30_time_rollup", "x31_event_funnel",
     "x32_cohort_retention", "x33_fuzzy_join", "x39_sliding_window",
-    "x40_ewma", "x43_audio_frames", "x44_image_resize",
+    "x40_ewma",
     "x45_similarity_ivf_multiprobe",
-    # Deliberately NOT listed, so the driver attests their post-round-3
-    # semantics: x42/q61 (rows-only -> generated literal hash oracles),
-    # and q30/q59 (the ADVICE-r3 sigma saturation cap changes their
-    # sf0.01 output — steps=150 caps q30's buckets >= 180 at 2.0, and
-    # q59's steps=20 ramp now holds at max_std instead of overshooting —
-    # so their round-3 green hashes no longer describe them).
+    # green rows in CORRECTNESS_r04.json (post-cap sigma semantics q30/q59;
+    # literal-oracle upgrades x42/q61; the x46–x57 curation family)
+    "q30_sigma_schedule_gate", "q59_gradual_drift_experiment",
+    "q61_mapping_experiment", "x42_pca_project",
+    "x46_quality_filter", "x47_repetition_signals", "x48_decontaminate",
+    "x49_containment_pairs", "x50_centroid_shift", "x51_quality_drift_monitor",
+    "x52_semantic_dedup_clusters", "x53_sequence_packing",
+    "x54_model_quality_filter", "x55_curation_pipeline", "x56_winsorize",
+    "x57_page_hinkley",
+    # Deliberately NOT listed (implementation changed after last green; see
+    # the round-5 policy note above): q25_ddm_drift_flags, q28_nb_fit_predict,
+    # q29_classification_metrics, q39_abrupt_drift_experiment,
+    # q60_unsupervised_drift_experiment, x14_multimodal_features,
+    # x23_dedup_clusters, x37_bm25_topk, x43_audio_frames, x44_image_resize.
 })
 
 
