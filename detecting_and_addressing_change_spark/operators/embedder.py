@@ -178,6 +178,85 @@ def embed_documents_tagged(
     ).mapInPandas(fn, EMBED_SCHEMA)
 
 
+POOLED_SCHEMA = T.StructType(
+    [
+        T.StructField("model", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def pooled_embed_documents_tagged(
+    docs: DataFrame,
+    dim: int = 8,
+    max_seq_len: int = 512,
+    backend: str = "hash",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model_col: str = "model",
+) -> DataFrame:
+    """Fused R3+R9: embed AND mean-pool inside one mapInPandas.
+
+    ``mean_pool_col(embed_documents_tagged(...))`` ships every ragged
+    ``array<array<float>>`` token matrix through Arrow only for the JVM to
+    immediately fold it away — for mean-pooled consumers (the q39/q59/q60
+    drift pipelines, q61 mapping) that transfer dominates the embed stage.
+    This fused path transfers ``dim`` doubles per row instead of
+    ``seq_len x dim`` floats, cutting the Arrow volume ~seq_len-fold.
+
+    Bit-identical to the two-step plan by construction: token vectors are
+    rounded through float32 exactly like the EMBED_SCHEMA Arrow cast, then
+    accumulated left-to-right in float64 per dimension — the same fold
+    ``mean_pool_col``'s ``F.aggregate`` performs — and divided by the token
+    count. Pinned by tests/test_arrays.py::test_fused_pooling_bit_identical.
+    """
+    if backend == "hf":  # pragma: no cover - heavyweight deps absent here
+        _require_hf()
+    elif backend != "hash":
+        raise ValueError(f"unknown backend {backend!r}")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memos: dict[str, dict[str, np.ndarray]] = {}
+
+        def vec32(word: str, model: str) -> np.ndarray:
+            memo = memos.setdefault(model, {})
+            v = memo.get(word)
+            if v is None:
+                v = np.asarray(
+                    _word_vec(word, model, dim, {}), dtype=np.float32
+                )
+                memo[word] = v
+            return v
+
+        for pdf in batches:
+            feats = []
+            for t, m in zip(pdf[text_col], pdf[model_col]):
+                words = (t or "").split(" ")[:max_seq_len]
+                # left-to-right float64 fold over float32 token vectors:
+                # numpy upcasts each float32 addend exactly like
+                # x.cast("double"), and the per-token loop preserves the
+                # non-associative FP order the HOF fold (and the DuckDB
+                # oracle's list fold) uses
+                acc = np.zeros(dim, dtype=np.float64)
+                for w in words:
+                    acc += vec32(w, m)
+                feats.append(acc / len(words))
+            yield pd.DataFrame(
+                {
+                    "model": pdf[model_col].values,
+                    "doc_id": pdf[id_col].values,
+                    "features": feats,
+                }
+            )
+
+    from ..sources.tables import spread_small_input
+
+    return spread_small_input(
+        docs.select(id_col, text_col, model_col)
+    ).mapInPandas(fn, POOLED_SCHEMA)
+
+
 def _require_hf() -> None:  # pragma: no cover - heavyweight deps absent here
     try:
         import transformers  # noqa: F401

@@ -21,10 +21,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .functions.arrays import mean_pool_col
 from .functions.rounding import portable_round
 from .operators.ddm import ddm_scan
-from .operators.embedder import embed_documents
 from .operators.nb import nb_collect_stats, nb_fit, nb_predict
 from .operators.windows import count_window_agg
 
@@ -36,6 +34,21 @@ def _round6(x: float) -> float:
     return math.floor(float(x) * 1e6 + 0.5) / 1e6
 
 
+def _local_result(spark, rows, columns: list[str], ddl: str) -> DataFrame:
+    """Driver-local result frame as ONE Arrow batch.
+
+    ``createDataFrame(list_of_rows)`` slices into defaultParallelism
+    partitions, so every downstream action on a ~100-row experiment result
+    schedules a 32-task job (~0.3s of pure task overhead on local[32]); the
+    pandas/Arrow path plans a single local partition instead. Values are
+    bit-identical (float64/int64 passthrough)."""
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(list(rows), columns=columns), ddl
+    )
+
+
 def _collect_local(df: DataFrame) -> DataFrame:
     """Materialize a small result eagerly, detached from its lineage.
 
@@ -45,29 +58,42 @@ def _collect_local(df: DataFrame) -> DataFrame:
     pipelines unpersist their cached feature tables deterministically in
     a ``finally`` block instead of leaking cached RDDs across calls in a
     long-lived session."""
-    return df.sparkSession.createDataFrame(df.collect(), df.schema)
+    import pandas as pd
+
+    rows = df.collect()
+    return df.sparkSession.createDataFrame(
+        pd.DataFrame([tuple(r) for r in rows], columns=df.columns), df.schema
+    )
 
 
 def pooled_features(
     docs: DataFrame, model: str, dim: int, id_col: str = "doc_id"
 ) -> DataFrame:
     """text -> token embeddings (U7) -> mean pooling (R9):
-    DataFrame[doc_id, features]."""
-    emb = embed_documents(docs, model=model, dim=dim, id_col=id_col)
-    return emb.select(
-        id_col, mean_pool_col(F.col("tokens")).alias("features")
+    DataFrame[doc_id, features]. Uses the fused embed+pool mapInPandas
+    (operators.embedder.pooled_embed_documents_tagged) — bit-identical to
+    mean_pool_col over embed_documents but transfers dim doubles per row
+    instead of the ragged token matrix."""
+    from .operators.embedder import pooled_embed_documents_tagged
+
+    tagged = docs.select(
+        F.lit(model).alias("model"), F.col(id_col), F.col("text")
     )
+    return pooled_embed_documents_tagged(
+        tagged, dim=dim, id_col=id_col
+    ).select(id_col, "features")
 
 
 def pooled_features_models(
     docs: DataFrame, models: tuple[str, ...], dim: int, id_col: str = "doc_id"
 ) -> DataFrame:
     """Several embedding spaces in ONE pass: union of model-tagged copies
-    through one mapInPandas (operators.embedder.embed_documents_tagged),
-    pooled once. DataFrame[model, doc_id, features] — callers persist this
-    and filter per model, so the corpus is scanned and embedded once instead
-    of once per model (bit-identical rows to N pooled_features calls)."""
-    from .operators.embedder import embed_documents_tagged
+    through one fused embed+pool mapInPandas
+    (operators.embedder.pooled_embed_documents_tagged).
+    DataFrame[model, doc_id, features] — callers persist this and filter per
+    model, so the corpus is scanned and embedded once instead of once per
+    model (bit-identical rows to N pooled_features calls)."""
+    from .operators.embedder import pooled_embed_documents_tagged
 
     tagged = None
     # dedupe: a repeated model (the A==B control experiment) must not union
@@ -78,10 +104,7 @@ def pooled_features_models(
             F.lit(m).alias("model"), F.col(id_col), F.col("text")
         )
         tagged = d if tagged is None else tagged.unionByName(d)
-    emb = embed_documents_tagged(tagged, dim=dim, id_col=id_col)
-    return emb.select(
-        "model", id_col, mean_pool_col(F.col("tokens")).alias("features")
-    )
+    return pooled_embed_documents_tagged(tagged, dim=dim, id_col=id_col)
 
 
 def abrupt_drift_experiment(
@@ -182,11 +205,13 @@ def _abrupt_drift_body(
     # flag join would cost three more 32-task stages on 150 rows
     per_rows = sorted(per_batch.collect(), key=lambda r: r["seq_id"])
     flags = ddm_scan([float(r["error"]) for r in per_rows])
-    return labels.sparkSession.createDataFrame(
+    return _local_result(
+        labels.sparkSession,
         [
             (r["seq_id"], r["stream"], _round6(r["accuracy"]), f)
             for r, f in zip(per_rows, flags)
         ],
+        ["seq_id", "stream", "accuracy", "flag"],
         "seq_id long, stream string, accuracy double, flag string",
     )
 
@@ -350,11 +375,13 @@ def _unsupervised_drift_body(
     )
     per_rows = sorted(per_batch.collect(), key=lambda r: r["seq_id"])
     flags = ddm_scan([float(r["error"]) for r in per_rows])
-    return labels.sparkSession.createDataFrame(
+    return _local_result(
+        labels.sparkSession,
         [
             (r["seq_id"], _round6(r["agreement"]), f)
             for r, f in zip(per_rows, flags)
         ],
+        ["seq_id", "agreement", "flag"],
         "seq_id long, agreement double, flag string",
     )
 
@@ -383,7 +410,7 @@ def gradual_drift_experiment(
     Returns DataFrame[seq_id, sigma, accuracy, flag]."""
     import math
 
-    from .streaming.schedule import sigma_schedule_for
+    from .streaming.schedule import sigma_schedule
 
     labels = docs.select(id_col, F.col(label_col).alias("label"))
     feats = pooled_features(docs, model, dim, id_col).persist()
@@ -400,8 +427,17 @@ def gradual_drift_experiment(
         bucketed = feats.withColumn(
             "bucket", F.floor(F.col(id_col) / batch_size).cast("int")
         )
-        sched = sigma_schedule_for(
-            bucketed, warm_start=warm_start, max_std=max_std, steps=steps
+        # size the schedule from the fit stats already on the driver
+        # (sum(cnt) = n_docs; ids are 0..n-1 contiguous — the same
+        # assumption the count-window bucketing above already makes), so
+        # the broadcast side is a pure spark.range with NO data-dependent
+        # scan job — one fewer action than sigma_schedule_for's in-plan
+        # max-bucket aggregate
+        n_docs = sum(r["cnt"] for r in stats)
+        n_batches = (n_docs + batch_size - 1) // batch_size
+        sched = sigma_schedule(
+            feats.sparkSession, n_batches, warm_start=warm_start,
+            max_std=max_std, steps=steps,
         )
         with_sigma = bucketed.join(F.broadcast(sched), "bucket")
 
@@ -453,11 +489,13 @@ def gradual_drift_experiment(
         )
         per_rows = sorted(per_batch.collect(), key=lambda r: r["seq_id"])
         flags = ddm_scan([float(r["error"]) for r in per_rows])
-        return feats.sparkSession.createDataFrame(
+        return _local_result(
+            feats.sparkSession,
             [
                 (r["seq_id"], _round6(r["sigma"]), _round6(r["accuracy"]), f)
                 for r, f in zip(per_rows, flags)
             ],
+            ["seq_id", "sigma", "accuracy", "flag"],
             "seq_id long, sigma double, accuracy double, flag string",
         )
     finally:

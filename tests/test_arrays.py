@@ -122,3 +122,48 @@ def test_linear_map_udf_bit_identical(spark):
     am = {r.vec_id: list(r.m) for r in a}
     bm = {r.vec_id: list(r.m) for r in b}
     assert am == bm  # exact float equality, not approx
+
+
+def test_fused_pooling_bit_identical(spark):
+    """The fused embed+pool mapInPandas must be bit-identical to the
+    two-step mean_pool_col(embed_documents_tagged(...)) plan — the q39/q59/
+    q60/q61 oracle hashes pin the two-step fold's exact doubles."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from detecting_and_addressing_change_spark.functions.arrays import (
+        mean_pool_col,
+    )
+    from detecting_and_addressing_change_spark.operators.embedder import (
+        embed_documents_tagged,
+        pooled_embed_documents_tagged,
+    )
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(40)] + ["", "café", "a-b", "0"]
+    rows = []
+    for i in range(200):
+        n = int(rng.randint(1, 30))
+        model = ["BERT", "SCIBERT"][i % 2]
+        rows.append((model, i, " ".join(rng.choice(vocab, size=n))))
+    rows.append(("BERT", 200, ""))  # empty text -> single ''-token doc
+    docs = spark.createDataFrame(rows, "model string, doc_id long, text string")
+
+    two_step = (
+        embed_documents_tagged(docs, dim=8)
+        .select(
+            "model", "doc_id", mean_pool_col(F.col("tokens")).alias("features")
+        )
+        .orderBy("model", "doc_id")
+        .collect()
+    )
+    fused = (
+        pooled_embed_documents_tagged(docs, dim=8)
+        .orderBy("model", "doc_id")
+        .collect()
+    )
+    assert len(two_step) == len(fused) == 201
+    for a, b in zip(two_step, fused):
+        assert (a["model"], a["doc_id"]) == (b["model"], b["doc_id"])
+        # bit-exact, not approx: the oracle gate hashes these doubles
+        assert a["features"] == b["features"], a["doc_id"]

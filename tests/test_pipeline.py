@@ -57,13 +57,22 @@ def test_no_cached_rdds_leak_across_runs(spark, labeled_docs):
     """VERDICT r1 finding: repeated experiment runs in a long-lived
     session must not accumulate cached RDDs (persist without unpersist
     degrades executor memory over a service lifetime)."""
-    jsc = spark.sparkContext._jsc.sc()
-    # Delta, not global zero: earlier tests in a full-suite run may have
-    # legitimately-persisted (or abort-leaked) RDDs outside our control.
-    before = jsc.getPersistentRDDs().size()
+    def persistent_ids(sc):
+        it = sc._jsc.sc().getPersistentRDDs().keysIterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    # Id-set difference, not a count delta: the ContextCleaner may
+    # concurrently reclaim an UNRELATED test's cached RDD mid-test (observed
+    # as a -1 count in full-suite runs), so assert only that no NEW ids
+    # survive our runs.
+    before = persistent_ids(spark.sparkContext)
     for _ in range(2):
         abrupt_drift_experiment(labeled_docs, dim=8, batch_size=32)
-    assert jsc.getPersistentRDDs().size() - before == 0
+    leaked = persistent_ids(spark.sparkContext) - before
+    assert not leaked, f"cached RDDs leaked by experiment runs: {leaked}"
 
 
 def test_gradual_drift_detected(spark, labeled_docs):
