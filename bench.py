@@ -83,6 +83,9 @@ BENCH_QUERIES = [
     "x55_curation_pipeline",
     "x56_winsorize",
     "x57_page_hinkley",
+    # round-5: fitted-centroid IVF (fit: n_iter map-side-combinable
+    # shuffles; probe: broadcast cell join)
+    "x59_kmeans_ivf_topk",
 ]
 
 

@@ -1,0 +1,238 @@
+"""Distributed Lloyd's k-means for the IVF coarse quantizer.
+
+The reference has no clustering operator; this is the LLM-pipeline
+extension the IVF family (operators/similarity.py ivf_topk, x15/x45) was
+designed to plug into: its deterministic "first-k vectors" centroids are a
+stand-in whose recall degrades on real data, while a Lloyd's fit places
+cells where the density is (VERDICT r4 task #6).
+
+Spark-first shape — every step is a DataFrame op with a driver-small state:
+
+- **assign**: centroids are a k x dim literal broadcast into an argmin
+  expression (struct-min over exact int64 squared distances); a narrow map,
+  no shuffle.
+- **update**: ``groupBy(cell)`` with per-dimension SUM + COUNT — map-side
+  combinable, so the shuffle moves k*(dim+1) longs per partition regardless
+  of corpus size. One shuffle per iteration, k rows collected per iteration.
+
+At 100 TB this is the textbook scalable k-means loop: the corpus is
+scanned n_iter(+1) times, centroid state is O(k*dim) on the driver, and no
+stage's shuffle volume depends on row count.
+
+Determinism (what makes it oracle-checkable): vectors are quantized to
+int64 fixed-point (round(v*1000), the similarity-family convention), so
+squared distances are EXACT integers and the per-cell sums are
+order-independent — the fit is bit-reproducible under any partitioning,
+and the DuckDB oracle replays the identical iterations in SQL. Centroid
+update rounds back to the int grid: qc[d] = floor(sum[d]/n + 0.5) in
+IEEE double (exact: the int sums are < 2^53). Ties in argmin go to the
+lowest centroid id. Empty cells keep their previous centroid.
+
+Seeding: the first k vectors by id — deterministic and cheap; at scale the
+same fit runs on a sample first (centroids are scale-free) and the full
+corpus only pays assignment passes.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.arrays import cosine_col
+from ..functions.rounding import portable_round
+from .similarity import QUANT_SCALE, quantize_col
+
+
+def _sqdist(qc: list[int], qv_col: Column) -> Column:
+    """Exact int64 squared distance between a literal quantized centroid
+    and a quantized vector column."""
+    qc_arr = F.array(*[F.lit(int(c)) for c in qc])
+    # (x-c)*(x-c), NOT **2: Column.__pow__ lowers to double POW, which
+    # would forfeit the exact-int64 determinism the oracle relies on
+    return F.aggregate(
+        F.zip_with(
+            qc_arr,
+            qv_col,
+            lambda c, x: (x - c.cast("long")) * (x - c.cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign_col(
+    centroids: list[tuple[int, list[int]]], qv_col: Column
+) -> Column:
+    """Argmin cell id over literal quantized centroids: struct-min on
+    (distance, centroid_id) — lowest distance wins, ties to lowest id."""
+    cells = [
+        F.struct(
+            _sqdist(qc, qv_col).alias("d"), F.lit(int(cid)).alias("cid")
+        )
+        for cid, qc in centroids
+    ]
+    return F.array_min(F.array(*cells))["cid"].cast("int")
+
+
+def kmeans_probe_cells_col(
+    centroids: list[tuple[int, list[int]]], qv_col: Column, nprobe: int
+) -> Column:
+    """The nprobe nearest cell ids (distance asc, ties to lowest id) —
+    the multi-probe recall knob, same tie rule as assignment."""
+    cells = F.array(
+        *[
+            F.struct(
+                _sqdist(qc, qv_col).alias("d"), F.lit(int(cid)).alias("cid")
+            )
+            for cid, qc in centroids
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(cells), 1, nprobe),
+        lambda s: s["cid"].cast("int"),
+    )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[int]]]:
+    """Lloyd's iterations; returns [(centroid_id, quantized_vector)].
+
+    n_iter assign+update rounds, each ONE map-side-combinable shuffle of
+    k*(dim+1) partial sums; the seed is the first n_centroids vectors by
+    id. Bit-deterministic (see module docstring); the numpy twin in
+    tests/test_kmeans.py pins every iteration."""
+    dim_row = corpus.select(F.size(F.col(vec_col))).first()
+    dim = int(dim_row[0])
+
+    seed_rows = sorted(
+        (int(r[0]), r[1])
+        for r in corpus.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    centroids = [
+        (
+            cid,
+            [
+                int(math.floor(float(v) * QUANT_SCALE + 0.5))
+                for v in vec
+            ],
+        )
+        for cid, vec in seed_rows
+    ]
+
+    qv = quantize_col(F.col(vec_col))
+    quant = corpus.select(qv.alias("qv"))
+
+    for _ in range(n_iter):
+        assigned = quant.select(
+            kmeans_assign_col(centroids, F.col("qv")).alias("cell"), "qv"
+        )
+        sums = (
+            assigned.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at(F.col("qv"), d + 1)).alias(f"s{d}")
+                    for d in range(dim)
+                ],
+            )
+            .collect()
+        )
+        by_cell = {int(r["cell"]): r for r in sums}
+        new_centroids = []
+        for cid, old_qc in centroids:
+            r = by_cell.get(cid)
+            if r is None:  # empty cell: keep the previous centroid
+                new_centroids.append((cid, old_qc))
+                continue
+            n = int(r["n"])
+            new_centroids.append(
+                (
+                    cid,
+                    [
+                        int(math.floor(int(r[f"s{d}"]) / n + 0.5))
+                        for d in range(dim)
+                    ],
+                )
+            )
+        centroids = new_centroids
+    return centroids
+
+
+def kmeans_cells(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fit + final assignment: DataFrame[vec_id, cell] for every vector —
+    the IVF index-build output (x58)."""
+    centroids = kmeans_fit(corpus, n_centroids, n_iter, id_col, vec_col)
+    qv = quantize_col(F.col(vec_col))
+    return corpus.select(
+        F.col(id_col),
+        kmeans_assign_col(centroids, qv).alias("cell"),
+    )
+
+
+def kmeans_ivf_topk(
+    corpus: DataFrame,
+    query_filter: Column,
+    n_centroids: int = 8,
+    n_iter: int = 3,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN over FITTED centroids (vs ivf_topk's fixed first-k seed):
+    assign every vector to its nearest cell, probe each query's nprobe
+    nearest cells, exact-cosine rank inside the candidates.
+
+    Same scale shape as similarity.ivf_topk: the cell join shuffles on
+    ``cell``; candidate volume is linear in nprobe; queries broadcast."""
+    centroids = kmeans_fit(corpus, n_centroids, n_iter, id_col, vec_col)
+    qv = quantize_col(F.col(vec_col))
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col), kmeans_assign_col(centroids, qv).alias("cell")
+    )
+    q_cells = (
+        corpus.filter(query_filter)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_emb"),
+            F.explode(
+                kmeans_probe_cells_col(centroids, qv, nprobe)
+            ).alias("cell"),
+        )
+    )
+    cand = assigned.join(F.broadcast(q_cells), "cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("cand_id"),
+        cosine_col(F.col("q_emb"), F.col(vec_col)).alias("cos_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            portable_round(F.col("cos_raw"), 4).alias("cosine"),
+            "rnk",
+        )
+    )

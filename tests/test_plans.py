@@ -205,3 +205,35 @@ def test_model_quality_filter_no_global_window(spark):
     s = explain_str(QUERIES["x54_model_quality_filter"](spark, SF_SMOKE))
     assert "Window" not in s
     assert "Broadcast" in s
+
+
+def test_kmeans_assignment_is_narrow(spark):
+    """x58's final assignment is a pure map over the scan: the centroid
+    argmin is a broadcast-literal expression, so the 100 TB cost is one
+    read pass — no Exchange anywhere in the plan."""
+    from detecting_and_addressing_change_spark.operators.kmeans import (
+        kmeans_assign_col,
+    )
+    from detecting_and_addressing_change_spark.operators.similarity import (
+        quantize_col,
+    )
+    from detecting_and_addressing_change_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = [(0, [0] * 64), (1, [5] * 64)]
+    df = emb.select(
+        "vec_id",
+        kmeans_assign_col(cents, quantize_col(F.col("embedding"))).alias(
+            "cell"
+        ),
+    )
+    assert "Exchange" not in explain_str(df)
+
+
+def test_kmeans_ivf_probe_broadcasts_queries(spark):
+    """x59's cell join must broadcast the (small) probed-query side, never
+    shuffle the corpus by cell AND the queries."""
+    df = QUERIES["x59_kmeans_ivf_topk"](spark, SF_SMOKE)
+    assert has_broadcast_hash_join(df)
+    assert "CartesianProduct" not in explain_str(df)
