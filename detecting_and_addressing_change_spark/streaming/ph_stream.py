@@ -3,7 +3,14 @@ operator, mirroring ``streaming/ddm_stream.py``: ``applyInPandasWithState``
 keyed by ``detector_id``, state is the 4-field PageHinkleyState tuple,
 rows sorted by ``seq_id`` within each micro-batch. Same ordered-source
 contract as the DDM stream (the replay source provides it); batch/stream
-parity is pinned by tests/test_streaming.py."""
+parity is pinned by tests/test_streaming.py.
+
+State encoding note: ``cum_min`` starts at +infinity, which Arrow cannot
+round-trip through the state store, so it is encoded as 1e308. This
+assumes the monitored series is a bounded error/quality rate (|cum| far
+below 1e308) — any legitimate cum_min >= 1e308 would decode back to
++infinity. That is unreachable for the rate-valued series this engine
+feeds its detectors, but it is a domain restriction on the round-trip."""
 
 from __future__ import annotations
 

@@ -316,26 +316,10 @@ def test_restaging_mtimes_strictly_follow_earlier_staging(spark):
         assert min(second.values()) > max(first.values())
 
 
-def test_quality_monitor_stream_matches_batch(spark):
-    """x51's corpus-quality rate series through the STREAMING DDM ==
-    the batch monitor, flag for flag — the curation monitor can run as a
-    live ingest watcher with identical semantics."""
-    from detecting_and_addressing_change_spark.queries import QUERIES
-    from detecting_and_addressing_change_spark.streaming.ddm_stream import (
-        detect_drift_stream,
-    )
-    from detecting_and_addressing_change_spark.streaming.replay import (
-        read_replay_stream,
-        stage_replay_files,
-    )
-
-    sf = "/root/testdata/sf0.01"
-    batch = {
-        r["seq_id"]: r["flag"]
-        for r in QUERIES["x51_quality_drift_monitor"](spark, sf).collect()
-    }
-    # the same (detector_id, seq_id, error) series the batch monitor feeds
-    # its detector, staged as an ordered replay
+def _quality_rate_series(spark, sf):
+    """The (detector_id, seq_id, error) corpus-quality rate series x51
+    feeds its detector: per 16-doc bucket, the fraction of
+    repetition-degraded documents."""
     from detecting_and_addressing_change_spark.operators.windows import (
         count_window_agg,
     )
@@ -354,7 +338,7 @@ def test_quality_monitor_stream_matches_batch(spark):
     signals = staged_docs.select(
         "doc_id", (topf > 0.10).cast("int").alias("bad")
     )
-    series = count_window_agg(
+    return count_window_agg(
         signals, seq_col="doc_id", batch_size=16,
         aggs=[F.avg("bad").alias("error")],
     ).select(
@@ -362,6 +346,49 @@ def test_quality_monitor_stream_matches_batch(spark):
         F.col("bucket").cast("long").alias("seq_id"),
         "error",
     )
+
+
+@pytest.mark.parametrize("detector", ["ddm", "ph"])
+def test_quality_monitor_stream_matches_batch(spark, detector):
+    """x51's corpus-quality rate series through the STREAMING detector ==
+    the batch operator, flag for flag, for BOTH change detectors (DDM and
+    Page-Hinkley) — the curation monitor can run as a live ingest watcher
+    with identical semantics, with either detector dropped in."""
+    from detecting_and_addressing_change_spark.operators.ph import (
+        detect_drift_ph,
+    )
+    from detecting_and_addressing_change_spark.streaming.ddm_stream import (
+        detect_drift_stream,
+    )
+    from detecting_and_addressing_change_spark.streaming.ph_stream import (
+        detect_drift_ph_stream,
+    )
+    from detecting_and_addressing_change_spark.streaming.replay import (
+        read_replay_stream,
+        stage_replay_files,
+    )
+
+    batch_fn, stream_fn = {
+        "ddm": (detect_drift, detect_drift_stream),
+        "ph": (detect_drift_ph, detect_drift_ph_stream),
+    }[detector]
+
+    sf = "/root/testdata/sf0.01"
+    series = _quality_rate_series(spark, sf)
+    batch = {
+        r["seq_id"]: r["flag"] for r in batch_fn(series).collect()
+    }
+    if detector == "ddm":
+        # the registered x51 query must agree with the direct batch run
+        from detecting_and_addressing_change_spark.queries import QUERIES
+
+        q51 = {
+            r["seq_id"]: r["flag"]
+            for r in QUERIES["x51_quality_drift_monitor"](
+                spark, sf
+            ).collect()
+        }
+        assert q51 == batch
     with tempfile.TemporaryDirectory() as tmp:
         stage_replay_files(series, "seq_id", f"{tmp}/staged", batch_size=8)
         stream = read_replay_stream(
@@ -370,15 +397,17 @@ def test_quality_monitor_stream_matches_batch(spark):
             "detector_id string, seq_id long, error double",
         )
         q = (
-            detect_drift_stream(stream)
+            stream_fn(stream)
             .writeStream.format("memory")
-            .queryName("x51_stream")
+            .queryName(f"x51_stream_{detector}")
             .option("checkpointLocation", f"{tmp}/ckpt")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(120)
-        got = spark.sql("SELECT seq_id, flag FROM x51_stream").collect()
+        got = spark.sql(
+            f"SELECT seq_id, flag FROM x51_stream_{detector}"
+        ).collect()
     assert len(got) == len(batch)
     for r in got:
         assert batch[r["seq_id"]] == r["flag"], r["seq_id"]
