@@ -804,14 +804,42 @@ def x56(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear interpolation BIT-EXACTLY, verified on this data). Two passes:
     one shuffle for the per-group bounds (|groups| rows, broadcast back),
     one partial-agg shuffle for the clamped stats. Exact per-group
-    percentile buffers a group's values; at 100 TB swap in
-    ``approx_percentile`` (t-digest, mergeable constant-size sketch) —
-    the plan shape is identical, the bounds become approximate."""
-    li = load_table(spark, sf_dir, "lineitem")
-    bounds = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.01)").alias("p1"),
-        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
-    )
+    percentile buffers a group's values; at 100 TB pass ``approx=True``
+    to swap in ``approx_percentile`` (KLL-style mergeable constant-size
+    sketch) — the plan shape is identical (plan-asserted in
+    tests/test_plans.py), the bounds become approximate (tolerance-tested
+    against the exact path)."""
+    return winsorized_stats(load_table(spark, sf_dir, "lineitem"))
+
+
+def winsorized_stats(
+    li: DataFrame, approx: bool = False, accuracy: int = 10000
+) -> DataFrame:
+    """Per-group winsorized stats over lineitem.l_extendedprice.
+
+    ``approx=False`` uses exact ``percentile`` (buffers each group's
+    values — fine up to memory-per-group); ``approx=True`` uses
+    ``approx_percentile`` with the given accuracy — a mergeable
+    constant-size sketch, the 100 TB path. Both produce the SAME two-pass
+    plan: bounds agg (|groups| rows) broadcast back onto the fact scan,
+    then one partial-agg shuffle for the clamped stats."""
+    if approx:
+        pctl = (
+            f"approx_percentile(l_extendedprice, array(0.01, 0.99), "
+            f"{accuracy})"
+        )
+        bounds = li.groupBy("l_returnflag").agg(
+            F.expr(pctl).alias("ps")
+        ).select(
+            "l_returnflag",
+            F.col("ps")[0].cast("double").alias("p1"),
+            F.col("ps")[1].cast("double").alias("p99"),
+        )
+    else:
+        bounds = li.groupBy("l_returnflag").agg(
+            F.expr("percentile(l_extendedprice, 0.01)").alias("p1"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        )
     j = li.join(F.broadcast(bounds), "l_returnflag")
     x = F.col("l_extendedprice").cast("double")
     v = F.least(F.greatest(x, F.col("p1")), F.col("p99"))

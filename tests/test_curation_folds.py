@@ -71,3 +71,32 @@ def test_word_grams_match_python(spark):
                 " ".join(a[j : j + k]) for j in range(len(a) - k + 1)
             ]
             assert got[i] == expected, (i, k, a)
+
+
+def test_winsorize_approx_tolerance_vs_exact(spark):
+    """x56's approx_percentile scale path: at accuracy=10000 on sf0.01
+    the sketch bounds must land close enough to the exact R-7 percentiles
+    that the winsorized mean agrees to ~0.1% and the clamp counts stay
+    within the sketch's rank-error budget (~n/accuracy per tail)."""
+    from detecting_and_addressing_change_spark.queries.extensions7 import (
+        winsorized_stats,
+    )
+    from detecting_and_addressing_change_spark.sources.tables import (
+        load_table,
+    )
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    exact = {r["l_returnflag"]: r for r in winsorized_stats(li).collect()}
+    approx = {
+        r["l_returnflag"]: r
+        for r in winsorized_stats(li, approx=True).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k, e in exact.items():
+        a = approx[k]
+        assert a["n"] == e["n"]
+        assert abs(a["w_mean"] - e["w_mean"]) / e["w_mean"] < 1e-3, k
+        # rank error of the sketch bounds: n/accuracy rows per tail
+        slack = max(4, 2 * e["n"] // 10000)
+        assert abs(a["n_lo"] - e["n_lo"]) <= slack, k
+        assert abs(a["n_hi"] - e["n_hi"]) <= slack, k

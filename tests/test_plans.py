@@ -199,6 +199,30 @@ def test_winsorize_pruned_scan_and_broadcast_bounds(spark):
     assert "l_orderkey" not in read
 
 
+def test_winsorize_approx_same_plan_shape(spark):
+    """The 100 TB approx_percentile swap keeps the identical two-pass
+    broadcast-bounds shape: sketch agg on the bounds side, broadcast join
+    back, no extra Exchange of the fact table."""
+    from detecting_and_addressing_change_spark.queries.extensions7 import (
+        winsorized_stats,
+    )
+    from detecting_and_addressing_change_spark.sources.tables import (
+        load_table,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    s = explain_str(winsorized_stats(li, approx=True))
+    assert "BroadcastHashJoin" in s
+    assert "approx_percentile" in s
+    read = s.split("ReadSchema")[1][:200]
+    assert "l_extendedprice" in read
+    assert "l_orderkey" not in read
+    # the fact table shuffles at most once (the final partial agg) —
+    # same count as the exact path
+    exact = explain_str(winsorized_stats(li, approx=False))
+    assert s.count("Exchange") == exact.count("Exchange")
+
+
 def test_model_quality_filter_no_global_window(spark):
     """x54: the decile flagging must use the distributed global rank and a
     broadcast count — no single-partition Window, no sort-merge join."""
