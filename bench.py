@@ -86,6 +86,13 @@ BENCH_QUERIES = [
     # round-5: fitted-centroid IVF (fit: n_iter map-side-combinable
     # shuffles; probe: broadcast cell join)
     "x59_kmeans_ivf_topk",
+    # round-5 curation family #2: LM perplexity (gram-key shuffle +
+    # broadcast model), mixture sampling (zero-shuffle LCG filter),
+    # cross-doc repeated n-grams (single gram-key agg), chunking (narrow)
+    "x60_lm_perplexity",
+    "x61_source_mixing",
+    "x62_crossdoc_ngrams",
+    "x63_doc_chunking",
 ]
 
 

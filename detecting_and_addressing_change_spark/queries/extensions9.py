@@ -1,0 +1,350 @@
+"""Round-5 extension queries: the second half of the LLM training-data
+curation toolkit — language-model perplexity scoring (the CCNet signal the
+x54 NB filter approximates), mixture sampling to target source weights
+(the Pile/LLaMA-style domain reweighting step), cross-document repeated
+n-gram detection (the distributed approximation of suffix-array ExactSubstr
+dedup), and sliding-window document chunking (embedding/RAG prep).
+
+Scale notes (100 TB):
+- x60 fits the bigram LM with ONE map-side-combinable shuffle on the gram
+  key; scoring then joins the corpus's exploded bigrams against the
+  BROADCAST model (CCNet ships a small pre-trained LM to every worker —
+  the published design this mirrors; an unpruned corpus-wide LM would swap
+  the broadcast for a shuffle join on gram, same plan otherwise).
+- x61 is a two-pass broadcast plan: per-group counts (|groups| rows)
+  broadcast back as keep-rates, then a ZERO-shuffle deterministic LCG
+  filter over the corpus scan — no row ever shuffles to be sampled.
+- x62's only wide op is the gram-key aggregation that counts distinct
+  documents per shingle; the verdict joins back on the shingle key (at
+  this SF the count table broadcasts; at 100 TB it is a co-partitioned
+  shuffle join on the same key the aggregation just produced, so AQE
+  reuses the exchange).
+- x63 is a pure narrow map + explode: chunk boundaries are computed from
+  the word array per row; nothing shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import lcg_bucket
+from ..functions.rounding import portable_round, portable_round_sql
+from ..sources.tables import load_table
+from .extensions7 import _word_grams
+from .registry import query
+
+# x61 target mixture weights per language (literal in both engines)
+_MIX_TARGETS = [("en", 0.40), ("de", 0.15), ("es", 0.15), ("fr", 0.15), ("zh", 0.15)]
+_MIX_VALUES_SQL = ", ".join(f"('{lang}', {w})" for lang, w in _MIX_TARGETS)
+
+_CHUNK_SIZE = 16
+_CHUNK_STRIDE = 12
+
+
+# --------------------------------------------------------------------------
+# X60 — bigram-LM cross-entropy scoring (CCNet perplexity filter)
+# --------------------------------------------------------------------------
+@query(
+    "x60_lm_perplexity",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, LEN(ws)),
+                                   i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+      FROM w WHERE LEN(ws) >= 2
+    ),
+    c12 AS (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram),
+    cpre AS (
+      SELECT split_part(bigram, ' ', 1) AS w1, SUM(c) AS cp
+      FROM c12 GROUP BY w1
+    ),
+    vocab AS (
+      SELECT COUNT(DISTINCT word) AS v
+      FROM (SELECT UNNEST(ws) AS word FROM w)
+    )
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS INT) AS n_bigrams,
+           {portable_round_sql(
+               "AVG(-LN((c12.c + 1.0) / (cpre.cp + vocab.v)))", 4
+           )} AS cross_entropy
+    FROM bg
+    JOIN c12 USING (bigram)
+    JOIN cpre ON cpre.w1 = split_part(bg.bigram, ' ', 1)
+    CROSS JOIN vocab
+    GROUP BY bg.doc_id
+    ORDER BY bg.doc_id
+    """,
+)
+def x60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM cross-entropy — the CCNet quality signal: fit
+    an add-one-smoothed bigram model on the corpus, score every document by
+    the mean negative log-likelihood of its bigrams (low = head-like fluent
+    text, high = tail/garbage). Plan: one gram-key shuffle fits the model
+    (map-side combine, |model| = observed-bigram count), prefix totals are
+    derived from the model itself (tiny second agg), and scoring joins the
+    exploded corpus against the BROADCAST model — the corpus side never
+    shuffles until the final per-doc mean. CCNet broadcasts a fixed small
+    LM exactly this way; for a corpus-wide unpruned LM swap the broadcasts
+    for shuffle joins on the same keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).filter(F.size("ws") >= 2)
+    bg = w.select(
+        "doc_id", F.explode(_word_grams(F.col("ws"), 2)).alias("bigram")
+    )
+    c12 = bg.groupBy("bigram").agg(F.count("*").alias("c"))
+    cpre = (
+        c12.groupBy(
+            F.substring_index("bigram", " ", 1).alias("w1")
+        ).agg(F.sum("c").alias("cp"))
+    )
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .agg(F.countDistinct("word").alias("v"))
+    )
+    scored = (
+        bg.join(F.broadcast(c12), "bigram")
+        .join(
+            F.broadcast(cpre),
+            F.substring_index(F.col("bigram"), " ", 1) == F.col("w1"),
+        )
+        .join(F.broadcast(vocab))
+    )
+    nll = -F.log((F.col("c") + F.lit(1.0)) / (F.col("cp") + F.col("v")))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            portable_round(F.avg(nll), 4).alias("cross_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# X61 — mixture sampling to target source weights (domain reweighting)
+# --------------------------------------------------------------------------
+@query(
+    "x61_source_mixing",
+    oracle=f"""
+    WITH t(lang, tw) AS (VALUES {_MIX_VALUES_SQL}),
+    cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    cap AS (SELECT MIN(n / tw) AS total FROM cnt JOIN t USING (lang)),
+    rates AS (
+      SELECT cnt.lang, cnt.n,
+             LEAST(1.0, cap.total * t.tw / cnt.n) AS rate
+      FROM cnt JOIN t USING (lang) CROSS JOIN cap
+    ),
+    kept AS (
+      SELECT d.lang,
+             CASE WHEN ((d.doc_id % 2147483648) * 1103515245
+                        % 2147483648 % 1000000)
+                  < FLOOR(r.rate * 1000000.0)
+                  THEN 1 ELSE 0 END AS keep
+      FROM documents d JOIN rates r USING (lang)
+    )
+    SELECT r.lang,
+           CAST(r.n AS INT) AS n_docs,
+           CAST(SUM(k.keep) AS INT) AS n_kept,
+           {portable_round_sql("r.rate", 4)} AS keep_rate
+    FROM kept k JOIN rates r USING (lang)
+    GROUP BY r.lang, r.n, r.rate
+    ORDER BY r.lang
+    """,
+)
+def x61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture reweighting — the Pile/LLaMA-style step that samples
+    each source down so the kept corpus hits target proportions: the
+    feasible total is capped by the binding source (min over n/target),
+    per-source keep-rates follow, and the sample itself is the engine's
+    deterministic LCG hash on doc_id — reproducible across runs, engines,
+    and partitionings, never a Bernoulli RNG. Plan: per-group counts
+    (|groups| rows) broadcast back as rates; the corpus scan then filters
+    in place — ZERO shuffle of the fact side before the final stats agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            _MIX_TARGETS, "lang string, tw double"
+        )
+    )
+    cnt = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    cap = (
+        cnt.join(t, "lang")
+        .agg(F.min(F.col("n") / F.col("tw")).alias("total"))
+    )
+    rates = (
+        cnt.join(t, "lang")
+        .join(F.broadcast(cap))
+        .select(
+            "lang",
+            "n",
+            F.least(
+                F.lit(1.0), F.col("total") * F.col("tw") / F.col("n")
+            ).alias("rate"),
+        )
+    )
+    keep = (
+        lcg_bucket(F.col("doc_id"), 1000000)
+        < F.floor(F.col("rate") * 1000000.0)
+    ).cast("int")
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .select("lang", "n", "rate", keep.alias("keep"))
+        .groupBy("lang", "n", "rate")
+        .agg(F.sum("keep").cast("int").alias("n_kept"))
+        .select(
+            "lang",
+            F.col("n").cast("int").alias("n_docs"),
+            "n_kept",
+            portable_round(F.col("rate"), 4).alias("keep_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# X62 — cross-document repeated n-grams (distributed ExactSubstr signal)
+# --------------------------------------------------------------------------
+@query(
+    "x62_crossdoc_ngrams",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(list_transform(
+               range(1, LEN(ws) - 3),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                    || ws[i+3] || ' ' || ws[i+4])) AS shingle
+      FROM w WHERE LEN(ws) >= 5
+    ),
+    docs_per AS (
+      SELECT shingle, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY shingle
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS INT) AS n_shingles,
+           {portable_round_sql(
+               "SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)", 4
+           )} AS dup_frac,
+           SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) >= 0.5
+             AS flag
+    FROM sh JOIN docs_per USING (shingle)
+    GROUP BY sh.doc_id
+    ORDER BY sh.doc_id
+    """,
+)
+def x62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring signal — the distributed stand-in
+    for suffix-array ExactSubstr dedup (Lee et al.'s "Deduplicating
+    Training Data" rule): a 5-word shingle that appears in >= 2 distinct
+    documents marks boilerplate; a document whose shingle positions are
+    mostly such grams is flagged. Plan: explode shingles, ONE gram-key
+    aggregation for distinct-doc counts (map-side combinable after the
+    in-partition distinct), then the verdict joins back on the same gram
+    key — broadcast here, a co-partitioned exchange-reusing shuffle join
+    at 100 TB. Never all-pairs, never a suffix array's global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).filter(F.size("ws") >= 5)
+    sh = w.select(
+        "doc_id", F.explode(_word_grams(F.col("ws"), 5)).alias("shingle")
+    )
+    docs_per = sh.groupBy("shingle").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    dup = F.when(F.col("nd") >= 2, F.lit(1)).otherwise(F.lit(0))
+    frac = F.sum(dup) * F.lit(1.0) / F.count("*")
+    return (
+        sh.join(F.broadcast(docs_per), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_shingles"),
+            portable_round(frac, 4).alias("dup_frac"),
+            (frac >= 0.5).alias("flag"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# X63 — sliding-window document chunking (embedding / RAG prep)
+# --------------------------------------------------------------------------
+@query(
+    "x63_doc_chunking",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws, LEN(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, n,
+             UNNEST(range(0,
+               1 + CASE WHEN n > {_CHUNK_SIZE}
+                        THEN CAST(CEIL((n - {_CHUNK_SIZE}) / {_CHUNK_STRIDE}.0) AS BIGINT)
+                        ELSE 0 END)) AS j,
+             ws
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(j AS INT) AS chunk_idx,
+           CAST(LEAST({_CHUNK_SIZE}, n - j * {_CHUNK_STRIDE}) AS INT)
+             AS n_words,
+           SUBSTRING(md5(array_to_string(
+             list_slice(ws, j * {_CHUNK_STRIDE} + 1,
+                        LEAST(j * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n)), ' ')), 1, 8)
+             AS fingerprint
+    FROM spans
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def x63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking — the embedding/RAG prep step that cuts each
+    document into overlapping {size}-word windows every {stride} words
+    (trailing partial window kept), with a stable md5 fingerprint per chunk
+    for downstream chunk-level dedup. Pure narrow map + explode: chunk
+    boundaries are integer arithmetic on the per-row word array, nothing
+    shuffles, the whole query pipelines inside one codegen stage over the
+    scan (ordering excepted)."""
+    size, stride = _CHUNK_SIZE, _CHUNK_STRIDE
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("ws"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    n = F.col("n")
+    n_chunks = F.lit(1) + F.when(
+        n > size,
+        F.ceil((n - F.lit(size)) / F.lit(float(stride))).cast("long"),
+    ).otherwise(F.lit(0))
+    spans = w.select(
+        "doc_id",
+        "n",
+        "ws",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("j"),
+    )
+    j = F.col("j")
+    start = j * stride + 1
+    chunk = F.slice(
+        F.col("ws"),
+        start,
+        F.least(start + F.lit(size - 1), n) - start + 1,
+    )
+    return spans.select(
+        "doc_id",
+        j.cast("int").alias("chunk_idx"),
+        F.least(F.lit(size), n - j * stride).cast("int").alias("n_words"),
+        F.substring(
+            F.md5(F.array_join(chunk, " ")), 1, 8
+        ).alias("fingerprint"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+x63.__doc__ = x63.__doc__.format(size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)

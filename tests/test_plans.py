@@ -261,3 +261,39 @@ def test_kmeans_ivf_probe_broadcasts_queries(spark):
     df = QUERIES["x59_kmeans_ivf_topk"](spark, SF_SMOKE)
     assert has_broadcast_hash_join(df)
     assert "CartesianProduct" not in explain_str(df)
+
+
+def test_lm_perplexity_model_broadcast(spark):
+    """x60: the scoring path joins the exploded corpus against the
+    BROADCAST LM — the corpus side must never sort-merge on the gram key
+    (CCNet ships the model to workers, not the corpus to the model)."""
+    s = explain_str(QUERIES["x60_lm_perplexity"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+
+
+def test_source_mixing_zero_shuffle_sample(spark):
+    """x61: the sample is a broadcast-rate filter over the scan — the
+    fact side must not hash-exchange before the keep decision; the only
+    hash exchanges are the tiny per-group aggs."""
+    s = explain_str(QUERIES["x61_source_mixing"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_crossdoc_ngrams_single_gram_agg(spark):
+    """x62: one gram-key aggregation + a broadcast verdict join — never
+    an all-pairs shape, never a suffix-array global sort of the grams."""
+    s = explain_str(QUERIES["x62_crossdoc_ngrams"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_doc_chunking_narrow(spark):
+    """x63: chunking is a pure narrow map + explode — no join, no hash
+    exchange anywhere (the single range exchange is the result sort)."""
+    s = explain_str(QUERIES["x63_doc_chunking"](spark, SF_SMOKE))
+    assert "Join" not in s
+    assert "hashpartitioning" not in s
