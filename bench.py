@@ -124,22 +124,29 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    # min over N runs: this box shows multi-second noise spikes on identical
-    # plans, and min-of-n is the standard way to report the plan's actual
-    # cost rather than scheduler noise.  The median and per-query CoV are
-    # reported alongside so measurement variance is visible in the artifact
-    # itself instead of needing a re-run to diagnose (VERDICT r4 task #2).
+    # min over N INTERLEAVED passes: this box shows multi-second transient
+    # stalls on identical plans (measured: forward vs reversed query order
+    # moves individual min-of-3 numbers by up to 3.5x — q59 4.79->1.93,
+    # x03 2.81->0.81 — while the 56-query totals differ 12%, see
+    # BENCH_NOTES.md).  Back-to-back repeats of one query all land inside
+    # the same stall window, so min-of-n over ADJACENT runs can't reject
+    # it; running the whole list as full passes decorrelates each query's
+    # samples in time, and min-of-passes then reports plan cost, not the
+    # stall.  Median and per-query CoV are reported alongside so variance
+    # is visible in the artifact itself (VERDICT r4 task #2).
     runs = int(os.environ.get("BENCH_RUNS", "3"))
+    samples_by_q: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
+    for _ in range(runs):
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            samples_by_q[name].append(time.perf_counter() - t0)
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     covs: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = QUERIES[name]
-        samples = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
+    for name, samples in samples_by_q.items():
         samples.sort()
         timings[name] = round(samples[0], 3)
         medians[name] = round(samples[len(samples) // 2], 3)
