@@ -69,6 +69,7 @@ def connected_components(
     # round instead of a join+count. decimal accumulator so the witness
     # cannot overflow at 1e9+-node graphs.
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         # push each node's label to its neighbors, then take the min of
         # {own label} ∪ {neighbor labels}
@@ -85,8 +86,19 @@ def connected_components(
             F.sum(F.col("lbl").cast("decimal(38,0)"))
         ).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # hash-min propagates the min one hop per round, so max_iter <
+        # diameter means the labels above are WRONG, not approximate —
+        # never return them silently (a >30-hop near-dup chain means the
+        # graph isn't the star-like shape this path is for)
+        raise RuntimeError(
+            f"hash-min connected components did not converge in "
+            f"{max_iter} rounds (graph diameter exceeds the budget); "
+            f"use algorithm='star' (O(log n) rounds on any topology)"
+        )
     return labels
 
 
@@ -194,22 +206,91 @@ def connected_components_star(
     return labels, rounds
 
 
+def _unionfind_min_labels(edge_rows: list) -> list[tuple[int, int]]:
+    """Driver-side union-find over a SMALL edge list: [(node, min-id of
+    its component)] for every node that appears in an edge. Identical
+    labels to the distributed algorithms (min member per component)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    return [(n, comp_min[find(n)]) for n in parent]
+
+
 def dedup_clusters(
     nodes: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     algorithm: str = "hash_min",
+    small_graph_threshold: int = 1_000_000,
 ) -> DataFrame:
     """DataFrame[doc_id, cluster_id, is_canonical]: component label per
     document; the canonical survivor of each cluster is its min-id
     member (deterministic, engine-portable). ``algorithm='star'`` switches
-    to large-star/small-star for long-chain graphs."""
-    if algorithm == "star":
+    to large-star/small-star for long-chain graphs.
+
+    Adaptive small-graph path: the deduped edge list is materialized and
+    counted ONCE (the distributed loops need it materialized anyway);
+    when it is driver-small (<= ``small_graph_threshold`` edges, ~16 B
+    each) the components come from an in-memory union-find and the label
+    table broadcasts back onto the (possibly huge) node set — a dedup
+    run whose candidate graph fits on the driver should not pay
+    O(rounds) distributed jobs of fixed latency each. Above the
+    threshold the O(log n)-round distributed algorithms run unchanged,
+    so the 100 TB path is the same code the property tests pin
+    (``small_graph_threshold=0`` forces it). Both paths produce
+    bit-identical labels (parity-tested)."""
+    norm = (
+        pairs.select(
+            F.least(F.col("a_id"), F.col("b_id")).alias("a_id"),
+            F.greatest(F.col("a_id"), F.col("b_id")).alias("b_id"),
+        )
+        .filter(F.col("a_id") != F.col("b_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if norm.count() <= small_graph_threshold:
+        spark = nodes.sparkSession
+        local = _unionfind_min_labels(
+            [(int(r[0]), int(r[1])) for r in norm.collect()]
+        )
+        lab = spark.createDataFrame(local, "node bigint, lbl bigint")
+        node_t = dict(nodes.dtypes)[id_col]
+        labels = (
+            nodes.select(F.col(id_col).cast("bigint").alias("node"))
+            .join(F.broadcast(lab), "node", "left")
+            .select(
+                F.col("node").cast(node_t).alias("node"),
+                F.coalesce(F.col("lbl"), F.col("node"))
+                .cast(node_t)
+                .alias("lbl"),
+            )
+        )
+    elif algorithm == "star":
         labels, _ = connected_components_star(
-            nodes, pairs, id_col, "a_id", "b_id"
+            nodes, norm, id_col, "a_id", "b_id"
         )
     else:
-        labels = connected_components(nodes, pairs, id_col, "a_id", "b_id")
+        labels = connected_components(nodes, norm, id_col, "a_id", "b_id")
     return labels.select(
         F.col("node").alias(id_col),
         F.col("lbl").alias("cluster_id"),

@@ -183,3 +183,50 @@ def test_dedup_clusters_star_algorithm(spark):
         (2, 0, False),
         (3, 0, False),
     }
+
+
+def test_small_graph_gate_matches_distributed(spark):
+    """The adaptive driver union-find path (default threshold) and both
+    forced-distributed paths (threshold=0) produce bit-identical
+    (cluster_id, is_canonical) labelings on a graph mixing chains, stars,
+    and isolated nodes."""
+    import random
+
+    rng = random.Random(7)
+    n = 200
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n)], "doc_id bigint"
+    )
+    edge_rows = [(i, i + 1) for i in range(0, 20)]  # 21-node chain
+    edge_rows += [(50, 50 + j) for j in range(1, 8)]  # star
+    edge_rows += [
+        (rng.randrange(60, 120), rng.randrange(60, 120)) for _ in range(40)
+    ]
+    edges = spark.createDataFrame(edge_rows, "a_id bigint, b_id bigint")
+
+    def labels(**kw):
+        return sorted(
+            (r["doc_id"], r["cluster_id"], r["is_canonical"])
+            for r in dedup_clusters(nodes, edges, **kw).collect()
+        )
+
+    gated = labels()
+    assert gated == labels(small_graph_threshold=0)  # hash-min
+    assert gated == labels(small_graph_threshold=0, algorithm="star")
+
+
+def test_hash_min_raises_on_diameter_exceeding_budget(spark):
+    """max_iter < diameter means hash-min's labels are wrong, not
+    approximate — it must raise (pointing at the star path), never
+    silently return unconverged labels."""
+    import pytest as _pytest
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id bigint, b_id bigint"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            nodes, edges, "doc_id", "a_id", "b_id", max_iter=3
+        )
