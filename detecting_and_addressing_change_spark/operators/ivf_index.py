@@ -1,0 +1,135 @@
+"""Persisted IVF index: fit once, write, probe many times.
+
+The in-memory IVF family (``similarity.ivf_topk``, ``kmeans_ivf_topk``)
+re-derives centroids and assignments inside every query — right for a
+one-shot experiment, wrong for a serving/index workload where the same
+100 TB corpus answers many query batches. This operator materializes the
+index the way a Spark-native vector store would:
+
+- ``centroids/``: k rows of (cell, quantized centroid) — the coarse
+  quantizer, driver-small by construction, collected at load time.
+- ``postings/``: the corpus PARTITIONED BY cell on disk, so a probe of
+  nprobe cells is a partition-PRUNED scan that reads nprobe/k of the
+  corpus (the plan test pins the PartitionFilters), not a full pass.
+
+Search collects the probe-cell set first (bounded by n_centroids — a
+handful of ints, not data) and pushes it into the postings scan as a
+static ``IN`` partition filter; candidates then join the broadcast query
+batch per cell, exactly the ``kmeans_ivf_topk`` scoring shape. Search
+results are bit-identical to the in-memory operator on the same fitted
+centroids (parity-tested in tests/test_ivf_index.py).
+
+At 100 TB: the index build is the k-means fit (O(n_iter) scans, see
+operators/kmeans.py) plus ONE partitioned write; each cell's postings
+file set is append-compactable (sinks/parquet.compact) and the searcher
+never touches cells it does not probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.arrays import cosine_col
+from ..functions.rounding import portable_round
+from .kmeans import kmeans_assign_col, kmeans_fit, kmeans_probe_cells_col
+from .similarity import quantize_col
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[int]]]:
+    """Fit the coarse quantizer and materialize the index at ``path``.
+
+    Returns the fitted centroids (also persisted) so a caller that builds
+    and immediately searches skips the centroid read."""
+    centroids = kmeans_fit(corpus, n_centroids, n_iter, id_col, vec_col)
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(cid, qc) for cid, qc in centroids], "cell int, qc array<bigint>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    qv = quantize_col(F.col(vec_col))
+    (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            kmeans_assign_col(centroids, qv).alias("cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/postings")
+    )
+    return centroids
+
+
+def load_ivf_centroids(
+    spark: SparkSession, path: str
+) -> list[tuple[int, list[int]]]:
+    """The coarse quantizer back from disk — k rows, driver-small."""
+    return sorted(
+        (int(r["cell"]), [int(v) for v in r["qc"]])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+
+
+def ivf_index_search(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: list[tuple[int, list[int]]] | None = None,
+) -> DataFrame:
+    """Top-k cosine search against a persisted index.
+
+    ``queries``: DataFrame[query_id_col, vec_col]. The probe-cell set is
+    collected first (<= n_centroids ints) and pushed into the postings
+    read as a static partition filter, so the scan is pruned to the
+    probed cells; candidates join the BROADCAST query batch per cell and
+    rank by exact cosine (ties to lowest candidate id), the same scoring
+    contract as ``kmeans_ivf_topk``."""
+    if centroids is None:
+        centroids = load_ivf_centroids(spark, path)
+    qv = quantize_col(F.col(vec_col))
+    q_cells = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("q_emb"),
+        F.explode(kmeans_probe_cells_col(centroids, qv, nprobe)).alias(
+            "cell"
+        ),
+    )
+    probed = sorted(
+        {int(r["cell"]) for r in q_cells.select("cell").distinct().collect()}
+    )
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("cell").isin(probed)
+    )
+    cand = postings.join(F.broadcast(q_cells), "cell").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = cand.select(
+        query_id_col,
+        F.col(id_col).alias("cand_id"),
+        cosine_col(F.col("q_emb"), F.col(vec_col)).alias("cos_raw"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_raw"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            query_id_col,
+            "cand_id",
+            portable_round(F.col("cos_raw"), 4).alias("cosine"),
+            "rnk",
+        )
+    )

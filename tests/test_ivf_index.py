@@ -1,0 +1,74 @@
+"""Persisted IVF index (operators/ivf_index.py): build/load round-trip,
+search parity with the in-memory operator, and the partition-pruned
+postings scan that is the point of materializing the index."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from detecting_and_addressing_change_spark.operators.ivf_index import (
+    build_ivf_index,
+    ivf_index_search,
+    load_ivf_centroids,
+)
+from detecting_and_addressing_change_spark.operators.kmeans import (
+    kmeans_ivf_topk,
+)
+from detecting_and_addressing_change_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_centroid_roundtrip(spark):
+    emb = load_table(spark, SF, "embeddings")
+    with tempfile.TemporaryDirectory() as tmp:
+        built = build_ivf_index(emb, f"{tmp}/idx")
+        assert load_ivf_centroids(spark, f"{tmp}/idx") == sorted(built)
+
+
+def test_search_matches_in_memory_operator(spark):
+    """Index search == kmeans_ivf_topk row-for-row on the same corpus,
+    same fit parameters, same query batch."""
+    emb = load_table(spark, SF, "embeddings")
+    qf = F.col("vec_id") < 5
+    expected = sorted(
+        map(
+            tuple,
+            kmeans_ivf_topk(emb, qf, k=3, nprobe=2).collect(),
+        )
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        build_ivf_index(emb, f"{tmp}/idx")
+        queries = emb.filter(qf).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = sorted(
+            map(
+                tuple,
+                ivf_index_search(
+                    spark, f"{tmp}/idx", queries, k=3, nprobe=2
+                ).collect(),
+            )
+        )
+    assert got == expected
+
+
+def test_postings_scan_partition_pruned(spark):
+    """The probe must reach the postings read as a PartitionFilter on
+    cell — reading nprobe/k of the corpus is the reason the index
+    exists; a full scan here would make materialization pointless."""
+    from detecting_and_addressing_change_spark.plans import explain_str
+
+    emb = load_table(spark, SF, "embeddings")
+    with tempfile.TemporaryDirectory() as tmp:
+        build_ivf_index(emb, f"{tmp}/idx")
+        queries = emb.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        s = explain_str(
+            ivf_index_search(spark, f"{tmp}/idx", queries, k=3, nprobe=2)
+        )
+        pf = s.split("PartitionFilters")[1][:200]
+        assert "cell" in pf
