@@ -93,6 +93,10 @@ BENCH_QUERIES = [
     "x61_source_mixing",
     "x62_crossdoc_ngrams",
     "x63_doc_chunking",
+    # round-5 two-sample drift tests (rank pairing / ECDF via the
+    # range-partitioned global order machinery)
+    "x64_mmd_drift",
+    "x65_ks_drift",
 ]
 
 

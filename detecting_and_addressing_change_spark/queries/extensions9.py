@@ -348,3 +348,215 @@ def x63(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 x63.__doc__ = x63.__doc__.format(size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
+
+
+# --------------------------------------------------------------------------
+# X64 — linear-time MMD two-sample drift test on embeddings
+# --------------------------------------------------------------------------
+@query(
+    "x64_mmd_drift",
+    oracle=f"""
+    WITH r AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             ROW_NUMBER() OVER (ORDER BY vec_id) AS rk
+      FROM embeddings WHERE label = 0
+    ),
+    c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             ROW_NUMBER() OVER (ORDER BY vec_id) AS rk
+      FROM embeddings WHERE label = 1
+    ),
+    p AS (
+      SELECT (r.rk - 1) // 2 AS qid,
+             (r.rk - 1) % 2 AS idx, r.emb AS x, c.emb AS y
+      FROM r JOIN c USING (rk)
+    ),
+    q AS (
+      SELECT p0.qid, p0.x AS x1, p0.y AS y1, p1.x AS x2, p1.y AS y2
+      FROM (SELECT * FROM p WHERE idx = 0) p0
+      JOIN (SELECT * FROM p WHERE idx = 1) p1 USING (qid)
+    ),
+    ex AS (
+      SELECT qid, UNNEST(x1) AS vx1, UNNEST(x2) AS vx2,
+             UNNEST(y1) AS vy1, UNNEST(y2) AS vy2
+      FROM q
+    ),
+    sq AS (
+      SELECT qid,
+             SUM((vx1 - vx2) * (vx1 - vx2)) AS dxx,
+             SUM((vy1 - vy2) * (vy1 - vy2)) AS dyy,
+             SUM((vx1 - vy2) * (vx1 - vy2)) AS dxy,
+             SUM((vx2 - vy1) * (vx2 - vy1)) AS dyx
+      FROM ex GROUP BY qid
+    ),
+    h AS (
+      SELECT EXP(-dxx / 16.0) + EXP(-dyy / 16.0)
+             - EXP(-dxy / 16.0) - EXP(-dyx / 16.0) AS h
+      FROM sq
+    )
+    SELECT CAST(COUNT(*) AS INT) AS n_quads,
+           {portable_round_sql("AVG(h)", 4)} AS mmd2,
+           {portable_round_sql("AVG(h)", 4)} > 0.05 AS flag
+    FROM h
+    """,
+)
+def x64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised representation-drift detection — the reference's
+    unsupervised experiment theme (``drift_detection/drift_experiments_
+    unsupervised.py``) as a proper two-sample test: the LINEAR-TIME MMD^2
+    estimator (Gretton et al. 2012, lemma 14 — h-statistic over disjoint
+    sample quadruples, RBF kernel 2*sigma^2=16) between two embedding
+    windows. O(n) kernel evaluations instead of the O(n^2) Gram matrix,
+    which is the published scale path for MMD at corpus size. Plan: each
+    window gets a range-partitioned global rank (no single-partition
+    window), quadruples pair by integer rank arithmetic through two keyed
+    joins, and the statistic is one scalar agg — shuffle volume is the
+    rank repartition only. Pairing by rank is deterministic, so the
+    statistic is engine-reproducible (oracle replays it with
+    ROW_NUMBER)."""
+    from ..operators.order import global_rank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def ranked(label: int, out: str) -> DataFrame:
+        win = emb.filter(F.col("label") == label).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias(out)
+        )
+        return global_rank(win, [F.asc("vec_id")], rank_col="rk").select(
+            "rk", out
+        )
+
+    pairs = (
+        ranked(0, "x")
+        .join(ranked(1, "y"), "rk")
+        .select(
+            F.floor((F.col("rk") - 1) / 2).alias("qid"),
+            ((F.col("rk") - 1) % 2).alias("idx"),
+            "x",
+            "y",
+        )
+    )
+    p0 = pairs.filter(F.col("idx") == 0).select(
+        "qid", F.col("x").alias("x1"), F.col("y").alias("y1")
+    )
+    p1 = pairs.filter(F.col("idx") == 1).select(
+        "qid", F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+
+    def sqd(a: str, b: str) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: (p - q) * (p - q)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def k(a: str, b: str) -> Column:
+        return F.exp(-sqd(a, b) / F.lit(16.0))
+
+    h = (
+        p0.join(p1, "qid")
+        .select(
+            (k("x1", "x2") + k("y1", "y2") - k("x1", "y2") - k("x2", "y1"))
+            .alias("h")
+        )
+    )
+    mmd2 = portable_round(F.avg("h"), 4)
+    return h.agg(
+        F.count("*").cast("int").alias("n_quads"),
+        mmd2.alias("mmd2"),
+        (mmd2 > 0.05).alias("flag"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X65 — distributed Kolmogorov-Smirnov two-sample drift test
+# --------------------------------------------------------------------------
+@query(
+    "x65_ks_drift",
+    oracle=f"""
+    WITH e AS (
+      SELECT embedding[1]::DOUBLE AS v, label FROM embeddings
+      WHERE label IN (0, 1)
+    ),
+    cnt AS (
+      SELECT v,
+             SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS n_r,
+             SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS n_c
+      FROM e GROUP BY v
+    ),
+    tot AS (
+      SELECT SUM(n_r) AS nr, SUM(n_c) AS nc FROM cnt
+    ),
+    cum AS (
+      SELECT SUM(n_r) OVER (ORDER BY v) AS cum_r,
+             SUM(n_c) OVER (ORDER BY v) AS cum_c
+      FROM cnt
+    ),
+    d AS (
+      SELECT MAX(ABS(cum_r / tot.nr - cum_c / tot.nc)) AS d_stat
+      FROM cum CROSS JOIN tot
+    )
+    SELECT CAST(tot.nr AS INT) AS n_ref,
+           CAST(tot.nc AS INT) AS n_cur,
+           {portable_round_sql("d.d_stat", 4)} AS d_stat,
+           {portable_round_sql("d.d_stat", 4)}
+             > 1.358 * SQRT((tot.nr + tot.nc) / (tot.nr * tot.nc)) AS flag
+    FROM d CROSS JOIN tot
+    """,
+)
+def x65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov two-sample test between two embedding windows
+    (first coordinate): sup-norm distance of the empirical CDFs with the
+    alpha=0.05 large-sample rejection bound — the classic distribution
+    drift detector the reference's unsupervised experiments approximate
+    with model error. Plan: per-value counts are ONE key shuffle; both
+    cumulative counts come from the range-partition + broadcast-offsets
+    global cumsum (`operators/order.py` — no single-partition Window);
+    the statistic is a scalar agg. Cumulative counts are exact integers
+    and each ECDF value k/N is one IEEE division, so D is bit-identical
+    across engines — the oracle needs no tolerance."""
+    from ..operators.order import global_cumsum
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isin(0, 1)
+    )
+    cnt = (
+        e.select(
+            F.element_at(F.col("embedding"), 1).cast("double").alias("v"),
+            "label",
+        )
+        .groupBy("v")
+        .agg(
+            F.sum((F.col("label") == 0).cast("long")).alias("n_r"),
+            F.sum((F.col("label") == 1).cast("long")).alias("n_c"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("n_r").alias("nr"), F.sum("n_c").alias("nc")
+    )
+    cum = global_cumsum(cnt, [F.asc("v")], "n_r", out_col="cum_r")
+    cum = global_cumsum(cum, [F.asc("v")], "n_c", out_col="cum_c")
+    d = (
+        cum.join(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_r") / F.col("nr")
+                    - F.col("cum_c") / F.col("nc")
+                )
+            ).alias("d_stat")
+        )
+    )
+    dd = portable_round(F.col("d_stat"), 4)
+    bound = F.lit(1.358) * F.sqrt(
+        (F.col("nr") + F.col("nc")) / (F.col("nr") * F.col("nc"))
+    )
+    return (
+        d.join(F.broadcast(tot))
+        .select(
+            F.col("nr").cast("int").alias("n_ref"),
+            F.col("nc").cast("int").alias("n_cur"),
+            dd.alias("d_stat"),
+            (dd > bound).alias("flag"),
+        )
+    )

@@ -297,3 +297,14 @@ def test_doc_chunking_narrow(spark):
     s = explain_str(QUERIES["x63_doc_chunking"](spark, SF_SMOKE))
     assert "Join" not in s
     assert "hashpartitioning" not in s
+
+
+def test_two_sample_drift_no_global_window(spark):
+    """x64/x65: rank pairing and ECDF cumulation must use the
+    range-partition + broadcast-offsets decomposition — a bare
+    ROW_NUMBER()/SUM() OVER (ORDER BY ...) would serialize the corpus
+    through one task."""
+    for name in ["x64_mmd_drift", "x65_ks_drift"]:
+        s = explain_str(QUERIES[name](spark, SF_SMOKE))
+        assert "Window" not in s, name
+        assert "CartesianProduct" not in s, name
