@@ -256,10 +256,15 @@ def _mapping_experiment_body(
     )
     from .sources.pair_cache import build_adaptation_pairs
 
-    feats_a = pooled_features(docs, model_a, dim, id_col).persist()
-    cached.append(feats_a)
-    feats_b = pooled_features(docs, model_b, dim, id_col).persist()
-    cached.append(feats_b)
+    # both embedding spaces in ONE fused embed+pool pass (the corpus is
+    # scanned and embedded once, not once per model — same treatment the
+    # unsupervised experiment got in round 5)
+    pooled = pooled_features_models(
+        docs, (model_a, model_b), dim, id_col
+    ).persist()
+    cached.append(pooled)
+    feats_a = pooled.filter(F.col("model") == model_a).drop("model")
+    feats_b = pooled.filter(F.col("model") == model_b).drop("model")
     stats = nb_collect_stats(
         nb_fit(
             feats_a.join(labels, id_col), features_col="features",
