@@ -53,12 +53,16 @@ def build_ivf_index(
     spark.createDataFrame(
         [(cid, qc) for cid, qc in centroids], "cell int, qc array<bigint>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    qv = quantize_col(F.col(vec_col))
     (
         corpus.select(
             F.col(id_col),
             F.col(vec_col),
-            kmeans_assign_col(centroids, qv).alias("cell"),
+            quantize_col(F.col(vec_col)).alias("__qv"),
+        )
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            kmeans_assign_col(centroids, "__qv").alias("cell"),
         )
         .write.mode("overwrite")
         .partitionBy("cell")
@@ -98,11 +102,14 @@ def ivf_index_search(
     contract as ``kmeans_ivf_topk``."""
     if centroids is None:
         centroids = load_ivf_centroids(spark, path)
-    qv = quantize_col(F.col(vec_col))
     q_cells = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("q_emb"),
-        F.explode(kmeans_probe_cells_col(centroids, qv, nprobe)).alias(
+        quantize_col(F.col(vec_col)).alias("__qv"),
+    ).select(
+        query_id_col,
+        "q_emb",
+        F.explode(kmeans_probe_cells_col(centroids, "__qv", nprobe)).alias(
             "cell"
         ),
     )

@@ -45,43 +45,66 @@ from ..functions.rounding import portable_round
 from .similarity import QUANT_SCALE, quantize_col
 
 
-def _sqdist(qc: list[int], qv_col: Column) -> Column:
+def _sqdist_sql(qc: list[int], qv_sql: str) -> str:
     """Exact int64 squared distance between a literal quantized centroid
-    and a quantized vector column."""
-    qc_arr = F.array(*[F.lit(int(c)) for c in qc])
-    # (x-c)*(x-c), NOT **2: Column.__pow__ lowers to double POW, which
-    # would forfeit the exact-int64 determinism the oracle relies on
+    and a quantized vector expression, as SQL text.
+
+    The whole argmin expression is built as ONE string and parsed by the
+    JVM in one call: constructing it as a py4j Column graph
+    (F.array(*[F.lit(c) ...]) + per-centroid lambdas) costs hundreds of
+    driver round-trips, which at k=8 x dim=64 made assign-expression
+    CONSTRUCTION (~0.9 s of driver-side Python) the dominant cost of
+    every Lloyd's iteration. (x-c)*(x-c), NOT power(): POW lowers to
+    double and would forfeit the exact-int64 determinism the oracle
+    relies on."""
+    arr = "array(" + ",".join(f"{int(c)}L" for c in qc) + ")"
+    return (
+        f"aggregate(zip_with({arr}, {qv_sql}, (c, x) -> (x - c) * (x - c)),"
+        f" 0L, (acc, x) -> acc + x)"
+    )
+
+
+def _cells_sql(
+    centroids: list[tuple[int, list[int]]], qv_sql: str
+) -> str:
+    structs = ",".join(
+        f"named_struct('d', {_sqdist_sql(qc, qv_sql)}, 'cid', {int(cid)})"
+        for cid, qc in centroids
+    )
+    return f"array({structs})"
+
+
+def kmeans_assign_col(
+    centroids: list[tuple[int, list[int]]], qv: Column | str
+) -> Column:
+    """Argmin cell id over literal quantized centroids: struct-min on
+    (distance, centroid_id) — lowest distance wins, ties to lowest id.
+
+    ``qv``: the quantized-vector column NAME (fast path — the whole
+    expression is one parsed SQL string) or a Column (it is given a
+    temporary name via a no-op struct wrap, slightly more driver work)."""
+    if isinstance(qv, str):
+        return F.expr(
+            f"array_min({_cells_sql(centroids, qv)})['cid']"
+        ).cast("int")
+    return F.array_min(_cells_col(centroids, qv))["cid"].cast("int")
+
+
+def _sqdist(qc: list[int], qv_col: Column) -> Column:
+    """Column-input twin of :func:`_sqdist_sql` (one F.expr literal array
+    per centroid, then JVM-side zip_with/aggregate)."""
+    qc_arr = F.expr("array(" + ",".join(f"{int(c)}L" for c in qc) + ")")
     return F.aggregate(
-        F.zip_with(
-            qc_arr,
-            qv_col,
-            lambda c, x: (x - c.cast("long")) * (x - c.cast("long")),
-        ),
+        F.zip_with(qc_arr, qv_col, lambda c, x: (x - c) * (x - c)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
 
 
-def kmeans_assign_col(
+def _cells_col(
     centroids: list[tuple[int, list[int]]], qv_col: Column
 ) -> Column:
-    """Argmin cell id over literal quantized centroids: struct-min on
-    (distance, centroid_id) — lowest distance wins, ties to lowest id."""
-    cells = [
-        F.struct(
-            _sqdist(qc, qv_col).alias("d"), F.lit(int(cid)).alias("cid")
-        )
-        for cid, qc in centroids
-    ]
-    return F.array_min(F.array(*cells))["cid"].cast("int")
-
-
-def kmeans_probe_cells_col(
-    centroids: list[tuple[int, list[int]]], qv_col: Column, nprobe: int
-) -> Column:
-    """The nprobe nearest cell ids (distance asc, ties to lowest id) —
-    the multi-probe recall knob, same tie rule as assignment."""
-    cells = F.array(
+    return F.array(
         *[
             F.struct(
                 _sqdist(qc, qv_col).alias("d"), F.lit(int(cid)).alias("cid")
@@ -89,8 +112,20 @@ def kmeans_probe_cells_col(
             for cid, qc in centroids
         ]
     )
+
+
+def kmeans_probe_cells_col(
+    centroids: list[tuple[int, list[int]]], qv: Column | str, nprobe: int
+) -> Column:
+    """The nprobe nearest cell ids (distance asc, ties to lowest id) —
+    the multi-probe recall knob, same tie rule as assignment."""
+    if isinstance(qv, str):
+        return F.expr(
+            f"transform(slice(array_sort({_cells_sql(centroids, qv)}),"
+            f" 1, {int(nprobe)}), s -> cast(s.cid as int))"
+        )
     return F.transform(
-        F.slice(F.array_sort(cells), 1, nprobe),
+        F.slice(F.array_sort(_cells_col(centroids, qv)), 1, nprobe),
         lambda s: s["cid"].cast("int"),
     )
 
@@ -133,32 +168,36 @@ def kmeans_fit(
 
     for _ in range(n_iter):
         assigned = quant.select(
-            kmeans_assign_col(centroids, F.col("qv")).alias("cell"), "qv"
+            kmeans_assign_col(centroids, "qv").alias("cell"), "qv"
         )
+        # per-(cell, dim) sums via posexplode: ONE map-side-combinable
+        # shuffle of k*dim groups, and — unlike k*dim unrolled sum
+        # columns — an O(1)-size expression tree, so Catalyst analysis
+        # does not grow with the embedding dimension (the unrolled form
+        # cost ~1.5 s of compile PER ITERATION at dim=64)
         sums = (
-            assigned.groupBy("cell")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(F.element_at(F.col("qv"), d + 1)).alias(f"s{d}")
-                    for d in range(dim)
-                ],
-            )
+            assigned.select("cell", F.posexplode("qv").alias("d", "v"))
+            .groupBy("cell", "d")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        by_cell = {int(r["cell"]): r for r in sums}
+        by_cell: dict[int, dict[int, int]] = {}
+        n_by_cell: dict[int, int] = {}
+        for r in sums:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["d"])] = int(r["s"])
+            n_by_cell[int(r["cell"])] = int(r["n"])
         new_centroids = []
         for cid, old_qc in centroids:
-            r = by_cell.get(cid)
-            if r is None:  # empty cell: keep the previous centroid
+            s = by_cell.get(cid)
+            if s is None:  # empty cell: keep the previous centroid
                 new_centroids.append((cid, old_qc))
                 continue
-            n = int(r["n"])
+            n = n_by_cell[cid]
             new_centroids.append(
                 (
                     cid,
                     [
-                        int(math.floor(int(r[f"s{d}"]) / n + 0.5))
+                        int(math.floor(s[d] / n + 0.5))
                         for d in range(dim)
                     ],
                 )
@@ -177,10 +216,11 @@ def kmeans_cells(
     """Fit + final assignment: DataFrame[vec_id, cell] for every vector —
     the IVF index-build output (x58)."""
     centroids = kmeans_fit(corpus, n_centroids, n_iter, id_col, vec_col)
-    qv = quantize_col(F.col(vec_col))
     return corpus.select(
+        F.col(id_col), quantize_col(F.col(vec_col)).alias("__qv")
+    ).select(
         F.col(id_col),
-        kmeans_assign_col(centroids, qv).alias("cell"),
+        kmeans_assign_col(centroids, "__qv").alias("cell"),
     )
 
 
@@ -203,15 +243,24 @@ def kmeans_ivf_topk(
     centroids = kmeans_fit(corpus, n_centroids, n_iter, id_col, vec_col)
     qv = quantize_col(F.col(vec_col))
     assigned = corpus.select(
-        F.col(id_col), F.col(vec_col), kmeans_assign_col(centroids, qv).alias("cell")
+        F.col(id_col), F.col(vec_col), qv.alias("__qv")
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        kmeans_assign_col(centroids, "__qv").alias("cell"),
     )
     q_cells = (
         corpus.filter(query_filter)
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_emb"),
+            qv.alias("__qv"),
+        )
+        .select(
+            "query_id",
+            "q_emb",
             F.explode(
-                kmeans_probe_cells_col(centroids, qv, nprobe)
+                kmeans_probe_cells_col(centroids, "__qv", nprobe)
             ).alias("cell"),
         )
     )
