@@ -148,7 +148,14 @@ def x46(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword fraction, and the resulting keep decision. One narrow
     projection — no shuffle, no UDF; the dominance signal uses the sorted
     run-length fold so per-row cost is O(n log n) sort + O(n) scan."""
-    docs = load_table(spark, sf_dir, "documents")
+    return quality_signals(load_table(spark, sf_dir, "documents"))
+
+
+def quality_signals(docs: DataFrame) -> DataFrame:
+    """The x46 signal projection over any DataFrame[doc_id, text] — a pure
+    narrow map, so it applies UNCHANGED to a Structured Streaming source
+    (parity-tested in tests/test_streaming.py: a replayed document stream
+    produces row-identical signals to the batch scan)."""
     w0 = F.split(F.col("text"), " ")
     # stage the split ONCE as a projected column (HOFs don't codegen, so a
     # repeated subtree would re-split per consuming signal)

@@ -411,3 +411,44 @@ def test_quality_monitor_stream_matches_batch(spark, detector):
     assert len(got) == len(batch)
     for r in got:
         assert batch[r["seq_id"]] == r["flag"], r["seq_id"]
+
+
+def test_quality_signals_stream_matches_batch(spark):
+    """The x46 curation signals are a pure narrow map, so the SAME
+    projection runs on a live document stream with row-identical output —
+    quality filtering can happen at ingest time, not only in batch."""
+    from detecting_and_addressing_change_spark.queries.extensions7 import (
+        quality_signals,
+    )
+    from detecting_and_addressing_change_spark.sources.tables import (
+        load_table,
+    )
+    from detecting_and_addressing_change_spark.streaming.replay import (
+        read_replay_stream,
+        stage_replay_files,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    batch = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in quality_signals(docs).collect()
+    }
+    with tempfile.TemporaryDirectory() as tmp:
+        stage_replay_files(docs, "doc_id", f"{tmp}/staged", batch_size=16)
+        stream = read_replay_stream(
+            spark, f"{tmp}/staged", "doc_id long, text string"
+        )
+        q = (
+            quality_signals(stream)
+            .writeStream.format("memory")
+            .queryName("quality_stream")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM quality_stream").collect()
+    assert len(got) == len(batch)
+    for r in got:
+        assert batch[r["doc_id"]] == tuple(r)[1:], r["doc_id"]
