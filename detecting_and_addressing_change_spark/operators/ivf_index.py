@@ -71,6 +71,40 @@ def build_ivf_index(
     return centroids
 
 
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[int]]] | None = None,
+) -> None:
+    """Incremental index update: assign NEW vectors against the FROZEN
+    coarse quantizer and append their postings — the standard IVF
+    lifecycle (centroids refit rarely, postings grow continuously).
+    Appending writes only the touched cell partitions; a search after
+    append sees old + new candidates identically to a from-scratch build
+    with the same centroids (parity-tested). Re-fit + rebuild when the
+    corpus distribution has drifted enough that cell occupancy skews —
+    which is exactly what the x50/x64 drift monitors watch for."""
+    if centroids is None:
+        centroids = load_ivf_centroids(new_vectors.sparkSession, path)
+    (
+        new_vectors.select(
+            F.col(id_col),
+            F.col(vec_col),
+            quantize_col(F.col(vec_col)).alias("__qv"),
+        )
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            kmeans_assign_col(centroids, "__qv").alias("cell"),
+        )
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/postings")
+    )
+
+
 def load_ivf_centroids(
     spark: SparkSession, path: str
 ) -> list[tuple[int, list[int]]]:

@@ -72,3 +72,68 @@ def test_postings_scan_partition_pruned(spark):
         )
         pf = s.split("PartitionFilters")[1][:200]
         assert "cell" in pf
+
+
+def test_append_matches_full_build(spark):
+    """Build on half the corpus, append the other half against the frozen
+    centroids: search results equal a from-scratch postings build with
+    the SAME centroids — the incremental path loses nothing."""
+    from detecting_and_addressing_change_spark.operators.ivf_index import (
+        append_to_ivf_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        cents = build_ivf_index(first, f"{tmp}/inc")
+        append_to_ivf_index(rest, f"{tmp}/inc")
+        got = sorted(
+            map(
+                tuple,
+                ivf_index_search(
+                    spark, f"{tmp}/inc", queries, k=3, nprobe=2
+                ).collect(),
+            )
+        )
+        # from-scratch postings over the FULL corpus with the same
+        # (half-fit) centroids: overwrite the postings dir only
+        build_full = emb.select(
+            "vec_id",
+            "embedding",
+        )
+        from detecting_and_addressing_change_spark.operators.kmeans import (
+            kmeans_assign_col,
+        )
+        from detecting_and_addressing_change_spark.operators.similarity import (
+            quantize_col,
+        )
+
+        (
+            build_full.select(
+                "vec_id",
+                "embedding",
+                quantize_col(F.col("embedding")).alias("__qv"),
+            )
+            .select(
+                "vec_id",
+                "embedding",
+                kmeans_assign_col(cents, "__qv").alias("cell"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{tmp}/inc/postings")
+        )
+        expected = sorted(
+            map(
+                tuple,
+                ivf_index_search(
+                    spark, f"{tmp}/inc", queries, k=3, nprobe=2,
+                    centroids=cents,
+                ).collect(),
+            )
+        )
+    assert got == expected
