@@ -452,3 +452,67 @@ def test_quality_signals_stream_matches_batch(spark):
     assert len(got) == len(batch)
     for r in got:
         assert batch[r["doc_id"]] == tuple(r)[1:], r["doc_id"]
+
+
+def test_detector_stream_restart_carries_state(spark, error_rows):
+    """Kill-and-restart for the streaming detector: half the series, a
+    completed availableNow run, then the REST staged and a NEW query on
+    the SAME checkpoint — the detector state (counts, p/s minima) must
+    carry across the restart so the full flag sequence equals the batch
+    operator. This is the S6 restart contract for the detector path, not
+    just the upsert sink."""
+    from detecting_and_addressing_change_spark.streaming.ddm_stream import (
+        detect_drift_stream,
+    )
+    from detecting_and_addressing_change_spark.streaming.replay import (
+        read_replay_stream,
+        stage_replay_files,
+    )
+
+    df = spark.createDataFrame(
+        error_rows, "detector_id string, seq_id long, error double"
+    )
+    half = 400
+    first = df.filter(F.col("seq_id") < half)
+    rest = df.filter(F.col("seq_id") >= half)
+    schema = "detector_id string, seq_id long, error double"
+    with tempfile.TemporaryDirectory() as tmp:
+        staged = f"{tmp}/staged"
+        n1 = stage_replay_files(first, "seq_id", staged, batch_size=100)
+
+        def run_round():
+            # foreachBatch, not the memory sink: memory does not support
+            # recovering from a checkpoint, and recovery is the point here
+            rows = []
+
+            def sink(bdf, _epoch):
+                rows.extend(bdf.collect())
+
+            stream = read_replay_stream(spark, staged, schema)
+            q = (
+                detect_drift_stream(stream)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return rows
+
+        got1 = run_round()
+        assert len(got1) == half * 2  # two detectors
+        stage_replay_files(
+            rest, "seq_id", staged, batch_size=100, start_index=n1
+        )
+        got2 = run_round()  # NEW query, same checkpoint
+
+    batch = {
+        (r["detector_id"], r["seq_id"]): r["flag"]
+        for r in detect_drift(df).collect()
+    }
+    seen = {}
+    for r in list(got1) + list(got2):
+        seen[(r["detector_id"], r["seq_id"])] = r["flag"]
+    assert len(seen) == len(error_rows)
+    for key, flag in seen.items():
+        assert batch[key] == flag, key
