@@ -712,6 +712,29 @@ def x55(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination check is the broadcast gram join; the verdict joins are
     all keyed on doc_id; the final agg collapses to |sources| rows."""
     docs = load_table(spark, sf_dir, "documents")
+    return (
+        curation_verdicts(docs)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.sum("keep").cast("int").alias("n_kept"),
+            portable_round(
+                F.sum("keep") * F.lit(1.0) / F.count("*") * 1.0, 4
+            ).alias("kept_frac"),
+            F.sum(F.col("keep") * F.col("nw")).cast("int").alias(
+                "kept_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def curation_verdicts(docs: DataFrame) -> DataFrame:
+    """Per-document curation verdict (the x55 rules):
+    DataFrame[doc_id, source, nw, keep] — keep=1 iff exact-dup canonical ∧
+    not benchmark split ∧ x46 quality bands ∧ not contaminated. Factored
+    out so ``curation.curate_corpus`` can MATERIALIZE the kept corpus from
+    the same single-plan verdict x55 reports stats over."""
     w0 = F.split(F.col("text"), " ")
     staged = docs.select(
         "doc_id",
@@ -749,6 +772,7 @@ def x55(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .select(
+            "doc_id",
             "source",
             "nw",
             (
@@ -761,20 +785,7 @@ def x55(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("keep"),
         )
     )
-    return (
-        verdicts.groupBy("source")
-        .agg(
-            F.count("*").cast("int").alias("n_docs"),
-            F.sum("keep").cast("int").alias("n_kept"),
-            portable_round(
-                F.sum("keep") * F.lit(1.0) / F.count("*") * 1.0, 4
-            ).alias("kept_frac"),
-            F.sum(F.col("keep") * F.col("nw")).cast("int").alias(
-                "kept_tokens"
-            ),
-        )
-        .orderBy("source")
-    )
+    return verdicts
 
 
 # --------------------------------------------------------------------------
