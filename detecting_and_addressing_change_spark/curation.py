@@ -56,3 +56,88 @@ def curate_corpus(docs: DataFrame, out_path: str) -> DataFrame:
 def load_curated(spark: SparkSession, out_path: str) -> DataFrame:
     """The kept corpus back, partition-prunable on source."""
     return spark.read.parquet(f"{out_path}/corpus")
+
+
+def build_training_shards(
+    docs: DataFrame,
+    out_path: str,
+    vocab_size: int = 512,
+    pack_size: int = 256,
+    packs_per_shard: int = 64,
+) -> DataFrame:
+    """The full pretraining-data build: curate → fit vocab → encode →
+    pack → shard, materialized.
+
+    - Curation: the x55 verdict (dedup ∧ split ∧ quality ∧ decontam).
+    - Vocabulary: the ``vocab_size`` most frequent words OF THE KEPT
+      corpus (tokenizers are fit on curated data), rank 1 = heaviest,
+      OOV = 0 — the x24 contract. The fitted vocab is written to
+      ``{out_path}/vocab`` as the run's tokenizer artifact.
+    - Encoding: a broadcast map literal applied inside a `transform`
+      over the split words — a zero-shuffle narrow map (the vocab is
+      driver-small by construction; a BPE-scale vocab would broadcast a
+      map column instead, same plan shape).
+    - Packing: x53's range-partitioned global cumsum lays the kept token
+      stream end-to-end in doc_id order and cuts fixed ``pack_size``
+      packs; ``packs_per_shard`` packs form one output shard.
+    - Write: `{out_path}/shards` partitioned by shard_id, sorted by
+      doc_id within files.
+
+    Returns the shards DataFrame read back from disk
+    (doc_id, token_ids, n_tokens, pack_id, pack_offset, shard_id)."""
+    from .operators.order import global_cumsum
+
+    verdicts = curation_verdicts(docs)
+    kept = docs.join(
+        verdicts.filter(F.col("keep") == 1).select("doc_id"), "doc_id"
+    )
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    toks = kept.select(
+        "doc_id", F.posexplode(words).alias("pos", "item")
+    )
+    top = (
+        toks.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("item").asc())
+        .limit(vocab_size)
+        .collect()
+    )
+    vocab = [(r["item"], i + 1) for i, r in enumerate(top)]
+    spark = docs.sparkSession
+    spark.createDataFrame(
+        vocab, "item string, token_id int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_path}/vocab")
+
+    def q(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    vmap = (
+        "map(" + ",".join(f"{q(w)},{tid}" for w, tid in vocab) + ")"
+        if vocab
+        else "map('', 0)"
+    )
+    encoded = kept.select(
+        "doc_id",
+        F.transform(
+            words, lambda w: F.coalesce(F.expr(vmap)[w], F.lit(0))
+        ).alias("token_ids"),
+    ).withColumn("n_tokens", F.size("token_ids"))
+
+    cum = global_cumsum(
+        encoded, [F.asc("doc_id")], "n_tokens", out_col="cum"
+    )
+    strt = F.col("cum") - F.col("n_tokens")
+    sharded = cum.select(
+        "doc_id",
+        "token_ids",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.floor(strt / pack_size).cast("int").alias("pack_id"),
+        (strt % pack_size).cast("int").alias("pack_offset"),
+    ).withColumn(
+        "shard_id",
+        F.floor(F.col("pack_id") / packs_per_shard).cast("int"),
+    )
+    write_partitioned(
+        sharded, f"{out_path}/shards", ["shard_id"], sort_cols=["doc_id"]
+    )
+    return spark.read.parquet(f"{out_path}/shards")

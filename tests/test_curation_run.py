@@ -53,3 +53,52 @@ def test_curate_corpus_matches_x55_report(spark):
         one = sorted(dirs)[0].split("=", 1)[1]
         s = kept.filter(F.col("source") == one)._jdf.queryExecution().toString()
         assert "PartitionFilters" in s
+
+
+def test_build_training_shards_end_to_end(spark):
+    """curate -> vocab -> encode -> pack -> shard, checked against an
+    independent local recompute: token conservation, x24-contract
+    encoding (rank-1 heaviest, OOV=0), and x53-contract pack boundaries
+    over the kept doc_id order."""
+    from collections import Counter
+
+    from detecting_and_addressing_change_spark.curation import (
+        build_training_shards,
+    )
+    from detecting_and_addressing_change_spark.queries.extensions7 import (
+        curation_verdicts,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    kept_ids = sorted(
+        r["doc_id"]
+        for r in curation_verdicts(docs)
+        .filter(F.col("keep") == 1)
+        .collect()
+    )
+    texts = {
+        r["doc_id"]: [w for w in r["text"].split(" ") if w != ""]
+        for r in docs.collect()
+    }
+    with tempfile.TemporaryDirectory() as tmp:
+        shards = build_training_shards(
+            docs, f"{tmp}/run", vocab_size=64, pack_size=32,
+            packs_per_shard=4,
+        )
+        rows = {r["doc_id"]: r for r in shards.collect()}
+    assert sorted(rows) == kept_ids
+
+    # local twin: vocab on kept corpus, encode, pack
+    cnt = Counter(w for d in kept_ids for w in texts[d])
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:64]
+    vid = {w: i + 1 for i, (w, _) in enumerate(ranked)}
+    start = 0
+    for d in kept_ids:
+        ws = texts[d]
+        r = rows[d]
+        assert list(r["token_ids"]) == [vid.get(w, 0) for w in ws], d
+        assert r["n_tokens"] == len(ws)
+        assert r["pack_id"] == start // 32, d
+        assert r["pack_offset"] == start % 32, d
+        assert r["shard_id"] == (start // 32) // 4, d
+        start += len(ws)
