@@ -371,13 +371,23 @@ def embedding_near_dup_pairs(
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
 
-    a = _with_sigs(corpus, "a", id_col, vec_col, n_planes, n_tables, dim)
-    b = _with_sigs(corpus, "b", id_col, vec_col, n_planes, n_tables, dim)
+    # the signature table is needed on BOTH sides of the self-join —
+    # materialize it once (id + tbl + sig: n_tables rows per vector, no
+    # embedding payload) instead of running the Arrow sig stage twice;
+    # at 100 TB this is the index table a production build would persist
+    # to storage anyway (SCALE.md: LSH index tables materialized)
+    sigs = (
+        _with_sigs(corpus, "a", id_col, vec_col, n_planes, n_tables, dim)
+        .drop("a_emb")
+        .localCheckpoint(eager=True)
+    )
+    b = sigs.select(
+        F.col("a_id").alias("b_id"), "tbl", "sig"
+    )
     # id-only pair dedup (arrays re-attached after the distinct — see
     # lsh_ann_topk for why)
     pairs = (
-        a.drop("a_emb")
-        .join(b.drop("b_emb"), ["tbl", "sig"])
+        sigs.join(b, ["tbl", "sig"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
