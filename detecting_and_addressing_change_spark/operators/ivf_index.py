@@ -125,6 +125,7 @@ def ivf_index_search(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroids: list[tuple[int, list[int]]] | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Top-k cosine search against a persisted index.
 
@@ -153,9 +154,13 @@ def ivf_index_search(
     postings = spark.read.parquet(f"{path}/postings").filter(
         F.col("cell").isin(probed)
     )
-    cand = postings.join(F.broadcast(q_cells), "cell").filter(
-        F.col(id_col) != F.col(query_id_col)
-    )
+    cand = postings.join(F.broadcast(q_cells), "cell")
+    if exclude_self:
+        # corpus-internal queries: a vector is not its own neighbour.
+        # Pass exclude_self=False when query ids live in a different id
+        # space than the postings (e.g. text queries against a chunk
+        # index), where an id collision would silently drop a candidate.
+        cand = cand.filter(F.col(id_col) != F.col(query_id_col))
     scored = cand.select(
         query_id_col,
         F.col(id_col).alias("cand_id"),

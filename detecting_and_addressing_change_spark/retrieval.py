@@ -1,0 +1,140 @@
+"""RAG-style retrieval build: chunk → embed → persisted IVF index →
+text-query search.
+
+The composition the x63/x58/x59 pieces exist for: cut documents into
+overlapping word windows (x63's boundaries, text retained), embed each
+chunk with the pluggable embedder (hash backend here; the HF backend is
+the same mapInPandas contract), build the persisted IVF index over the
+chunk vectors, and answer text queries by embedding them identically and
+probing the index. Chunk metadata (doc_id, chunk_idx, text) is written
+beside the index so hits resolve back to their source documents.
+
+Scale shape: chunking is a narrow map + explode; embedding is one
+Arrow-batched pass; the index build/probe inherit
+``operators/ivf_index.py``'s properties (one partitioned write,
+partition-pruned probes). Nothing here collects corpus-sized data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.embedder import pooled_embed_documents_tagged
+from .operators.ivf_index import build_ivf_index, ivf_index_search
+
+# chunk_id = doc_id * CHUNK_ID_BASE + chunk_idx; with 512-word truncation
+# and stride >= 1 a document cannot exceed 512 chunks, far under the base
+_CHUNK_ID_BASE = 10_000
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 16,
+    stride: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """x63's sliding-window boundaries with the chunk TEXT retained:
+    DataFrame[doc_id, chunk_idx, chunk_id, chunk_text]. Pure narrow map +
+    explode (zero hash exchange), same contract as the x63 query."""
+    w = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(text_col, " ").alias("ws"),
+        F.size(F.split(text_col, " ")).alias("n"),
+    )
+    n = F.col("n")
+    n_chunks = F.lit(1) + F.when(
+        n > size,
+        F.ceil((n - F.lit(size)) / F.lit(float(stride))).cast("long"),
+    ).otherwise(F.lit(0))
+    spans = w.select(
+        "doc_id",
+        "n",
+        "ws",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("j"),
+    )
+    j = F.col("j")
+    start = j * stride + 1
+    chunk = F.slice(
+        F.col("ws"), start, F.least(start + F.lit(size - 1), n) - start + 1
+    )
+    return spans.select(
+        "doc_id",
+        j.cast("int").alias("chunk_idx"),
+        (F.col("doc_id") * _CHUNK_ID_BASE + j).alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def build_text_index(
+    docs: DataFrame,
+    out_path: str,
+    dim: int = 8,
+    model: str = "BERT",
+    size: int = 16,
+    stride: int = 12,
+    n_centroids: int = 8,
+) -> None:
+    """Chunk, embed, and index ``docs`` at ``out_path``: the IVF index
+    over chunk vectors plus ``{out_path}/chunks`` metadata."""
+    chunks = chunk_documents(docs, size=size, stride=stride)
+    chunks.write.mode("overwrite").parquet(f"{out_path}/chunks")
+    spark = docs.sparkSession
+    chunks = spark.read.parquet(f"{out_path}/chunks")  # embed from disk,
+    # not through a recomputed chunk pipeline
+    vecs = _embed_as(chunks, "chunk_id", "chunk_text", model, dim)
+    build_ivf_index(vecs, out_path, n_centroids=n_centroids)
+
+
+def _embed_as(
+    df: DataFrame, id_col: str, text_col: str, model: str, dim: int
+) -> DataFrame:
+    tagged = df.select(
+        F.lit(model).alias("model"),
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+    return pooled_embed_documents_tagged(tagged, dim=dim).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("features").alias("embedding"),
+    )
+
+
+def search_text(
+    spark: SparkSession,
+    out_path: str,
+    query_texts: list[str],
+    k: int = 5,
+    nprobe: int = 2,
+    dim: int = 8,
+    model: str = "BERT",
+) -> DataFrame:
+    """Embed the query strings exactly like the chunks and probe the
+    index: DataFrame[query_id, doc_id, chunk_idx, chunk_text, cosine,
+    rnk]. query_id is the position in ``query_texts``."""
+    qdf = spark.createDataFrame(
+        list(enumerate(query_texts)), "query_id long, text string"
+    )
+    qvecs = _embed_as(qdf, "query_id", "text", model, dim).select(
+        F.col("vec_id").alias("query_id"),
+        "embedding",
+    )
+    hits = ivf_index_search(
+        spark, out_path, qvecs, k=k, nprobe=nprobe, exclude_self=False
+    )
+    chunks = spark.read.parquet(f"{out_path}/chunks")
+    return (
+        hits.join(
+            chunks, hits["cand_id"] == chunks["chunk_id"]
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            "chunk_idx",
+            "chunk_text",
+            "cosine",
+            "rnk",
+        )
+        .orderBy("query_id", "rnk")
+    )
