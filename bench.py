@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     # range-partitioned global order machinery)
     "x64_mmd_drift",
     "x65_ks_drift",
+    "x66_chunk_dedup",
 ]
 
 

@@ -560,3 +560,99 @@ def x65(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dd > bound).alias("flag"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X66 — chunk-level dedup rate (RAG-corpus hygiene over x63 fingerprints)
+# --------------------------------------------------------------------------
+@query(
+    "x66_chunk_dedup",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             LEN(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, n,
+             UNNEST(range(0,
+               1 + CASE WHEN n > {_CHUNK_SIZE}
+                        THEN CAST(CEIL((n - {_CHUNK_SIZE}) / {_CHUNK_STRIDE}.0) AS BIGINT)
+                        ELSE 0 END)) AS j,
+             ws
+      FROM w
+    ),
+    ch AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_slice(ws, j * {_CHUNK_STRIDE} + 1,
+                          LEAST(j * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n)), ' '))
+               AS fp
+      FROM spans
+    ),
+    per_fp AS (
+      SELECT fp, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+      FROM ch GROUP BY fp
+    )
+    SELECT CAST(COUNT(*) AS INT) AS n_distinct_chunks,
+           CAST(SUM(n_occ) AS INT) AS n_chunks,
+           CAST(SUM(n_occ - 1) AS INT) AS n_redundant,
+           {portable_round_sql(
+               "1.0 - COUNT(*) * 1.0 / SUM(n_occ)", 4
+           )} AS dup_rate,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS INT)
+             AS n_crossdoc_fps
+    FROM per_fp
+    """,
+)
+def x66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup — RAG-corpus hygiene: embedding-index entries
+    are CHUNKS, so redundancy is measured (and removed) at chunk
+    granularity, not document granularity. One fingerprint-key
+    aggregation over the x63 chunk stream: distinct chunks, total
+    chunks, redundant copies (kept = min-doc canonical per fingerprint),
+    the overall duplication rate, and how many fingerprints repeat
+    ACROSS documents (boilerplate) vs within. Plan: narrow chunk
+    explode -> one map-side-combinable groupBy(md5) -> one-row stats
+    agg; at 100 TB the fingerprint agg is the only shuffle and carries
+    16-byte keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    size, stride = _CHUNK_SIZE, _CHUNK_STRIDE
+    w = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("ws"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    n = F.col("n")
+    n_chunks = F.lit(1) + F.when(
+        n > size,
+        F.ceil((n - F.lit(size)) / F.lit(float(stride))).cast("long"),
+    ).otherwise(F.lit(0))
+    spans = w.select(
+        "doc_id", "n", "ws",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("j"),
+    )
+    j = F.col("j")
+    start = j * stride + 1
+    chunk = F.slice(
+        F.col("ws"), start,
+        F.least(start + F.lit(size - 1), n) - start + 1,
+    )
+    ch = spans.select(
+        "doc_id", F.md5(F.array_join(chunk, " ")).alias("fp")
+    )
+    per_fp = ch.groupBy("fp").agg(
+        F.count("*").alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return per_fp.agg(
+        F.count("*").cast("int").alias("n_distinct_chunks"),
+        F.sum("n_occ").cast("int").alias("n_chunks"),
+        F.sum(F.col("n_occ") - 1).cast("int").alias("n_redundant"),
+        portable_round(
+            F.lit(1.0) - F.count("*") * F.lit(1.0) / F.sum("n_occ"), 4
+        ).alias("dup_rate"),
+        F.sum((F.col("n_docs") >= 2).cast("int")).cast("int").alias(
+            "n_crossdoc_fps"
+        ),
+    )
