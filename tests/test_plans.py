@@ -308,3 +308,13 @@ def test_two_sample_drift_no_global_window(spark):
         s = explain_str(QUERIES[name](spark, SF_SMOKE))
         assert "Window" not in s, name
         assert "CartesianProduct" not in s, name
+
+
+def test_chunk_dedup_partial_agg(spark):
+    """x66: the fingerprint aggregation must partial-combine below its
+    exchange — the shuffle carries per-fingerprint partials, not the
+    exploded chunk stream."""
+    df = QUERIES["x66_chunk_dedup"](spark, SF_SMOKE)
+    assert has_partial_aggregate_before_shuffle(df)
+    s = explain_str(df)
+    assert "Join" not in s
