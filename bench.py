@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "x64_mmd_drift",
     "x65_ks_drift",
     "x66_chunk_dedup",
+    "x67_zorder_key",
 ]
 
 

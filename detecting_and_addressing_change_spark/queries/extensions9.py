@@ -656,3 +656,82 @@ def x66(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_crossdoc_fps"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# X67 — Z-order layout key (multi-column clustering for scan pruning)
+# --------------------------------------------------------------------------
+def _x67_oracle() -> str:
+    from ..operators.layout import morton_sql, norm16_sql
+
+    na = norm16_sql("l_orderkey", "bd.amin", "bd.amax")
+    nb = norm16_sql("l_partkey", "bd.bmin", "bd.bmax")
+    z = morton_sql(na, nb)
+    return f"""
+    WITH bd AS (
+      SELECT MIN(l_orderkey) AS amin, MAX(l_orderkey) AS amax,
+             MIN(l_partkey) AS bmin, MAX(l_partkey) AS bmax
+      FROM lineitem
+    ),
+    z AS (
+      SELECT l_orderkey, l_partkey, {z} AS zkey
+      FROM lineitem CROSS JOIN bd
+    ),
+    b AS (
+      SELECT zkey // 134217728 AS zbucket, l_orderkey, l_partkey FROM z
+    )
+    SELECT CAST(zbucket AS INT) AS zbucket,
+           CAST(COUNT(*) AS INT) AS n,
+           CAST(MAX(l_orderkey) - MIN(l_orderkey) AS INT) AS okey_spread,
+           CAST(MAX(l_partkey) - MIN(l_partkey) AS INT) AS pkey_spread
+    FROM b GROUP BY zbucket ORDER BY zbucket
+    """
+
+
+@query("x67_zorder_key", oracle=_x67_oracle())
+def x67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key — the Delta/Iceberg OPTIMIZE ZORDER design: the
+    Morton interleave of (l_orderkey, l_partkey) low bits gives ONE
+    clustering key whose ranges are small in BOTH dimensions, so files
+    written in z order carry tight min/max stats for either predicate
+    (locality is asserted on real written files in
+    tests/test_layout.py). Both columns are range-normalized to 16 bits
+    BEFORE interleaving — the mandatory step a naive Morton misses: a
+    small-domain column's raw bits are all low bits, so un-normalized
+    splits cluster on the wide column only (caught by the layout test).
+    This query reports per-z-bucket key spreads — exact int64 arithmetic,
+    identical in both engines. Plan: one 4-scalar bounds agg broadcast
+    onto the scan, narrow key computation, one bounded-key (<=32
+    buckets) partial-combined aggregation."""
+    from ..operators.layout import morton_col, norm16_col
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_orderkey").alias("amin"),
+        F.max("l_orderkey").alias("amax"),
+        F.min("l_partkey").alias("bmin"),
+        F.max("l_partkey").alias("bmax"),
+    )
+    z = morton_col(
+        norm16_col(F.col("l_orderkey"), F.col("amin"), F.col("amax")),
+        norm16_col(F.col("l_partkey"), F.col("bmin"), F.col("bmax")),
+    )
+    return (
+        li.join(F.broadcast(bounds))
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            F.floor(z / 134217728).cast("int").alias("zbucket"),
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count("*").cast("int").alias("n"),
+            (F.max("l_orderkey") - F.min("l_orderkey"))
+            .cast("int")
+            .alias("okey_spread"),
+            (F.max("l_partkey") - F.min("l_partkey"))
+            .cast("int")
+            .alias("pkey_spread"),
+        )
+        .orderBy("zbucket")
+    )

@@ -1,0 +1,80 @@
+"""Z-order layout (operators/layout.py): the Morton key is bit-exact
+against a local twin, and z-ordered files have tight min/max ranges in
+BOTH clustering columns — the property that makes multi-column scan
+pruning work."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from detecting_and_addressing_change_spark.operators.layout import (
+    morton_col,
+    write_zordered,
+)
+from detecting_and_addressing_change_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _morton_py(a: int, b: int) -> int:
+    def spread(x):
+        x &= 0xFFFF
+        for shift, mask in [
+            (8, 0x00FF00FF), (4, 0x0F0F0F0F),
+            (2, 0x33333333), (1, 0x55555555),
+        ]:
+            x = (x | (x << shift)) & mask
+        return x
+
+    return spread(a) | (spread(b) << 1)
+
+
+def test_morton_matches_python_twin(spark):
+    df = spark.createDataFrame(
+        [(a, b) for a in [0, 1, 5, 255, 65535] for b in [0, 2, 7, 65535]],
+        "a long, b long",
+    )
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", morton_col(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    }
+    for (a, b), z in got.items():
+        assert z == _morton_py(a, b), (a, b)
+
+
+def test_zordered_files_tight_in_both_dims(spark):
+    """8 z-ordered files: the mean per-file key range must be well under
+    the global range in BOTH columns (a single-column sort would leave
+    the other column's per-file range ~= global)."""
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    glob = li.agg(
+        (F.max("l_orderkey") - F.min("l_orderkey")).alias("ro"),
+        (F.max("l_partkey") - F.min("l_partkey")).alias("rp"),
+    ).collect()[0]
+    with tempfile.TemporaryDirectory() as tmp:
+        write_zordered(li, f"{tmp}/z", "l_orderkey", "l_partkey",
+                       num_files=8)
+        per_file = (
+            spark.read.parquet(f"{tmp}/z")
+            .withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg(
+                (F.max("l_orderkey") - F.min("l_orderkey")).alias("so"),
+                (F.max("l_partkey") - F.min("l_partkey")).alias("sp"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        total = spark.read.parquet(f"{tmp}/z").count()
+    assert total == li.count()
+    assert len(per_file) >= 4  # range partitioner may merge tiny ranges
+    mean_so = sum(r["so"] for r in per_file) / len(per_file)
+    mean_sp = sum(r["sp"] for r in per_file) / len(per_file)
+    assert mean_so < glob["ro"] * 0.6, (mean_so, glob["ro"])
+    assert mean_sp < glob["rp"] * 0.6, (mean_sp, glob["rp"])
