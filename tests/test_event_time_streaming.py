@@ -163,3 +163,88 @@ def test_session_window_stream_matches_batch(spark):
             ).collect()
         }
     assert got == expected
+
+
+def test_session_window_streaming_matches_batch(spark):
+    """Native stateful session windows in streaming: replayed events with
+    a watermark produce (in append mode) exactly the batch q47 sessions —
+    every emitted session matches key-for-key, and everything the
+    watermark finalized was emitted."""
+    import tempfile
+
+    from detecting_and_addressing_change_spark.sources.tables import (
+        load_table,
+    )
+    from detecting_and_addressing_change_spark.streaming.replay import (
+        read_replay_stream,
+        stage_replay_files,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("user_id", "ts")
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in ev.groupBy(
+            "user_id", F.session_window("ts", "5 minutes")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        .collect()
+    }
+    ordered = ev.orderBy("ts").withColumn(
+        "seq", F.monotonically_increasing_id()
+    )
+    # bucket watermark floor: max ts over all but the final bucket — every
+    # batch session ending before it MUST have been finalized and emitted
+    rows = ordered.collect()
+    n_buckets = 5
+    per = (len(rows) + n_buckets - 1) // n_buckets
+    floor_ts = max(r["ts"] for r in rows[: per * (n_buckets - 1)])
+    with tempfile.TemporaryDirectory() as tmp:
+        stage_replay_files(
+            ordered.select("user_id", "ts", "seq"), "seq",
+            f"{tmp}/staged", batch_size=per,
+        )
+        stream = read_replay_stream(
+            spark, f"{tmp}/staged",
+            "user_id long, ts timestamp, seq long",
+        )
+        out = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy("user_id", F.session_window("ts", "5 minutes"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events",
+            )
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sess_stream")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM sess_stream").collect()
+    emitted = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in got
+    }
+    # every emitted session is a real batch session, value-identical
+    for key, n in emitted.items():
+        assert batch.get(key) == n, key
+    # everything the watermark finalized was emitted
+    must_emit = {
+        k for k in batch if k[2] <= floor_ts
+    }
+    assert must_emit <= set(emitted)
+    assert emitted  # non-trivial
