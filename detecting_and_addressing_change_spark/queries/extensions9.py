@@ -3,7 +3,9 @@ curation toolkit — language-model perplexity scoring (the CCNet signal the
 x54 NB filter approximates), mixture sampling to target source weights
 (the Pile/LLaMA-style domain reweighting step), cross-document repeated
 n-gram detection (the distributed approximation of suffix-array ExactSubstr
-dedup), and sliding-window document chunking (embedding/RAG prep).
+dedup), sliding-window document chunking (embedding/RAG prep) plus its
+chunk-level dedup rate, two-sample drift tests (linear-time MMD and a
+distributed Kolmogorov-Smirnov), and the Z-order layout key.
 
 Scale notes (100 TB):
 - x60 fits the bigram LM with ONE map-side-combinable shuffle on the gram
@@ -20,7 +22,14 @@ Scale notes (100 TB):
   shuffle join on the same key the aggregation just produced, so AQE
   reuses the exchange).
 - x63 is a pure narrow map + explode: chunk boundaries are computed from
-  the word array per row; nothing shuffles.
+  the word array per row; nothing shuffles. x66 adds one 16-byte
+  fingerprint-key aggregation on top.
+- x64/x65 route every global order statistic (rank pairing, ECDF
+  cumulatives) through the range-partition + broadcast-offsets
+  decomposition — no single-partition window (plan-asserted); x64 is the
+  O(n) linear MMD estimator, never the O(n^2) Gram.
+- x67's layout key is a narrow map after one 4-scalar bounds broadcast;
+  the write path (operators/layout.py) is one range shuffle.
 """
 
 from __future__ import annotations
