@@ -99,6 +99,9 @@ BENCH_QUERIES = [
     "x65_ks_drift",
     "x66_chunk_dedup",
     "x67_zorder_key",
+    # BPE tokenizer fit: one corpus word-count agg + adaptive vocab-local
+    # merge loop (distributed loop above 100k distinct words)
+    "x68_bpe_merges",
 ]
 
 

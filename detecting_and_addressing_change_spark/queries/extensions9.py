@@ -744,3 +744,43 @@ def x67(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+# --------------------------------------------------------------------------
+# X68 — BPE tokenizer fit (golden literal oracle, sf0.01-pinned)
+# --------------------------------------------------------------------------
+# Generated by tools/gen_bpe_oracle.py: the INDEPENDENT pure-Python BPE
+# reference run over the sf0.01 corpus (the same twin tests/test_bpe.py
+# pins the distributed fit against). sf0.01-pinned like x42/q61.
+_X68_ROWS = (
+    "(0, 'e', 'r'), (1, 'i', 'n'), (2, 'o', 'w'), (3, 'o', 'r'), "
+    "(4, 's', 't'), (5, 'm', 'er'), (6, 'a', 't'), (7, 'l', 'u'), "
+    "(8, 'a', 'r'), (9, 'p', 'ar'), (10, 'j', 'o'), (11, 'jo', 'in')"
+)
+
+
+@query(
+    "x68_bpe_merges",
+    oracle=f"""
+    SELECT * FROM (VALUES {_X68_ROWS}) AS t(rank, left_sym, right_sym)
+    ORDER BY rank
+    """,
+)
+def x68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016) — the distributed
+    fit in operators/bpe.py: ONE corpus-sized word-count aggregation,
+    then every merge round touches only the distinct-word vocab table
+    (pair counts = one map-side-combinable groupBy per round, merge
+    application = an O(1)-size left-to-right SQL fold, lineage truncated
+    per round). Deterministic ties (count desc, pair asc) make the merge
+    list reproducible, so the oracle is a generated literal from the
+    independent pure-Python reference (tools/gen_bpe_oracle.py) —
+    sf0.01-pinned like the PCA/Procrustes goldens."""
+    from ..operators.bpe import bpe_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_fit(docs, n_merges=12)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left_sym string, right_sym string",
+    ).orderBy("rank")

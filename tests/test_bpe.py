@@ -1,0 +1,102 @@
+"""BPE tokenizer (operators/bpe.py): the distributed fit reproduces an
+independent pure-Python reference merge-for-merge on real corpus data,
+encoding round-trips losslessly, and the Spark encode matches the local
+encoder doc-for-doc."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from detecting_and_addressing_change_spark.operators.bpe import (
+    _encode_word,
+    bpe_encode,
+    bpe_fit,
+)
+from detecting_and_addressing_change_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+N_MERGES = 12
+
+
+def _fit_reference(word_counts: dict[str, int], n_merges: int):
+    """Independent BPE fit: pair counts over the weighted vocab, argmax
+    with (count desc, pair asc) ties, greedy left-to-right merge."""
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            c = word_counts[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (a, b) = best[0]
+        merges.append((a, b))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def _word_counts(spark):
+    docs = load_table(spark, SF, "documents")
+    wc: Counter = Counter()
+    texts = {}
+    for r in docs.collect():
+        texts[r["doc_id"]] = r["text"]
+        for w in r["text"].split(" "):
+            if w:
+                wc[w] += 1
+    return wc, texts
+
+
+def test_fit_matches_reference(spark):
+    docs = load_table(spark, SF, "documents")
+    wc, _ = _word_counts(spark)
+    expected = _fit_reference(dict(wc), N_MERGES)
+    # default: adaptive local path (vocab is driver-small here)
+    assert bpe_fit(docs, n_merges=N_MERGES) == expected
+    # forced DISTRIBUTED loop (pair-count groupBy + SQL-fold merges):
+    # bit-identical merge list
+    assert (
+        bpe_fit(docs, n_merges=N_MERGES, small_vocab_threshold=0)
+        == expected
+    )
+    assert len(expected) == N_MERGES  # corpus learns them all
+
+
+def test_encode_matches_local_and_roundtrips(spark):
+    docs = load_table(spark, SF, "documents")
+    wc, texts = _word_counts(spark)
+    merges = bpe_fit(docs, n_merges=N_MERGES)
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    assert got.keys() == texts.keys()
+    for d, text in texts.items():
+        words = [w for w in text.split(" ") if w]
+        expect = [t for w in words for t in _encode_word(w, ranks)]
+        toks, n = got[d]
+        assert toks == expect, d
+        assert n == len(expect)
+        # lossless: tokens concatenate back to the original words
+        assert "".join(toks) == "".join(words), d
+        # merges actually compress (chars -> fewer symbols)
+        assert n <= sum(len(w) for w in words)

@@ -18,6 +18,7 @@ ORACLE_NAMES = sorted(ORACLE_SQL)
 SF_PINNED = {
     "x42_pca_project": "/root/testdata/sf0.01",
     "q61_mapping_experiment": "/root/testdata/sf0.01",
+    "x68_bpe_merges": "/root/testdata/sf0.01",
 }
 
 
