@@ -58,25 +58,41 @@ def load_curated(spark: SparkSession, out_path: str) -> DataFrame:
     return spark.read.parquet(f"{out_path}/corpus")
 
 
+def _map_literal(vocab: list[tuple[str, int]]) -> str:
+    def q(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    return (
+        "map(" + ",".join(f"{q(w)},{tid}" for w, tid in vocab) + ")"
+        if vocab
+        else "map('', 0)"
+    )
+
+
 def build_training_shards(
     docs: DataFrame,
     out_path: str,
     vocab_size: int = 512,
     pack_size: int = 256,
     packs_per_shard: int = 64,
+    tokenizer: str = "word",
+    n_merges: int = 32,
 ) -> DataFrame:
-    """The full pretraining-data build: curate → fit vocab → encode →
+    """The full pretraining-data build: curate → fit tokenizer → encode →
     pack → shard, materialized.
 
     - Curation: the x55 verdict (dedup ∧ split ∧ quality ∧ decontam).
-    - Vocabulary: the ``vocab_size`` most frequent words OF THE KEPT
-      corpus (tokenizers are fit on curated data), rank 1 = heaviest,
-      OOV = 0 — the x24 contract. The fitted vocab is written to
-      ``{out_path}/vocab`` as the run's tokenizer artifact.
-    - Encoding: a broadcast map literal applied inside a `transform`
-      over the split words — a zero-shuffle narrow map (the vocab is
-      driver-small by construction; a BPE-scale vocab would broadcast a
-      map column instead, same plan shape).
+    - Tokenizer (fit on the KEPT corpus, as tokenizers are):
+      * ``"word"`` — the ``vocab_size`` most frequent words, rank 1 =
+        heaviest, OOV = 0 (the x24 contract); encoding is a broadcast
+        map literal inside a `transform` — a zero-shuffle narrow map.
+      * ``"bpe"`` — ``n_merges`` BPE merges (operators/bpe.py), then the
+        subword vocabulary ranked the same way; the subword id space is
+        bounded by |alphabet| + n_merges BY CONSTRUCTION, so the id map
+        is always driver-small regardless of corpus size, and no token
+        is ever OOV on the fit corpus.
+      The fitted artifact (word vocab, or merges + subword ids) is
+      written to ``{out_path}/vocab`` / ``{out_path}/merges``.
     - Packing: x53's range-partitioned global cumsum lays the kept token
       stream end-to-end in doc_id order and cuts fixed ``pack_size``
       packs; ``packs_per_shard`` packs form one output shard.
@@ -91,37 +107,60 @@ def build_training_shards(
     kept = docs.join(
         verdicts.filter(F.col("keep") == 1).select("doc_id"), "doc_id"
     )
-    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
-    toks = kept.select(
-        "doc_id", F.posexplode(words).alias("pos", "item")
-    )
-    top = (
-        toks.groupBy("item")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("item").asc())
-        .limit(vocab_size)
-        .collect()
-    )
-    vocab = [(r["item"], i + 1) for i, r in enumerate(top)]
     spark = docs.sparkSession
-    spark.createDataFrame(
-        vocab, "item string, token_id int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{out_path}/vocab")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    if tokenizer == "word":
+        toks = kept.select(
+            "doc_id", F.posexplode(words).alias("pos", "item")
+        )
+        top = (
+            toks.groupBy("item")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("item").asc())
+            .limit(vocab_size)
+            .collect()
+        )
+        vocab = [(r["item"], i + 1) for i, r in enumerate(top)]
+        spark.createDataFrame(
+            vocab, "item string, token_id int"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{out_path}/vocab")
+        vmap = _map_literal(vocab)
+        encoded = kept.select(
+            "doc_id",
+            F.transform(
+                words, lambda w: F.coalesce(F.expr(vmap)[w], F.lit(0))
+            ).alias("token_ids"),
+        ).withColumn("n_tokens", F.size("token_ids"))
+    elif tokenizer == "bpe":
+        from .operators.bpe import bpe_encode, bpe_fit
 
-    def q(s: str) -> str:
-        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
-
-    vmap = (
-        "map(" + ",".join(f"{q(w)},{tid}" for w, tid in vocab) + ")"
-        if vocab
-        else "map('', 0)"
-    )
-    encoded = kept.select(
-        "doc_id",
-        F.transform(
-            words, lambda w: F.coalesce(F.expr(vmap)[w], F.lit(0))
-        ).alias("token_ids"),
-    ).withColumn("n_tokens", F.size("token_ids"))
+        merges = bpe_fit(kept, n_merges=n_merges)
+        spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(merges)],
+            "rank int, left_sym string, right_sym string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{out_path}/merges")
+        enc = bpe_encode(kept, merges)
+        sub = (
+            enc.select(F.explode("tokens").alias("item"))
+            .groupBy("item")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("item").asc())
+            .collect()
+        )
+        vocab = [(r["item"], i + 1) for i, r in enumerate(sub)]
+        spark.createDataFrame(
+            vocab, "item string, token_id int"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{out_path}/vocab")
+        vmap = _map_literal(vocab)
+        encoded = enc.select(
+            "doc_id",
+            F.transform(
+                "tokens", lambda t: F.expr(vmap)[t]
+            ).alias("token_ids"),
+            "n_tokens",
+        )
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
 
     cum = global_cumsum(
         encoded, [F.asc("doc_id")], "n_tokens", out_col="cum"

@@ -102,3 +102,58 @@ def test_build_training_shards_end_to_end(spark):
         assert r["pack_offset"] == start % 32, d
         assert r["shard_id"] == (start // 32) // 4, d
         start += len(ws)
+
+
+def test_build_training_shards_bpe_tokenizer(spark):
+    """The BPE leg of the shard builder: subword encoding round-trips
+    losslessly, token ids map 1:1 to the written subword vocab, and the
+    pack boundaries follow the BPE token counts."""
+    from detecting_and_addressing_change_spark.curation import (
+        build_training_shards,
+    )
+    from detecting_and_addressing_change_spark.operators.bpe import (
+        _encode_word,
+    )
+    from detecting_and_addressing_change_spark.queries.extensions7 import (
+        curation_verdicts,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    kept_ids = sorted(
+        r["doc_id"]
+        for r in curation_verdicts(docs)
+        .filter(F.col("keep") == 1)
+        .collect()
+    )
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    with tempfile.TemporaryDirectory() as tmp:
+        shards = build_training_shards(
+            docs, f"{tmp}/run", tokenizer="bpe", n_merges=8,
+            pack_size=64, packs_per_shard=4,
+        )
+        rows = {r["doc_id"]: r for r in shards.collect()}
+        merges = [
+            (r["left_sym"], r["right_sym"])
+            for r in spark.read.parquet(f"{tmp}/run/merges")
+            .orderBy("rank")
+            .collect()
+        ]
+        vocab = {
+            r["token_id"]: r["item"]
+            for r in spark.read.parquet(f"{tmp}/run/vocab").collect()
+        }
+    assert sorted(rows) == kept_ids
+    assert len(merges) == 8
+    ranks = {p: i for i, p in enumerate(merges)}
+    start = 0
+    for d in kept_ids:
+        ws = [w for w in texts[d].split(" ") if w]
+        expect = [t for w in ws for t in _encode_word(w, ranks)]
+        r = rows[d]
+        got_tokens = [vocab[i] for i in r["token_ids"]]
+        assert got_tokens == expect, d
+        assert "".join(got_tokens) == "".join(ws), d  # lossless
+        assert r["n_tokens"] == len(expect)
+        assert r["pack_id"] == start // 64, d
+        assert r["pack_offset"] == start % 64, d
+        start += len(expect)
