@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     # BPE tokenizer fit: one corpus word-count agg + adaptive vocab-local
     # merge loop (distributed loop above 100k distinct words)
     "x68_bpe_merges",
+    "x69_oov_rate",
 ]
 
 

@@ -784,3 +784,80 @@ def x68(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, left_sym string, right_sym string",
     ).orderBy("rank")
+
+
+# --------------------------------------------------------------------------
+# X69 — out-of-vocabulary rate per language (tokenizer drift monitor)
+# --------------------------------------------------------------------------
+@query(
+    "x69_oov_rate",
+    oracle=f"""
+    WITH tr AS (
+      SELECT UNNEST(string_split(text, ' ')) AS item
+      FROM documents WHERE doc_id % 10 <> 7
+    ),
+    trc AS (
+      SELECT item, COUNT(*) AS cnt FROM tr WHERE item <> ''
+      GROUP BY item
+    ),
+    vocab AS (
+      SELECT item FROM trc ORDER BY cnt DESC, item LIMIT 24
+    ),
+    ev AS (
+      SELECT lang, UNNEST(string_split(text, ' ')) AS item
+      FROM documents WHERE doc_id % 10 = 7
+    ),
+    scored AS (
+      SELECT ev.lang,
+             CASE WHEN v.item IS NULL THEN 1 ELSE 0 END AS oov
+      FROM ev LEFT JOIN vocab v USING (item)
+      WHERE ev.item <> ''
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS INT) AS n_tokens,
+           CAST(SUM(oov) AS INT) AS n_oov,
+           {portable_round_sql("SUM(oov) * 1.0 / COUNT(*)", 4)}
+             AS oov_rate,
+           {portable_round_sql("SUM(oov) * 1.0 / COUNT(*)", 4)} > 0.3
+             AS flag
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+)
+def x69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate — the production tokenizer-drift signal: a
+    vocabulary fit on the TRAIN split (the engine's deterministic q22
+    split rule) scores the HELD-OUT split per language; a language whose
+    OOV rate jumps is drifting away from the tokenizer (the reference's
+    drift question asked of the token distribution). Plan: vocab fit is
+    one word-count agg + top-k (driver-small by construction, the x24
+    contract); scoring is a BROADCAST membership join over the exploded
+    eval split — the corpus side never shuffles before the |langs|-row
+    agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    train = docs.filter(F.col("doc_id") % 10 != 7)
+    vocab = (
+        train.select(F.explode(words).alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("item").asc())
+        .limit(24)
+        .select("item")
+    )
+    ev = docs.filter(F.col("doc_id") % 10 == 7).select(
+        "lang", F.explode(words).alias("item")
+    )
+    scored = ev.join(
+        F.broadcast(vocab.withColumn("in_v", F.lit(1))), "item", "left"
+    ).select("lang", F.col("in_v").isNull().cast("int").alias("oov"))
+    rate = portable_round(F.sum("oov") * F.lit(1.0) / F.count("*"), 4)
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.sum("oov").cast("int").alias("n_oov"),
+            rate.alias("oov_rate"),
+            (rate > 0.3).alias("flag"),
+        )
+        .orderBy("lang")
+    )
