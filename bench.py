@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     # merge loop (distributed loop above 100k distinct words)
     "x68_bpe_merges",
     "x69_oov_rate",
+    "x70_data_expectations",
 ]
 
 

@@ -861,3 +861,66 @@ def x69(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# X70 — data-quality expectation suite (Deequ pattern) over lineitem
+# --------------------------------------------------------------------------
+@query(
+    "x70_data_expectations",
+    oracle="""
+    WITH rowrules AS (
+      SELECT * FROM (VALUES
+        ('not_null(l_orderkey)',
+         (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL)),
+        ('in_range(l_quantity,1,50)',
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_quantity NOT BETWEEN 1 AND 50)),
+        ('is_in(l_returnflag)',
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_returnflag NOT IN ('A', 'N', 'R'))),
+        ('non_negative(l_extendedprice)',
+         (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice < 0)),
+        ('unique(l_orderkey,l_linenumber)',
+         (SELECT COALESCE(SUM(n - 1), 0) FROM (
+            SELECT COUNT(*) AS n FROM lineitem
+            GROUP BY l_orderkey, l_linenumber))),
+        ('fk(l_orderkey)',
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)))
+      ) AS t(rule, violations)
+    )
+    SELECT rule, CAST(violations AS BIGINT) AS violations,
+           violations = 0 AS pass
+    FROM rowrules ORDER BY rule
+    """,
+)
+def x70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite — the Deequ/Great-Expectations
+    pattern (operators/expectations.py): four row-local constraints fused
+    into ONE aggregation pass over the scan, the composite-key
+    uniqueness check as one groupBy, and referential integrity as one
+    broadcast anti-join against orders. The (rule, violations, pass)
+    audit record is what a production pipeline gates a write on."""
+    from ..operators.expectations import (
+        check,
+        in_range,
+        is_in,
+        non_negative,
+        not_null,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return check(
+        li,
+        rules=[
+            not_null("l_orderkey"),
+            in_range("l_quantity", 1, 50),
+            is_in("l_returnflag", ["A", "N", "R"]),
+            non_negative("l_extendedprice"),
+        ],
+        unique_keys=[["l_orderkey", "l_linenumber"]],
+        foreign_keys=[(["l_orderkey"], orders, ["o_orderkey"])],
+    ).orderBy("rule")
