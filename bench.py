@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "x68_bpe_merges",
     "x69_oov_rate",
     "x70_data_expectations",
+    "x71_textrank",
 ]
 
 

@@ -924,3 +924,131 @@ def x70(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique_keys=[["l_orderkey", "l_linenumber"]],
         foreign_keys=[(["l_orderkey"], orders, ["o_orderkey"])],
     ).orderBy("rule")
+
+
+# --------------------------------------------------------------------------
+# X71 — TextRank keywords: PageRank over the word co-occurrence graph
+# --------------------------------------------------------------------------
+_TR_ITER = 3
+_TR_DAMP = 0.85
+
+
+def _x71_oracle() -> str:
+    # unrolled PageRank iterations (the kmeans/x58 oracle pattern):
+    # r0 = 1/n; r_{t+1}(v) = (1-d)/n + d * sum_u w(u,v)/wdeg(u) * r_t(u)
+    parts = [
+        """e0 AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, LEN(ws)),
+                                   i -> ws[i])) AS a,
+             UNNEST(list_transform(range(1, LEN(ws)),
+                                   i -> ws[i + 1])) AS b
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    )""",
+        """edges AS (
+      SELECT a, b, COUNT(*) AS w FROM (
+        SELECT a, b FROM e0 WHERE a <> b
+        UNION ALL
+        SELECT b, a FROM e0 WHERE a <> b
+      ) GROUP BY a, b
+    )""",
+        "nodes AS (SELECT DISTINCT a AS v FROM edges)",
+        "n AS (SELECT COUNT(*) AS n FROM nodes)",
+        """wdeg AS (SELECT a AS v, SUM(w) AS wd FROM edges GROUP BY a)""",
+        """r0 AS (SELECT v, 1.0 / n.n AS r FROM nodes CROSS JOIN n)""",
+    ]
+    for t in range(_TR_ITER):
+        parts.append(
+            f"""r{t + 1} AS (
+      SELECT nodes.v,
+             (1.0 - {_TR_DAMP}) / n.n + {_TR_DAMP} * COALESCE(m.s, 0.0)
+               AS r
+      FROM nodes CROSS JOIN n
+      LEFT JOIN (
+        SELECT e.b AS v, SUM(e.w * r{t}.r / wdeg.wd) AS s
+        FROM edges e
+        JOIN r{t} ON r{t}.v = e.a
+        JOIN wdeg ON wdeg.v = e.a
+        GROUP BY e.b
+      ) m ON m.v = nodes.v
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT v AS word,
+           FLOOR(r * 1000000.0 + 0.5) / 1000000.0 AS rank_score
+    FROM r{_TR_ITER}
+    ORDER BY r DESC, v ASC LIMIT 10
+    """
+    )
+
+
+@query("x71_textrank", oracle=_x71_oracle())
+def x71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    the symmetric word co-occurrence (bigram) graph, 3 fixed iterations,
+    damping 0.85, top-10 by rank. The iterative scale shape matches the
+    k-means/CC family: the edge list materializes ONCE (one gram-key
+    shuffle), weighted degrees are a bounded-key agg, and each iteration
+    is one join + one groupBy co-partitioned on the word key with
+    lineage truncated per round — O(iter) shuffles of the |vocab|-sized
+    rank table, never the corpus. Fixed iteration count + deterministic
+    tie-break keep it oracle-replayable (unrolled CTEs, the x58
+    pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    pairs = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(ws, 1, F.size(ws) - 1),
+                F.slice(ws, 2, F.size(ws) - 1),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").filter(F.col("a") != F.col("b"))
+    edges = (
+        pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.select(F.col("a").alias("v")).distinct()
+    n = nodes.count()  # scalar — the |vocab| normalizer
+    wdeg = edges.groupBy("a").agg(F.sum("w").alias("wd"))
+    contrib_base = edges.join(wdeg, "a")
+    ranks = nodes.select("v", (F.lit(1.0) / n).alias("r"))
+    for _ in range(_TR_ITER):
+        msgs = (
+            contrib_base.join(
+                ranks.withColumnRenamed("v", "a"), "a"
+            )
+            .groupBy("b")
+            .agg(
+                F.sum(
+                    F.col("w") * F.col("r") / F.col("wd")
+                ).alias("s")
+            )
+        )
+        ranks = (
+            nodes.join(
+                msgs.withColumnRenamed("b", "v"), "v", "left"
+            )
+            .select(
+                "v",
+                (
+                    F.lit((1.0 - _TR_DAMP) / n)
+                    + F.lit(_TR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.orderBy(F.desc("r"), F.asc("v"))
+        .limit(10)
+        .select(
+            F.col("v").alias("word"),
+            portable_round(F.col("r"), 6).alias("rank_score"),
+        )
+    )
