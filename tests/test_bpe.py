@@ -100,3 +100,39 @@ def test_encode_matches_local_and_roundtrips(spark):
         assert "".join(toks) == "".join(words), d
         # merges actually compress (chars -> fewer symbols)
         assert n <= sum(len(w) for w in words)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.lists(st.sampled_from(["a", "b", "c", "ab"]), min_size=0, max_size=12),
+    st.sampled_from([("a", "b"), ("a", "a"), ("b", "c"), ("ab", "c")]),
+)
+@settings(max_examples=20, deadline=None)
+def test_merge_fold_matches_python(spark, syms, pair):
+    """The SQL merge fold == the reference greedy left-to-right merge on
+    arbitrary symbol sequences, including overlap chains (a,a on 'aaa')
+    and merged-symbol inputs ('ab' colliding with a merge producing
+    'ab')."""
+    from pyspark.sql import functions as F
+
+    from detecting_and_addressing_change_spark.operators.bpe import (
+        _merge_pair_col,
+    )
+
+    a, b = pair
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    df = spark.createDataFrame([(syms,)], "symbols array<string>")
+    got = df.select(
+        _merge_pair_col(F.col("symbols"), a, b).alias("m")
+    ).collect()[0]["m"]
+    assert list(got) == out, (syms, pair)
