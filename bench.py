@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "x69_oov_rate",
     "x70_data_expectations",
     "x71_textrank",
+    "x72_drift_dashboard",
 ]
 
 

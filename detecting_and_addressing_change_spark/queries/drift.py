@@ -581,3 +581,62 @@ def x57(spark: SparkSession, sf_dir: str) -> DataFrame:
         "error",
     )
     return detect_drift_ph(per_batch).select("seq_id", "error", "flag")
+
+
+def ph_scan_oracle_keyed(
+    seq_body: str,
+    delta: float = 0.005,
+    threshold: float = 1.0,
+    min_instances: int = 30,
+) -> str:
+    """Keyed variant of :func:`ph_scan_oracle`: one independent
+    Page-Hinkley scan per ``detector`` over a ``(detector, bucket,
+    error)`` series — the recursion carries the detector key, so a whole
+    detector FLEET replays in one recursive CTE (all series advance in
+    lockstep by per-detector row number)."""
+    return f"""
+WITH RECURSIVE seq AS MATERIALIZED (
+  SELECT detector,
+         ROW_NUMBER() OVER (PARTITION BY detector ORDER BY bucket) AS rn,
+         bucket AS seq_id, error
+  FROM (
+{seq_body}
+  )
+),
+scan AS (
+  SELECT detector, 0::BIGINT AS rn, CAST(NULL AS BIGINT) AS seq_id,
+         CAST(NULL AS DOUBLE) AS error, CAST(NULL AS VARCHAR) AS flag,
+         0::BIGINT AS t, 0.0::DOUBLE AS mean, 0.0::DOUBLE AS m,
+         'infinity'::DOUBLE AS mmin
+  FROM (SELECT DISTINCT detector FROM seq)
+  UNION ALL
+  SELECT detector, rn, seq_id, error,
+         CASE WHEN drift THEN 'D' ELSE 'N' END AS flag,
+         CASE WHEN drift THEN 0 ELSE t1 END AS t,
+         CASE WHEN drift THEN 0.0 ELSE mean1 END AS mean,
+         CASE WHEN drift THEN 0.0 ELSE m1 END AS m,
+         CASE WHEN drift THEN 'infinity'::DOUBLE ELSE mmin1 END AS mmin
+  FROM (
+    SELECT detector, rn, seq_id, error, t1, mean1, m1, mmin1,
+           (t1 >= {min_instances} AND m1 - mmin1 > {threshold}) AS drift
+    FROM (
+      SELECT detector, rn, seq_id, error, t1, mean1, m1,
+             LEAST(mmin0, m1) AS mmin1
+      FROM (
+        SELECT scan.detector, scan.rn + 1 AS rn, seq.seq_id, seq.error,
+               scan.t + 1 AS t1,
+               scan.mean + (seq.error - scan.mean) / (scan.t + 1) AS mean1,
+               scan.m + (seq.error
+                         - (scan.mean + (seq.error - scan.mean)
+                            / (scan.t + 1))
+                         - {delta}) AS m1,
+               scan.mmin AS mmin0
+        FROM scan
+        JOIN seq ON seq.rn = scan.rn + 1
+                AND seq.detector = scan.detector
+      )
+    )
+  )
+)
+SELECT detector, seq_id, error, flag FROM scan WHERE rn >= 1
+"""

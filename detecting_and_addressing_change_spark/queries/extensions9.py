@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import lcg_bucket
 from ..functions.rounding import portable_round, portable_round_sql
 from ..sources.tables import load_table
-from .extensions7 import _word_grams
+from .extensions7 import _max_multiplicity, _word_grams
 from .registry import query
 
 # x61 target mixture weights per language (literal in both engines)
@@ -1052,3 +1052,107 @@ def x71(spark: SparkSession, sf_dir: str) -> DataFrame:
             portable_round(F.col("r"), 6).alias("rank_score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X72 — multi-signal corpus drift dashboard (PH detector fleet)
+# --------------------------------------------------------------------------
+def _x72_oracle() -> str:
+    from .drift import ph_scan_oracle_keyed
+
+    return ph_scan_oracle_keyed(
+        """
+    SELECT detector, bucket, error FROM (
+      SELECT 'repetition' AS detector, bucket,
+             AVG(CASE WHEN topf > 0.10 THEN 1.0 ELSE 0.0 END) AS error
+      FROM (
+        SELECT doc_id // 16 AS bucket,
+               CAST(coalesce(list_max(list_transform(
+                 list_distinct(w), x -> len(list_filter(w, y -> y = x)))), 0)
+                 AS DOUBLE) / len(w) AS topf
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      ) GROUP BY bucket
+      UNION ALL
+      SELECT 'shortdoc' AS detector, doc_id // 16 AS bucket,
+             AVG(CASE WHEN len(string_split(text, ' ')) < 30
+                      THEN 1.0 ELSE 0.0 END) AS error
+      FROM documents GROUP BY bucket
+      UNION ALL
+      SELECT 'quality' AS detector, bucket,
+             AVG(CASE WHEN keep = 0 THEN 1.0 ELSE 0.0 END) AS error
+      FROM (
+        SELECT doc_id // 16 AS bucket,
+               CASE WHEN len(w) BETWEEN 10 AND 100000
+                     AND CAST(nchars AS DOUBLE) / len(w) BETWEEN 2.0 AND 12.0
+                     AND CAST(coalesce(list_max(list_transform(
+                           list_distinct(w),
+                           x -> len(list_filter(w, y -> y = x)))), 0)
+                         AS DOUBLE) / len(w) <= 0.2
+                THEN 1 ELSE 0 END AS keep
+        FROM (
+          SELECT doc_id, string_split(text, ' ') AS w,
+                 length(replace(text, ' ', '')) AS nchars
+          FROM documents
+        )
+      ) GROUP BY bucket
+    )
+"""
+    )
+
+
+@query("x72_drift_dashboard", oracle=_x72_oracle())
+def x72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal corpus drift dashboard — the detector-FLEET shape:
+    three curation signals (repetition rate, short-doc rate, x46
+    quality-fail rate) per 16-doc ingest bucket, each watched by its own
+    Page-Hinkley detector through ONE keyed applyInPandas (detector_id =
+    signal name; the fleet parallelizes across keys, SCALE.md T1 row).
+    Rates k/16 are exact dyadic rationals, so the keyed recursive-CTE
+    oracle replays every detector bit-exactly."""
+    from ..operators.ph import detect_drift_ph
+    from ..operators.windows import count_window_agg
+
+    docs = load_table(spark, sf_dir, "documents")
+    w0 = F.split(F.col("text"), " ")
+    staged = docs.select(
+        "doc_id",
+        w0.alias("w"),
+        F.length(F.regexp_replace(F.col("text"), " ", "")).alias("nchars"),
+    )
+    w = F.col("w")
+    n = F.size(w)
+    topf = _max_multiplicity(F.array_sort(w)).cast("double") / n
+    mwl = F.col("nchars").cast("double") / n
+    quality_fail = (
+        ~(
+            n.between(10, 100000)
+            & mwl.between(2.0, 12.0)
+            & (topf <= 0.2)
+        )
+    ).cast("double")
+    signals = staged.select(
+        "doc_id",
+        (topf > 0.10).cast("double").alias("repetition"),
+        (n < 30).cast("double").alias("shortdoc"),
+        quality_fail.alias("quality"),
+    )
+
+    def series(col: str) -> DataFrame:
+        return count_window_agg(
+            signals,
+            seq_col="doc_id",
+            batch_size=16,
+            aggs=[F.avg(col).alias("error")],
+        ).select(
+            F.lit(col).alias("detector_id"),
+            F.col("bucket").cast("long").alias("seq_id"),
+            "error",
+        )
+
+    fleet = series("repetition").unionByName(
+        series("shortdoc")
+    ).unionByName(series("quality"))
+    return detect_drift_ph(fleet).select(
+        F.col("detector_id").alias("detector"), "seq_id", "error", "flag"
+    )
+
