@@ -318,3 +318,17 @@ def test_chunk_dedup_partial_agg(spark):
     assert has_partial_aggregate_before_shuffle(df)
     s = explain_str(df)
     assert "Join" not in s
+
+
+def test_round5_tail_queries_plan_shapes(spark):
+    """x69/x70/x71: broadcast where a dim/vocab joins the corpus, no
+    sort-merge of the big side, no cartesian anywhere."""
+    for name in ["x69_oov_rate", "x70_data_expectations", "x71_textrank"]:
+        s = explain_str(QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in s, name
+    s = explain_str(QUERIES["x69_oov_rate"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+    # x70's row-local suite is ONE fused agg pass over the scan
+    df = QUERIES["x70_data_expectations"](spark, SF_SMOKE)
+    assert has_partial_aggregate_before_shuffle(df)
