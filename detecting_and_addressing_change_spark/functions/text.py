@@ -140,3 +140,42 @@ def quality_score_col(text: Column) -> Column:
         + 0.25 * (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))),
         4,
     )
+
+
+def chunk_spans(
+    df,
+    size: int,
+    stride: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Sliding-window chunk spans — the ONE implementation of the x63
+    boundary contract (n_chunks = 1 + ceil((n - size)/stride), trailing
+    partial window kept), shared by the x63 query, the x66 chunk-dedup
+    rate, and retrieval.chunk_documents so the three can never
+    desynchronize. Pure narrow map + explode.
+
+    Returns DataFrame[<id_col>, n, j, chunk] where ``chunk`` is the
+    word-array slice for window ``j``."""
+    w = df.select(
+        F.col(id_col),
+        F.split(text_col, " ").alias("__ws"),
+        F.size(F.split(text_col, " ")).alias("n"),
+    )
+    n = F.col("n")
+    n_chunks = F.lit(1) + F.when(
+        n > size,
+        F.ceil((n - F.lit(size)) / F.lit(float(stride))).cast("long"),
+    ).otherwise(F.lit(0))
+    spans = w.select(
+        id_col,
+        "n",
+        "__ws",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("j"),
+    )
+    j = F.col("j")
+    start = j * stride + 1
+    chunk = F.slice(
+        F.col("__ws"), start, F.least(start + F.lit(size - 1), n) - start + 1
+    )
+    return spans.select(id_col, "n", "j", chunk.alias("chunk"))

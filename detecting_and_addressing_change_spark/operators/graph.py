@@ -70,7 +70,11 @@ def connected_components(
     # cannot overflow at 1e9+-node graphs.
     prev_sum = None
     converged = False
-    for _ in range(max_iter):
+    # max_iter bounds PROPAGATION rounds; one extra round is allowed so a
+    # graph that converges exactly at round max_iter can still OBSERVE an
+    # unchanged witness sum (the confirmation round does no new work —
+    # labels are already at the fixpoint)
+    for _ in range(max_iter + 1):
         # push each node's label to its neighbors, then take the min of
         # {own label} ∪ {neighbor labels}
         pushed = sym.join(

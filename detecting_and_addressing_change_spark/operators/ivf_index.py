@@ -137,16 +137,23 @@ def ivf_index_search(
     contract as ``kmeans_ivf_topk``."""
     if centroids is None:
         centroids = load_ivf_centroids(spark, path)
-    q_cells = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("q_emb"),
-        quantize_col(F.col(vec_col)).alias("__qv"),
-    ).select(
-        query_id_col,
-        "q_emb",
-        F.explode(kmeans_probe_cells_col(centroids, "__qv", nprobe)).alias(
-            "cell"
-        ),
+    q_cells = (
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("q_emb"),
+            quantize_col(F.col(vec_col)).alias("__qv"),
+        )
+        .select(
+            query_id_col,
+            "q_emb",
+            F.explode(
+                kmeans_probe_cells_col(centroids, "__qv", nprobe)
+            ).alias("cell"),
+        )
+        # materialize once: the probe-cell collect below AND the broadcast
+        # join both consume this frame, and the query side may carry an
+        # expensive embed pipeline (search_text) that must not run twice
+        .localCheckpoint(eager=True)
     )
     probed = sorted(
         {int(r["cell"]) for r in q_cells.select("cell").distinct().collect()}

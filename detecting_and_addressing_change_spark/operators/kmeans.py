@@ -146,12 +146,20 @@ def kmeans_fit(
     dim_row = corpus.select(F.size(F.col(vec_col))).first()
     dim = int(dim_row[0])
 
+    # seed = the n_centroids SMALLEST ids (not `id < n_centroids`, which
+    # silently under-seeds any corpus whose ids are not contiguous from 0
+    # — e.g. a curated subset or retrieval's composite chunk ids); for
+    # 0-based contiguous ids the two are identical, so the x58 oracle's
+    # `vec_id < k` replay still matches
     seed_rows = sorted(
         (int(r[0]), r[1])
-        for r in corpus.filter(F.col(id_col) < n_centroids)
-        .select(id_col, vec_col)
+        for r in corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_centroids)
         .collect()
     )
+    if not seed_rows:
+        raise ValueError("kmeans_fit: empty corpus")
     centroids = [
         (
             cid,

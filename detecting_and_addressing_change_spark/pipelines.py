@@ -61,9 +61,14 @@ def _collect_local(df: DataFrame) -> DataFrame:
     import pandas as pd
 
     rows = df.collect()
-    return df.sparkSession.createDataFrame(
-        pd.DataFrame([tuple(r) for r in rows], columns=df.columns), df.schema
-    )
+    pdf = pd.DataFrame([tuple(r) for r in rows], columns=df.columns)
+    # pandas silently coerces None in numeric columns to NaN, and Spark
+    # then materializes NaN (not null) — a float column with nulls would
+    # change semantics through this helper. Route such frames as object
+    # dtype so None survives; the fast path stays numeric.
+    if bool(pdf.isna().to_numpy().any()):
+        pdf = pdf.astype(object).where(pdf.notna(), None)
+    return df.sparkSession.createDataFrame(pdf, df.schema)
 
 
 def pooled_features(
@@ -432,14 +437,15 @@ def gradual_drift_experiment(
         bucketed = feats.withColumn(
             "bucket", F.floor(F.col(id_col) / batch_size).cast("int")
         )
-        # size the schedule from the fit stats already on the driver
-        # (sum(cnt) = n_docs; ids are 0..n-1 contiguous — the same
-        # assumption the count-window bucketing above already makes), so
-        # the broadcast side is a pure spark.range with NO data-dependent
-        # scan job — one fewer action than sigma_schedule_for's in-plan
-        # max-bucket aggregate
-        n_docs = sum(r["cnt"] for r in stats)
-        n_batches = (n_docs + batch_size - 1) // batch_size
+        # size the schedule from the data's ACTUAL max bucket — a
+        # one-scalar agg over the already-persisted feature table (cheap),
+        # not from sum(cnt) with a 0-contiguous-ids assumption: an offset
+        # or gapped id space (a curated subset) would make a count-derived
+        # schedule too short and the inner schedule join would silently
+        # drop every uncovered bucket
+        n_batches = (
+            int(bucketed.agg(F.max("bucket")).collect()[0][0] or 0) + 1
+        )
         sched = sigma_schedule(
             feats.sparkSession, n_batches, warm_start=warm_start,
             max_std=max_std, steps=steps,

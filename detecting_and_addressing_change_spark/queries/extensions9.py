@@ -321,37 +321,18 @@ def x63(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries are integer arithmetic on the per-row word array, nothing
     shuffles, the whole query pipelines inside one codegen stage over the
     scan (ordering excepted)."""
+    from ..functions.text import chunk_spans
+
     size, stride = _CHUNK_SIZE, _CHUNK_STRIDE
     docs = load_table(spark, sf_dir, "documents")
-    w = docs.select(
-        "doc_id",
-        F.split("text", " ").alias("ws"),
-        F.size(F.split("text", " ")).alias("n"),
-    )
-    n = F.col("n")
-    n_chunks = F.lit(1) + F.when(
-        n > size,
-        F.ceil((n - F.lit(size)) / F.lit(float(stride))).cast("long"),
-    ).otherwise(F.lit(0))
-    spans = w.select(
-        "doc_id",
-        "n",
-        "ws",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("j"),
-    )
-    j = F.col("j")
-    start = j * stride + 1
-    chunk = F.slice(
-        F.col("ws"),
-        start,
-        F.least(start + F.lit(size - 1), n) - start + 1,
-    )
+    spans = chunk_spans(docs, size=size, stride=stride)
+    j, n = F.col("j"), F.col("n")
     return spans.select(
         "doc_id",
         j.cast("int").alias("chunk_idx"),
         F.least(F.lit(size), n - j * stride).cast("int").alias("n_words"),
         F.substring(
-            F.md5(F.array_join(chunk, " ")), 1, 8
+            F.md5(F.array_join(F.col("chunk"), " ")), 1, 8
         ).alias("fingerprint"),
     ).orderBy("doc_id", "chunk_idx")
 
@@ -625,31 +606,12 @@ def x66(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode -> one map-side-combinable groupBy(md5) -> one-row stats
     agg; at 100 TB the fingerprint agg is the only shuffle and carries
     16-byte keys."""
+    from ..functions.text import chunk_spans
+
     docs = load_table(spark, sf_dir, "documents")
-    size, stride = _CHUNK_SIZE, _CHUNK_STRIDE
-    w = docs.select(
-        "doc_id",
-        F.split("text", " ").alias("ws"),
-        F.size(F.split("text", " ")).alias("n"),
-    )
-    n = F.col("n")
-    n_chunks = F.lit(1) + F.when(
-        n > size,
-        F.ceil((n - F.lit(size)) / F.lit(float(stride))).cast("long"),
-    ).otherwise(F.lit(0))
-    spans = w.select(
-        "doc_id", "n", "ws",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("j"),
-    )
-    j = F.col("j")
-    start = j * stride + 1
-    chunk = F.slice(
-        F.col("ws"), start,
-        F.least(start + F.lit(size - 1), n) - start + 1,
-    )
-    ch = spans.select(
-        "doc_id", F.md5(F.array_join(chunk, " ")).alias("fp")
-    )
+    ch = chunk_spans(
+        docs, size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    ).select("doc_id", F.md5(F.array_join(F.col("chunk"), " ")).alias("fp"))
     per_fp = ch.groupBy("fp").agg(
         F.count("*").alias("n_occ"),
         F.countDistinct("doc_id").alias("n_docs"),
@@ -934,8 +896,12 @@ _TR_DAMP = 0.85
 
 
 def _x71_oracle() -> str:
-    # unrolled PageRank iterations (the kmeans/x58 oracle pattern):
-    # r0 = 1/n; r_{t+1}(v) = (1-d)/n + d * sum_u w(u,v)/wdeg(u) * r_t(u)
+    # unrolled PageRank iterations (the kmeans/x58 oracle pattern) in
+    # EXACT int64 fixed-point (scale 1e12, damping 17/20): per-edge
+    # contribution (w * r) // wd and the damped update (17 * s) // 20 are
+    # integer operations, and integer sums are order-independent — so the
+    # oracle is bit-exact by CONSTRUCTION, not by hoping both engines sum
+    # doubles in the same order (the x58 lesson applied to PageRank)
     parts = [
         """e0 AS (
       SELECT doc_id,
@@ -955,17 +921,19 @@ def _x71_oracle() -> str:
         "nodes AS (SELECT DISTINCT a AS v FROM edges)",
         "n AS (SELECT COUNT(*) AS n FROM nodes)",
         """wdeg AS (SELECT a AS v, SUM(w) AS wd FROM edges GROUP BY a)""",
-        """r0 AS (SELECT v, 1.0 / n.n AS r FROM nodes CROSS JOIN n)""",
+        """r0 AS (
+      SELECT v, 1000000000000 // n.n AS r FROM nodes CROSS JOIN n
+    )""",
     ]
     for t in range(_TR_ITER):
         parts.append(
             f"""r{t + 1} AS (
       SELECT nodes.v,
-             (1.0 - {_TR_DAMP}) / n.n + {_TR_DAMP} * COALESCE(m.s, 0.0)
-               AS r
+             (3 * 1000000000000) // (20 * n.n)
+               + (17 * COALESCE(m.s, 0)) // 20 AS r
       FROM nodes CROSS JOIN n
       LEFT JOIN (
-        SELECT e.b AS v, SUM(e.w * r{t}.r / wdeg.wd) AS s
+        SELECT e.b AS v, SUM((e.w * r{t}.r) // wdeg.wd) AS s
         FROM edges e
         JOIN r{t} ON r{t}.v = e.a
         JOIN wdeg ON wdeg.v = e.a
@@ -977,8 +945,7 @@ def _x71_oracle() -> str:
         "WITH "
         + ",\n".join(parts)
         + f"""
-    SELECT v AS word,
-           FLOOR(r * 1000000.0 + 0.5) / 1000000.0 AS rank_score
+    SELECT v AS word, CAST(r AS BIGINT) AS rank_fp
     FROM r{_TR_ITER}
     ORDER BY r DESC, v ASC LIMIT 10
     """
@@ -989,14 +956,15 @@ def _x71_oracle() -> str:
 def x71(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
     the symmetric word co-occurrence (bigram) graph, 3 fixed iterations,
-    damping 0.85, top-10 by rank. The iterative scale shape matches the
-    k-means/CC family: the edge list materializes ONCE (one gram-key
-    shuffle), weighted degrees are a bounded-key agg, and each iteration
-    is one join + one groupBy co-partitioned on the word key with
-    lineage truncated per round — O(iter) shuffles of the |vocab|-sized
-    rank table, never the corpus. Fixed iteration count + deterministic
-    tie-break keep it oracle-replayable (unrolled CTEs, the x58
-    pattern)."""
+    damping 17/20, top-10 by rank — computed in EXACT int64 fixed-point
+    (scale 1e12): per-edge contributions and the damped update use
+    integer division, so sums are order-independent and the iterative
+    result is bit-identical across engines and partitionings (the x58
+    determinism discipline; a double-arithmetic PageRank would depend on
+    float summation order, which neither engine guarantees). Scale shape
+    matches the k-means/CC family: edge list materialized once, each
+    iteration one join + one groupBy co-partitioned on the word key over
+    the |vocab|-row rank table, lineage truncated per round."""
     docs = load_table(spark, sf_dir, "documents")
     ws = F.split("text", " ")
     pairs = docs.select(
@@ -1018,18 +986,19 @@ def x71(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = nodes.count()  # scalar — the |vocab| normalizer
     wdeg = edges.groupBy("a").agg(F.sum("w").alias("wd"))
     contrib_base = edges.join(wdeg, "a")
-    ranks = nodes.select("v", (F.lit(1.0) / n).alias("r"))
+    # exact int64 fixed-point (scale 1e12, damping 17/20): DIV and
+    # order-free integer sums make the iterative result bit-identical
+    # across engines and partitionings — no float summation order to trust
+    scale = 1_000_000_000_000
+    ranks = nodes.select("v", F.lit(scale // n).cast("long").alias("r"))
+    base = (3 * scale) // (20 * n)
     for _ in range(_TR_ITER):
         msgs = (
             contrib_base.join(
                 ranks.withColumnRenamed("v", "a"), "a"
             )
             .groupBy("b")
-            .agg(
-                F.sum(
-                    F.col("w") * F.col("r") / F.col("wd")
-                ).alias("s")
-            )
+            .agg(F.sum(F.expr("(w * r) DIV wd")).alias("s"))
         )
         ranks = (
             nodes.join(
@@ -1038,9 +1007,9 @@ def x71(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "v",
                 (
-                    F.lit((1.0 - _TR_DAMP) / n)
-                    + F.lit(_TR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0))
-                ).alias("r"),
+                    F.lit(base)
+                    + F.expr("(17 * coalesce(s, 0L)) DIV 20")
+                ).cast("long").alias("r"),
             )
             .localCheckpoint(eager=True)
         )
@@ -1049,7 +1018,7 @@ def x71(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select(
             F.col("v").alias("word"),
-            portable_round(F.col("r"), 6).alias("rank_score"),
+            F.col("r").cast("long").alias("rank_fp"),
         )
     )
 

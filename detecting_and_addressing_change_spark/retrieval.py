@@ -23,9 +23,12 @@ from pyspark.sql import functions as F
 from .operators.embedder import pooled_embed_documents_tagged
 from .operators.ivf_index import build_ivf_index, ivf_index_search
 
-# chunk_id = doc_id * CHUNK_ID_BASE + chunk_idx; with 512-word truncation
-# and stride >= 1 a document cannot exceed 512 chunks, far under the base
-_CHUNK_ID_BASE = 10_000
+# chunk_id = doc_id * CHUNK_ID_BASE + chunk_idx. Chunking covers the WHOLE
+# document (no truncation), so the base bounds the supported document
+# length: 2^20 chunks at stride 12 ≈ 12.5M words per document — beyond any
+# real document; build_text_index raises if a document exceeds it rather
+# than silently colliding into the next doc's id space.
+_CHUNK_ID_BASE = 1 << 20
 
 
 def chunk_documents(
@@ -38,32 +41,18 @@ def chunk_documents(
     """x63's sliding-window boundaries with the chunk TEXT retained:
     DataFrame[doc_id, chunk_idx, chunk_id, chunk_text]. Pure narrow map +
     explode (zero hash exchange), same contract as the x63 query."""
-    w = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(text_col, " ").alias("ws"),
-        F.size(F.split(text_col, " ")).alias("n"),
-    )
-    n = F.col("n")
-    n_chunks = F.lit(1) + F.when(
-        n > size,
-        F.ceil((n - F.lit(size)) / F.lit(float(stride))).cast("long"),
-    ).otherwise(F.lit(0))
-    spans = w.select(
-        "doc_id",
-        "n",
-        "ws",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("j"),
+    from .functions.text import chunk_spans
+
+    spans = chunk_spans(
+        docs.select(F.col(id_col).alias("doc_id"), text_col),
+        size=size, stride=stride,
     )
     j = F.col("j")
-    start = j * stride + 1
-    chunk = F.slice(
-        F.col("ws"), start, F.least(start + F.lit(size - 1), n) - start + 1
-    )
     return spans.select(
         "doc_id",
         j.cast("int").alias("chunk_idx"),
         (F.col("doc_id") * _CHUNK_ID_BASE + j).alias("chunk_id"),
-        F.array_join(chunk, " ").alias("chunk_text"),
+        F.array_join(F.col("chunk"), " ").alias("chunk_text"),
     )
 
 
@@ -79,6 +68,13 @@ def build_text_index(
     """Chunk, embed, and index ``docs`` at ``out_path``: the IVF index
     over chunk vectors plus ``{out_path}/chunks`` metadata."""
     chunks = chunk_documents(docs, size=size, stride=stride)
+    over = chunks.filter(F.col("chunk_idx") >= _CHUNK_ID_BASE).count()
+    if over:
+        raise ValueError(
+            f"{over} chunks exceed chunk_idx capacity {_CHUNK_ID_BASE} "
+            f"(document longer than ~{_CHUNK_ID_BASE * stride} words); "
+            f"raise _CHUNK_ID_BASE or pre-split such documents"
+        )
     chunks.write.mode("overwrite").parquet(f"{out_path}/chunks")
     spark = docs.sparkSession
     chunks = spark.read.parquet(f"{out_path}/chunks")  # embed from disk,
