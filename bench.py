@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "x70_data_expectations",
     "x71_textrank",
     "x72_drift_dashboard",
+    "x73_quantile_drift",
 ]
 
 

@@ -1125,3 +1125,79 @@ def x72(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("detector_id").alias("detector"), "seq_id", "error", "flag"
     )
 
+
+
+# --------------------------------------------------------------------------
+# X73 — per-bucket quantile-shift drift tracking (feature monitoring)
+# --------------------------------------------------------------------------
+@query(
+    "x73_quantile_drift",
+    oracle="""
+    WITH b AS (
+      SELECT event_id // 256 AS bucket, value FROM events
+    ),
+    q AS (
+      SELECT bucket,
+             quantile_cont(value,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      FROM b GROUP BY bucket
+    ),
+    lagged AS (
+      SELECT bucket, qs,
+             LAG(qs) OVER (ORDER BY bucket) AS prev
+      FROM q
+    ),
+    shifts AS (
+      SELECT bucket,
+             (SELECT MAX(ABS(a.v - b.v))
+              FROM (SELECT UNNEST(qs) AS v,
+                           GENERATE_SUBSCRIPTS(qs, 1) AS i) a
+              JOIN (SELECT UNNEST(prev) AS v,
+                           GENERATE_SUBSCRIPTS(prev, 1) AS i) b
+              USING (i)) AS shift
+      FROM lagged WHERE prev IS NOT NULL
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           FLOOR(shift * 10000.0 + 0.5) / 10000.0 AS max_decile_shift,
+           FLOOR(shift * 10000.0 + 0.5) / 10000.0 > 5.0 AS flag
+    FROM shifts ORDER BY bucket
+    """,
+)
+def x73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-shift drift tracking — the feature-store monitoring
+    pattern: per ingest bucket, the exact decile signature of the value
+    distribution; drift per bucket = max absolute decile shift against
+    the previous bucket. Spark's exact ``percentile`` and DuckDB's
+    ``quantile_cont`` share R-7 interpolation bit-exactly (the x56
+    precedent), so the series needs only output rounding. Plan: one
+    partial-combined groupBy(bucket) percentile agg (the per-bucket
+    buffers are bounded by bucket size); the LAG runs over the
+    |buckets|-row signature table — bounded by construction (corpus /
+    bucket_size rows), not by corpus size, so the single-partition
+    window is driver-trivial at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    qs = "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+    q = (
+        ev.select(
+            F.floor(F.col("event_id") / 256).cast("long").alias("bucket"),
+            "value",
+        )
+        .groupBy("bucket")
+        .agg(F.expr(qs).alias("qs"))
+    )
+    lagged = q.select(
+        "bucket",
+        "qs",
+        F.lag("qs").over(Window.orderBy("bucket")).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    shift = F.array_max(
+        F.zip_with("qs", "prev", lambda a, b: F.abs(a - b))
+    )
+    rounded = F.floor(shift * 10000.0 + 0.5) / 10000.0
+    return lagged.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        rounded.alias("max_decile_shift"),
+        (rounded > 5.0).alias("flag"),
+    ).orderBy("bucket")
