@@ -99,8 +99,10 @@ BENCH_QUERIES = [
     "x65_ks_drift",
     "x66_chunk_dedup",
     "x67_zorder_key",
-    # BPE tokenizer fit: one corpus word-count agg + adaptive vocab-local
-    # merge loop (distributed loop above 100k distinct words)
+    # BPE tokenizer fit: one corpus word-count agg + adaptive merge loop
+    # (vocab-local here — this corpus's vocabulary is tiny; the
+    # distributed loop engages above 100k distinct words and is
+    # parity-pinned in tests/test_bpe.py)
     "x68_bpe_merges",
     "x69_oov_rate",
     "x70_data_expectations",

@@ -139,7 +139,9 @@ def build_training_shards(
             [(i, a, b) for i, (a, b) in enumerate(merges)],
             "rank int, left_sym string, right_sym string",
         ).coalesce(1).write.mode("overwrite").parquet(f"{out_path}/merges")
-        enc = bpe_encode(kept, merges)
+        # materialize the Python encode ONCE: both the subword-vocab agg
+        # below and the downstream pack/write consume this frame
+        enc = bpe_encode(kept, merges).localCheckpoint(eager=True)
         sub = (
             enc.select(F.explode("tokens").alias("item"))
             .groupBy("item")

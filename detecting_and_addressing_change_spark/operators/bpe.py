@@ -187,13 +187,15 @@ def bpe_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """DataFrame[id_col, tokens array<string>, n_tokens] — the ranked
-    merge list applied greedily per word; Zipfian memo per partition."""
+    """DataFrame[<id_col> (long), tokens array<string>, n_tokens] — the
+    ranked merge list applied greedily per word; Zipfian memo per
+    partition. The id column keeps its input NAME (long-typed ids
+    assumed, as everywhere in the engine)."""
     ranks = {pair: i for i, pair in enumerate(merges)}
 
     schema = T.StructType(
         [
-            T.StructField("doc_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
             T.StructField("tokens", T.ArrayType(T.StringType())),
             T.StructField("n_tokens", T.IntegerType()),
         ]
@@ -216,7 +218,7 @@ def bpe_encode(
                 toks.append(out)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].values,
+                    id_col: pdf[id_col].values,
                     "tokens": toks,
                     "n_tokens": [len(t) for t in toks],
                 }

@@ -148,9 +148,12 @@ def kmeans_fit(
 
     # seed = the n_centroids SMALLEST ids (not `id < n_centroids`, which
     # silently under-seeds any corpus whose ids are not contiguous from 0
-    # — e.g. a curated subset or retrieval's composite chunk ids); for
-    # 0-based contiguous ids the two are identical, so the x58 oracle's
-    # `vec_id < k` replay still matches
+    # — e.g. a curated subset or retrieval's composite chunk ids); cell
+    # ids are the DENSE ranks 0..k-1 of those seeds, never the raw vector
+    # ids (raw composite ids can exceed int32 — the cell column's type —
+    # and must not leak into cell space). For 0-based contiguous ids the
+    # dense ranks equal the raw ids, so the x58 oracle's `vec_id < k`
+    # replay still matches.
     seed_rows = sorted(
         (int(r[0]), r[1])
         for r in corpus.select(id_col, vec_col)
@@ -160,6 +163,7 @@ def kmeans_fit(
     )
     if not seed_rows:
         raise ValueError("kmeans_fit: empty corpus")
+    seed_rows = [(i, vec) for i, (_, vec) in enumerate(seed_rows)]
     centroids = [
         (
             cid,

@@ -61,13 +61,19 @@ def _collect_local(df: DataFrame) -> DataFrame:
     import pandas as pd
 
     rows = df.collect()
-    pdf = pd.DataFrame([tuple(r) for r in rows], columns=df.columns)
-    # pandas silently coerces None in numeric columns to NaN, and Spark
-    # then materializes NaN (not null) — a float column with nulls would
-    # change semantics through this helper. Route such frames as object
-    # dtype so None survives; the fast path stays numeric.
-    if bool(pdf.isna().to_numpy().any()):
-        pdf = pdf.astype(object).where(pdf.notna(), None)
+    # pandas coerces None in numeric columns to NaN, and Spark then
+    # materializes NaN (not null) — a float column with nulls would
+    # change semantics through this helper. Detect TRUE nulls from the
+    # collected Row values (isna() cannot tell NaN from None — coercing
+    # on isna() would also turn genuine NaN results into NULLs) and route
+    # such frames as object dtype so None survives; genuine NaN floats
+    # pass through unchanged on both paths.
+    has_none = any(v is None for r in rows for v in r)
+    pdf = pd.DataFrame(
+        [tuple(r) for r in rows],
+        columns=df.columns,
+        dtype=object if has_none else None,
+    )
     return df.sparkSession.createDataFrame(pdf, df.schema)
 
 
@@ -437,18 +443,26 @@ def gradual_drift_experiment(
         bucketed = feats.withColumn(
             "bucket", F.floor(F.col(id_col) / batch_size).cast("int")
         )
-        # size the schedule from the data's ACTUAL max bucket — a
-        # one-scalar agg over the already-persisted feature table (cheap),
-        # not from sum(cnt) with a 0-contiguous-ids assumption: an offset
-        # or gapped id space (a curated subset) would make a count-derived
-        # schedule too short and the inner schedule join would silently
-        # drop every uncovered bucket
-        n_batches = (
-            int(bucketed.agg(F.max("bucket")).collect()[0][0] or 0) + 1
-        )
+        # size the schedule from the data's ACTUAL bucket span — one
+        # two-scalar agg over the already-persisted feature table (cheap)
+        # — not from sum(cnt) with a 0-contiguous-ids assumption: an
+        # offset or gapped id space (a curated subset) would make a
+        # count-derived schedule too short and the inner schedule join
+        # would silently drop every uncovered bucket. The schedule is
+        # generated over the RELATIVE bucket index and shifted to the
+        # stream's first bucket, so warm-up counts from where the stream
+        # actually starts (for 0-based ids this is bit-identical to the
+        # absolute schedule).
+        b0, b1 = bucketed.agg(
+            F.min("bucket"), F.max("bucket")
+        ).collect()[0]
+        b0, b1 = int(b0 or 0), int(b1 or 0)
         sched = sigma_schedule(
-            feats.sparkSession, n_batches, warm_start=warm_start,
+            feats.sparkSession, b1 - b0 + 1, warm_start=warm_start,
             max_std=max_std, steps=steps,
+        ).select(
+            (F.col("bucket") + F.lit(b0)).cast("int").alias("bucket"),
+            "sigma",
         )
         with_sigma = bucketed.join(F.broadcast(sched), "bucket")
 

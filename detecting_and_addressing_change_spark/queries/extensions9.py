@@ -729,13 +729,14 @@ _X68_ROWS = (
     """,
 )
 def x68(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer training (Sennrich et al. 2016) — the distributed
-    fit in operators/bpe.py: ONE corpus-sized word-count aggregation,
-    then every merge round touches only the distinct-word vocab table
-    (pair counts = one map-side-combinable groupBy per round, merge
-    application = an O(1)-size left-to-right SQL fold, lineage truncated
-    per round). Deterministic ties (count desc, pair asc) make the merge
-    list reproducible, so the oracle is a generated literal from the
+    """BPE tokenizer training (Sennrich et al. 2016) via the ADAPTIVE fit
+    in operators/bpe.py: one corpus-sized word-count aggregation, then —
+    because this synthetic corpus's vocabulary is tiny — the driver-local
+    merge loop (the distributed loop with per-round map-side-combinable
+    pair groupBys runs above the 100k-distinct-word threshold and is
+    pinned bit-identical to the local path in tests/test_bpe.py).
+    Deterministic ties (count desc, pair asc) make the merge list
+    reproducible, so the oracle is a generated literal from the
     independent pure-Python reference (tools/gen_bpe_oracle.py) —
     sf0.01-pinned like the PCA/Procrustes goldens."""
     from ..operators.bpe import bpe_fit

@@ -45,7 +45,7 @@ def chunk_documents(
 
     spans = chunk_spans(
         docs.select(F.col(id_col).alias("doc_id"), text_col),
-        size=size, stride=stride,
+        size=size, stride=stride, text_col=text_col,
     )
     j = F.col("j")
     return spans.select(
@@ -68,6 +68,12 @@ def build_text_index(
     """Chunk, embed, and index ``docs`` at ``out_path``: the IVF index
     over chunk vectors plus ``{out_path}/chunks`` metadata."""
     chunks = chunk_documents(docs, size=size, stride=stride)
+    chunks.write.mode("overwrite").parquet(f"{out_path}/chunks")
+    spark = docs.sparkSession
+    chunks = spark.read.parquet(f"{out_path}/chunks")  # embed from disk,
+    # not through a recomputed chunk pipeline
+    # capacity guard on the cheap re-read (no extra chunking pass): a
+    # chunk_idx at the base would collide into the next doc's id space
     over = chunks.filter(F.col("chunk_idx") >= _CHUNK_ID_BASE).count()
     if over:
         raise ValueError(
@@ -75,10 +81,6 @@ def build_text_index(
             f"(document longer than ~{_CHUNK_ID_BASE * stride} words); "
             f"raise _CHUNK_ID_BASE or pre-split such documents"
         )
-    chunks.write.mode("overwrite").parquet(f"{out_path}/chunks")
-    spark = docs.sparkSession
-    chunks = spark.read.parquet(f"{out_path}/chunks")  # embed from disk,
-    # not through a recomputed chunk pipeline
     vecs = _embed_as(chunks, "chunk_id", "chunk_text", model, dim)
     build_ivf_index(vecs, out_path, n_centroids=n_centroids)
 

@@ -10,40 +10,20 @@ merge count ever changes."""
 
 from __future__ import annotations
 
-from collections import Counter
+import os
+import sys
 
 import duckdb
 
+# the SINGLE reference implementation lives in tests/test_bpe.py (kept
+# deliberately independent of operators/bpe.py); import it rather than
+# keeping a third copy that could drift
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)  # test_bpe imports the engine package
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
+from test_bpe import _fit_reference as fit_reference  # noqa: E402
+
 N_MERGES = 12
-
-
-def fit_reference(word_counts: dict[str, int], n_merges: int):
-    vocab = {w: list(w) for w in word_counts}
-    merges = []
-    for _ in range(n_merges):
-        pc: Counter = Counter()
-        for w, syms in vocab.items():
-            c = word_counts[w]
-            for i in range(len(syms) - 1):
-                pc[(syms[i], syms[i + 1])] += c
-        if not pc:
-            break
-        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
-        if best[1] < 2:
-            break
-        a, b = best[0]
-        merges.append((a, b))
-        for w, syms in vocab.items():
-            out, i = [], 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            vocab[w] = out
-    return merges
 
 
 def main() -> None:
