@@ -78,3 +78,34 @@ def test_zordered_files_tight_in_both_dims(spark):
     mean_sp = sum(r["sp"] for r in per_file) / len(per_file)
     assert mean_so < glob["ro"] * 0.6, (mean_so, glob["ro"])
     assert mean_sp < glob["rp"] * 0.6, (mean_sp, glob["rp"])
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_norm16_exact_for_32bit_ranges(spark, minv, span, offset):
+    """norm16's FLOOR-of-double-quotient claim: for any 32-bit-range key,
+    the Spark expression equals exact integer floor division — the
+    property the docstring argues from numerator exactness + quotient
+    distance-to-integer bounds."""
+    from detecting_and_addressing_change_spark.operators.layout import (
+        norm16_col,
+    )
+
+    maxv = minv + span if span > 0 else minv + 1
+    x = minv + (offset % (maxv - minv + 1))
+    df = spark.createDataFrame([(x,)], "x long")
+    got = df.select(
+        norm16_col(F.col("x"), F.lit(minv), F.lit(maxv)).alias("u")
+    ).collect()[0]["u"]
+    assert got == ((x - minv) * 65536) // (maxv - minv + 1), (
+        x, minv, maxv,
+    )
+    assert 0 <= got < 65536
