@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "x71_textrank",
     "x72_drift_dashboard",
     "x73_quantile_drift",
+    "x74_token_mixing",
 ]
 
 

@@ -1202,3 +1202,108 @@ def x73(spark: SparkSession, sf_dir: str) -> DataFrame:
         rounded.alias("max_decile_shift"),
         (rounded > 5.0).alias("flag"),
     ).orderBy("bucket")
+
+
+# --------------------------------------------------------------------------
+# X74 — token-budget mixture sampling (domain reweighting by TOKENS)
+# --------------------------------------------------------------------------
+@query(
+    "x74_token_mixing",
+    oracle=f"""
+    WITH t(lang, tw) AS (VALUES {_MIX_VALUES_SQL}),
+    d AS (
+      SELECT lang, doc_id, len(string_split(text, ' ')) AS nw
+      FROM documents
+    ),
+    cnt AS (SELECT lang, SUM(nw) AS tok FROM d GROUP BY lang),
+    cap AS (SELECT MIN(tok / tw) AS total FROM cnt JOIN t USING (lang)),
+    rates AS (
+      SELECT cnt.lang, cnt.tok,
+             LEAST(1.0, cap.total * t.tw / cnt.tok) AS rate
+      FROM cnt JOIN t USING (lang) CROSS JOIN cap
+    ),
+    kept AS (
+      SELECT d.lang, d.nw,
+             CASE WHEN ((d.doc_id % 2147483648) * 1103515245
+                        % 2147483648 % 1000000)
+                  < FLOOR(r.rate * 1000000.0)
+                  THEN d.nw ELSE 0 END AS kept_nw
+      FROM d JOIN rates r USING (lang)
+    ),
+    per AS (
+      SELECT k.lang, r.tok, r.rate,
+             SUM(k.kept_nw) AS kept_tok
+      FROM kept k JOIN rates r USING (lang)
+      GROUP BY k.lang, r.tok, r.rate
+    ),
+    tot AS (SELECT SUM(kept_tok) AS all_kept FROM per)
+    SELECT lang,
+           CAST(tok AS INT) AS n_tokens,
+           CAST(kept_tok AS INT) AS kept_tokens,
+           {portable_round_sql("rate", 4)} AS keep_rate,
+           {portable_round_sql("kept_tok * 1.0 / tot.all_kept", 4)}
+             AS achieved_share
+    FROM per CROSS JOIN tot ORDER BY lang
+    """,
+)
+def x74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture reweighting by TOKEN budget — what published
+    mixtures actually target (the Pile/LLaMA tables are token shares,
+    not document counts): per-language token totals cap the feasible
+    budget at the binding language, keep-rates follow, the sample is the
+    deterministic LCG on doc_id (x61's rule — a document is kept or
+    dropped whole), and the report includes the ACHIEVED token share so
+    the residual mismatch from document granularity is visible. Plan:
+    token totals = one |langs|-key agg broadcast back; the corpus scan
+    filters in place (zero shuffle of the fact side); one |langs|-row
+    final agg + a one-row total broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            _MIX_TARGETS, "lang string, tw double"
+        )
+    )
+    d = docs.select(
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("nw")
+    )
+    cnt = d.groupBy("lang").agg(F.sum("nw").alias("tok"))
+    cap = (
+        cnt.join(t, "lang")
+        .agg(F.min(F.col("tok") / F.col("tw")).alias("total"))
+    )
+    rates = (
+        cnt.join(t, "lang")
+        .join(F.broadcast(cap))
+        .select(
+            "lang",
+            "tok",
+            F.least(
+                F.lit(1.0), F.col("total") * F.col("tw") / F.col("tok")
+            ).alias("rate"),
+        )
+    )
+    kept_nw = F.when(
+        lcg_bucket(F.col("doc_id"), 1000000)
+        < F.floor(F.col("rate") * 1000000.0),
+        F.col("nw"),
+    ).otherwise(F.lit(0))
+    per = (
+        d.join(F.broadcast(rates), "lang")
+        .select("lang", "tok", "rate", kept_nw.alias("kept_nw"))
+        .groupBy("lang", "tok", "rate")
+        .agg(F.sum("kept_nw").alias("kept_tok"))
+    )
+    tot = per.agg(F.sum("kept_tok").alias("all_kept"))
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "lang",
+            F.col("tok").cast("int").alias("n_tokens"),
+            F.col("kept_tok").cast("int").alias("kept_tokens"),
+            portable_round(F.col("rate"), 4).alias("keep_rate"),
+            portable_round(
+                F.col("kept_tok") * F.lit(1.0) / F.col("all_kept"), 4
+            ).alias("achieved_share"),
+        )
+        .orderBy("lang")
+    )
