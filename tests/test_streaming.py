@@ -570,3 +570,65 @@ def test_count_window_agg_streaming_parity(spark):
     for r in rows:  # memory sink appends in emission order
         latest[r["bucket"]] = (r["n"], r["err"])
     assert latest == batch
+
+
+def test_mixture_keep_rule_streaming_parity(spark):
+    """The x61/x74 deterministic LCG keep-rule is a narrow filter, so
+    applied to a live document stream (rates fit batch-side, broadcast
+    into the stream) it keeps EXACTLY the same documents as the batch
+    plan — mixture sampling can run at ingest."""
+    from detecting_and_addressing_change_spark.functions.hashing import (
+        lcg_bucket,
+    )
+    from detecting_and_addressing_change_spark.sources.tables import (
+        load_table,
+    )
+    from detecting_and_addressing_change_spark.streaming.replay import (
+        read_replay_stream,
+        stage_replay_files,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang")
+    # rates fit batch-side (the x61 construction, arbitrary fixed targets)
+    targets = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+    cnt = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    total = min(cnt[lang] / tw for lang, tw in targets.items())
+    rates = {
+        lang: min(1.0, total * tw / cnt[lang])
+        for lang, tw in targets.items()
+    }
+    rate_df = spark.createDataFrame(
+        list(rates.items()), "lang string, rate double"
+    )
+
+    def keep_filter(df):
+        return df.join(F.broadcast(rate_df), "lang").filter(
+            lcg_bucket(F.col("doc_id"), 1000000)
+            < F.floor(F.col("rate") * 1000000.0)
+        )
+
+    batch_kept = {r["doc_id"] for r in keep_filter(docs).collect()}
+    with tempfile.TemporaryDirectory() as tmp:
+        stage_replay_files(docs, "doc_id", f"{tmp}/staged", batch_size=32)
+        stream = read_replay_stream(
+            spark, f"{tmp}/staged", "doc_id long, lang string"
+        )
+        q = (
+            keep_filter(stream)
+            .writeStream.format("memory")
+            .queryName("mix_stream")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["doc_id"]
+            for r in spark.sql("SELECT doc_id FROM mix_stream").collect()
+        }
+    assert got == batch_kept
+    assert 0 < len(got) < docs.count()  # a real sample, not all/none
