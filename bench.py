@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "x72_drift_dashboard",
     "x73_quantile_drift",
     "x74_token_mixing",
+    "x75_dedup_savings",
 ]
 
 

@@ -1307,3 +1307,88 @@ def x74(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# X75 — dedup savings report: cluster-size histogram + bytes reclaimed
+# --------------------------------------------------------------------------
+def _x75_oracle() -> str:
+    from .extensions3 import _x23_oracle
+
+    base = _x23_oracle()
+    # reuse the x23 transitive-closure CTEs; replace its final SELECT with
+    # the savings rollup
+    head, _, _tail = base.rpartition("SELECT node AS doc_id")
+    return (
+        head
+        + """, labels AS (
+      SELECT node AS doc_id, MIN(lbl) AS cluster_id,
+             node = MIN(lbl) AS is_canonical
+      FROM reach GROUP BY node
+    ),
+    sized AS (
+      SELECT l.cluster_id,
+             COUNT(*) AS cluster_size,
+             SUM(CASE WHEN l.is_canonical THEN 0 ELSE d.n_chars END)
+               AS chars_removed
+      FROM labels l JOIN documents d USING (doc_id)
+      GROUP BY l.cluster_id
+    )
+    SELECT CAST(cluster_size AS INT) AS cluster_size,
+           CAST(COUNT(*) AS INT) AS n_clusters,
+           CAST(SUM(cluster_size) AS INT) AS n_docs,
+           CAST(SUM(cluster_size - 1) AS INT) AS n_removed,
+           CAST(SUM(chars_removed) AS BIGINT) AS chars_removed
+    FROM sized GROUP BY cluster_size ORDER BY cluster_size
+    """
+    )
+
+
+@query("x75_dedup_savings", oracle=_x75_oracle())
+def x75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup savings report — the dashboard a data team reads after a
+    dedup run: per near-dup cluster size, how many clusters, how many
+    documents, how many would be REMOVED under keep-one-per-cluster, and
+    how many characters that reclaims (canonical = min-id member, the
+    x23 contract). Plan: the x23 MinHash-band candidate pairs + adaptive
+    connected components, one doc_id-keyed join to attach sizes, a
+    bounded-key (cluster_id) agg, then a |distinct sizes|-row rollup."""
+    from ..operators.dedup import (
+        minhash_bands,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+    from ..operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(minhash_bands(minhash_signatures(docs)))
+    labels = dedup_clusters(docs.select("doc_id"), pairs)
+    sized = (
+        labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.sum(
+                F.when(F.col("is_canonical"), F.lit(0)).otherwise(
+                    F.col("n_chars")
+                )
+            ).alias("chars_removed"),
+        )
+    )
+    return (
+        sized.groupBy("cluster_size")
+        .agg(
+            F.count("*").cast("int").alias("n_clusters"),
+            F.sum("cluster_size").cast("int").alias("n_docs"),
+            F.sum(F.col("cluster_size") - 1).cast("int").alias("n_removed"),
+            F.sum("chars_removed").cast("bigint").alias("chars_removed"),
+        )
+        .select(
+            F.col("cluster_size").cast("int").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+            "n_removed",
+            "chars_removed",
+        )
+        .orderBy("cluster_size")
+    )
