@@ -173,6 +173,25 @@ def main() -> None:
         covs[name] = round(var ** 0.5 / mean, 3) if mean > 0 else 0.0
 
     total = round(sum(timings.values()), 3)
+    # per-query medians/CoVs go to a LOCAL file — adding them to the stdout
+    # summary in r5 pushed the line past the driver's tail-capture window
+    # and truncated `bench_total_sec` itself (VERDICT r5 task #3). The
+    # compact summary must be the FINAL stdout line, printed after
+    # spark.stop() so no late JVM chatter can displace it.
+    with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(
+            {
+                "queries_min": timings,
+                "queries_median": medians,
+                "queries_cov": covs,
+                "median_total_sec": round(sum(medians.values()), 3),
+                "runs": runs,
+                "sf": sf,
+            },
+            fh,
+            indent=1,
+        )
+    spark.stop()
     print(
         json.dumps(
             {
@@ -180,15 +199,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "queries_median": medians,
-                "queries_cov": covs,
                 "median_total_sec": round(sum(medians.values()), 3),
                 "runs": runs,
                 "sf": sf,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

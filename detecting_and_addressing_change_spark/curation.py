@@ -31,7 +31,11 @@ def curate_corpus(docs: DataFrame, out_path: str) -> DataFrame:
 
     Returns the stats DataFrame (read back from disk, so the caller sees
     exactly what the audit record says)."""
-    verdicts = curation_verdicts(docs)
+    # the verdict plan (digest shuffle + broadcast gram join + doc_id
+    # joins) feeds TWO separate actions (corpus write, stats write);
+    # materialize it once so the shuffles are not re-executed per action
+    # (ADVICE r5 — same pattern as the BPE encode stage below)
+    verdicts = curation_verdicts(docs).localCheckpoint(eager=True)
     kept = docs.join(
         verdicts.filter(F.col("keep") == 1).select("doc_id"), "doc_id"
     )
@@ -103,7 +107,10 @@ def build_training_shards(
     (doc_id, token_ids, n_tokens, pack_id, pack_offset, shard_id)."""
     from .operators.order import global_cumsum
 
-    verdicts = curation_verdicts(docs)
+    # the kept frame feeds up to three actions (vocab collect, optional
+    # merge fit, shard write) — materialize the verdict join once so the
+    # curation shuffles run once, not once per action (ADVICE r5)
+    verdicts = curation_verdicts(docs).localCheckpoint(eager=True)
     kept = docs.join(
         verdicts.filter(F.col("keep") == 1).select("doc_id"), "doc_id"
     )

@@ -103,10 +103,14 @@ def minhash_bands(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     rows_per_band: int = 2,
+    carry_sig: bool = False,
 ) -> DataFrame:
     """LSH banding: DataFrame[id, band, bucket]. bucket = md5 of the
     concatenated in-band min-hashes; docs sharing any (band, bucket) are
-    candidate pairs."""
+    candidate pairs. ``carry_sig=True`` additionally carries ``sig`` — the
+    '|'-joined FULL signature string — so downstream skew guards can
+    tier-bucket oversized buckets by full-signature equality (near-identical
+    docs share the full signature and stay co-bucketed)."""
     assert num_hashes % rows_per_band == 0
     n_bands = num_hashes // rows_per_band
     bands = []
@@ -121,26 +125,146 @@ def minhash_bands(
                 F.md5(F.concat_ws("|", *cols)).alias("bucket"),
             )
         )
-    return signatures.select(
-        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    out_cols = [F.col(id_col), F.explode(F.array(*bands)).alias("bb")]
+    keep = [id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")]
+    if carry_sig:
+        out_cols.insert(
+            1,
+            F.concat_ws(
+                "|", *[F.col(f"h{j}") for j in range(num_hashes)]
+            ).alias("sig"),
+        )
+        keep.append(F.col("sig"))
+    return signatures.select(*out_cols).select(*keep)
 
 
-def minhash_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def minhash_candidate_pairs(
+    bands: DataFrame,
+    id_col: str = "doc_id",
+    bucket_cap: int | None = None,
+) -> DataFrame:
     """Self-join within (band, bucket); distinct (a < b) pairs. The join key
-    is the bucket hash, so only genuinely colliding docs meet."""
-    a = bands.select(
-        F.col("band"), F.col("bucket"), F.col(id_col).alias("a_id")
-    )
-    b = bands.select(
-        F.col("band"), F.col("bucket"), F.col(id_col).alias("b_id")
-    )
+    is the bucket hash, so only genuinely colliding docs meet.
+
+    ``bucket_cap`` (the HOT-BUCKET GUARD) bounds the quadratic blow-up of a
+    degenerate bucket — on real crawl data millions of near-identical
+    boilerplate documents land in ONE (band, bucket) and the self-join task
+    becomes O(m²). Same two-stage guard as ``operators.fuzzy``
+    (tier-bucket + hard cap, both engine-portable so a DuckDB oracle can
+    mirror the exact semantics):
+
+    1. buckets wider than ``bucket_cap`` are refined into
+       ``ceil(width / cap)`` tier-buckets keyed by md5 of the FULL
+       signature string (requires ``minhash_bands(..., carry_sig=True)``) —
+       docs with identical signatures (the mass-duplicate case) stay
+       together, distinct-signature docs scatter;
+    2. within each (band, bucket, tier) the first ``bucket_cap`` rows by id
+       are kept (ROW_NUMBER, deterministic).
+
+    Candidate count per bucket is therefore <= ceil(w/cap) * cap*(cap-1)/2 —
+    linear in bucket width. The documented cost: candidates beyond the cap
+    inside one tier are dropped, so byte-identical mass duplicates MUST be
+    collapsed before banding (``minhash_dedup_edges`` does both).
+    """
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        widths = bands.groupBy("band", "bucket").agg(
+            F.count("*").alias("__w")
+        )
+        d = bands.join(widths, ["band", "bucket"])
+        nbuck = F.ceil(F.col("__w") / float(bucket_cap)).cast("long")
+        hx = F.conv(F.substring(F.md5(F.col("sig")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        d = d.withColumn(
+            "__tier",
+            F.when(F.col("__w") <= bucket_cap, F.lit(0)).otherwise(
+                hx % nbuck
+            ),
+        )
+        rk = F.row_number().over(
+            Window.partitionBy("band", "bucket", "__tier").orderBy(id_col)
+        )
+        bands = (
+            d.withColumn("__rk", rk)
+            .filter(F.col("__rk") <= bucket_cap)
+            .select(id_col, "band", "bucket", "__tier")
+        )
+        keys = ["band", "bucket", "__tier"]
+    else:
+        keys = ["band", "bucket"]
+    a = bands.select(*keys, F.col(id_col).alias("a_id"))
+    b = bands.select(*keys, F.col(id_col).alias("b_id"))
     return (
-        a.join(b, ["band", "bucket"])
+        a.join(b, keys)
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
     )
+
+
+def minhash_dedup_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_size: int = 3,
+    rows_per_band: int = 2,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Guarded end-to-end near-dup EDGE set — the production-shaped
+    replacement for ``minhash_candidate_pairs(minhash_bands(
+    minhash_signatures(df)))`` on raw corpus (VERDICT r5 task #1).
+
+    Two skew defenses compose:
+
+    1. **Exact-dup collapse**: byte-identical texts (md5 digest) are
+       collapsed to their min-id representative BEFORE signing/banding.
+       Identical docs all share every band bucket, so feeding them raw
+       makes the bucket self-join O(m²) in the duplicate count — the
+       single worst skew on real crawl data ("403 Forbidden" bodies,
+       empty pages). Each group instead contributes ``group_size - 1``
+       keeper->member CHAIN edges (a star, not a clique) — same connected
+       components, linear edge count.
+    2. **Hot-bucket tier/cap** on the representative-level banding
+       (``bucket_cap``, see :func:`minhash_candidate_pairs`) for buckets
+       that are wide even after the collapse (near-identical but not
+       byte-identical boilerplate).
+
+    Output: DataFrame[a_id, b_id] with a_id < b_id — chain edges union
+    representative pairs (disjoint by construction: a chain's b_id is a
+    non-keeper, a rep pair's ids are both keepers — so no distinct needed
+    across the union). Connected components over these edges equal
+    components over the unguarded pair set whenever no tier/cap drop
+    fires; the guard's drops ARE the declared semantics (oracle-mirrored),
+    exactly like ``operators.fuzzy``.
+
+    Plan: one digest window (single shuffle) labels keepers; chains are a
+    narrow filter; the rep-side pipeline is the standard minhash path on
+    the deduplicated (usually far smaller) corpus.
+    """
+    from pyspark.sql import Window
+
+    wd = df.select(
+        F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("__dg")
+    )
+    keeper = F.min(id_col).over(Window.partitionBy("__dg"))
+    lab = wd.withColumn("__keeper", keeper)
+    chains = lab.filter(F.col(id_col) != F.col("__keeper")).select(
+        F.col("__keeper").alias("a_id"), F.col(id_col).alias("b_id")
+    )
+    reps = lab.filter(F.col(id_col) == F.col("__keeper")).select(
+        id_col, text_col
+    )
+    sigs = minhash_signatures(
+        reps, text_col, id_col, num_hashes, shingle_size
+    )
+    bands = minhash_bands(
+        sigs, id_col, num_hashes, rows_per_band, carry_sig=True
+    )
+    rep_pairs = minhash_candidate_pairs(bands, id_col, bucket_cap=bucket_cap)
+    return chains.unionByName(rep_pairs)
 
 
 def simhash_col(text: Column, n_bits: int = 16) -> Column:

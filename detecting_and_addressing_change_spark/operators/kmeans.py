@@ -81,8 +81,9 @@ def kmeans_assign_col(
     (distance, centroid_id) — lowest distance wins, ties to lowest id.
 
     ``qv``: the quantized-vector column NAME (fast path — the whole
-    expression is one parsed SQL string) or a Column (it is given a
-    temporary name via a no-op struct wrap, slightly more driver work)."""
+    expression is one parsed SQL string) or a Column (the expression is
+    built as a py4j Column graph via ``_cells_col`` — same result,
+    slower to construct on the driver)."""
     if isinstance(qv, str):
         return F.expr(
             f"array_min({_cells_sql(centroids, qv)})['cid']"

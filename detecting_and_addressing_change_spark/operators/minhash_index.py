@@ -1,0 +1,199 @@
+"""Persisted incremental MinHash near-dup index: sign once, append, query.
+
+The batch near-dup path (``dedup.minhash_dedup_edges``) re-signs the whole
+corpus inside every run — right for a one-shot dedup, wrong for a GROWING
+corpus where each ingest batch must be checked against everything already
+indexed. This operator materializes the signature state the way
+``operators/ivf_index.py`` materializes IVF postings (VERDICT r5 task #4):
+
+- ``docs/``: (doc_id, dgst) — one row per document; md5 text digest.
+- ``sigs/``: (dgst, h0..h{k-1}) — one row per DISTINCT text, the MinHash
+  signature. Signatures depend only on the text, so byte-identical
+  documents share a row and are NEVER re-signed: ``append`` anti-joins the
+  batch's novel digests against the stored set and signs only those.
+
+Band buckets are NOT stored: they are pure integer/md5 arithmetic over the
+stored signature columns (a narrow map at read time), so deriving them
+costs no shuffle while the index stays k ints per distinct text. A 100 TB
+deployment that probes interactively would additionally materialize the
+derived bands table bucketed by (band, bucket) — same rows, one extra
+write — but the edge/probe plans below never need it to avoid a corpus
+re-sign, which is the expensive stage (shingle explode + md5 per shingle).
+
+- ``minhash_index_edges``: the GUARDED edge set (exact-dup chains +
+  tier/capped representative band pairs — bit-identical semantics to
+  ``minhash_dedup_edges`` on the same corpus, parity-tested) recomputed
+  from stored state only. No text is read, nothing is re-signed.
+- ``minhash_index_probe``: candidates for a NEW batch against the index
+  without touching the indexed texts: exact matches by digest lookup,
+  near matches by band-bucket join of the batch's (tiny, broadcast)
+  bands against the index's derived bands.
+
+At 100 TB: append signs |novel texts in batch| documents (one shingle
+explode over the batch, one anti-join on dgst); edges is one window over
+docs/ + the capped self-join over sigs-derived bands; probe broadcasts
+the batch side so the index scan never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .dedup import minhash_bands, minhash_candidate_pairs, minhash_signatures
+
+
+def _digests(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("dgst")
+    )
+
+
+def _sign_novel(
+    docs: DataFrame,
+    known: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_size: int,
+) -> DataFrame:
+    """Signatures for digests present in ``docs`` but not ``known``:
+    one representative text per novel digest is signed (dgst, h0..hk)."""
+    novel = (
+        docs.select(F.md5(F.col(text_col)).alias("dgst"), F.col(text_col))
+        # texts within a digest group are byte-identical — min() is just a
+        # deterministic pick, cheaper than a window sort
+        .groupBy("dgst")
+        .agg(F.min(text_col).alias(text_col))
+        .join(known.select("dgst"), "dgst", "left_anti")
+    )
+    sigs = minhash_signatures(
+        novel, text_col, "dgst", num_hashes, shingle_size
+    )
+    return sigs
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_size: int = 3,
+) -> None:
+    """Materialize the index at ``path`` from scratch."""
+    spark = docs.sparkSession
+    _digests(docs, text_col, id_col).write.mode("overwrite").parquet(
+        f"{path}/docs"
+    )
+    empty = spark.createDataFrame([], "dgst string")
+    _sign_novel(
+        docs, empty, text_col, id_col, num_hashes, shingle_size
+    ).write.mode("overwrite").parquet(f"{path}/sigs")
+
+
+def append_to_minhash_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_size: int = 3,
+) -> None:
+    """Incremental update: append the batch's (doc_id, dgst) rows and sign
+    ONLY digests the index has never seen (anti-join on dgst) — a batch of
+    exact duplicates of indexed content adds zero signature rows and runs
+    zero shingle hashing beyond its own digests."""
+    spark = new_docs.sparkSession
+    known = spark.read.parquet(f"{path}/sigs").select("dgst")
+    novel_sigs = _sign_novel(
+        new_docs, known, text_col, id_col, num_hashes, shingle_size
+    )
+    # materialize BEFORE appending into the same directory the anti-join
+    # reads from — never run a plan that reads and writes one path
+    novel_sigs = novel_sigs.localCheckpoint(eager=True)
+    novel_sigs.write.mode("append").parquet(f"{path}/sigs")
+    _digests(new_docs, text_col, id_col).write.mode("append").parquet(
+        f"{path}/docs"
+    )
+
+
+def minhash_index_edges(
+    spark: SparkSession,
+    path: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """The guarded near-dup edge set over EVERYTHING indexed, from stored
+    state only — bit-identical to ``minhash_dedup_edges`` over the same
+    corpus (tests/test_minhash_index.py pins the parity):
+
+    - chains: keeper = min(doc_id) per digest over ``docs/``;
+    - rep pairs: band buckets derived from ``sigs/`` (narrow map), keyed
+      to each digest group's keeper id, then the same tier/cap guarded
+      self-join as the batch path.
+    """
+    docs = spark.read.parquet(f"{path}/docs")
+    sigs = spark.read.parquet(f"{path}/sigs")
+    keeper = F.min("doc_id").over(Window.partitionBy("dgst"))
+    lab = docs.withColumn("__keeper", keeper)
+    chains = lab.filter(F.col("doc_id") != F.col("__keeper")).select(
+        F.col("__keeper").alias("a_id"), F.col("doc_id").alias("b_id")
+    )
+    keepers = lab.filter(F.col("doc_id") == F.col("__keeper")).select(
+        "dgst", F.col("doc_id")
+    )
+    rep_sigs = sigs.join(keepers, "dgst").drop("dgst")
+    bands = minhash_bands(
+        rep_sigs, "doc_id", num_hashes, rows_per_band, carry_sig=True
+    )
+    rep_pairs = minhash_candidate_pairs(
+        bands, "doc_id", bucket_cap=bucket_cap
+    )
+    return chains.unionByName(rep_pairs)
+
+
+def minhash_index_probe(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_size: int = 3,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Candidates for a NEW batch against the index, before appending:
+    DataFrame[batch_id, index_id, via] where via = 'exact' (digest match)
+    or 'band' (band-bucket collision). The batch side (digests + bands) is
+    BROADCAST — an ingest batch is small against a 100 TB index — so the
+    index scan joins in place with no shuffle; indexed texts are never
+    read or re-signed."""
+    bdg = batch.select(
+        F.md5(F.col(text_col)).alias("dgst"), F.col(id_col)
+    )
+    docs = spark.read.parquet(f"{path}/docs")
+    exact = docs.join(
+        F.broadcast(bdg.withColumnRenamed(id_col, "batch_id")), "dgst"
+    ).select(
+        "batch_id",
+        F.col("doc_id").alias("index_id"),
+        F.lit("exact").alias("via"),
+    )
+    bsigs = minhash_signatures(
+        batch, text_col, id_col, num_hashes, shingle_size
+    )
+    bbands = minhash_bands(bsigs, id_col, num_hashes, rows_per_band).select(
+        F.col(id_col).alias("batch_id"), "band", "bucket"
+    )
+    isigs = spark.read.parquet(f"{path}/sigs")
+    ibands = minhash_bands(
+        isigs, "dgst", num_hashes, rows_per_band
+    ).join(
+        docs, "dgst"
+    ).select(F.col("doc_id").alias("index_id"), "band", "bucket")
+    near = ibands.join(F.broadcast(bbands), ["band", "bucket"]).select(
+        "batch_id", "index_id", F.lit("band").alias("via")
+    )
+    return exact.unionByName(near).distinct()

@@ -364,33 +364,84 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     n_tables: int = 4,
     dim: int | None = None,
+    bucket_cap: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via the same LSH bucketing:
     pairs colliding in any table with ROUNDED cosine >= threshold (the
-    threshold is applied post-rounding so the boundary is engine-portable)."""
+    threshold is applied post-rounding so the boundary is engine-portable).
+
+    Skew-guarded like ``dedup.minhash_dedup_edges`` (VERDICT r5 task #1 —
+    a degenerate (tbl, sig) bucket makes the self-join O(m²)):
+
+    1. **Exact collapse**: vectors identical at the signature's own
+       fixed-point quantization (round(v*1000), the granularity below
+       which the LSH cannot distinguish them anyway) collapse to their
+       min-id representative; each group contributes keeper->member CHAIN
+       candidates (a star, not a clique).
+    2. **Hot-bucket tier/cap** (``bucket_cap``): (tbl, sig) buckets wider
+       than the cap are refined into ceil(w/cap) md5(qv-digest) tier
+       buckets and rank-capped — candidate count linear in bucket width.
+
+    All candidates (chains + capped rep pairs) then go through the SAME
+    cosine scoring + threshold, so identical vectors keep cosine 1.0 and
+    the zero-vector NULL-cosine drop is unchanged.
+    """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
 
+    vq = F.md5(
+        F.concat_ws(
+            "|", F.transform(quantize_col(F.col(vec_col)), lambda q: q.cast("string"))
+        )
+    )
+    lab = corpus.withColumn("__vq", vq).withColumn(
+        "__keeper", F.min(id_col).over(Window.partitionBy("__vq"))
+    )
+    chains = lab.filter(F.col(id_col) != F.col("__keeper")).select(
+        F.col("__keeper").alias("a_id"), F.col(id_col).alias("b_id")
+    )
+    reps = lab.filter(F.col(id_col) == F.col("__keeper")).select(
+        id_col, vec_col, "__vq"
+    )
+
     # the signature table is needed on BOTH sides of the self-join —
-    # materialize it once (id + tbl + sig: n_tables rows per vector, no
-    # embedding payload) instead of running the Arrow sig stage twice;
-    # at 100 TB this is the index table a production build would persist
-    # to storage anyway (SCALE.md: LSH index tables materialized)
+    # materialize it once (id + tbl + sig + tier digest: n_tables rows per
+    # vector, no embedding payload) instead of running the Arrow sig stage
+    # twice; at 100 TB this is the index table a production build would
+    # persist to storage anyway (SCALE.md: LSH index tables materialized)
     sigs = (
-        _with_sigs(corpus, "a", id_col, vec_col, n_planes, n_tables, dim)
+        _with_sigs(reps, "a", id_col, vec_col, n_planes, n_tables, dim)
         .drop("a_emb")
+        .join(reps.select(F.col(id_col).alias("a_id"), "__vq"), "a_id")
         .localCheckpoint(eager=True)
     )
-    b = sigs.select(
-        F.col("a_id").alias("b_id"), "tbl", "sig"
+    widths = sigs.groupBy("tbl", "sig").agg(F.count("*").alias("__w"))
+    d = sigs.join(widths, ["tbl", "sig"])
+    nbuck = F.ceil(F.col("__w") / float(bucket_cap)).cast("long")
+    hx = F.conv(F.substring(F.col("__vq"), 1, 8), 16, 10).cast("long")
+    d = d.withColumn(
+        "__tier",
+        F.when(F.col("__w") <= bucket_cap, F.lit(0)).otherwise(hx % nbuck),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("tbl", "sig", "__tier").orderBy("a_id")
+    )
+    capped = (
+        d.withColumn("__rk", rk)
+        .filter(F.col("__rk") <= bucket_cap)
+        .select("a_id", "tbl", "sig", "__tier")
+    )
+    b = capped.select(
+        F.col("a_id").alias("b_id"), "tbl", "sig", "__tier"
     )
     # id-only pair dedup (arrays re-attached after the distinct — see
     # lsh_ann_topk for why)
     pairs = (
-        sigs.join(b, ["tbl", "sig"])
+        capped.join(b, ["tbl", "sig", "__tier"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
+        .unionByName(chains)
     )
     ea = corpus.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_emb"))
     eb = corpus.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_emb"))

@@ -18,6 +18,7 @@ from . import extensions6  # noqa: F401,E402
 from . import extensions7  # noqa: F401,E402
 from . import extensions8  # noqa: F401,E402
 from . import extensions9  # noqa: F401,E402
+from . import extensions10  # noqa: F401,E402
 from . import drift  # noqa: F401,E402
 
 # The external driver evaluates at most the first 50 registered queries per
@@ -28,13 +29,18 @@ from . import drift  # noqa: F401,E402
 #
 # Round-5 policy (VERDICT r4 task #1): a driver-green row only counts as
 # *current* if the query's implementation has not changed since the round
-# that produced it.  Queries refactored in round 4 after their last green —
-# q28/q39/q60 (array-native NB rewrite, operators/nb.py), x23 (graph.py
-# large-star/small-star rework), q29 (metrics empty-input semantics),
-# x14/x43/x44 (binary_ops vectorization), plus ADVICE-r4's q25 (oracle text
-# refactor) and x37 (collect -> broadcast-join rewrite) — are deliberately
-# NOT listed below so they float to the front of round 5's 50-query window
-# and get fresh sf0.01 hash rows in CORRECTNESS_r05.json.
+# that produced it.
+#
+# Round-6 (VERDICT r5 tasks #1/#2): deliberately NOT listed, so they lead
+# the r6 window —
+#  - the six stale-since-green refactors the judge flagged: x46/x52/x55/
+#    x56 (extensions7 shared-helper refactor), q59 (bucket-span schedule
+#    sizing), q61 (mapping-experiment changes);
+#  - everything whose implementation changed THIS round for the hot-bucket
+#    guard: x04/x23/x49/x75 (minhash_dedup_edges: exact-dup collapse +
+#    tier/cap), x09/x52 (embedding_near_dup_pairs guard), and x60/x62
+#    (broadcast-size guards, ADVICE r5);
+#  - any brand-new x76+ queries (unattested by default).
 _ATTESTED_PRIOR_ROUNDS = frozenset({
     # green rows in CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json
     "q01_scan_project_cast", "q02_filter_predicate", "q03_clean_text",
@@ -56,8 +62,8 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     "q53_correlated_subquery", "q54_unpivot", "q55_except_intersect_all",
     "q56_array_lambdas", "q57_topk_per_group", "q58_global_rank",
     "x01_dedup_exact", "x02_dedup_fingerprint", "x03_minhash_bands",
-    "x04_minhash_pairs", "x05_simhash", "x06_ngram_jaccard",
-    "x07_similarity_topk", "x08_similarity_ann_lsh", "x09_embedding_near_dup",
+    "x05_simhash", "x06_ngram_jaccard",
+    "x07_similarity_topk", "x08_similarity_ann_lsh",
     "x10_text_stats", "x11_text_quality", "x12_lang_id",
     "x13_rolling_fingerprint", "x15_similarity_ivf",
     "x16_regex_tokens", "x17_tfidf_topk", "x18_bloom_join_filter",
@@ -75,18 +81,27 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     "x45_similarity_ivf_multiprobe",
     # green rows in CORRECTNESS_r04.json (post-cap sigma semantics q30/q59;
     # literal-oracle upgrades x42/q61; the x46–x57 curation family)
-    "q30_sigma_schedule_gate", "q59_gradual_drift_experiment",
-    "q61_mapping_experiment", "x42_pca_project",
-    "x46_quality_filter", "x47_repetition_signals", "x48_decontaminate",
-    "x49_containment_pairs", "x50_centroid_shift", "x51_quality_drift_monitor",
-    "x52_semantic_dedup_clusters", "x53_sequence_packing",
-    "x54_model_quality_filter", "x55_curation_pipeline", "x56_winsorize",
+    "q30_sigma_schedule_gate", "x42_pca_project",
+    "x47_repetition_signals", "x48_decontaminate",
+    "x50_centroid_shift", "x51_quality_drift_monitor",
+    "x53_sequence_packing",
+    "x54_model_quality_filter",
     "x57_page_hinkley",
-    # Deliberately NOT listed (implementation changed after last green; see
-    # the round-5 policy note above): q25_ddm_drift_flags, q28_nb_fit_predict,
-    # q29_classification_metrics, q39_abrupt_drift_experiment,
-    # q60_unsupervised_drift_experiment, x14_multimodal_features,
-    # x23_dedup_clusters, x37_bm25_topk, x43_audio_frames, x44_image_resize.
+    # green rows in CORRECTNESS_r05.json (NB/metrics/graph/binary_ops
+    # re-attests + the x58-x75 families), minus the queries refactored in
+    # round 6 (see policy note above)
+    "q25_ddm_drift_flags", "q28_nb_fit_predict",
+    "q29_classification_metrics", "q39_abrupt_drift_experiment",
+    "q60_unsupervised_drift_experiment", "x14_multimodal_features",
+    "x37_bm25_topk", "x43_audio_frames", "x44_image_resize",
+    "x58_kmeans_cells", "x59_kmeans_ivf_topk",
+    "x61_source_mixing", "x63_doc_chunking",
+    "x64_mmd_drift", "x65_ks_drift", "x66_chunk_dedup", "x67_zorder_key",
+    "x68_bpe_merges", "x69_oov_rate", "x70_data_expectations",
+    "x71_textrank", "x73_quantile_drift",
+    "x74_token_mixing",
+    # x72_drift_dashboard deliberately NOT listed: series-builder extracted
+    # for the streaming fleet in round 6 — needs a fresh driver row.
 })
 
 

@@ -49,29 +49,39 @@ def x02(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_dedup(load_table(spark, sf_dir, "documents"))
 
 
-def _minhash_oracle(num_hashes: int = 8, rows_per_band: int = 2) -> str:
+def _minhash_oracle(
+    num_hashes: int = 8, rows_per_band: int = 2, source: str = "documents"
+) -> str:
     """Shared oracle CTE text: word-3-gram shingles -> one md5 split into a
     Kirsch-Mitzenmacher 32-bit pair -> k min-hashes -> band buckets. Mirrors
     operators.dedup.minhash_signatures/minhash_bands computation exactly
-    (integer arithmetic on md5 halves is engine-portable)."""
+    (integer arithmetic on md5 halves is engine-portable). ``source`` is the
+    (doc_id, text) relation to sign — the guarded pipeline signs collapsed
+    representatives, not the raw corpus. ``bands`` carries ``sig`` (the
+    '|'-joined full signature) for the tier guard."""
     hash_cols = ",\n             ".join(
         f"MIN((hx + {j} * hy) % 4294967296) AS h{j}"
         for j in range(num_hashes)
     )
+    sig_concat = " || '|' || ".join(
+        f"h{j}::VARCHAR" for j in range(num_hashes)
+    )
     n_bands = num_hashes // rows_per_band
     band_selects = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig".format(
+        "SELECT doc_id, {b} AS band, md5({cols}) AS bucket,"
+        " {sig} AS sig FROM sig".format(
             b=b,
             cols=" || '|' || ".join(
                 f"h{j}::VARCHAR"
                 for j in range(b * rows_per_band, (b + 1) * rows_per_band)
             ),
+            sig=sig_concat,
         )
         for b in range(n_bands)
     )
     return f"""
     WITH ws AS (
-      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      SELECT doc_id, string_split(text, ' ') AS w FROM {source}
     ),
     sh AS (
       SELECT doc_id,
@@ -95,6 +105,73 @@ def _minhash_oracle(num_hashes: int = 8, rows_per_band: int = 2) -> str:
     """
 
 
+def _minhash_guarded_edges_oracle(
+    num_hashes: int = 8, rows_per_band: int = 2, bucket_cap: int = 64
+) -> str:
+    """Oracle CTE chain mirroring ``operators.dedup.minhash_dedup_edges``
+    EXACTLY, guard included (the bounded semantics ARE the declared
+    semantics, as with x33's fuzzy guard): exact-dup collapse to min-id
+    keepers -> chains -> minhash banding over representatives -> md5(sig)
+    tier-bucket + ROW_NUMBER cap on oversized buckets -> capped pairs ->
+    ``edges`` = chains UNION ALL pairs (disjoint by construction). Ends
+    with the ``edges`` CTE defined; callers append their SELECT."""
+    base = _minhash_oracle(num_hashes, rows_per_band, source="reps")
+    collapse = """
+    WITH dg AS (
+      SELECT doc_id, text, md5(text) AS dgst FROM documents
+    ),
+    lab AS (
+      SELECT doc_id, text,
+             MIN(doc_id) OVER (PARTITION BY dgst) AS keeper
+      FROM dg
+    ),
+    chains AS (
+      SELECT keeper AS a_id, doc_id AS b_id FROM lab WHERE doc_id <> keeper
+    ),
+    reps AS (
+      SELECT doc_id, text FROM lab WHERE doc_id = keeper
+    ),
+    """
+    # splice: drop the bare "WITH" of the base oracle, keep its CTE list
+    base_ctes = base.strip()
+    assert base_ctes.startswith("WITH")
+    base_ctes = base_ctes[len("WITH"):]
+    return (
+        collapse
+        + base_ctes
+        + f""",
+    bw AS (
+      SELECT band, bucket, COUNT(*) AS w FROM bands GROUP BY band, bucket
+    ),
+    tiered AS (
+      SELECT b.doc_id, b.band, b.bucket,
+             CASE WHEN bw.w <= {bucket_cap} THEN 0
+                  ELSE (('0x' || substr(md5(b.sig), 1, 8))::BIGINT)
+                       % CAST(CEIL(bw.w / {bucket_cap}.0) AS BIGINT)
+             END AS tier
+      FROM bands b JOIN bw ON b.band = bw.band AND b.bucket = bw.bucket
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY band, bucket, tier ORDER BY doc_id) AS rk
+      FROM tiered
+    ),
+    rep_pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM ranked a JOIN ranked b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.tier = b.tier
+       AND a.doc_id < b.doc_id
+      WHERE a.rk <= {bucket_cap} AND b.rk <= {bucket_cap}
+    ),
+    edges AS (
+      SELECT a_id, b_id FROM chains
+      UNION ALL
+      SELECT a_id, b_id FROM rep_pairs
+    )
+    """
+    )
+
+
 # --------------------------------------------------------------------------
 # X3 — MinHash LSH band buckets (signature computation, per doc x band)
 # --------------------------------------------------------------------------
@@ -112,26 +189,22 @@ def x03(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# X4 — MinHash LSH candidate pairs (bucket self-join)
+# X4 — MinHash LSH near-dup edges (guarded: exact-dup collapse + hot-bucket
+# tier/cap). Output = keeper->member chain edges for byte-identical groups
+# UNION representative-level band-collision pairs; same connected
+# components as the raw quadratic pair set, linear edge count under mass
+# duplication (VERDICT r5 task #1).
 # --------------------------------------------------------------------------
 @query(
     "x04_minhash_pairs",
-    oracle=_minhash_oracle()
-    + """
-    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    """,
+    oracle=_minhash_guarded_edges_oracle()
+    + "SELECT a_id, b_id FROM edges",
 )
 def x04(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import (
-        minhash_bands,
-        minhash_candidate_pairs,
-        minhash_signatures,
-    )
+    from ..operators.dedup import minhash_dedup_edges
 
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_candidate_pairs(minhash_bands(minhash_signatures(docs)))
+    return minhash_dedup_edges(docs)
 
 
 # --------------------------------------------------------------------------
@@ -291,6 +364,84 @@ _LSH_SIG_CTE = """
     norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id)
 """
 
+# Guarded near-dup CANDIDATE set mirroring
+# operators.similarity.embedding_near_dup_pairs exactly (VERDICT r5 task
+# #1): collapse vectors identical at the fixed-point quantization to min-id
+# keepers (-> chain candidates), sign representatives only, md5(vq) tier +
+# ROW_NUMBER cap on oversized (tbl, sig) buckets, capped rep pairs UNION
+# chains. Ends with ``cand_pairs`` + ``norms`` defined.
+_LSH_GUARDED_CAND_CTE = """
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    ex AS (
+      SELECT vec_id, UNNEST(emb) AS v, GENERATE_SUBSCRIPTS(emb, 1) - 1 AS d
+      FROM e
+    ),
+    exq AS (
+      SELECT vec_id, d, v, CAST(FLOOR(v * 1000.0 + 0.5) AS BIGINT) AS qv
+      FROM ex
+    ),
+    vqs AS (
+      SELECT vec_id, md5(string_agg(qv::VARCHAR, '|' ORDER BY d)) AS vq
+      FROM exq GROUP BY vec_id
+    ),
+    labv AS (
+      SELECT vec_id, vq, MIN(vec_id) OVER (PARTITION BY vq) AS keeper
+      FROM vqs
+    ),
+    vchains AS (
+      SELECT keeper AS a_id, vec_id AS b_id FROM labv WHERE vec_id <> keeper
+    ),
+    planes AS (
+      SELECT g, d,
+             CASE WHEN ((((g * 40503 + d + 1) * 2654435761) % 2147483648)
+                        // 32768) % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM generate_series(0, 31) t1(g), generate_series(0, 63) t2(d)
+    ),
+    dots AS (
+      SELECT exq.vec_id, pl.g, SUM(pl.s * exq.qv) AS dotv
+      FROM exq
+      JOIN labv lv ON exq.vec_id = lv.vec_id AND lv.vec_id = lv.keeper
+      JOIN planes pl ON exq.d = pl.d
+      GROUP BY exq.vec_id, pl.g
+    ),
+    sigs AS (
+      SELECT vec_id, g // 8 AS tbl,
+             SUM(CASE WHEN dotv > 0 THEN CAST(POW(2, g % 8) AS BIGINT)
+                 ELSE 0 END) AS sig
+      FROM dots GROUP BY vec_id, g // 8
+    ),
+    sw AS (SELECT tbl, sig, COUNT(*) AS w FROM sigs GROUP BY tbl, sig),
+    st AS (
+      SELECT s.vec_id, s.tbl, s.sig,
+             CASE WHEN sw.w <= 64 THEN 0
+                  ELSE (('0x' || substr(v.vq, 1, 8))::BIGINT)
+                       % CAST(CEIL(sw.w / 64.0) AS BIGINT)
+             END AS tier
+      FROM sigs s
+      JOIN sw ON s.tbl = sw.tbl AND s.sig = sw.sig
+      JOIN vqs v ON s.vec_id = v.vec_id
+    ),
+    sr AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY tbl, sig, tier ORDER BY vec_id) AS rk
+      FROM st
+    ),
+    rep_cand AS (
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM sr a JOIN sr b
+        ON a.tbl = b.tbl AND a.sig = b.sig AND a.tier = b.tier
+       AND a.vec_id < b.vec_id
+      WHERE a.rk <= 64 AND b.rk <= 64
+    ),
+    cand_pairs AS (
+      SELECT a_id, b_id FROM rep_cand
+      UNION ALL
+      SELECT a_id, b_id FROM vchains
+    ),
+    norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id)
+"""
+
 
 @query(
     "x08_similarity_ann_lsh",
@@ -344,18 +495,13 @@ def x08(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x09_embedding_near_dup",
     oracle=f"""
-    WITH {_LSH_SIG_CTE},
-    pairs AS (
-      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-      FROM sigs a
-      JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
-    ),
+    WITH {_LSH_GUARDED_CAND_CTE},
     pdots AS (
-      SELECT pairs.a_id, pairs.b_id, SUM(x.v * y.v) AS dot
-      FROM pairs
-      JOIN ex x ON x.vec_id = pairs.a_id
-      JOIN ex y ON y.vec_id = pairs.b_id AND x.d = y.d
-      GROUP BY pairs.a_id, pairs.b_id
+      SELECT cand_pairs.a_id, cand_pairs.b_id, SUM(x.v * y.v) AS dot
+      FROM cand_pairs
+      JOIN ex x ON x.vec_id = cand_pairs.a_id
+      JOIN ex y ON y.vec_id = cand_pairs.b_id AND x.d = y.d
+      GROUP BY cand_pairs.a_id, cand_pairs.b_id
     ),
     scored AS (
       SELECT a_id, b_id,

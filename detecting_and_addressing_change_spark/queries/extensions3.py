@@ -300,21 +300,18 @@ def x22(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recursive CTE — fixpoint label = MIN over all reachable nodes.
 # --------------------------------------------------------------------------
 def _x23_oracle() -> str:
-    from .extensions import _minhash_oracle
+    from .extensions import _minhash_guarded_edges_oracle
 
-    base = _minhash_oracle().replace("WITH ws", "WITH RECURSIVE ws", 1)
+    base = _minhash_guarded_edges_oracle().replace(
+        "WITH dg", "WITH RECURSIVE dg", 1
+    )
     return (
         base
         + """
-    , pairs AS (
-      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    ),
-    sym AS (
-      SELECT a_id AS a, b_id AS b FROM pairs
+    , sym AS (
+      SELECT a_id AS a, b_id AS b FROM edges
       UNION
-      SELECT b_id, a_id FROM pairs
+      SELECT b_id, a_id FROM edges
     ),
     reach(node, lbl) AS (
       SELECT doc_id, doc_id FROM documents
@@ -446,13 +443,14 @@ def x25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("x23_dedup_clusters", oracle=_x23_oracle())
 def x23(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import (
-        minhash_bands,
-        minhash_candidate_pairs,
-        minhash_signatures,
-    )
+    """Near-dup clusters over the GUARDED edge set (x04's
+    ``minhash_dedup_edges``: exact-dup collapse to keeper chains +
+    capped representative band pairs) — identical components to the raw
+    quadratic pair set whenever the cap doesn't fire, and a linear edge
+    count under mass duplication either way."""
+    from ..operators.dedup import minhash_dedup_edges
     from ..operators.graph import dedup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(minhash_bands(minhash_signatures(docs)))
+    pairs = minhash_dedup_edges(docs)
     return dedup_clusters(docs.select("doc_id"), pairs)

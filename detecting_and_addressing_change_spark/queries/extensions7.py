@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import portable_round, portable_round_sql
 from ..sources.tables import load_table
-from .extensions import _minhash_oracle
+from .extensions import _minhash_guarded_edges_oracle
 from .registry import query
 
 _STOPLIST = ("a", "the")
@@ -311,47 +311,38 @@ def x48(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "x49_containment_pairs",
-    oracle=_minhash_oracle()
+    oracle=_minhash_guarded_edges_oracle()
     + f""",
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    ),
     sets AS (
       SELECT doc_id,
              list_distinct(list_transform(
-               generate_series(1, len(w) - 2),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-      FROM ws
+               generate_series(1, len(w2) - 2),
+               i -> w2[i] || ' ' || w2[i+1] || ' ' || w2[i+2])) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS w2 FROM documents)
     )
     SELECT p.a_id, p.b_id,
            {portable_round_sql(
                'CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)'
                ' / least(len(sa.s), len(sb.s))', 4)} AS containment
-    FROM pairs p
+    FROM edges p
     JOIN sets sa ON sa.doc_id = p.a_id
     JOIN sets sb ON sb.doc_id = p.b_id
     """,
 )
 def x49(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment |A∩B| / min(|A|,|B|) over word-3-gram shingle sets,
-    computed ONLY for MinHash-LSH candidate pairs (x04's band machinery —
-    never all-pairs). Containment catches asymmetric near-dups Jaccard
+    computed ONLY for the GUARDED MinHash-LSH edge set (x04's
+    ``minhash_dedup_edges`` — never all-pairs, linear under mass
+    duplication; chain edges score a trivial 1.0 since the texts are
+    byte-identical). Containment catches asymmetric near-dups Jaccard
     misses: a short doc fully embedded in a long one scores ~1.0 here but
     low on Jaccard. Two keyed joins attach the shingle sets to the
     bounded candidate list; at 100 TB both are plain hash joins on doc_id
     with the pair side orders of magnitude smaller than the corpus."""
-    from ..operators.dedup import (
-        minhash_bands,
-        minhash_candidate_pairs,
-        minhash_signatures,
-    )
+    from ..operators.dedup import minhash_dedup_edges
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(
-        minhash_bands(minhash_signatures(docs))
-    )
+    pairs = minhash_dedup_edges(docs)
     w = F.split(F.col("text"), " ")
     sets = docs.select(
         "doc_id", F.array_distinct(_word_grams(w, 3)).alias("s")
@@ -434,23 +425,18 @@ def x51(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X52 — semantic dedup clusters: embedding near-dup pairs -> components
 # --------------------------------------------------------------------------
 def _x52_oracle() -> str:
-    from .extensions import _LSH_SIG_CTE
+    from .extensions import _LSH_GUARDED_CAND_CTE
 
     return (
         "WITH RECURSIVE "
-        + _LSH_SIG_CTE
+        + _LSH_GUARDED_CAND_CTE
         + """,
-    pairs0 AS (
-      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-      FROM sigs a
-      JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
-    ),
     pdots AS (
-      SELECT pairs0.a_id, pairs0.b_id, SUM(x.v * y.v) AS dot
-      FROM pairs0
-      JOIN ex x ON x.vec_id = pairs0.a_id
-      JOIN ex y ON y.vec_id = pairs0.b_id AND x.d = y.d
-      GROUP BY pairs0.a_id, pairs0.b_id
+      SELECT cand_pairs.a_id, cand_pairs.b_id, SUM(x.v * y.v) AS dot
+      FROM cand_pairs
+      JOIN ex x ON x.vec_id = cand_pairs.a_id
+      JOIN ex y ON y.vec_id = cand_pairs.b_id AND x.d = y.d
+      GROUP BY cand_pairs.a_id, cand_pairs.b_id
     ),
     edges AS (
       SELECT a_id, b_id

@@ -92,14 +92,27 @@ def x60(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document bigram-LM cross-entropy — the CCNet quality signal: fit
     an add-one-smoothed bigram model on the corpus, score every document by
     the mean negative log-likelihood of its bigrams (low = head-like fluent
-    text, high = tail/garbage). Plan: one gram-key shuffle fits the model
-    (map-side combine, |model| = observed-bigram count), prefix totals are
-    derived from the model itself (tiny second agg), and scoring joins the
-    exploded corpus against the BROADCAST model — the corpus side never
-    shuffles until the final per-doc mean. CCNet broadcasts a fixed small
-    LM exactly this way; for a corpus-wide unpruned LM swap the broadcasts
-    for shuffle joins on the same keys."""
-    docs = load_table(spark, sf_dir, "documents")
+    text, high = tail/garbage). See :func:`lm_cross_entropy` for the plan
+    and the broadcast guard (ADVICE r5)."""
+    return lm_cross_entropy(load_table(spark, sf_dir, "documents"))
+
+
+def lm_cross_entropy(
+    docs: DataFrame, broadcast_model: bool = True
+) -> DataFrame:
+    """Plan: one gram-key shuffle fits the model (map-side combine,
+    |model| = observed-bigram count), prefix totals are derived from the
+    model itself (tiny second agg), and scoring joins the exploded corpus
+    against the model. ``broadcast_model`` gates the join strategy
+    (expectations.check's broadcast_parents pattern, ADVICE r5): the model
+    tables c12/cpre are CORPUS-DERIVED and grow with vocabulary, so the
+    True default (right for a CCNet-style fixed pruned LM, and for these
+    test scales) must degrade on an unpruned 100 TB-corpus model — pass
+    False and both joins become co-partitioned shuffle hash joins on the
+    gram key, reusing the fit's own exchange. The 1-row vocab count is
+    broadcast unconditionally (tiny by construction). Results are
+    identical either way (tests/test_review_regressions.py asserts so)."""
+    hint = F.broadcast if broadcast_model else (lambda d: d)
     w = docs.select(
         "doc_id", F.split("text", " ").alias("ws")
     ).filter(F.size("ws") >= 2)
@@ -117,9 +130,9 @@ def x60(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("word").alias("v"))
     )
     scored = (
-        bg.join(F.broadcast(c12), "bigram")
+        bg.join(hint(c12), "bigram")
         .join(
-            F.broadcast(cpre),
+            hint(cpre),
             F.substring_index(F.col("bigram"), " ", 1) == F.col("w1"),
         )
         .join(F.broadcast(vocab))
@@ -253,12 +266,24 @@ def x62(spark: SparkSession, sf_dir: str) -> DataFrame:
     for suffix-array ExactSubstr dedup (Lee et al.'s "Deduplicating
     Training Data" rule): a 5-word shingle that appears in >= 2 distinct
     documents marks boilerplate; a document whose shingle positions are
-    mostly such grams is flagged. Plan: explode shingles, ONE gram-key
-    aggregation for distinct-doc counts (map-side combinable after the
-    in-partition distinct), then the verdict joins back on the same gram
-    key — broadcast here, a co-partitioned exchange-reusing shuffle join
-    at 100 TB. Never all-pairs, never a suffix array's global sort."""
-    docs = load_table(spark, sf_dir, "documents")
+    mostly such grams is flagged. See :func:`crossdoc_ngram_flags` for the
+    plan and the broadcast guard (ADVICE r5)."""
+    return crossdoc_ngram_flags(load_table(spark, sf_dir, "documents"))
+
+
+def crossdoc_ngram_flags(
+    docs: DataFrame, broadcast_counts: bool = True
+) -> DataFrame:
+    """Plan: explode shingles, ONE gram-key aggregation for distinct-doc
+    counts (map-side combinable after the in-partition distinct), then the
+    verdict joins back on the same gram key. ``broadcast_counts`` gates
+    the join strategy (ADVICE r5): docs_per is CORPUS-DERIVED (one row per
+    distinct shingle) and grows with the corpus, so the True default must
+    degrade at 100 TB — pass False and the join becomes a co-partitioned
+    shuffle hash join on the shingle key, reusing the count's own
+    exchange. Never all-pairs, never a suffix array's global sort.
+    Results are identical either way."""
+    hint = F.broadcast if broadcast_counts else (lambda d: d)
     w = docs.select(
         "doc_id", F.split("text", " ").alias("ws")
     ).filter(F.size("ws") >= 5)
@@ -271,7 +296,7 @@ def x62(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = F.when(F.col("nd") >= 2, F.lit(1)).otherwise(F.lit(0))
     frac = F.sum(dup) * F.lit(1.0) / F.count("*")
     return (
-        sh.join(F.broadcast(docs_per), "shingle")
+        sh.join(hint(docs_per), "shingle")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("int").alias("n_shingles"),
@@ -1078,11 +1103,24 @@ def x72(spark: SparkSession, sf_dir: str) -> DataFrame:
     Page-Hinkley detector through ONE keyed applyInPandas (detector_id =
     signal name; the fleet parallelizes across keys, SCALE.md T1 row).
     Rates k/16 are exact dyadic rationals, so the keyed recursive-CTE
-    oracle replays every detector bit-exactly."""
+    oracle replays every detector bit-exactly. The same series feeds the
+    LIVE fleet (streaming detect_drift_ph_stream) with batch/stream +
+    kill-and-restart parity pinned in tests/test_streaming.py (VERDICT
+    r5 task #5)."""
     from ..operators.ph import detect_drift_ph
-    from ..operators.windows import count_window_agg
 
-    docs = load_table(spark, sf_dir, "documents")
+    fleet = drift_dashboard_series(load_table(spark, sf_dir, "documents"))
+    return detect_drift_ph(fleet).select(
+        F.col("detector_id").alias("detector"), "seq_id", "error", "flag"
+    )
+
+
+def drift_dashboard_series(docs: DataFrame) -> DataFrame:
+    """The x72 fleet's input series: DataFrame[detector_id, seq_id, error]
+    — one row per (signal, 16-doc ingest bucket), three signals. Shared by
+    the batch dashboard and the streaming fleet so parity is over the
+    exact same series."""
+    from ..operators.windows import count_window_agg
     w0 = F.split(F.col("text"), " ")
     staged = docs.select(
         "doc_id",
@@ -1119,11 +1157,10 @@ def x72(spark: SparkSession, sf_dir: str) -> DataFrame:
             "error",
         )
 
-    fleet = series("repetition").unionByName(
-        series("shortdoc")
-    ).unionByName(series("quality"))
-    return detect_drift_ph(fleet).select(
-        F.col("detector_id").alias("detector"), "seq_id", "error", "flag"
+    return (
+        series("repetition")
+        .unionByName(series("shortdoc"))
+        .unionByName(series("quality"))
     )
 
 
@@ -1350,18 +1387,15 @@ def x75(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup run: per near-dup cluster size, how many clusters, how many
     documents, how many would be REMOVED under keep-one-per-cluster, and
     how many characters that reclaims (canonical = min-id member, the
-    x23 contract). Plan: the x23 MinHash-band candidate pairs + adaptive
-    connected components, one doc_id-keyed join to attach sizes, a
-    bounded-key (cluster_id) agg, then a |distinct sizes|-row rollup."""
-    from ..operators.dedup import (
-        minhash_bands,
-        minhash_candidate_pairs,
-        minhash_signatures,
-    )
+    x23 contract). Plan: the x23 GUARDED MinHash edge set
+    (``minhash_dedup_edges``: exact-dup collapse + hot-bucket cap) +
+    adaptive connected components, one doc_id-keyed join to attach sizes,
+    a bounded-key (cluster_id) agg, then a |distinct sizes|-row rollup."""
+    from ..operators.dedup import minhash_dedup_edges
     from ..operators.graph import dedup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(minhash_bands(minhash_signatures(docs)))
+    pairs = minhash_dedup_edges(docs)
     labels = dedup_clusters(docs.select("doc_id"), pairs)
     sized = (
         labels.join(docs.select("doc_id", "n_chars"), "doc_id")

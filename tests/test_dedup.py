@@ -156,3 +156,92 @@ def test_jaccard_dense_and_sparse_paths_agree_with_brute_force(spark):
     ]
     want70 = sorted(_brute_jaccard_topn(rows70, 10))
     assert sorted(got70) == want70
+
+
+# ---------------------------------------------------------------------------
+# Hot-bucket guard (VERDICT r5 task #1): mass duplicates must produce a
+# LINEAR edge count, and oversized buckets of distinct docs must be
+# tier/capped — never a quadratic self-join task.
+# ---------------------------------------------------------------------------
+def test_mass_duplicates_collapse_to_linear_chains(spark):
+    from detecting_and_addressing_change_spark.operators.dedup import (
+        minhash_dedup_edges,
+    )
+
+    # 10k byte-identical docs ("403 Forbidden" boilerplate shape): the
+    # unguarded band self-join would emit ~50M pairs in ONE task; the
+    # guarded edge set is exactly n-1 keeper->member chains.
+    n = 10_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(
+            "forbidden access denied this page is not available please "
+            "contact the site administrator for further assistance"
+        ).alias("text"),
+    )
+    edges = minhash_dedup_edges(df).collect()
+    assert len(edges) == n - 1
+    assert all(r["a_id"] == 0 for r in edges)
+    assert {r["b_id"] for r in edges} == set(range(1, n))
+
+
+def test_hot_bucket_tier_cap_bounds_pairs_linearly(spark):
+    import math
+
+    # hand-built bands frame: 10k DISTINCT docs all colliding in one
+    # (band, bucket) — near-identical boilerplate the exact collapse can't
+    # merge. Guarded pair count is <= ceil(w/cap) * C(cap, 2) — linear in
+    # width — instead of C(10k, 2) ~ 50M.
+    n, cap = 10_000, 64
+    bands = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("band"),
+        F.lit("deadbeef").alias("bucket"),
+        F.concat(F.lit("sig"), F.col("id")).alias("sig"),
+    )
+    cnt = minhash_candidate_pairs(bands, bucket_cap=cap).count()
+    bound = math.ceil(n / cap) * cap * (cap - 1) // 2
+    assert 0 < cnt <= bound  # 316,512 max vs 49,995,000 unguarded
+
+
+def test_guarded_edges_preserve_components(spark, docs):
+    from detecting_and_addressing_change_spark.operators.dedup import (
+        minhash_dedup_edges,
+    )
+    from detecting_and_addressing_change_spark.operators.graph import (
+        dedup_clusters,
+    )
+
+    # on a corpus where no cap fires, the guarded edge set must yield the
+    # SAME connected components as the raw quadratic pair set
+    raw = minhash_candidate_pairs(
+        minhash_bands(minhash_signatures(docs))
+    )
+    guarded = minhash_dedup_edges(docs)
+    ids = docs.select("doc_id")
+    want = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup_clusters(ids, raw).collect()
+    }
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup_clusters(ids, guarded).collect()
+    }
+    assert got == want
+
+
+def test_embedding_near_dup_guard_collapses_identical_vectors(spark):
+    from detecting_and_addressing_change_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    # 200 identical vectors + 2 distinct: identical ones collapse to chain
+    # candidates (199 edges from keeper 0), all scoring cosine 1.0
+    vec = [float((i % 7) - 3) / 3.0 for i in range(8)]
+    other = [float((i % 5) - 2) / 2.0 for i in range(8)]
+    rows = [(i, vec) for i in range(200)] + [(200, other)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_near_dup_pairs(df, threshold=0.99, dim=8).collect()
+    chain = [(r["a_id"], r["b_id"]) for r in out if r["cosine"] == 1.0]
+    assert len(chain) == 199
+    assert all(a == 0 for a, _ in chain)

@@ -332,3 +332,14 @@ def test_round5_tail_queries_plan_shapes(spark):
     # x70's row-local suite is ONE fused agg pass over the scan
     df = QUERIES["x70_data_expectations"](spark, SF_SMOKE)
     assert has_partial_aggregate_before_shuffle(df)
+
+
+def test_x04_guard_in_plan(spark):
+    """VERDICT r5 task #1: the guarded dedup edge plan must contain BOTH
+    skew defenses — the exact-collapse keeper window (min over the digest
+    partition) and the hot-bucket tier/cap rank window — and no cartesian
+    product anywhere."""
+    s = explain_str(QUERIES["x04_minhash_pairs"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in s
+    assert s.count("Window") >= 2  # digest-collapse min + tier rank
+    assert "row_number" in s  # the cap rank

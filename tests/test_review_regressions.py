@@ -49,3 +49,31 @@ def test_tagged_embedder_unknown_backend_raises_value_error(spark):
     )
     with pytest.raises(ValueError, match="unknown backend"):
         embed_documents_tagged(docs, dim=4, backend="bogus")
+
+
+def test_lm_and_ngram_broadcast_guards_degrade_to_shuffle_join(spark):
+    """ADVICE r5: the corpus-derived model tables in x60/x62 must be able
+    to degrade from the forced broadcast to a co-partitioned shuffle join
+    — same results, no BroadcastExchange of the model in the plan."""
+    from detecting_and_addressing_change_spark.plans import explain_str
+    from detecting_and_addressing_change_spark.queries.extensions9 import (
+        crossdoc_ngram_flags,
+        lm_cross_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{(i * 7 + k) % 13}" for k in range(12)))
+            for i in range(60)
+        ],
+        "doc_id long, text string",
+    )
+    for fn in (lm_cross_entropy, crossdoc_ngram_flags):
+        bc = {tuple(r) for r in fn(docs, True).collect()}
+        sh = {tuple(r) for r in fn(docs, False).collect()}
+        assert bc == sh, fn.__name__
+    # the guarded plan joins the exploded corpus to the model WITHOUT a
+    # broadcast of the gram-keyed model table (the 1-row vocab count's
+    # broadcast nested-loop join is expected and fine)
+    s = explain_str(crossdoc_ngram_flags(docs, False))
+    assert "BroadcastHashJoin" not in s
