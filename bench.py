@@ -111,6 +111,10 @@ BENCH_QUERIES = [
     "x73_quantile_drift",
     "x74_token_mixing",
     "x75_dedup_savings",
+    # round-6: incremental minhash index lifecycle (build base, append
+    # delta, edges from stored signatures — includes the parquet writes,
+    # which ARE the operator's cost shape)
+    "x76_incremental_dedup",
 ]
 
 

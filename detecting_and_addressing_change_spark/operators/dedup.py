@@ -342,28 +342,71 @@ def simhash_dedup_pairs(
     n_bits: int = 16,
     max_hamming: int = 3,
     block_bits: int = 4,
+    block_cap: int = 64,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on the top `block_bits` bits (at
     scale: multiple rotated blockings to bound recall), then exact Hamming
-    filter inside blocks via bit_count(xor)."""
-    sh = simhash_df(df, text_col, id_col, n_bits)
+    filter inside blocks via bit_count(xor).
+
+    Same hot-block guard family as ``minhash_dedup_edges`` (the block
+    self-join is quadratic in block width, and identical texts all share a
+    block): byte-identical texts collapse to their min-id keeper first —
+    each group contributes (keeper, member, 0) CHAIN pairs, linear — and
+    blocks still wider than ``block_cap`` are refined by an md5(simhash)
+    tier-bucket and rank-capped (the ``operators/fuzzy`` pattern)."""
+    from pyspark.sql import Window
+
+    wd = df.select(
+        F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("__dg")
+    )
+    keeper = F.min(id_col).over(Window.partitionBy("__dg"))
+    lab = wd.withColumn("__keeper", keeper)
+    chains = lab.filter(F.col(id_col) != F.col("__keeper")).select(
+        F.col("__keeper").alias("a_id"),
+        F.col(id_col).alias("b_id"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    reps = lab.filter(F.col(id_col) == F.col("__keeper")).select(
+        id_col, text_col
+    )
+    sh = simhash_df(reps, text_col, id_col, n_bits)
     block = (F.col("sh") / (1 << (n_bits - block_bits))).cast("int")
-    a = sh.select(
-        block.alias("blk"), F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh")
+    d = sh.select(id_col, "sh", block.alias("blk"))
+    widths = d.groupBy("blk").agg(F.count("*").alias("__w"))
+    d = d.join(widths, "blk")
+    nbuck = F.ceil(F.col("__w") / float(block_cap)).cast("long")
+    hx = F.conv(
+        F.substring(F.md5(F.col("sh").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    d = d.withColumn(
+        "__tier",
+        F.when(F.col("__w") <= block_cap, F.lit(0)).otherwise(hx % nbuck),
     )
-    b = sh.select(
-        block.alias("blk"), F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh")
+    rk = F.row_number().over(
+        Window.partitionBy("blk", "__tier").orderBy(id_col)
     )
-    return (
-        a.join(b, "blk")
+    d = (
+        d.withColumn("__rk", rk)
+        .filter(F.col("__rk") <= block_cap)
+        .select(id_col, "sh", "blk", "__tier")
+    )
+    a = d.select(
+        "blk", "__tier", F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh")
+    )
+    b = d.select(
+        "blk", "__tier", F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh")
+    )
+    rep_pairs = (
+        a.join(b, ["blk", "__tier"])
         .filter(F.col("a_id") < F.col("b_id"))
         .withColumn(
             "hamming",
-            F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))),
+            F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).cast("int"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
+    return chains.unionByName(rep_pairs)
 
 
 def ngram_jaccard_pairs(

@@ -127,8 +127,14 @@ def embed_documents(
             fn, EMBED_SCHEMA
         )
 
-    if backend == "hf":  # pragma: no cover - heavyweight deps absent here
-        _require_hf()
+    if backend == "hf":
+        _require_hf()  # raises unless torch+transformers are installed
+        from ..sources.tables import spread_small_input
+
+        return spread_small_input(docs.select(id_col, text_col)).mapInPandas(
+            _hf_embed_fn(model, dim, max_seq_len, text_col, id_col),
+            EMBED_SCHEMA,
+        )
     raise ValueError(f"unknown backend {backend!r}")
 
 
@@ -148,8 +154,13 @@ def embed_documents_tagged(
     passes for the two-space drift experiments, and on local[32] it lets
     both models' rows share the same task wave. Bit-identical per row to
     the single-model path (same hash, same per-model memo)."""
-    if backend == "hf":  # pragma: no cover - heavyweight deps absent here
+    if backend == "hf":
         _require_hf()
+        raise NotImplementedError(
+            "hf backend: multi-model tagged embedding is not wired (a "
+            "per-partition model CACHE keyed by the row's model column); "
+            "run embed_documents once per model instead"
+        )
     elif backend != "hash":
         raise ValueError(f"unknown backend {backend!r}")
 
@@ -211,8 +222,12 @@ def pooled_embed_documents_tagged(
     ``mean_pool_col``'s ``F.aggregate`` performs — and divided by the token
     count. Pinned by tests/test_arrays.py::test_fused_pooling_bit_identical.
     """
-    if backend == "hf":  # pragma: no cover - heavyweight deps absent here
+    if backend == "hf":
         _require_hf()
+        raise NotImplementedError(
+            "hf backend: fused pooled embedding is not wired (pool the "
+            "_hf_embed_fn token vectors via functions.arrays instead)"
+        )
     elif backend != "hash":
         raise ValueError(f"unknown backend {backend!r}")
 
@@ -257,17 +272,89 @@ def pooled_embed_documents_tagged(
     ).mapInPandas(fn, POOLED_SCHEMA)
 
 
-def _require_hf() -> None:  # pragma: no cover - heavyweight deps absent here
+# reference constants/transformers.py:12-19: BERT/DistilBERT load from the
+# hub; SciBERT loads the same checkpoint the repo vendors locally, whose
+# public hub id is allenai/scibert_scivocab_uncased.
+HF_CHECKPOINTS = {
+    "BERT": "bert-base-uncased",
+    "SCIBERT": "allenai/scibert_scivocab_uncased",
+    "DISTILBERT": "distilbert-base-uncased",
+}
+
+
+def hf_available() -> bool:
+    """True when the real HF backend can run: ``pip install torch
+    transformers`` is the exact activation step (no code change needed —
+    the wiring below is live, tests/test_hf_seam.py exercises it against
+    a stub today and runs it for real the day torch appears)."""
     try:
         import transformers  # noqa: F401
         import torch  # noqa: F401
-    except ImportError as e:
+        return True
+    except ImportError:
+        return False
+
+
+def _hf_embed_fn(
+    model: str,
+    dim: int,
+    max_seq_len: int,
+    text_col: str,
+    id_col: str,
+):
+    """The mapInPandas worker for backend='hf': loads tokenizer + model
+    ONCE per partition (cold-start amortized over the partition's rows,
+    the same contract as the reference's per-process Transformer init,
+    ``constants/transformers.py:29-30``), tokenizes with truncation at
+    ``max_seq_len`` (``:46``), one no-grad forward per row, and emits the
+    last hidden state's token vectors TRUNCATED to the first ``dim``
+    channels so the output schema matches the hash backend's (pass
+    dim=hidden_size for the full vectors). Returned separately from
+    ``embed_documents`` so the seam is unit-testable against a stubbed
+    torch/transformers without a worker process."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import torch
+        from transformers import AutoModel, AutoTokenizer
+
+        ckpt = HF_CHECKPOINTS.get(model, model)
+        tokenizer = AutoTokenizer.from_pretrained(ckpt)
+        mdl = AutoModel.from_pretrained(ckpt)
+        mdl.eval()
+        for pdf in batches:
+            toks = []
+            for t in pdf[text_col]:
+                enc = tokenizer(
+                    t or "",
+                    truncation=True,
+                    max_length=max_seq_len,
+                    return_tensors="pt",
+                )
+                with torch.no_grad():
+                    hidden = mdl(**enc).last_hidden_state
+                arr = np.asarray(hidden)[0]  # (seq, hidden)
+                toks.append(
+                    [row[:dim].astype(np.float32).tolist() for row in arr]
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "model": [model] * len(pdf),
+                    "tokens": toks,
+                    "seq_len": [len(t) for t in toks],
+                }
+            )
+
+    return fn
+
+
+def _require_hf() -> None:
+    if not hf_available():
         raise NotImplementedError(
-            "HF backend requires transformers+torch; install them and "
-            "this branch loads the model once per partition inside the "
-            "same mapInPandas contract"
-        ) from e
-    raise NotImplementedError("hf backend wiring lands with real deps")
+            "HF backend requires transformers+torch: pip install torch "
+            "transformers. The wiring is live (operators/embedder.py:"
+            "_hf_embed_fn) — install is the only activation step."
+        )
 
 
 def materialize_embeddings(

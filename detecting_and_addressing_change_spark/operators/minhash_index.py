@@ -154,6 +154,55 @@ def minhash_index_edges(
     return chains.unionByName(rep_pairs)
 
 
+def init_minhash_index(
+    spark: SparkSession, path: str, num_hashes: int = 8
+) -> None:
+    """Empty index state — the starting point for a STREAMING ingest
+    (``append_minhash_batch``), where no base build exists yet."""
+    sig_fields = ", ".join(f"h{j} long" for j in range(num_hashes))
+    spark.createDataFrame([], f"dgst string, {sig_fields}").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/sigs")
+    spark.createDataFrame([], "doc_id long, dgst string").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/docs/batch=-1")
+
+
+def append_minhash_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_size: int = 3,
+) -> None:
+    """foreachBatch sink for CONTINUOUS index maintenance — the streaming
+    twin of ``append_to_minhash_index`` (pass as
+    ``.foreachBatch(lambda b, e: append_minhash_batch(b, e, path))``).
+
+    foreachBatch is at-least-once: after a crash the same epoch can be
+    re-delivered, so both writes are idempotent —
+
+    - ``docs/``: each epoch OVERWRITES its own ``batch=<epoch>`` partition
+      directory; a re-delivered epoch replaces its own rows instead of
+      duplicating them (the standard epoch-keyed exactly-once pattern).
+    - ``sigs/``: the novel-digest anti-join is NATURALLY idempotent — a
+      signature the crashed attempt already committed is no longer novel
+      on retry (uncommitted parquet output stays invisible under
+      ``_temporary``, so a mid-write crash leaves no partial state).
+    """
+    spark = batch_df.sparkSession
+    known = spark.read.parquet(f"{path}/sigs").select("dgst")
+    novel = _sign_novel(
+        batch_df, known, text_col, id_col, num_hashes, shingle_size
+    ).localCheckpoint(eager=True)
+    novel.write.mode("append").parquet(f"{path}/sigs")
+    _digests(batch_df, text_col, id_col).write.mode("overwrite").parquet(
+        f"{path}/docs/batch={int(epoch_id)}"
+    )
+
+
 def minhash_index_probe(
     spark: SparkSession,
     path: str,

@@ -51,3 +51,59 @@ def x76(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_minhash_index(docs.filter(F.col("doc_id") % 5 != 4), path)
     append_to_minhash_index(docs.filter(F.col("doc_id") % 5 == 4), path)
     return minhash_index_edges(spark, path)
+
+
+# --------------------------------------------------------------------------
+# X77 — per-source document cap (crawl anti-domination sampling)
+# --------------------------------------------------------------------------
+_X77_CAP = 20
+
+
+@query(
+    "x77_source_cap",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             (doc_id % 2147483648) * 1103515245 % 2147483648 % 1000000
+               AS hv
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY hv, doc_id) AS rk
+      FROM h
+    )
+    SELECT source, doc_id, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= {_X77_CAP}
+    """,
+)
+def x77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the crawl pipeline's anti-domination rule
+    (C4/RefinedWeb-style: no single domain may flood the mixture): each
+    source keeps its cap=20 documents with the smallest deterministic LCG
+    hash — a uniform, reproducible-without-RNG sample, tie-broken by
+    doc_id — so re-runs, engines, and partitionings all pick the same
+    survivors. Plan: the selection is the SALTED two-phase top-k
+    (operators/topk.py, q57's machinery) on the negated hash, so a heavy
+    source never funnels through one window task at 100 TB; the salt only
+    routes work, the result is exact top-k and thus salt-independent —
+    which is why the oracle can ignore it."""
+    from ..functions.hashing import lcg_bucket
+    from ..operators.topk import topk_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "source",
+        (-lcg_bucket(F.col("doc_id"), 1_000_000)).alias("neg_hv"),
+    )
+    kept = topk_per_group(
+        h,
+        group_cols=["source"],
+        order_col="neg_hv",
+        k=_X77_CAP,
+        tiebreak_cols=("doc_id",),
+        rank_col="rk",
+    )
+    return kept.select("source", "doc_id", F.col("rk").cast("int").alias("rk"))

@@ -136,3 +136,27 @@ def test_merge_fold_matches_python(spark, syms, pair):
         _merge_pair_col(F.col("symbols"), a, b).alias("m")
     ).collect()[0]["m"]
     assert list(got) == out, (syms, pair)
+
+
+def test_distributed_loop_engages_at_realistic_vocab_width(spark):
+    """VERDICT r5 task #8: the distributed merge loop must run IN CI at a
+    vocabulary width that actually trips the adaptive threshold (>100k
+    distinct words), not only when forced with threshold=0. 150k generated
+    distinct words (shared character structure so pair counts stay >= 2
+    through every round): the DEFAULT-threshold fit must take the
+    distributed path and reproduce the independent reference fit
+    merge-for-merge, completing every requested round."""
+    from pyspark.sql import functions as F
+
+    n_words, n_merges = 150_000, 6
+    docs = spark.range(n_words).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("start"), F.col("id").cast("string"), F.lit("end"))
+        .alias("text"),
+    )
+    # default threshold (100k) — the 150k vocab engages the distributed
+    # branch by COUNT, which is the point of the test
+    merges = bpe_fit(docs, n_merges=n_merges)
+    assert len(merges) == n_merges  # no early break: every round ran
+    wc = {f"start{i}end": 1 for i in range(n_words)}
+    assert merges == _fit_reference(wc, n_merges)

@@ -245,3 +245,20 @@ def test_embedding_near_dup_guard_collapses_identical_vectors(spark):
     chain = [(r["a_id"], r["b_id"]) for r in out if r["cosine"] == 1.0]
     assert len(chain) == 199
     assert all(a == 0 for a, _ in chain)
+
+
+def test_simhash_pairs_mass_duplicates_linear(spark):
+    from detecting_and_addressing_change_spark.operators.dedup import (
+        simhash_dedup_pairs,
+    )
+
+    n = 5_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate body for the simhash guard test").alias(
+            "text"
+        ),
+    )
+    out = simhash_dedup_pairs(df).collect()
+    assert len(out) == n - 1  # keeper chains only, not C(n,2)
+    assert all(r["a_id"] == 0 and r["hamming"] == 0 for r in out)

@@ -95,3 +95,68 @@ def test_probe_finds_planted_dups_pre_append(spark, corpus, tmp_path):
     assert 902 not in by_batch or all(
         via == "band" for _, via in by_batch.get(902, set())
     )
+
+
+def test_streaming_ingest_restart_equals_batch(spark, corpus, tmp_path):
+    """Continuous index maintenance: the corpus replayed as an ordered
+    stream through a foreachBatch append — killed after the first wave,
+    restarted on the same checkpoint for the rest — must leave an index
+    whose edge set equals the batch path over the full corpus."""
+    from detecting_and_addressing_change_spark.operators.minhash_index import (
+        append_minhash_batch,
+        init_minhash_index,
+    )
+    from detecting_and_addressing_change_spark.streaming.replay import (
+        read_replay_stream,
+        stage_replay_files,
+    )
+
+    path = str(tmp_path / "sidx")
+    init_minhash_index(spark, path)
+    staged = str(tmp_path / "staged")
+    schema = "doc_id long, text string"
+
+    def run_round():
+        stream = read_replay_stream(spark, staged, schema)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, e: append_minhash_batch(b, e, path)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    n1 = stage_replay_files(
+        corpus.filter(F.col("doc_id") < 15), "doc_id", staged, batch_size=5
+    )
+    run_round()
+    stage_replay_files(
+        corpus.filter(F.col("doc_id") >= 15), "doc_id", staged,
+        batch_size=5, start_index=n1,
+    )
+    run_round()  # NEW query, same checkpoint
+
+    got = _edge_set(minhash_index_edges(spark, path))
+    want = _edge_set(minhash_dedup_edges(corpus))
+    assert got == want and want
+
+
+def test_redelivered_epoch_is_idempotent(spark, corpus, tmp_path):
+    """At-least-once delivery: appending the SAME epoch twice must leave
+    docs/ and sigs/ exactly as one delivery would."""
+    from detecting_and_addressing_change_spark.operators.minhash_index import (
+        append_minhash_batch,
+        init_minhash_index,
+    )
+
+    path = str(tmp_path / "ridx")
+    init_minhash_index(spark, path)
+    batch = corpus.filter(F.col("doc_id") < 10)
+    append_minhash_batch(batch, 0, path)
+    docs1 = spark.read.parquet(f"{path}/docs").count()
+    sigs1 = spark.read.parquet(f"{path}/sigs").count()
+    append_minhash_batch(batch, 0, path)  # re-delivery of epoch 0
+    assert spark.read.parquet(f"{path}/docs").count() == docs1 == 10
+    assert spark.read.parquet(f"{path}/sigs").count() == sigs1

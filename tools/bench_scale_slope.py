@@ -1,0 +1,66 @@
+"""Scale-slope measurement (VERDICT r5 task #6): run the iterative /
+shuffle-heavy query shapes at sf0.1 and at the generated 10x corpus
+(tools/gen_scale_slope_data.py -> /tmp/sf1eq) and report wall-time ratios.
+A plan that survives a 100 TB scale-up should be ~linear here (ratio <=
+~10 for 10x rows, usually far below on local[32] where fixed job latency
+dominates at sf0.1); anything super-linear gets investigated by name in
+BENCH_NOTES.md.
+
+Usage: python3 tools/bench_scale_slope.py [runs]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+QUERIES_UNDER_TEST = [
+    "x23_dedup_clusters",        # guarded edges + iterative CC
+    "x52_semantic_dedup_clusters",  # embedding LSH pairs + star CC
+    "x58_kmeans_cells",          # Lloyd's iterations
+    "x59_kmeans_ivf_topk",       # fit + pruned probe
+    "x71_textrank",              # fixed-point iteration, per-round joins
+    "q39_abrupt_drift_experiment",  # E2E embed->NB->DDM pipeline
+    "x04_minhash_pairs",         # collapse + banding + capped self-join
+    "x75_dedup_savings",         # edges + CC + rollup
+]
+
+
+def main() -> None:
+    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    from detecting_and_addressing_change_spark.queries import QUERIES
+    from detecting_and_addressing_change_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_slope")
+    spark.sparkContext.setLogLevel("ERROR")
+    dirs = {"sf0.1": "/root/testdata/sf0.1", "sf1eq": "/tmp/sf1eq"}
+    # warm every (query, dir) once: JIT/codegen depth must not masquerade
+    # as scale cost (same rationale as bench.py's warm-up pass)
+    for name in QUERIES_UNDER_TEST:
+        for d in dirs.values():
+            QUERIES[name](spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()
+    best: dict[tuple[str, str], float] = {}
+    for _ in range(runs):
+        for name in QUERIES_UNDER_TEST:
+            for label, d in dirs.items():
+                t0 = time.perf_counter()
+                QUERIES[name](spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.perf_counter() - t0
+                key = (name, label)
+                best[key] = min(best.get(key, 1e9), dt)
+    print(f"{'query':34s} {'sf0.1':>8s} {'sf1eq(10x)':>10s} {'ratio':>6s}")
+    for name in QUERIES_UNDER_TEST:
+        a = best[(name, "sf0.1")]
+        b = best[(name, "sf1eq")]
+        print(f"{name:34s} {a:8.2f} {b:10.2f} {b / a:6.2f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
