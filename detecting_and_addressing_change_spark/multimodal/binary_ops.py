@@ -3,11 +3,12 @@
 Media are opaque ``binary`` columns with a typed metadata struct; decode /
 feature-extract / resize / frame-sample run as Arrow-batched ``mapInPandas``
 stages. Decode kernels: REAL byte-level codecs for the dependency-free
-formats — PPM (P6) images and PCM-16 WAV audio, parsed with pure
-Python/numpy and oracle-checked end-to-end (x14) — while formats that need
-media libraries absent from this container (png/mp4/...) fall back to a
-deterministic fake (``decoder='auto'``) or raise (``decoder='real'``), so
-the capability boundary stays honest. ``decoder='fake'`` keeps the fully
+formats — PPM (P6) and PNG (8-bit gray/RGB/RGBA, all five scanline
+filters, stdlib zlib inflate) images and PCM-16 WAV audio, parsed with
+pure Python/numpy and oracle-checked end-to-end (x14/x78) — while formats
+that need media libraries absent from this container (mp4/...) fall back
+to a deterministic fake (``decoder='auto'``) or raise
+(``decoder='real'``), so the capability boundary stays honest. ``decoder='fake'`` keeps the fully
 synthetic path for plumbing tests; pillow/ffmpeg-style backends plug into
 the same (bytes, kind, fmt) -> ndarray interface.
 
@@ -112,6 +113,167 @@ def decode_ppm(data: bytes) -> np.ndarray:
     return px.reshape(h, w, 3)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + typ
+        + body
+        + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 image -> PNG, dependency-free (zlib is stdlib): 8-bit depth,
+    grayscale (h,w), RGB (h,w,3) or RGBA (h,w,4), non-interlaced, one IDAT.
+    ``filter_type`` applies one scanline filter (0..4) to every line —
+    type 0 for the fast path; the others exist so the decoder's unfilter
+    arithmetic is round-trip-testable against real filtered streams."""
+    import struct
+    import zlib
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        color, nch = 0, 1
+        h, w = arr.shape
+        arr = arr[:, :, None]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color, nch = 2, 3
+        h, w = arr.shape[:2]
+    elif arr.ndim == 3 and arr.shape[2] == 4:
+        color, nch = 6, 4
+        h, w = arr.shape[:2]
+    else:
+        raise ValueError("PNG encode: expect (h,w), (h,w,3) or (h,w,4)")
+    if filter_type not in range(5):
+        raise ValueError("filter_type must be 0..4")
+    raw = bytearray()
+    prev = np.zeros((w, nch), dtype=np.int32)
+    for y in range(h):
+        line = arr[y].astype(np.int32)
+        raw.append(filter_type)
+        if filter_type == 0:
+            out = line
+        elif filter_type == 1:  # Sub
+            left = np.vstack([np.zeros((1, nch), np.int32), line[:-1]])
+            out = (line - left) & 0xFF
+        elif filter_type == 2:  # Up
+            out = (line - prev) & 0xFF
+        elif filter_type == 3:  # Average
+            left = np.vstack([np.zeros((1, nch), np.int32), line[:-1]])
+            out = (line - (left + prev) // 2) & 0xFF
+        else:  # Paeth
+            out = np.empty_like(line)
+            for x in range(w):
+                for ci in range(nch):
+                    a = int(line[x - 1, ci]) if x > 0 else 0
+                    b = int(prev[x, ci])
+                    c = int(prev[x - 1, ci]) if x > 0 else 0
+                    out[x, ci] = (int(line[x, ci]) - _paeth(a, b, c)) & 0xFF
+        raw += out.astype(np.uint8).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG -> uint8 array (h,w) gray / (h,w,3) RGB / (h,w,4) RGBA.
+    Dependency-free: stdlib zlib inflate + numpy unfiltering. Supports the
+    mainstream subset — 8-bit depth, color types 0/2/6, non-interlaced —
+    and all five scanline filters (None/Sub/Up/Average/Paeth; Up is
+    vectorized across the line, the x-sequential ones run per pixel).
+    Raises ValueError outside that subset (16-bit, palette, Adam7)."""
+    import struct
+    import zlib
+
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    i = len(_PNG_SIG)
+    idat = bytearray()
+    w = h = None
+    color = None
+    while i + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[i : i + 4])
+        typ = data[i + 4 : i + 8]
+        body = data[i + 8 : i + 8 + ln]
+        i += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth}")
+            if color not in (0, 2, 6):
+                raise ValueError(f"unsupported color type {color}")
+            if interlace != 0:
+                raise ValueError("Adam7 interlacing not supported")
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("missing IHDR")
+    nch = {0: 1, 2: 3, 6: 4}[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length mismatch")
+    out = np.zeros((h, w, nch), dtype=np.int32)
+    prev = np.zeros((w, nch), dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = (
+            np.frombuffer(raw, np.uint8, stride, pos)
+            .reshape(w, nch)
+            .astype(np.int32)
+        )
+        pos += stride
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up — vectorized
+            rec = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):
+            rec = np.empty_like(line)
+            for x in range(w):
+                for ci in range(nch):
+                    a = int(rec[x - 1, ci]) if x > 0 else 0
+                    b = int(prev[x, ci])
+                    c = int(prev[x - 1, ci]) if x > 0 else 0
+                    if ft == 1:
+                        pred = a
+                    elif ft == 3:
+                        pred = (a + b) // 2
+                    else:
+                        pred = _paeth(a, b, c)
+                    rec[x, ci] = (int(line[x, ci]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown filter type {ft}")
+        out[y] = rec
+        prev = rec
+    res = out.astype(np.uint8)
+    return res[:, :, 0] if nch == 1 else res
+
+
 def encode_wav_pcm16(sample_rate: int, samples: np.ndarray) -> bytes:
     """mono int16 samples -> RIFF/WAVE with a PCM-16 fmt chunk."""
     import struct
@@ -173,6 +335,13 @@ def _real_decode(data: bytes, fmt: str, dim: int) -> np.ndarray:
         return _pad_to(
             [w, h, flat.mean(), flat.max(), flat.min(), flat.std()], dim
         )
+    if fmt == "png":
+        arr = decode_png(data)
+        flat = arr.astype(np.float64).ravel()
+        h, w = arr.shape[:2]
+        return _pad_to(
+            [w, h, flat.mean(), flat.max(), flat.min(), flat.std()], dim
+        )
     if fmt == "wav":
         rate, s = decode_wav_pcm16(data)
         sd = s.astype(np.float64)
@@ -189,7 +358,7 @@ def _real_decode(data: bytes, fmt: str, dim: int) -> np.ndarray:
         )
     raise NotImplementedError(
         f"real decode for format {fmt!r} needs a media library not present "
-        "in this container; supported dependency-free formats: ppm, wav"
+        "in this container; supported dependency-free formats: ppm, png, wav"
     )
 
 
@@ -213,11 +382,11 @@ def extract_features(
 
     elif decoder == "auto":
         # real byte-level decode where a dependency-free codec exists
-        # (ppm/wav), deterministic fake elsewhere (mp4 etc. need media
+        # (ppm/png/wav), deterministic fake elsewhere (mp4 etc. need media
         # libraries this container doesn't have)
 
         def decode(data, kind, fmt):
-            if fmt in ("ppm", "wav"):
+            if fmt in ("ppm", "png", "wav"):
                 return _real_decode(data, fmt, dim)
             return _fake_decode(data, kind, dim)
 

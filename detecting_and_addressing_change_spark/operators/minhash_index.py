@@ -214,21 +214,30 @@ def minhash_index_probe(
     rows_per_band: int = 2,
 ) -> DataFrame:
     """Candidates for a NEW batch against the index, before appending:
-    DataFrame[batch_id, index_id, via] where via = 'exact' (digest match)
-    or 'band' (band-bucket collision). The batch side (digests + bands) is
+    DataFrame[batch_id, index_id, via, n_members] where via = 'exact'
+    (digest match) or 'band' (band-bucket collision), index_id is the
+    matched DIGEST GROUP's min-id keeper and n_members its size — matches
+    are reported at digest granularity, so probing text that matches a
+    million byte-identical indexed documents returns ONE row (count
+    attached), never a million. The batch side (digests + bands) is
     BROADCAST — an ingest batch is small against a 100 TB index — so the
     index scan joins in place with no shuffle; indexed texts are never
-    read or re-signed."""
+    read or re-signed (index bands derive from the stored per-digest
+    signatures, a narrow map)."""
     bdg = batch.select(
-        F.md5(F.col(text_col)).alias("dgst"), F.col(id_col)
+        F.md5(F.col(text_col)).alias("dgst"),
+        F.col(id_col).alias("batch_id"),
     )
-    docs = spark.read.parquet(f"{path}/docs")
-    exact = docs.join(
-        F.broadcast(bdg.withColumnRenamed(id_col, "batch_id")), "dgst"
-    ).select(
-        "batch_id",
-        F.col("doc_id").alias("index_id"),
-        F.lit("exact").alias("via"),
+    groups = (
+        spark.read.parquet(f"{path}/docs")
+        .groupBy("dgst")
+        .agg(
+            F.min("doc_id").alias("index_id"),
+            F.count("*").cast("int").alias("n_members"),
+        )
+    )
+    exact = groups.join(F.broadcast(bdg), "dgst").select(
+        "batch_id", "index_id", F.lit("exact").alias("via"), "n_members"
     )
     bsigs = minhash_signatures(
         batch, text_col, id_col, num_hashes, shingle_size
@@ -237,12 +246,14 @@ def minhash_index_probe(
         F.col(id_col).alias("batch_id"), "band", "bucket"
     )
     isigs = spark.read.parquet(f"{path}/sigs")
-    ibands = minhash_bands(
-        isigs, "dgst", num_hashes, rows_per_band
-    ).join(
-        docs, "dgst"
-    ).select(F.col("doc_id").alias("index_id"), "band", "bucket")
-    near = ibands.join(F.broadcast(bbands), ["band", "bucket"]).select(
-        "batch_id", "index_id", F.lit("band").alias("via")
+    ibands = minhash_bands(isigs, "dgst", num_hashes, rows_per_band)
+    near = (
+        ibands.join(F.broadcast(bbands), ["band", "bucket"])
+        .select("batch_id", "dgst")
+        .distinct()
+        .join(groups, "dgst")
+        .select(
+            "batch_id", "index_id", F.lit("band").alias("via"), "n_members"
+        )
     )
     return exact.unionByName(near).distinct()

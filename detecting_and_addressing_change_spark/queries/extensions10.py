@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from .extensions import _minhash_guarded_edges_oracle
+from .extensions import _minhash_guarded_edges_oracle, _minhash_oracle
 from .registry import query
 
 
@@ -107,3 +107,190 @@ def x77(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="rk",
     )
     return kept.select("source", "doc_id", F.col("rk").cast("int").alias("rk"))
+
+
+# --------------------------------------------------------------------------
+# X79 — index probe report: an ingest batch checked against the persisted
+# index BEFORE appending (the dedup decision a pipeline makes at ingest
+# time). Matches are digest-granular: keeper id + member count, so a batch
+# doc matching a million identical indexed docs is ONE row.
+# --------------------------------------------------------------------------
+@query(
+    "x79_index_probe",
+    oracle=_minhash_oracle()
+    + """,
+    dg AS (SELECT doc_id, md5(text) AS dgst FROM documents),
+    base_dg AS (
+      SELECT dgst, MIN(doc_id) AS index_id, CAST(COUNT(*) AS INT) AS n
+      FROM dg WHERE doc_id % 5 <> 4 GROUP BY dgst
+    ),
+    delta AS (SELECT doc_id, dgst FROM dg WHERE doc_id % 5 = 4),
+    ex AS (
+      SELECT d.doc_id AS batch_id, b.index_id, 'exact' AS via, b.n
+      FROM delta d JOIN base_dg b USING (dgst)
+    ),
+    bband AS (
+      SELECT bd.dgst, bn.band, bn.bucket
+      FROM base_dg bd JOIN bands bn ON bn.doc_id = bd.index_id
+    ),
+    dband AS (
+      SELECT d.doc_id, bn.band, bn.bucket
+      FROM delta d JOIN bands bn ON bn.doc_id = d.doc_id
+    ),
+    bm AS (
+      SELECT DISTINCT d.doc_id AS batch_id, bb.dgst
+      FROM dband d JOIN bband bb
+        ON d.band = bb.band AND d.bucket = bb.bucket
+    ),
+    nr AS (
+      SELECT bm.batch_id, b.index_id, 'band' AS via, b.n
+      FROM bm JOIN base_dg b USING (dgst)
+    )
+    SELECT DISTINCT batch_id, index_id, via, n AS n_members
+    FROM (SELECT * FROM ex UNION ALL SELECT * FROM nr)
+    """,
+)
+def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup probe: the doc_id % 5 == 4 wave is checked
+    against an index built on the rest — exact digest hits and band
+    collisions, reported per matched digest GROUP (keeper + member count)
+    so mass duplication in the index cannot explode the report. The batch
+    side is broadcast; indexed texts are never read or re-signed. The
+    oracle recomputes both match kinds from scratch over the full table,
+    proving the stored-state probe equals the from-scratch semantics."""
+    from ..operators.minhash_index import (
+        build_minhash_index,
+        minhash_index_probe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="mhidx_x79_")
+    build_minhash_index(docs.filter(F.col("doc_id") % 5 != 4), path)
+    return minhash_index_probe(
+        spark, path, docs.filter(F.col("doc_id") % 5 == 4)
+    )
+
+
+# --------------------------------------------------------------------------
+# X78 — PNG decode under the oracle gate (x14's closed-form pattern):
+# deterministic pixels -> encode_png (color type AND scanline filter vary
+# per doc, so gray/RGB/RGBA and all five unfilter paths are exercised) ->
+# decode_png -> pixel statistics; the oracle recomputes the statistics in
+# closed form from the generating expression, so any chunk/zlib/filter
+# bug in the codec breaks the hash compare.
+# --------------------------------------------------------------------------
+@query(
+    "x78_png_features",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 48 ELSE 64 END AS n
+      FROM documents
+    ),
+    stats AS (
+      SELECT px.doc_id,
+             AVG((px.doc_id * 11 + p * 7) % 256) AS mean_v,
+             CAST(MAX((px.doc_id * 11 + p * 7) % 256) AS INT) AS max_v,
+             CAST(MIN((px.doc_id * 11 + p * 7) % 256) AS INT) AS min_v
+      FROM px, UNNEST(GENERATE_SERIES(0, px.n - 1)) AS t(p)
+      GROUP BY px.doc_id
+    )
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'gray' WHEN 1 THEN 'rgb'
+                ELSE 'rgba' END AS ctype,
+           CAST(doc_id % 5 AS INT) AS filter_type,
+           4 AS width, 4 AS height,
+           FLOOR(mean_v * 10000.0 + 0.5) / 10000.0 AS stat_mean,
+           max_v AS stat_max, min_v AS stat_min
+    FROM stats JOIN px USING (doc_id)
+    """,
+)
+def x78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG codec end-to-end (un-gating VERDICT r5 'missing' #3 for
+    png): 4x4 images with pixels (doc_id*11 + p*7) % 256 — grayscale /
+    RGB / RGBA by doc_id % 3, scanline filter doc_id % 5 — are encoded
+    with the dependency-free PNG writer inside an Arrow stage, decoded
+    back by the stdlib-zlib + numpy reader (`multimodal/binary_ops.py:
+    decode_png`), and reduced to pixel statistics. Media bytes never
+    cross a shuffle (scan -> mapInPandas -> narrow select)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.rounding import portable_round
+    from ..multimodal.binary_ops import (
+        MEDIA_SCHEMA,
+        decode_png,
+        encode_png,
+    )
+    from ..sources.tables import spread_small_input
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                ctype = ["gray", "rgb", "rgba"][doc_id % 3]
+                n = {"gray": 16, "rgb": 48, "rgba": 64}[ctype]
+                px = (
+                    (np.arange(n, dtype=np.int64) * 7 + doc_id * 11) % 256
+                ).astype(np.uint8)
+                shape = {
+                    "gray": (4, 4),
+                    "rgb": (4, 4, 3),
+                    "rgba": (4, 4, 4),
+                }[ctype]
+                data = encode_png(px.reshape(shape), filter_type=doc_id % 5)
+                rows.append((doc_id, "image", "png", data, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "fmt", "data", "meta"]
+            )
+
+    media = spread_small_input(docs.select("doc_id")).mapInPandas(
+        encode, MEDIA_SCHEMA
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                arr = decode_png(bytes(data))
+                flat = arr.astype(np.float64).ravel()
+                h, w = arr.shape[:2]
+                out.append(
+                    (
+                        int(mid),
+                        int(w),
+                        int(h),
+                        float(flat.mean()),
+                        int(flat.max()),
+                        int(flat.min()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "mean_v", "max_v", "min_v"
+                ],
+            )
+
+    feats = media.mapInPandas(
+        decode,
+        "media_id long, width int, height int, mean_v double, "
+        "max_v int, min_v int",
+    )
+    ctype = F.element_at(
+        F.array(F.lit("gray"), F.lit("rgb"), F.lit("rgba")),
+        (F.col("media_id") % 3 + 1).cast("int"),
+    )
+    return feats.select(
+        "media_id",
+        ctype.alias("ctype"),
+        (F.col("media_id") % 5).cast("int").alias("filter_type"),
+        "width",
+        "height",
+        portable_round(F.col("mean_v"), 4).alias("stat_mean"),
+        F.col("max_v").alias("stat_max"),
+        F.col("min_v").alias("stat_min"),
+    )

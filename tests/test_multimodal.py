@@ -186,3 +186,53 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_png_roundtrip_all_filters_and_color_types():
+    import numpy as np
+
+    from detecting_and_addressing_change_spark.multimodal.binary_ops import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    for shape in [(6, 9), (6, 9, 3), (6, 9, 4)]:
+        arr = rng.randint(0, 256, shape).astype(np.uint8)
+        for ft in range(5):
+            back = decode_png(encode_png(arr, filter_type=ft))
+            assert back.shape == arr.shape
+            assert (back == arr).all(), (shape, ft)
+
+
+def test_png_rejects_unsupported_subset():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from detecting_and_addressing_change_spark.multimodal.binary_ops import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"GIF89a")
+    # 16-bit depth header
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    data = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(data)
+    # palette color type
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    data = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="color type"):
+        decode_png(data)
+    assert np.uint8  # silence unused-import style
