@@ -169,10 +169,11 @@ def minhash_candidate_pairs(
     if bucket_cap is not None:
         from pyspark.sql import Window
 
-        widths = bands.groupBy("band", "bucket").agg(
-            F.count("*").alias("__w")
+        # width via a window count, not agg+join-back: one exchange on
+        # (band, bucket) instead of two
+        d = bands.withColumn(
+            "__w", F.count("*").over(Window.partitionBy("band", "bucket"))
         )
-        d = bands.join(widths, ["band", "bucket"])
         nbuck = F.ceil(F.col("__w") / float(bucket_cap)).cast("long")
         hx = F.conv(F.substring(F.md5(F.col("sig")), 1, 8), 16, 10).cast(
             "long"
@@ -371,9 +372,9 @@ def simhash_dedup_pairs(
     )
     sh = simhash_df(reps, text_col, id_col, n_bits)
     block = (F.col("sh") / (1 << (n_bits - block_bits))).cast("int")
-    d = sh.select(id_col, "sh", block.alias("blk"))
-    widths = d.groupBy("blk").agg(F.count("*").alias("__w"))
-    d = d.join(widths, "blk")
+    d = sh.select(id_col, "sh", block.alias("blk")).withColumn(
+        "__w", F.count("*").over(Window.partitionBy("blk"))
+    )
     nbuck = F.ceil(F.col("__w") / float(block_cap)).cast("long")
     hx = F.conv(
         F.substring(F.md5(F.col("sh").cast("string")), 1, 8), 16, 10

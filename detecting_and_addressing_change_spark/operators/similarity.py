@@ -415,8 +415,9 @@ def embedding_near_dup_pairs(
         .join(reps.select(F.col(id_col).alias("a_id"), "__vq"), "a_id")
         .localCheckpoint(eager=True)
     )
-    widths = sigs.groupBy("tbl", "sig").agg(F.count("*").alias("__w"))
-    d = sigs.join(widths, ["tbl", "sig"])
+    d = sigs.withColumn(
+        "__w", F.count("*").over(Window.partitionBy("tbl", "sig"))
+    )
     nbuck = F.ceil(F.col("__w") / float(bucket_cap)).cast("long")
     hx = F.conv(F.substring(F.col("__vq"), 1, 8), 16, 10).cast("long")
     d = d.withColumn(

@@ -12,6 +12,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import portable_round
 from ..sources.tables import load_table
 from .extensions import _minhash_guarded_edges_oracle, _minhash_oracle
 from .registry import query
@@ -107,6 +108,92 @@ def x77(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="rk",
     )
     return kept.select("source", "doc_id", F.col("rk").cast("int").alias("rk"))
+
+
+# --------------------------------------------------------------------------
+# X80 — near-dup decontamination: train docs whose MinHash bands collide
+# with the held-out benchmark split, verified by exact shingle-set Jaccard.
+# x48 catches exact n-gram overlap; this catches PARAPHRASE-level leakage
+# (the published concern behind fuzzy decontamination in Llama/GPT data
+# notes) — candidates only from band collisions, never all-pairs.
+# --------------------------------------------------------------------------
+@query(
+    "x80_neardup_decontam",
+    oracle=_minhash_oracle()
+    + """,
+    sets AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(w2) - 2),
+               i -> w2[i] || ' ' || w2[i+1] || ' ' || w2[i+2])) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS w2 FROM documents)
+    ),
+    cand AS (
+      SELECT DISTINCT t.doc_id AS train_id, b.doc_id AS bench_id
+      FROM bands t JOIN bands b
+        ON t.band = b.band AND t.bucket = b.bucket
+      WHERE t.doc_id % 10 <> 7 AND b.doc_id % 10 = 7
+    ),
+    scored AS (
+      SELECT c.train_id, c.bench_id,
+             FLOOR(CAST(len(list_intersect(st.s, sb.s)) AS DOUBLE)
+                   / (len(st.s) + len(sb.s)
+                      - len(list_intersect(st.s, sb.s)))
+                   * 10000.0 + 0.5) / 10000.0 AS jaccard
+      FROM cand c
+      JOIN sets st ON st.doc_id = c.train_id
+      JOIN sets sb ON sb.doc_id = c.bench_id
+    )
+    SELECT train_id, bench_id, jaccard, jaccard >= 0.5 AS flagged
+    FROM scored
+    """,
+)
+def x80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup decontamination: MinHash band collisions between the
+    training corpus and the held-out benchmark split (doc_id % 10 = 7,
+    x48's split) become candidate pairs; each is verified by EXACT
+    word-3-gram shingle-set Jaccard, flagged at >= 0.5. Plan: ONE signing
+    pass over the corpus, bands split by the hash rule, the (tiny) bench
+    band table broadcast into the collision join — the train side never
+    shuffles for candidate generation; verification joins shingle sets by
+    doc_id for candidates only. Worst-case candidate volume is the true
+    contamination size (every colliding train doc IS a report row), never
+    an all-pairs blow-up."""
+    from ..operators.dedup import minhash_bands, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    bands = minhash_bands(minhash_signatures(docs))
+    train_b = bands.filter(F.col("doc_id") % 10 != 7).select(
+        F.col("doc_id").alias("train_id"), "band", "bucket"
+    )
+    bench_b = bands.filter(F.col("doc_id") % 10 == 7).select(
+        F.col("doc_id").alias("bench_id"), "band", "bucket"
+    )
+    cand = (
+        train_b.join(F.broadcast(bench_b), ["band", "bucket"])
+        .select("train_id", "bench_id")
+        .distinct()
+    )
+    w = F.split(F.col("text"), " ")
+    from .extensions7 import _word_grams
+
+    sets = docs.select(
+        "doc_id", F.array_distinct(_word_grams(w, 3)).alias("s")
+    )
+    st = sets.select(F.col("doc_id").alias("train_id"), F.col("s").alias("st"))
+    sb = sets.select(F.col("doc_id").alias("bench_id"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("st", "sb")).cast("double")
+    jac = inter / (F.size("st") + F.size("sb") - inter)
+    return (
+        cand.join(st, "train_id")
+        .join(sb, "bench_id")
+        .select(
+            "train_id",
+            "bench_id",
+            portable_round(jac, 4).alias("jaccard"),
+        )
+        .withColumn("flagged", F.col("jaccard") >= 0.5)
+    )
 
 
 # --------------------------------------------------------------------------
