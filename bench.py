@@ -113,8 +113,13 @@ BENCH_QUERIES = [
     "x75_dedup_savings",
     # round-6: incremental minhash index lifecycle (build base, append
     # delta, edges from stored signatures — includes the parquet writes,
-    # which ARE the operator's cost shape)
+    # which ARE the operator's cost shape), per-source cap sampling,
+    # PNG codec end-to-end, index probe, near-dup decontamination
     "x76_incremental_dedup",
+    "x77_source_cap",
+    "x78_png_features",
+    "x79_index_probe",
+    "x80_neardup_decontam",
 ]
 
 

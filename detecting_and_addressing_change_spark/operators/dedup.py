@@ -138,6 +138,67 @@ def minhash_bands(
     return signatures.select(*out_cols).select(*keep)
 
 
+def collapse_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Shared exact-dup collapse (the first hot-bucket defense): label every
+    row with its byte-identical group's min-id keeper via ONE digest window.
+    Returns (chains, reps): chains = DataFrame[a_id, b_id] keeper->member
+    star edges (a_id < b_id by construction), reps = DataFrame[id, text]
+    one representative per distinct text. Used by the minhash, simhash and
+    (at quantization granularity) embedding guard paths — keep them on this
+    ONE implementation; the semantics are oracle-mirrored in four DuckDB
+    CTE chains."""
+    from pyspark.sql import Window
+
+    wd = df.select(
+        F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("__dg")
+    )
+    keeper = F.min(id_col).over(Window.partitionBy("__dg"))
+    lab = wd.withColumn("__keeper", keeper)
+    chains = lab.filter(F.col(id_col) != F.col("__keeper")).select(
+        F.col("__keeper").alias("a_id"), F.col(id_col).alias("b_id")
+    )
+    reps = lab.filter(F.col(id_col) == F.col("__keeper")).select(
+        id_col, text_col
+    )
+    return chains, reps
+
+
+def tier_cap(
+    d: DataFrame,
+    keys: list[str],
+    tier_hash: Column,
+    cap: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared hot-bucket tier/cap (the second defense, ``operators/fuzzy``
+    pattern): groups of ``keys`` wider than ``cap`` are refined into
+    ceil(w/cap) tier-buckets keyed by ``tier_hash`` (a non-negative int64
+    column — callers pass the first 8 md5 hex chars of their content key),
+    then rank-capped by ``id_col``. Width comes from a window count so the
+    whole guard costs ONE exchange on ``keys`` (the follow-up
+    (keys, __tier) rank reuses that partitioning, sort only). Returns
+    ``d``'s rows filtered to the kept ones, plus a ``__tier`` column the
+    caller must include in its self-join keys."""
+    from pyspark.sql import Window
+
+    d = d.withColumn("__w", F.count("*").over(Window.partitionBy(*keys)))
+    nbuck = F.ceil(F.col("__w") / float(cap)).cast("long")
+    d = d.withColumn(
+        "__tier",
+        F.when(F.col("__w") <= cap, F.lit(0)).otherwise(tier_hash % nbuck),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(*keys, "__tier").orderBy(id_col)
+    )
+    return (
+        d.withColumn("__rk", rk)
+        .filter(F.col("__rk") <= cap)
+        .drop("__w", "__rk")
+    )
+
+
 def minhash_candidate_pairs(
     bands: DataFrame,
     id_col: str = "doc_id",
@@ -167,31 +228,12 @@ def minhash_candidate_pairs(
     collapsed before banding (``minhash_dedup_edges`` does both).
     """
     if bucket_cap is not None:
-        from pyspark.sql import Window
-
-        # width via a window count, not agg+join-back: one exchange on
-        # (band, bucket) instead of two
-        d = bands.withColumn(
-            "__w", F.count("*").over(Window.partitionBy("band", "bucket"))
-        )
-        nbuck = F.ceil(F.col("__w") / float(bucket_cap)).cast("long")
         hx = F.conv(F.substring(F.md5(F.col("sig")), 1, 8), 16, 10).cast(
             "long"
         )
-        d = d.withColumn(
-            "__tier",
-            F.when(F.col("__w") <= bucket_cap, F.lit(0)).otherwise(
-                hx % nbuck
-            ),
-        )
-        rk = F.row_number().over(
-            Window.partitionBy("band", "bucket", "__tier").orderBy(id_col)
-        )
-        bands = (
-            d.withColumn("__rk", rk)
-            .filter(F.col("__rk") <= bucket_cap)
-            .select(id_col, "band", "bucket", "__tier")
-        )
+        bands = tier_cap(
+            bands, ["band", "bucket"], hx, bucket_cap, id_col
+        ).select(id_col, "band", "bucket", "__tier")
         keys = ["band", "bucket", "__tier"]
     else:
         keys = ["band", "bucket"]
@@ -245,19 +287,7 @@ def minhash_dedup_edges(
     narrow filter; the rep-side pipeline is the standard minhash path on
     the deduplicated (usually far smaller) corpus.
     """
-    from pyspark.sql import Window
-
-    wd = df.select(
-        F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("__dg")
-    )
-    keeper = F.min(id_col).over(Window.partitionBy("__dg"))
-    lab = wd.withColumn("__keeper", keeper)
-    chains = lab.filter(F.col(id_col) != F.col("__keeper")).select(
-        F.col("__keeper").alias("a_id"), F.col(id_col).alias("b_id")
-    )
-    reps = lab.filter(F.col(id_col) == F.col("__keeper")).select(
-        id_col, text_col
-    )
+    chains, reps = collapse_exact(df, text_col, id_col)
     sigs = minhash_signatures(
         reps, text_col, id_col, num_hashes, shingle_size
     )
@@ -343,53 +373,62 @@ def simhash_dedup_pairs(
     n_bits: int = 16,
     max_hamming: int = 3,
     block_bits: int = 4,
+) -> DataFrame:
+    """ALL near-dup pairs by SimHash: block on the top `block_bits` bits,
+    then exact Hamming filter inside blocks via bit_count(xor). This is
+    the exhaustive-pair baseline — quadratic in block width, so it keeps
+    its original full-pair contract (every (a, b, hamming) row) and is for
+    bounded inputs only; the production path on raw corpus is
+    :func:`simhash_dedup_edges`, which bounds hot blocks."""
+    sh = simhash_df(df, text_col, id_col, n_bits)
+    block = (F.col("sh") / (1 << (n_bits - block_bits))).cast("int")
+    a = sh.select(
+        block.alias("blk"), F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh")
+    )
+    b = sh.select(
+        block.alias("blk"), F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh")
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+def simhash_dedup_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 16,
+    max_hamming: int = 3,
+    block_bits: int = 4,
     block_cap: int = 64,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on the top `block_bits` bits (at
-    scale: multiple rotated blockings to bound recall), then exact Hamming
-    filter inside blocks via bit_count(xor).
+    """Guarded SimHash near-dup EDGES — ``minhash_dedup_edges``'s twin for
+    the SimHash family (a NEW name, because the contract differs from
+    :func:`simhash_dedup_pairs`: identical-text groups contribute keeper
+    chains, not member cliques, and hot blocks are tier/capped):
 
-    Same hot-block guard family as ``minhash_dedup_edges`` (the block
-    self-join is quadratic in block width, and identical texts all share a
-    block): byte-identical texts collapse to their min-id keeper first —
-    each group contributes (keeper, member, 0) CHAIN pairs, linear — and
-    blocks still wider than ``block_cap`` are refined by an md5(simhash)
-    tier-bucket and rank-capped (the ``operators/fuzzy`` pattern)."""
-    from pyspark.sql import Window
-
-    wd = df.select(
-        F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("__dg")
-    )
-    keeper = F.min(id_col).over(Window.partitionBy("__dg"))
-    lab = wd.withColumn("__keeper", keeper)
-    chains = lab.filter(F.col(id_col) != F.col("__keeper")).select(
-        F.col("__keeper").alias("a_id"),
-        F.col(id_col).alias("b_id"),
-        F.lit(0).cast("int").alias("hamming"),
-    )
-    reps = lab.filter(F.col(id_col) == F.col("__keeper")).select(
-        id_col, text_col
-    )
+    byte-identical texts collapse to their min-id keeper first (each group
+    = (keeper, member, 0) chain rows, linear), representatives block on
+    the top ``block_bits`` simhash bits, and blocks wider than
+    ``block_cap`` are refined by an md5(simhash) tier-bucket + rank cap
+    (the shared :func:`tier_cap` guard)."""
+    chains, reps = collapse_exact(df, text_col, id_col)
+    chains = chains.withColumn("hamming", F.lit(0).cast("int"))
     sh = simhash_df(reps, text_col, id_col, n_bits)
     block = (F.col("sh") / (1 << (n_bits - block_bits))).cast("int")
-    d = sh.select(id_col, "sh", block.alias("blk")).withColumn(
-        "__w", F.count("*").over(Window.partitionBy("blk"))
-    )
-    nbuck = F.ceil(F.col("__w") / float(block_cap)).cast("long")
+    d = sh.select(id_col, "sh", block.alias("blk"))
     hx = F.conv(
         F.substring(F.md5(F.col("sh").cast("string")), 1, 8), 16, 10
     ).cast("long")
-    d = d.withColumn(
-        "__tier",
-        F.when(F.col("__w") <= block_cap, F.lit(0)).otherwise(hx % nbuck),
-    )
-    rk = F.row_number().over(
-        Window.partitionBy("blk", "__tier").orderBy(id_col)
-    )
-    d = (
-        d.withColumn("__rk", rk)
-        .filter(F.col("__rk") <= block_cap)
-        .select(id_col, "sh", "blk", "__tier")
+    d = tier_cap(d, ["blk"], hx, block_cap, id_col).select(
+        id_col, "sh", "blk", "__tier"
     )
     a = d.select(
         "blk", "__tier", F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh")

@@ -155,11 +155,14 @@ def embed_documents_tagged(
     both models' rows share the same task wave. Bit-identical per row to
     the single-model path (same hash, same per-model memo)."""
     if backend == "hf":
-        _require_hf()
+        # raised FIRST (before any torch availability check): installing
+        # torch does NOT activate this entry point — the multi-model
+        # per-partition model cache is not wired. embed_documents has the
+        # live hf path; run it once per model instead.
         raise NotImplementedError(
             "hf backend: multi-model tagged embedding is not wired (a "
             "per-partition model CACHE keyed by the row's model column); "
-            "run embed_documents once per model instead"
+            "run embed_documents(backend='hf') once per model instead"
         )
     elif backend != "hash":
         raise ValueError(f"unknown backend {backend!r}")
@@ -223,10 +226,12 @@ def pooled_embed_documents_tagged(
     count. Pinned by tests/test_arrays.py::test_fused_pooling_bit_identical.
     """
     if backend == "hf":
-        _require_hf()
+        # raised regardless of torch availability — install does not
+        # activate THIS entry point (only embed_documents is wired)
         raise NotImplementedError(
             "hf backend: fused pooled embedding is not wired (pool the "
-            "_hf_embed_fn token vectors via functions.arrays instead)"
+            "embed_documents(backend='hf') token vectors via "
+            "functions.arrays instead)"
         )
     elif backend != "hash":
         raise ValueError(f"unknown backend {backend!r}")
@@ -333,6 +338,13 @@ def _hf_embed_fn(
                 with torch.no_grad():
                     hidden = mdl(**enc).last_hidden_state
                 arr = np.asarray(hidden)[0]  # (seq, hidden)
+                if arr.shape[1] < dim:
+                    raise ValueError(
+                        f"hf backend: requested dim={dim} exceeds the "
+                        f"model's hidden size {arr.shape[1]} — vectors "
+                        "would silently come out short; pass dim <= "
+                        "hidden_size"
+                    )
                 toks.append(
                     [row[:dim].astype(np.float32).tolist() for row in arr]
                 )

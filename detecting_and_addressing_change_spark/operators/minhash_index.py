@@ -73,6 +73,21 @@ def _sign_novel(
     return sigs
 
 
+def _check_sig_schema(spark: SparkSession, path: str, num_hashes: int) -> None:
+    """Fail fast when an append's ``num_hashes`` disagrees with the stored
+    signature schema — parquet append has no schema enforcement, and a
+    mixed sigs/ table would silently produce wrong band buckets (concat_ws
+    skips the null h-columns)."""
+    stored = set(spark.read.parquet(f"{path}/sigs").columns)
+    expected = {"dgst", *(f"h{j}" for j in range(num_hashes))}
+    if stored != expected:
+        raise ValueError(
+            f"minhash index at {path!r} was built with signature columns "
+            f"{sorted(stored)}; append requested {sorted(expected)} "
+            f"(num_hashes={num_hashes}) — re-build or match num_hashes"
+        )
+
+
 def build_minhash_index(
     docs: DataFrame,
     path: str,
@@ -81,10 +96,14 @@ def build_minhash_index(
     num_hashes: int = 8,
     shingle_size: int = 3,
 ) -> None:
-    """Materialize the index at ``path`` from scratch."""
+    """Materialize the index at ``path`` from scratch. ``docs/`` always
+    uses the ``batch=<label>`` partition layout (the build is batch=base),
+    so batch appends, streaming epoch appends and the build can share one
+    index path — Spark partition discovery rejects a directory that mixes
+    root-level files with partition dirs, so ONE layout is mandatory."""
     spark = docs.sparkSession
     _digests(docs, text_col, id_col).write.mode("overwrite").parquet(
-        f"{path}/docs"
+        f"{path}/docs/batch=base"
     )
     empty = spark.createDataFrame([], "dgst string")
     _sign_novel(
@@ -100,11 +119,16 @@ def append_to_minhash_index(
     num_hashes: int = 8,
     shingle_size: int = 3,
 ) -> None:
-    """Incremental update: append the batch's (doc_id, dgst) rows and sign
-    ONLY digests the index has never seen (anti-join on dgst) — a batch of
-    exact duplicates of indexed content adds zero signature rows and runs
-    zero shingle hashing beyond its own digests."""
+    """Incremental update: append the batch's (doc_id, dgst) rows (into a
+    fresh ``batch=a<suffix>`` partition of the shared layout; the label
+    never affects results) and sign ONLY digests the index has never seen
+    (anti-join on dgst) — a batch of exact duplicates of indexed content
+    adds zero signature rows and runs zero shingle hashing beyond its own
+    digests."""
+    import uuid
+
     spark = new_docs.sparkSession
+    _check_sig_schema(spark, path, num_hashes)
     known = spark.read.parquet(f"{path}/sigs").select("dgst")
     novel_sigs = _sign_novel(
         new_docs, known, text_col, id_col, num_hashes, shingle_size
@@ -113,8 +137,8 @@ def append_to_minhash_index(
     # reads from — never run a plan that reads and writes one path
     novel_sigs = novel_sigs.localCheckpoint(eager=True)
     novel_sigs.write.mode("append").parquet(f"{path}/sigs")
-    _digests(new_docs, text_col, id_col).write.mode("append").parquet(
-        f"{path}/docs"
+    _digests(new_docs, text_col, id_col).write.mode("overwrite").parquet(
+        f"{path}/docs/batch=a{uuid.uuid4().hex[:12]}"
     )
 
 
@@ -193,6 +217,7 @@ def append_minhash_batch(
       ``_temporary``, so a mid-write crash leaves no partial state).
     """
     spark = batch_df.sparkSession
+    _check_sig_schema(spark, path, num_hashes)
     known = spark.read.parquet(f"{path}/sigs").select("dgst")
     novel = _sign_novel(
         batch_df, known, text_col, id_col, num_hashes, shingle_size
@@ -228,17 +253,6 @@ def minhash_index_probe(
         F.md5(F.col(text_col)).alias("dgst"),
         F.col(id_col).alias("batch_id"),
     )
-    groups = (
-        spark.read.parquet(f"{path}/docs")
-        .groupBy("dgst")
-        .agg(
-            F.min("doc_id").alias("index_id"),
-            F.count("*").cast("int").alias("n_members"),
-        )
-    )
-    exact = groups.join(F.broadcast(bdg), "dgst").select(
-        "batch_id", "index_id", F.lit("exact").alias("via"), "n_members"
-    )
     bsigs = minhash_signatures(
         batch, text_col, id_col, num_hashes, shingle_size
     )
@@ -247,13 +261,31 @@ def minhash_index_probe(
     )
     isigs = spark.read.parquet(f"{path}/sigs")
     ibands = minhash_bands(isigs, "dgst", num_hashes, rows_per_band)
-    near = (
+    near_cand = (
         ibands.join(F.broadcast(bbands), ["band", "bucket"])
-        .select("batch_id", "dgst")
+        .select("batch_id", "dgst", F.lit("band").alias("via"))
         .distinct()
-        .join(groups, "dgst")
-        .select(
-            "batch_id", "index_id", F.lit("band").alias("via"), "n_members"
+    )
+    # exact candidates by digest equality; validity (digest actually
+    # indexed) falls out of the inner join against groups below
+    matches = near_cand.unionByName(
+        bdg.select("batch_id", "dgst", F.lit("exact").alias("via"))
+    ).localCheckpoint(eager=True)  # bounded by |batch| x matches — small
+    # ONE docs/ scan, aggregated only for the matched digests (broadcast
+    # semi-join pushes the digest set into the scan)
+    groups = (
+        spark.read.parquet(f"{path}/docs")
+        .join(
+            F.broadcast(matches.select("dgst").distinct()), "dgst", "semi"
+        )
+        .groupBy("dgst")
+        .agg(
+            F.min("doc_id").alias("index_id"),
+            F.count("*").cast("int").alias("n_members"),
         )
     )
-    return exact.unionByName(near).distinct()
+    return (
+        matches.join(groups, "dgst")
+        .select("batch_id", "index_id", "via", "n_members")
+        .distinct()
+    )

@@ -415,22 +415,11 @@ def embedding_near_dup_pairs(
         .join(reps.select(F.col(id_col).alias("a_id"), "__vq"), "a_id")
         .localCheckpoint(eager=True)
     )
-    d = sigs.withColumn(
-        "__w", F.count("*").over(Window.partitionBy("tbl", "sig"))
-    )
-    nbuck = F.ceil(F.col("__w") / float(bucket_cap)).cast("long")
+    from .dedup import tier_cap
+
     hx = F.conv(F.substring(F.col("__vq"), 1, 8), 16, 10).cast("long")
-    d = d.withColumn(
-        "__tier",
-        F.when(F.col("__w") <= bucket_cap, F.lit(0)).otherwise(hx % nbuck),
-    )
-    rk = F.row_number().over(
-        Window.partitionBy("tbl", "sig", "__tier").orderBy("a_id")
-    )
-    capped = (
-        d.withColumn("__rk", rk)
-        .filter(F.col("__rk") <= bucket_cap)
-        .select("a_id", "tbl", "sig", "__tier")
+    capped = tier_cap(sigs, ["tbl", "sig"], hx, bucket_cap, "a_id").select(
+        "a_id", "tbl", "sig", "__tier"
     )
     b = capped.select(
         F.col("a_id").alias("b_id"), "tbl", "sig", "__tier"

@@ -7,6 +7,8 @@ production lifecycle of the x04 near-dup machinery on a growing corpus.
 
 from __future__ import annotations
 
+import glob
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -16,6 +18,18 @@ from ..functions.rounding import portable_round
 from ..sources.tables import load_table
 from .extensions import _minhash_guarded_edges_oracle, _minhash_oracle
 from .registry import query
+
+
+def _scratch_index_dir(prefix: str) -> str:
+    """Fresh scratch dir for a query-local index build, deleting PRIOR
+    runs' leftovers first: each invocation must start from an empty dir
+    (append semantics would double rows on reuse), but unbounded
+    accumulation across bench/correctness reruns would fill /tmp. One
+    leftover (the current run's, consumed lazily by the returned
+    DataFrame) remains until the next invocation sweeps it."""
+    for old in glob.glob(f"{tempfile.gettempdir()}/{prefix}*"):
+        shutil.rmtree(old, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix)
 
 
 # --------------------------------------------------------------------------
@@ -48,7 +62,7 @@ def x76(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="mhidx_x76_")
+    path = _scratch_index_dir("mhidx_x76_")
     build_minhash_index(docs.filter(F.col("doc_id") % 5 != 4), path)
     append_to_minhash_index(docs.filter(F.col("doc_id") % 5 == 4), path)
     return minhash_index_edges(spark, path)
@@ -169,15 +183,26 @@ def x80(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_b = bands.filter(F.col("doc_id") % 10 == 7).select(
         F.col("doc_id").alias("bench_id"), "band", "bucket"
     )
+    # materialize the candidate list once (it feeds the id set AND the
+    # final join) — bounded by the true contamination size
     cand = (
         train_b.join(F.broadcast(bench_b), ["band", "bucket"])
         .select("train_id", "bench_id")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     w = F.split(F.col("text"), " ")
     from .extensions7 import _word_grams
 
-    sets = docs.select(
+    # shingle sets ONLY for docs that appear in a candidate pair (semi-join
+    # pushes the bounded id set into the scan) — never two full-corpus
+    # 3-gram passes
+    cand_ids = (
+        cand.select(F.col("train_id").alias("doc_id"))
+        .unionByName(cand.select(F.col("bench_id").alias("doc_id")))
+        .distinct()
+    )
+    sets = docs.join(F.broadcast(cand_ids), "doc_id", "semi").select(
         "doc_id", F.array_distinct(_word_grams(w, 3)).alias("s")
     )
     st = sets.select(F.col("doc_id").alias("train_id"), F.col("s").alias("st"))
@@ -251,7 +276,7 @@ def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="mhidx_x79_")
+    path = _scratch_index_dir("mhidx_x79_")
     build_minhash_index(docs.filter(F.col("doc_id") % 5 != 4), path)
     return minhash_index_probe(
         spark, path, docs.filter(F.col("doc_id") % 5 == 4)

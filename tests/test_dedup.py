@@ -247,9 +247,9 @@ def test_embedding_near_dup_guard_collapses_identical_vectors(spark):
     assert all(a == 0 for a, _ in chain)
 
 
-def test_simhash_pairs_mass_duplicates_linear(spark):
+def test_simhash_edges_mass_duplicates_linear(spark):
     from detecting_and_addressing_change_spark.operators.dedup import (
-        simhash_dedup_pairs,
+        simhash_dedup_edges,
     )
 
     n = 5_000
@@ -259,6 +259,24 @@ def test_simhash_pairs_mass_duplicates_linear(spark):
             "text"
         ),
     )
-    out = simhash_dedup_pairs(df).collect()
+    out = simhash_dedup_edges(df).collect()
     assert len(out) == n - 1  # keeper chains only, not C(n,2)
     assert all(r["a_id"] == 0 and r["hamming"] == 0 for r in out)
+
+
+def test_simhash_pairs_keeps_full_pair_contract(spark):
+    # the baseline simhash_dedup_pairs must still return EVERY pair,
+    # including member-member pairs of identical texts (no collapse)
+    from detecting_and_addressing_change_spark.operators.dedup import (
+        simhash_dedup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"),
+         (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["a_id"], r["b_id"]) for r in simhash_dedup_pairs(df).collect()
+    }
+    assert pairs == {(0, 1), (0, 2), (1, 2)}

@@ -160,3 +160,40 @@ def test_redelivered_epoch_is_idempotent(spark, corpus, tmp_path):
     append_minhash_batch(batch, 0, path)  # re-delivery of epoch 0
     assert spark.read.parquet(f"{path}/docs").count() == docs1 == 10
     assert spark.read.parquet(f"{path}/sigs").count() == sigs1
+
+
+def test_build_then_streaming_append_share_one_layout(spark, corpus, tmp_path):
+    """Review fix: a batch-built index must accept STREAMING epoch appends
+    on the same path (docs/ uses one batch=<label> partition layout for
+    both lifecycles) and stay readable + correct."""
+    from detecting_and_addressing_change_spark.operators.minhash_index import (
+        append_minhash_batch,
+        append_to_minhash_index,
+        build_minhash_index,
+    )
+
+    path = str(tmp_path / "mixidx")
+    build_minhash_index(corpus.filter(F.col("doc_id") < 10), path)
+    append_minhash_batch(
+        corpus.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)),
+        0,
+        path,
+    )
+    append_to_minhash_index(corpus.filter(F.col("doc_id") >= 20), path)
+    got = _edge_set(minhash_index_edges(spark, path))
+    want = _edge_set(minhash_dedup_edges(corpus))
+    assert got == want and want
+
+
+def test_append_num_hashes_mismatch_fails_fast(spark, corpus, tmp_path):
+    import pytest
+
+    from detecting_and_addressing_change_spark.operators.minhash_index import (
+        append_to_minhash_index,
+        build_minhash_index,
+    )
+
+    path = str(tmp_path / "schemaidx")
+    build_minhash_index(corpus, path, num_hashes=8)
+    with pytest.raises(ValueError, match="num_hashes=4"):
+        append_to_minhash_index(corpus, path, num_hashes=4)
