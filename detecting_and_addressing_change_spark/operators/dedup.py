@@ -408,6 +408,7 @@ def simhash_dedup_edges(
     max_hamming: int = 3,
     block_bits: int = 4,
     block_cap: int = 64,
+    n_rotations: int = 1,
 ) -> DataFrame:
     """Guarded SimHash near-dup EDGES — ``minhash_dedup_edges``'s twin for
     the SimHash family (a NEW name, because the contract differs from
@@ -416,28 +417,56 @@ def simhash_dedup_edges(
 
     byte-identical texts collapse to their min-id keeper first (each group
     = (keeper, member, 0) chain rows, linear), representatives block on
-    the top ``block_bits`` simhash bits, and blocks wider than
+    ``block_bits``-bit windows of the simhash, and blocks wider than
     ``block_cap`` are refined by an md5(simhash) tier-bucket + rank cap
-    (the shared :func:`tier_cap` guard)."""
+    (the shared :func:`tier_cap` guard).
+
+    ``n_rotations`` is the multi-index Hamming recall knob: rotation r
+    blocks on the r-th disjoint ``block_bits`` window (r=0 = the top
+    bits). By pigeonhole, a pair at Hamming distance d MUST agree on at
+    least one window whenever ``n_rotations > d`` — so
+    ``n_rotations = max_hamming + 1`` (with
+    ``(max_hamming+1) * block_bits <= n_bits``) GUARANTEES recall of
+    every pair within ``max_hamming``, at n_rotations x the candidate
+    volume (property-tested). The default 1 is the cheap
+    single-blocking heuristic."""
+    if n_rotations * block_bits > n_bits:
+        raise ValueError(
+            f"{n_rotations} rotations x {block_bits} bits exceed the "
+            f"{n_bits}-bit fingerprint"
+        )
     chains, reps = collapse_exact(df, text_col, id_col)
     chains = chains.withColumn("hamming", F.lit(0).cast("int"))
     sh = simhash_df(reps, text_col, id_col, n_bits)
-    block = (F.col("sh") / (1 << (n_bits - block_bits))).cast("int")
-    d = sh.select(id_col, "sh", block.alias("blk"))
+    mask = (1 << block_bits) - 1
+    windows = [
+        F.struct(
+            F.lit(r).alias("rot"),
+            F.shiftright(
+                F.col("sh"), n_bits - (r + 1) * block_bits
+            ).bitwiseAND(F.lit(mask)).alias("blk"),
+        )
+        for r in range(n_rotations)
+    ]
+    d = sh.select(
+        id_col, "sh", F.explode(F.array(*windows)).alias("w")
+    ).select(id_col, "sh", F.col("w.rot").alias("rot"), F.col("w.blk").alias("blk"))
     hx = F.conv(
         F.substring(F.md5(F.col("sh").cast("string")), 1, 8), 16, 10
     ).cast("long")
-    d = tier_cap(d, ["blk"], hx, block_cap, id_col).select(
-        id_col, "sh", "blk", "__tier"
+    d = tier_cap(d, ["rot", "blk"], hx, block_cap, id_col).select(
+        id_col, "sh", "rot", "blk", "__tier"
     )
     a = d.select(
-        "blk", "__tier", F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh")
+        "rot", "blk", "__tier",
+        F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"),
     )
     b = d.select(
-        "blk", "__tier", F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh")
+        "rot", "blk", "__tier",
+        F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"),
     )
     rep_pairs = (
-        a.join(b, ["blk", "__tier"])
+        a.join(b, ["rot", "blk", "__tier"])
         .filter(F.col("a_id") < F.col("b_id"))
         .withColumn(
             "hamming",
@@ -445,6 +474,7 @@ def simhash_dedup_edges(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
+        .distinct()
     )
     return chains.unionByName(rep_pairs)
 

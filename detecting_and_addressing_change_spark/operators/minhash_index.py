@@ -178,6 +178,39 @@ def minhash_index_edges(
     return chains.unionByName(rep_pairs)
 
 
+def compact_minhash_index(
+    spark: SparkSession,
+    path: str,
+    target_partitions: int = 8,
+) -> None:
+    """Small-file maintenance after many appends (each batch/epoch append
+    leaves its own ``batch=...`` partition of docs/ and its own sigs/
+    files): rewrite both tables consolidated. docs/ collapses to a single
+    ``batch=base`` partition (labels never affect results); each rewrite
+    materializes via localCheckpoint FIRST, then overwrites — never a plan
+    that reads and writes one path. Edge/probe results are unchanged
+    (tests pin it); only the file layout shrinks. On an object store a
+    production build would write to a fresh versioned prefix and flip a
+    pointer instead of overwriting in place — same plan, different commit
+    protocol."""
+    import shutil
+
+    docs = (
+        spark.read.parquet(f"{path}/docs")
+        .select("doc_id", "dgst")
+        .coalesce(target_partitions)
+        .localCheckpoint(eager=True)
+    )
+    sigs = (
+        spark.read.parquet(f"{path}/sigs")
+        .coalesce(target_partitions)
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(f"{path}/docs")
+    docs.write.mode("overwrite").parquet(f"{path}/docs/batch=base")
+    sigs.write.mode("overwrite").parquet(f"{path}/sigs")
+
+
 def init_minhash_index(
     spark: SparkSession, path: str, num_hashes: int = 8
 ) -> None:

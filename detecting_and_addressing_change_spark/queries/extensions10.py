@@ -166,16 +166,30 @@ def x80(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup decontamination: MinHash band collisions between the
     training corpus and the held-out benchmark split (doc_id % 10 = 7,
     x48's split) become candidate pairs; each is verified by EXACT
-    word-3-gram shingle-set Jaccard, flagged at >= 0.5. Plan: ONE signing
-    pass over the corpus, bands split by the hash rule, the (tiny) bench
-    band table broadcast into the collision join — the train side never
-    shuffles for candidate generation; verification joins shingle sets by
-    doc_id for candidates only. Worst-case candidate volume is the true
+    word-3-gram shingle-set Jaccard, flagged at >= 0.5. See
+    :func:`neardup_decontam` for the plan and the broadcast guard."""
+    return neardup_decontam(load_table(spark, sf_dir, "documents"))
+
+
+def neardup_decontam(
+    docs: DataFrame, broadcast_small: bool = True
+) -> DataFrame:
+    """Plan: ONE signing pass over the corpus, bands split by the hash
+    rule, the bench band table joined into the collision scan — the train
+    side never shuffles for candidate generation; verification joins
+    shingle sets by doc_id for CANDIDATE docs only (semi-join, never two
+    full-corpus 3-gram passes). Worst-case candidate volume is the true
     contamination size (every colliding train doc IS a report row), never
-    an all-pairs blow-up."""
+    an all-pairs blow-up.
+
+    ``broadcast_small`` gates the two data-derived broadcast hints (the
+    x60/x62 guard pattern): the bench band table is eval-suite-sized and
+    the candidate id set is contamination-sized — both tiny on healthy
+    data, but a massively contaminated 100 TB corpus should pass False so
+    they degrade to shuffle joins on the same keys."""
     from ..operators.dedup import minhash_bands, minhash_signatures
 
-    docs = load_table(spark, sf_dir, "documents")
+    hint = F.broadcast if broadcast_small else (lambda d: d)
     bands = minhash_bands(minhash_signatures(docs))
     train_b = bands.filter(F.col("doc_id") % 10 != 7).select(
         F.col("doc_id").alias("train_id"), "band", "bucket"
@@ -186,7 +200,7 @@ def x80(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the candidate list once (it feeds the id set AND the
     # final join) — bounded by the true contamination size
     cand = (
-        train_b.join(F.broadcast(bench_b), ["band", "bucket"])
+        train_b.join(hint(bench_b), ["band", "bucket"])
         .select("train_id", "bench_id")
         .distinct()
         .localCheckpoint(eager=True)
@@ -194,15 +208,12 @@ def x80(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.split(F.col("text"), " ")
     from .extensions7 import _word_grams
 
-    # shingle sets ONLY for docs that appear in a candidate pair (semi-join
-    # pushes the bounded id set into the scan) — never two full-corpus
-    # 3-gram passes
     cand_ids = (
         cand.select(F.col("train_id").alias("doc_id"))
         .unionByName(cand.select(F.col("bench_id").alias("doc_id")))
         .distinct()
     )
-    sets = docs.join(F.broadcast(cand_ids), "doc_id", "semi").select(
+    sets = docs.join(hint(cand_ids), "doc_id", "semi").select(
         "doc_id", F.array_distinct(_word_grams(w, 3)).alias("s")
     )
     st = sets.select(F.col("doc_id").alias("train_id"), F.col("s").alias("st"))

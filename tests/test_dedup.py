@@ -280,3 +280,51 @@ def test_simhash_pairs_keeps_full_pair_contract(spark):
         (r["a_id"], r["b_id"]) for r in simhash_dedup_pairs(df).collect()
     }
     assert pairs == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_simhash_rotated_blocking_guarantees_recall(spark):
+    """Pigeonhole guarantee: with n_rotations = max_hamming + 1 disjoint
+    windows, EVERY distinct-simhash pair within max_hamming must be found
+    — compare against the exhaustive all-pairs ground truth."""
+    from detecting_and_addressing_change_spark.operators.dedup import (
+        simhash_df,
+        simhash_dedup_edges,
+    )
+
+    # texts must be pairwise DISTINCT (a "u{i}" token): identical texts
+    # collapse to keeper chains, which would make raw-pair ground truth
+    # meaningless for the rotation guarantee
+    rows = [
+        (i, f"u{i} " + " ".join(f"t{(i * 5 + k) % 23}" for k in range(8)))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r["doc_id"]: r["sh"] for r in simhash_df(df).collect()}
+    truth = {
+        (a, b)
+        for a in sh
+        for b in sh
+        if a < b and bin(sh[a] ^ sh[b]).count("1") <= 3 and sh[a] != sh[b]
+    }
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in simhash_dedup_edges(
+            df, n_rotations=4, block_cap=100_000
+        ).collect()
+        if r["hamming"] > 0
+    }
+    # identical-simhash (but distinct-text) pairs can also appear; the
+    # guarantee under test is that NO within-distance pair is missed.
+    # block_cap is set above the corpus size: the pigeonhole guarantee is
+    # a property of the ROTATIONS; the cap (when it fires) deliberately
+    # trades recall for boundedness and is tested separately.
+    assert truth <= got
+    # the single-blocking heuristic misses some of them on this corpus
+    got1 = {
+        (r["a_id"], r["b_id"])
+        for r in simhash_dedup_edges(
+            df, n_rotations=1, block_cap=100_000
+        ).collect()
+        if r["hamming"] > 0
+    }
+    assert got1 <= got

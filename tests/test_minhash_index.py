@@ -197,3 +197,36 @@ def test_append_num_hashes_mismatch_fails_fast(spark, corpus, tmp_path):
     build_minhash_index(corpus, path, num_hashes=8)
     with pytest.raises(ValueError, match="num_hashes=4"):
         append_to_minhash_index(corpus, path, num_hashes=4)
+
+
+def test_compact_preserves_edges_and_shrinks_files(spark, corpus, tmp_path):
+    import glob
+
+    from detecting_and_addressing_change_spark.operators.minhash_index import (
+        append_to_minhash_index,
+        build_minhash_index,
+        compact_minhash_index,
+    )
+
+    path = str(tmp_path / "cidx")
+    build_minhash_index(corpus.filter(F.col("doc_id") < 10), path)
+    for lo in (10, 15, 20, 25):
+        append_to_minhash_index(
+            corpus.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 5)
+            ),
+            path,
+        )
+    before = _edge_set(minhash_index_edges(spark, path))
+    n_doc_parts = len(glob.glob(f"{path}/docs/batch=*"))
+    assert n_doc_parts == 5  # base + 4 appends
+    compact_minhash_index(spark, path, target_partitions=2)
+    assert len(glob.glob(f"{path}/docs/batch=*")) == 1
+    after = _edge_set(minhash_index_edges(spark, path))
+    assert after == before == _edge_set(minhash_dedup_edges(corpus))
+    # and the compacted index still accepts appends
+    append_to_minhash_index(
+        corpus.select(F.col("doc_id") + 500, "text").toDF("doc_id", "text"),
+        path,
+    )
+    assert minhash_index_edges(spark, path).count() > len(after)

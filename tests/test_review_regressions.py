@@ -77,3 +77,20 @@ def test_lm_and_ngram_broadcast_guards_degrade_to_shuffle_join(spark):
     # broadcast nested-loop join is expected and fine)
     s = explain_str(crossdoc_ngram_flags(docs, False))
     assert "BroadcastHashJoin" not in s
+
+
+def test_neardup_decontam_broadcast_guard_parity(spark):
+    from detecting_and_addressing_change_spark.queries.extensions10 import (
+        neardup_decontam,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{(i * 3 + k) % 11}" for k in range(10)))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    bc = {tuple(r) for r in neardup_decontam(docs, True).collect()}
+    sh = {tuple(r) for r in neardup_decontam(docs, False).collect()}
+    assert bc == sh
