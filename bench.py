@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "x78_png_features",
     "x79_index_probe",
     "x80_neardup_decontam",
+    "x81_boilerplate_strip",
+    "x82_cdc_chunks",
 ]
 
 

@@ -295,6 +295,234 @@ def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X81 — boilerplate strip: REMOVE cross-document duplicated passages and
+# reassemble the cleaned text (the RefinedWeb/CCNet line-dedup step as a
+# WRITE-side operator — x62/x66 only measure the redundancy, this one
+# produces the cleaned corpus).
+# --------------------------------------------------------------------------
+_STRIP_CHUNK = 8
+
+
+@query(
+    "x81_boilerplate_strip",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             LEN(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id,
+             UNNEST(range(0, CAST(CEIL(n / {_STRIP_CHUNK}.0) AS BIGINT)))
+               AS cid,
+             ws, n
+      FROM w
+    ),
+    chunks AS (
+      SELECT doc_id, cid,
+             array_to_string(list_slice(
+               ws, cid * {_STRIP_CHUNK} + 1,
+               LEAST((cid + 1) * {_STRIP_CHUNK}, n)), ' ') AS chunk
+      FROM ch
+    ),
+    freq AS (
+      SELECT md5(chunk) AS fp, COUNT(DISTINCT doc_id) AS nd
+      FROM chunks GROUP BY md5(chunk)
+    ),
+    verdicts AS (
+      SELECT c.doc_id, c.cid, c.chunk, f.nd >= 2 AS boiler
+      FROM chunks c JOIN freq f ON md5(c.chunk) = f.fp
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN NOT boiler THEN chunk END, ' '
+                               ORDER BY cid), '') AS cleaned,
+           CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS INT)
+             AS n_removed,
+           CAST(COUNT(*) AS INT) AS n_chunks
+    FROM verdicts GROUP BY doc_id
+    """,
+)
+def x81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate strip: non-overlapping 8-word passages that occur
+    in >= 2 DISTINCT documents (byte-identical after the word split) are
+    REMOVED and each document's cleaned text is reassembled from its kept
+    passages in order — the cleaned-corpus producer on top of the x63/x66
+    measurement family. Plan: narrow chunk construction (sequence +
+    slice, no shuffle), ONE chunk-key aggregation for distinct-doc
+    counts, the verdict joins back on the SAME chunk key (co-partitioned,
+    reusing the agg's exchange — deliberately NOT a broadcast: the chunk
+    table is corpus-derived), then one doc_id agg rebuilds the text via
+    an ordered collect. Every step is exact and engine-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = _STRIP_CHUNK
+    w = docs.select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).withColumn("n", F.size("ws"))
+    ch = w.select(
+        "doc_id",
+        "ws",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(F.col("n") / float(k)).cast("int") - 1)
+        ).alias("cid"),
+    )
+    chunk = F.concat_ws(
+        " ",
+        F.slice(
+            F.col("ws"),
+            F.col("cid") * k + 1,
+            F.least(F.lit(k), F.col("n") - F.col("cid") * k),
+        ),
+    )
+    chunks = ch.select("doc_id", "cid", chunk.alias("chunk"))
+    freq = (
+        chunks.groupBy(F.md5("chunk").alias("fp"))
+        .agg(F.countDistinct("doc_id").alias("nd"))
+    )
+    verdicts = chunks.withColumn("fp", F.md5("chunk")).join(
+        freq, "fp"
+    ).select("doc_id", "cid", "chunk", (F.col("nd") >= 2).alias("boiler"))
+    kept_struct = F.when(
+        ~F.col("boiler"), F.struct("cid", "chunk")
+    )
+    return (
+        verdicts.groupBy("doc_id")
+        .agg(
+            F.coalesce(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(kept_struct)
+                        ),
+                        lambda s: s["chunk"],
+                    ),
+                ),
+                F.lit(""),
+            ).alias("cleaned"),
+            F.sum(F.col("boiler").cast("int")).cast("int").alias("n_removed"),
+            F.count("*").cast("int").alias("n_chunks"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X82 — content-defined chunking (CDC): chunk boundaries from a rolling
+# hash of the last W words, so an insertion early in a document shifts
+# only ONE chunk's fingerprint instead of every downstream chunk (the
+# property fixed-stride x63 lacks, and the reason CDC is the canonical
+# chunking for dedup-friendly storage — Rabin/FastCDC family).
+# --------------------------------------------------------------------------
+_CDC_W, _CDC_D = 4, 8  # window words, boundary divisor (expected ~8-word chunks)
+_CDC_B, _CDC_M = 1_000_003, 2_147_483_647
+
+
+@query(
+    "x82_cdc_chunks",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             LEN(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    wh AS (
+      SELECT doc_id, ws, n,
+             list_transform(
+               ws, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS whs
+      FROM w
+    ),
+    b AS (
+      SELECT doc_id, ws, n,
+             list_concat(
+               list_filter(
+                 list_filter(
+                   range({_CDC_W}, n + 1),
+                   i -> ((((whs[i-3] % {_CDC_M}) * {_CDC_B} + whs[i-2])
+                          % {_CDC_M} * {_CDC_B} + whs[i-1])
+                         % {_CDC_M} * {_CDC_B} + whs[i])
+                        % {_CDC_M} % {_CDC_D} = 0),
+                 e -> e < n),
+               [n]) AS ends
+      FROM wh
+    ),
+    c AS (
+      SELECT doc_id, ws, ends,
+             UNNEST(ends) AS e,
+             GENERATE_SUBSCRIPTS(ends, 1) AS c
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(c - 1 AS INT) AS chunk_idx,
+           CAST(CASE WHEN c = 1 THEN 1 ELSE ends[c - 1] + 1 END AS INT)
+             AS start,
+           CAST(e - (CASE WHEN c = 1 THEN 1 ELSE ends[c - 1] + 1 END) + 1
+             AS INT) AS n_words,
+           substr(md5(array_to_string(list_slice(
+             ws, CASE WHEN c = 1 THEN 1 ELSE ends[c - 1] + 1 END, e), ' ')),
+             1, 8) AS fingerprint
+    FROM c
+    """,
+)
+def x82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: a boundary closes after word i whenever
+    the rolling polyhash of words (i-3..i) hits 0 mod 8 (plus a forced
+    final boundary), giving ~8-word chunks whose fingerprints are
+    SHIFT-RESISTANT — editing one passage re-fingerprints only the chunks
+    it touches, so incremental chunk-level dedup (x66) and RAG index
+    updates stay local. The hash is exact int64 arithmetic on md5 word
+    halves (identical in DuckDB, so boundaries — and therefore every
+    fingerprint — are oracle-pinned bit-for-bit). Plan: one fully NARROW
+    map (split -> per-word hash -> boundary filter -> slice), one explode
+    — zero shuffles before any downstream agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    W, D, B, M = _CDC_W, _CDC_D, _CDC_B, _CDC_M
+    ws = F.split("text", " ")
+    d = docs.select("doc_id", ws.alias("ws")).withColumn("n", F.size("ws"))
+    whs = F.transform(
+        F.col("ws"),
+        lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"),
+    )
+    d = d.withColumn("whs", whs)
+
+    def roll(i):
+        acc = F.element_at(F.col("whs"), i - 3) % M
+        for off in (2, 1, 0):
+            acc = (acc * B + F.element_at(F.col("whs"), i - off)) % M
+        return acc
+
+    # Spark's sequence() DESCENDS when stop < start — guard short docs
+    cand = F.when(
+        F.col("n") >= W,
+        F.filter(
+            F.sequence(F.lit(W), F.col("n")),
+            lambda i: roll(i) % D == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    ends = F.concat(
+        F.filter(cand, lambda e: e < F.col("n")),
+        F.array(F.col("n")),
+    )
+    d = d.withColumn("ends", ends).select(
+        "doc_id", "ws", "ends", F.posexplode("ends").alias("c0", "e")
+    )
+    start = F.when(F.col("c0") == 0, F.lit(1)).otherwise(
+        F.element_at(F.col("ends"), F.col("c0")) + 1
+    )
+    d = d.withColumn("start", start)
+    chunk_txt = F.concat_ws(
+        " ",
+        F.slice(F.col("ws"), F.col("start"), F.col("e") - F.col("start") + 1),
+    )
+    return d.select(
+        "doc_id",
+        F.col("c0").cast("int").alias("chunk_idx"),
+        F.col("start").cast("int").alias("start"),
+        (F.col("e") - F.col("start") + 1).cast("int").alias("n_words"),
+        F.substring(F.md5(chunk_txt), 1, 8).alias("fingerprint"),
+    )
+
+
+# --------------------------------------------------------------------------
 # X78 — PNG decode under the oracle gate (x14's closed-form pattern):
 # deterministic pixels -> encode_png (color type AND scanline filter vary
 # per doc, so gray/RGB/RGBA and all five unfilter paths are exercised) ->

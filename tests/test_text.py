@@ -70,3 +70,46 @@ def test_lang_id(spark):
         ],
     )
     assert out == ["en", "de", "unk"]
+
+
+def test_cdc_chunking_is_shift_resistant(spark):
+    """The CDC property x82 exists for: inserting words near the start
+    re-fingerprints only the chunks around the edit — chunks after the
+    next surviving boundary are byte-identical. Fixed-stride chunking
+    (x63's shape) would shift EVERY downstream window instead."""
+    from detecting_and_addressing_change_spark.queries.extensions10 import (
+        x82,
+    )
+    from detecting_and_addressing_change_spark.queries.registry import (
+        QUERIES,
+    )
+
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    # aperiodic content (periodic text collapses distinct fingerprints and
+    # makes set overlap meaningless)
+    base_words = [f"v{rng.randint(0, 97)}" for _ in range(240)]
+    edited = base_words[:10] + ["inserted", "new", "words"] + base_words[10:]
+
+    def fps(words):
+        import tempfile
+
+        df = spark.createDataFrame(
+            [(0, " ".join(words))], "doc_id long, text string"
+        )
+        with tempfile.TemporaryDirectory() as tmp:
+            df.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+            return [
+                r["fingerprint"]
+                for r in QUERIES["x82_cdc_chunks"](spark, tmp)
+                .orderBy("chunk_idx")
+                .collect()
+            ]
+
+    a, b = fps(base_words), fps(edited)
+    shared = len(set(a) & set(b))
+    # everything after the edit's chunk re-synchronizes: at least 70% of
+    # the original chunks survive byte-identical
+    assert shared >= 0.7 * len(set(a)), (shared, len(set(a)), len(set(b)))
+    assert x82.__doc__  # silence unused import
