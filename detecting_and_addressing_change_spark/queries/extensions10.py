@@ -471,54 +471,74 @@ def x82(spark: SparkSession, sf_dir: str) -> DataFrame:
     it touches, so incremental chunk-level dedup (x66) and RAG index
     updates stay local. The hash is exact int64 arithmetic on md5 word
     halves (identical in DuckDB, so boundaries — and therefore every
-    fingerprint — are oracle-pinned bit-for-bit). Plan: one fully NARROW
-    map (split -> per-word hash -> boundary filter -> slice), one explode
-    — zero shuffles before any downstream agg."""
+    fingerprint — are oracle-pinned bit-for-bit).
+
+    Plan: ONE Arrow-batched mapInPandas kernel (the x13 rolling-hash
+    precedent) — zero shuffles, no exchange (plan-asserted). A pure
+    expression-tree formulation was tried first and abandoned: Catalyst
+    inlines the per-word-hash array transform into every element_at of
+    the rolling window, re-hashing the whole document per position —
+    O(n²) md5s, measured 36.8 s at sf0.1 vs ~0.5 s for this kernel. The
+    kernel memoizes word hashes per partition (Zipfian corpus: far fewer
+    distinct words than tokens)."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..sources.tables import spread_small_input
+
     docs = load_table(spark, sf_dir, "documents")
     W, D, B, M = _CDC_W, _CDC_D, _CDC_B, _CDC_M
-    ws = F.split("text", " ")
-    d = docs.select("doc_id", ws.alias("ws")).withColumn("n", F.size("ws"))
-    whs = F.transform(
-        F.col("ws"),
-        lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"),
-    )
-    d = d.withColumn("whs", whs)
 
-    def roll(i):
-        acc = F.element_at(F.col("whs"), i - 3) % M
-        for off in (2, 1, 0):
-            acc = (acc * B + F.element_at(F.col("whs"), i - off)) % M
-        return acc
+    def fn(batches):
+        memo: dict[str, int] = {}
 
-    # Spark's sequence() DESCENDS when stop < start — guard short docs
-    cand = F.when(
-        F.col("n") >= W,
-        F.filter(
-            F.sequence(F.lit(W), F.col("n")),
-            lambda i: roll(i) % D == 0,
-        ),
-    ).otherwise(F.array().cast("array<int>"))
-    ends = F.concat(
-        F.filter(cand, lambda e: e < F.col("n")),
-        F.array(F.col("n")),
-    )
-    d = d.withColumn("ends", ends).select(
-        "doc_id", "ws", "ends", F.posexplode("ends").alias("c0", "e")
-    )
-    start = F.when(F.col("c0") == 0, F.lit(1)).otherwise(
-        F.element_at(F.col("ends"), F.col("c0")) + 1
-    )
-    d = d.withColumn("start", start)
-    chunk_txt = F.concat_ws(
-        " ",
-        F.slice(F.col("ws"), F.col("start"), F.col("e") - F.col("start") + 1),
-    )
-    return d.select(
-        "doc_id",
-        F.col("c0").cast("int").alias("chunk_idx"),
-        F.col("start").cast("int").alias("start"),
-        (F.col("e") - F.col("start") + 1).cast("int").alias("n_words"),
-        F.substring(F.md5(chunk_txt), 1, 8).alias("fingerprint"),
+        def wh(word: str) -> int:
+            v = memo.get(word)
+            if v is None:
+                v = int(hashlib.md5(word.encode()).hexdigest()[:8], 16)
+                memo[word] = v
+            return v
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ws = (text or "").split(" ")
+                n = len(ws)
+                hs = [wh(w) for w in ws]
+                ends = []
+                for i in range(W, n + 1):  # 1-based window end
+                    acc = hs[i - 4] % M
+                    acc = (acc * B + hs[i - 3]) % M
+                    acc = (acc * B + hs[i - 2]) % M
+                    acc = (acc * B + hs[i - 1]) % M
+                    if acc % D == 0 and i < n:
+                        ends.append(i)
+                ends.append(n)
+                start = 1
+                for c, e in enumerate(ends):
+                    chunk = " ".join(ws[start - 1 : e])
+                    rows.append(
+                        (
+                            int(doc_id),
+                            c,
+                            start,
+                            e - start + 1,
+                            hashlib.md5(chunk.encode()).hexdigest()[:8],
+                        )
+                    )
+                    start = e + 1
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "chunk_idx", "start", "n_words", "fingerprint"
+                ],
+            )
+
+    return spread_small_input(docs.select("doc_id", "text")).mapInPandas(
+        fn,
+        "doc_id long, chunk_idx int, start int, n_words int, "
+        "fingerprint string",
     )
 
 

@@ -343,3 +343,28 @@ def test_x04_guard_in_plan(spark):
     assert "CartesianProduct" not in s
     assert s.count("Window") >= 2  # digest-collapse min + tier rank
     assert "row_number" in s  # the cap rank
+
+
+def test_x81_verdict_join_not_force_broadcast(spark):
+    """x81's chunk-frequency table is corpus-derived, so the verdict join
+    must carry NO forced broadcast hint — Catalyst may still choose a
+    broadcast when its size ESTIMATE is small (correct), but with
+    auto-broadcast disabled the plan must degrade to a shuffle join,
+    proving nothing pins an unbounded table to the driver."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s = explain_str(QUERIES["x81_boilerplate_strip"](spark, SF_SMOKE))
+        assert "BroadcastHashJoin" not in s
+        assert "CartesianProduct" not in s
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_x82_plan_is_narrow_until_output(spark):
+    """CDC chunking claims a narrow plan: no KEY-based exchange anywhere —
+    boundaries and fingerprints are per-row; the only allowed Exchange is
+    spread_small_input's deliberate round-robin input spread."""
+    s = explain_str(QUERIES["x82_cdc_chunks"](spark, SF_SMOKE))
+    assert "hashpartitioning" not in s
+    assert "rangepartitioning" not in s
