@@ -61,7 +61,7 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     "q50_interval_arithmetic", "q51_stats_aggregates", "q52_lstm_infer",
     "q53_correlated_subquery", "q54_unpivot", "q55_except_intersect_all",
     "q56_array_lambdas", "q57_topk_per_group", "q58_global_rank",
-    "x01_dedup_exact", "x02_dedup_fingerprint", "x03_minhash_bands",
+    "x01_dedup_exact", "x02_dedup_fingerprint",
     "x05_simhash", "x06_ngram_jaccard",
     "x07_similarity_topk", "x08_similarity_ann_lsh",
     "x10_text_stats", "x11_text_quality", "x12_lang_id",
@@ -92,7 +92,11 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     # round 6 (see policy note above)
     "q25_ddm_drift_flags", "q28_nb_fit_predict",
     "q29_classification_metrics", "q39_abrupt_drift_experiment",
-    "q60_unsupervised_drift_experiment", "x14_multimodal_features",
+    "q60_unsupervised_drift_experiment",
+    # x03/x14 deliberately NOT listed (round-6 close sweep): x03's
+    # minhash_bands gained the carry_sig parameter and x14's 'auto'
+    # decoder closure now routes png — executed paths changed, so both
+    # float forward for fresh rows even though behavior is unchanged.
     "x37_bm25_topk", "x43_audio_frames", "x44_image_resize",
     "x58_kmeans_cells", "x59_kmeans_ivf_topk",
     "x61_source_mixing", "x63_doc_chunking",
