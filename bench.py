@@ -184,11 +184,16 @@ def main() -> None:
         covs[name] = round(var ** 0.5 / mean, 3) if mean > 0 else 0.0
 
     total = round(sum(timings.values()), 3)
-    # per-query medians/CoVs go to a LOCAL file — adding them to the stdout
-    # summary in r5 pushed the line past the driver's tail-capture window
-    # and truncated `bench_total_sec` itself (VERDICT r5 task #3). The
-    # compact summary must be the FINAL stdout line, printed after
-    # spark.stop() so no late JVM chatter can displace it.
+    # Per-query medians/CoVs (and the FULL query names) go to a LOCAL file.
+    # The driver captures only the last 2000 chars of stdout: the r5 line
+    # overflowed it once medians were added (VERDICT r5 task #3), and the r6
+    # line STILL overflowed at 79 full-name entries (BENCH_r06.json
+    # `parsed: null`, 2386 chars).  The stdout line therefore keys the
+    # per-query timings by their unique `qNN`/`xNN` prefix (79 entries ≈
+    # 970 chars, headroom to ~160 queries) and rounds to 2 dp; the
+    # prefix→full-name mapping is recoverable from BENCH_DETAIL.json, which
+    # carries full names at 3 dp.  The summary must be the FINAL stdout
+    # line, printed after spark.stop() so no late JVM chatter displaces it.
     with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json"), "w") as fh:
         json.dump(
             {
@@ -202,20 +207,36 @@ def main() -> None:
             fh,
             indent=1,
         )
+    short_timings = {name.split("_", 1)[0]: round(t, 2) for name, t in timings.items()}
+    assert len(short_timings) == len(timings), "qNN/xNN prefixes must stay unique"
     spark.stop()
-    print(
-        json.dumps(
+    line = json.dumps(
+        {
+            "metric": "bench_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": short_timings,
+            "median_total_sec": round(sum(medians.values()), 3),
+            "runs": runs,
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+    # hard fence: the whole line must sit inside the driver's tail window
+    if len(line) > 1900:
+        line = json.dumps(
             {
                 "metric": "bench_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {"detail": "BENCH_DETAIL.json"},
                 "median_total_sec": round(sum(medians.values()), 3),
                 "runs": runs,
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
-    )
+    print(line)
 
 
 if __name__ == "__main__":

@@ -232,9 +232,23 @@ def decode_png(data: bytes) -> np.ndarray:
     if w is None:
         raise ValueError("missing IHDR")
     nch = {0: 1, 2: 3, 6: 4}[color]
-    raw = zlib.decompress(bytes(idat))
     stride = w * nch
-    if len(raw) != h * (stride + 1):
+    # bound BEFORE inflating (ADVICE r6): a crafted tiny PNG in a crawled
+    # corpus could otherwise declare small dims yet carry an IDAT that
+    # inflates to gigabytes and OOMs the executor.  Sanity-cap the declared
+    # pixel count, then inflate at most expected+1 bytes — a stream with
+    # more data than the geometry implies is rejected without ever
+    # materializing it (decompressobj stops at max_length).
+    if w * h > 64_000_000:
+        raise ValueError(f"image dimensions {w}x{h} exceed sanity cap")
+    expected = h * (stride + 1)
+    dobj = zlib.decompressobj()
+    raw = dobj.decompress(bytes(idat), expected + 1)
+    if len(raw) > expected or dobj.unconsumed_tail or (
+        dobj.flush() if not dobj.eof else b""
+    ):
+        raise ValueError("IDAT inflates past declared image size")
+    if len(raw) != expected:
         raise ValueError("IDAT length mismatch")
     out = np.zeros((h, w, nch), dtype=np.int32)
     prev = np.zeros((w, nch), dtype=np.int32)

@@ -44,8 +44,12 @@ from .dedup import minhash_bands, minhash_candidate_pairs, minhash_signatures
 
 
 def _digests(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    # the stored docs/ layout is ALWAYS (doc_id, dgst): build/append accept
+    # any id column name, but edges/probe read the canonical name — without
+    # this alias an index built with a custom id_col failed at read time
+    # with AnalysisException (ADVICE r6)
     return docs.select(
-        F.col(id_col), F.md5(F.col(text_col)).alias("dgst")
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("dgst")
     )
 
 
@@ -186,29 +190,51 @@ def compact_minhash_index(
     """Small-file maintenance after many appends (each batch/epoch append
     leaves its own ``batch=...`` partition of docs/ and its own sigs/
     files): rewrite both tables consolidated. docs/ collapses to a single
-    ``batch=base`` partition (labels never affect results); each rewrite
-    materializes via localCheckpoint FIRST, then overwrites — never a plan
-    that reads and writes one path. Edge/probe results are unchanged
-    (tests pin it); only the file layout shrinks. On an object store a
-    production build would write to a fresh versioned prefix and flip a
-    pointer instead of overwriting in place — same plan, different commit
-    protocol."""
+    ``batch=base`` partition (labels never affect results). Edge/probe
+    results are unchanged (tests pin it); only the file layout shrinks.
+
+    Commit protocol (ADVICE r6 — the earlier rmtree-then-rewrite variant
+    had a window where a driver crash permanently destroyed the index):
+    both consolidated tables are FULLY written to fresh ``docs.new`` /
+    ``sigs.new`` sibling dirs first (reading the live dirs — distinct
+    paths, so no read-your-own-overwrite hazard and no checkpoint needed),
+    then swapped in via two renames each, and only then is the old layout
+    deleted. A crash at ANY step leaves a complete copy of every row on
+    disk: before the swap the live dirs are untouched; mid-swap the
+    ``.old``/``.new`` dirs hold it; after, the new layout is live. On an
+    object store without atomic rename the same sequence runs against
+    versioned prefixes with a pointer-file flip."""
+    import os
     import shutil
 
-    docs = (
+    for name in ("docs", "sigs"):
+        live, new, old = (f"{path}/{name}{s}" for s in ("", ".new", ".old"))
+        if not os.path.exists(live) and os.path.exists(new):
+            # crash landed between the two renames of a prior swap: .new
+            # was fully committed before any rename began, so promote it
+            os.rename(new, live)
+        # live dir present → any leftover staging copy is redundant
+        for stale in (new, old):
+            if os.path.exists(live) and os.path.exists(stale):
+                shutil.rmtree(stale)
+    (
         spark.read.parquet(f"{path}/docs")
         .select("doc_id", "dgst")
         .coalesce(target_partitions)
-        .localCheckpoint(eager=True)
+        .write.mode("overwrite")
+        .parquet(f"{path}/docs.new/batch=base")
     )
-    sigs = (
+    (
         spark.read.parquet(f"{path}/sigs")
         .coalesce(target_partitions)
-        .localCheckpoint(eager=True)
+        .write.mode("overwrite")
+        .parquet(f"{path}/sigs.new")
     )
-    shutil.rmtree(f"{path}/docs")
-    docs.write.mode("overwrite").parquet(f"{path}/docs/batch=base")
-    sigs.write.mode("overwrite").parquet(f"{path}/sigs")
+    for name in ("docs", "sigs"):
+        os.rename(f"{path}/{name}", f"{path}/{name}.old")
+        os.rename(f"{path}/{name}.new", f"{path}/{name}")
+    for name in ("docs", "sigs"):
+        shutil.rmtree(f"{path}/{name}.old")
 
 
 def init_minhash_index(

@@ -31,16 +31,16 @@ from . import drift  # noqa: F401,E402
 # *current* if the query's implementation has not changed since the round
 # that produced it.
 #
-# Round-6 (VERDICT r5 tasks #1/#2): deliberately NOT listed, so they lead
-# the r6 window —
-#  - the six stale-since-green refactors the judge flagged: x46/x52/x55/
-#    x56 (extensions7 shared-helper refactor), q59 (bucket-span schedule
-#    sizing), q61 (mapping-experiment changes);
-#  - everything whose implementation changed THIS round for the hot-bucket
-#    guard: x04/x23/x49/x75 (minhash_dedup_edges: exact-dup collapse +
-#    tier/cap), x09/x52 (embedding_near_dup_pairs guard), and x60/x62
-#    (broadcast-size guards, ADVICE r5);
-#  - any brand-new x76+ queries (unattested by default).
+# Round-7: CORRECTNESS_r06.json attested all 50 names in the r6 window
+# green, so those rows are folded in below — EXCEPT the queries whose
+# executed implementation changes again this round (ADVICE r6):
+#  - x76/x79 (minhash_index atomic compaction + id_col threading;
+#    extensions10 scratch-dir keyed by application id),
+#  - x78/x14 (decode_png bounded decompression),
+#  - x09 (r6 row was vacuous — 0 Spark rows == 0 oracle rows at the
+#    pinned sf; fixture/threshold densified this round so the guarded
+#    candidate path is attested on non-empty output).
+# These float to the front of the r7 window for fresh rows.
 _ATTESTED_PRIOR_ROUNDS = frozenset({
     # green rows in CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json
     "q01_scan_project_cast", "q02_filter_predicate", "q03_clean_text",
@@ -104,8 +104,16 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     "x68_bpe_merges", "x69_oov_rate", "x70_data_expectations",
     "x71_textrank", "x73_quantile_drift",
     "x74_token_mixing",
-    # x72_drift_dashboard deliberately NOT listed: series-builder extracted
-    # for the streaming fleet in round 6 — needs a fresh driver row.
+    # green rows in CORRECTNESS_r06.json (hot-bucket-guarded dedup family,
+    # r5-refactor re-attests, and the round-6 x77-x82 additions), minus
+    # x09/x14/x76/x78/x79 which change again in round 7 (see policy note)
+    "q59_gradual_drift_experiment", "q61_mapping_experiment",
+    "x03_minhash_bands", "x04_minhash_pairs", "x23_dedup_clusters",
+    "x46_quality_filter", "x49_containment_pairs",
+    "x52_semantic_dedup_clusters", "x55_curation_pipeline", "x56_winsorize",
+    "x60_lm_perplexity", "x62_crossdoc_ngrams", "x72_drift_dashboard",
+    "x75_dedup_savings", "x77_source_cap", "x80_neardup_decontam",
+    "x81_boilerplate_strip", "x82_cdc_chunks",
 })
 
 

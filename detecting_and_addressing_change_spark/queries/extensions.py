@@ -511,14 +511,24 @@ def x08(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN norms na ON a_id = na.vec_id
       JOIN norms nb ON b_id = nb.vec_id
     )
-    SELECT a_id, b_id, cosine FROM scored WHERE cosine >= 0.9
+    SELECT a_id, b_id, cosine FROM scored WHERE cosine >= 0.4
     """,
 )
 def x09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs from guarded LSH candidates.
+
+    Threshold note (ADVICE r6): the synthetic embeddings fixture is
+    near-isotropic — the maximum candidate cosine at sf0.001/sf0.01 is
+    ~0.49 — so the production-realistic 0.9 cut made the attested result
+    VACUOUS (0 rows == 0 oracle rows proves nothing about the candidate
+    path). The query pins threshold=0.4 so the guarded
+    collapse→band→tier/cap→verify pipeline is oracle-compared on
+    NON-EMPTY output at every sf the driver uses; the threshold is a
+    parameter of `embedding_near_dup_pairs`, not of the machinery."""
     from ..operators.similarity import embedding_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.9, dim=64)
+    return embedding_near_dup_pairs(emb, threshold=0.4, dim=64)
 
 
 # --------------------------------------------------------------------------

@@ -7,7 +7,7 @@ production lifecycle of the x04 near-dup machinery on a growing corpus.
 
 from __future__ import annotations
 
-import glob
+import atexit
 import shutil
 import tempfile
 
@@ -20,16 +20,35 @@ from .extensions import _minhash_guarded_edges_oracle, _minhash_oracle
 from .registry import query
 
 
-def _scratch_index_dir(prefix: str) -> str:
-    """Fresh scratch dir for a query-local index build, deleting PRIOR
-    runs' leftovers first: each invocation must start from an empty dir
-    (append semantics would double rows on reuse), but unbounded
-    accumulation across bench/correctness reruns would fill /tmp. One
-    leftover (the current run's, consumed lazily by the returned
-    DataFrame) remains until the next invocation sweeps it."""
-    for old in glob.glob(f"{tempfile.gettempdir()}/{prefix}*"):
-        shutil.rmtree(old, ignore_errors=True)
-    return tempfile.mkdtemp(prefix=prefix)
+_SCRATCH_DIRS: list[str] = []
+
+
+def _sweep_scratch_dirs() -> None:
+    while _SCRATCH_DIRS:
+        shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
+
+
+atexit.register(_sweep_scratch_dirs)
+
+
+def _scratch_index_dir(spark: SparkSession, prefix: str) -> str:
+    """Fresh scratch dir for a query-local index build. Each invocation
+    gets its OWN empty dir (append semantics would double rows on reuse),
+    named with this session's Spark application id, and NOTHING is swept
+    at invocation time — cleanup happens at process exit (atexit). The
+    previous design rmtree-swept ``{prefix}*`` on every call (ADVICE r6),
+    which deleted the live index out from under (a) a concurrent
+    session's lazy reader — parallel bench/correctness runs, pytest-xdist
+    — and (b) this session's own earlier still-lazy DataFrame when the
+    query was constructed twice before executing the first. With
+    per-invocation dirs and exit-time sweep, both are safe; within-process
+    accumulation is bounded (a handful of small signature tables per
+    run), and dirs leaked by a crashed process fall to the OS /tmp
+    lifecycle, same as Spark's own scratch dirs."""
+    app_id = spark.sparkContext.applicationId.replace("-", "_")
+    d = tempfile.mkdtemp(prefix=f"{prefix}{app_id}_")
+    _SCRATCH_DIRS.append(d)
+    return d
 
 
 # --------------------------------------------------------------------------
@@ -62,7 +81,7 @@ def x76(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    path = _scratch_index_dir("mhidx_x76_")
+    path = _scratch_index_dir(spark, "mhidx_x76_")
     build_minhash_index(docs.filter(F.col("doc_id") % 5 != 4), path)
     append_to_minhash_index(docs.filter(F.col("doc_id") % 5 == 4), path)
     return minhash_index_edges(spark, path)
@@ -287,7 +306,7 @@ def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    path = _scratch_index_dir("mhidx_x79_")
+    path = _scratch_index_dir(spark, "mhidx_x79_")
     build_minhash_index(docs.filter(F.col("doc_id") % 5 != 4), path)
     return minhash_index_probe(
         spark, path, docs.filter(F.col("doc_id") % 5 == 4)

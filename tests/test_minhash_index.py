@@ -230,3 +230,53 @@ def test_compact_preserves_edges_and_shrinks_files(spark, corpus, tmp_path):
         path,
     )
     assert minhash_index_edges(spark, path).count() > len(after)
+
+
+def test_custom_id_col_round_trip(spark, corpus, tmp_path):
+    """ADVICE r6: build/append accept any id column name; the stored docs/
+    layout canonicalizes to doc_id so edges/probe work unchanged."""
+    path = str(tmp_path / "ididx")
+    renamed = corpus.withColumnRenamed("doc_id", "document_key")
+    build_minhash_index(
+        renamed.filter(F.col("document_key") < 20), path, id_col="document_key"
+    )
+    append_to_minhash_index(
+        renamed.filter(F.col("document_key") >= 20), path, id_col="document_key"
+    )
+    got = _edge_set(minhash_index_edges(spark, path))
+    assert got == _edge_set(minhash_dedup_edges(corpus)) and got
+    probe = minhash_index_probe(
+        spark,
+        path,
+        renamed.filter(F.col("document_key") % 7 == 0).select(
+            (F.col("document_key") + 900).alias("document_key"), "text"
+        ),
+        id_col="document_key",
+    )
+    assert probe.filter(F.col("via") == "exact").count() > 0
+
+
+def test_compact_crash_recovery_promotes_new(spark, corpus, tmp_path):
+    """ADVICE r6: compaction is write-fresh-then-swap. Simulate the worst
+    crash window (live dir renamed away, .new not yet renamed in) and
+    assert the next compaction auto-recovers with zero data loss."""
+    import os
+
+    from detecting_and_addressing_change_spark.operators.minhash_index import (
+        compact_minhash_index,
+    )
+
+    path = str(tmp_path / "crashidx")
+    build_minhash_index(corpus, path)
+    before = _edge_set(minhash_index_edges(spark, path))
+    # manufacture the mid-swap state for BOTH tables: .new fully written
+    # (here: a byte-identical copy of live), live renamed to .old
+    import shutil
+
+    for name in ("docs", "sigs"):
+        shutil.copytree(f"{path}/{name}", f"{path}/{name}.new")
+        os.rename(f"{path}/{name}", f"{path}/{name}.old")
+    compact_minhash_index(spark, path, target_partitions=2)
+    assert not os.path.exists(f"{path}/docs.old")
+    assert not os.path.exists(f"{path}/sigs.new")
+    assert _edge_set(minhash_index_edges(spark, path)) == before

@@ -236,3 +236,49 @@ def test_png_rejects_unsupported_subset():
     with pytest.raises(ValueError, match="color type"):
         decode_png(data)
     assert np.uint8  # silence unused-import style
+
+
+def test_png_rejects_decompression_bomb():
+    """ADVICE r6: a tiny PNG declaring 1x1 but carrying an IDAT that
+    inflates to hundreds of MB must be rejected BEFORE materializing the
+    inflated bytes, and absurd declared dimensions must fail fast."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from detecting_and_addressing_change_spark.multimodal.binary_ops import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    # 1x1 gray header, but IDAT inflates to 256 MB of zeros
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    bomb = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * (256 * 1024 * 1024)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert len(bomb) < 300_000  # the attack: tiny on the wire
+    with pytest.raises(ValueError, match="inflates past|length mismatch"):
+        decode_png(bomb)
+
+    # declared dimensions beyond the sanity cap fail before any inflate
+    ihdr_huge = struct.pack(">IIBBBBB", 1 << 16, 1 << 16, 8, 0, 0, 0, 0)
+    huge = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr_huge)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00"))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="sanity cap"):
+        decode_png(huge)
+
+    # a legitimate image still round-trips through the bounded path
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(arr)) == arr).all()
