@@ -122,6 +122,11 @@ BENCH_QUERIES = [
     "x80_neardup_decontam",
     "x81_boilerplate_strip",
     "x82_cdc_chunks",
+    # round-7: ANN recall harness (exact ground truth + IVF probe), exact
+    # prefix-filter similarity join, HLL grouped distinct sketch
+    "x83_ann_recall",
+    "x84_prefix_jaccard_join",
+    "x85_hll_distinct",
 ]
 
 

@@ -1,0 +1,126 @@
+"""Exact set-similarity join with prefix filtering (SSJoin/PPJoin family).
+
+The MinHash path (operators/dedup.py) is probabilistic: band collisions
+can MISS a true near-dup pair. This operator is the exact-threshold
+complement — every pair with shingle-set Jaccard >= t is returned, no
+recall loss — using the prefix-filtering principle (Chaudhuri et al.
+ICDE'06, Bayardo et al. WWW'07): order each set's tokens by ascending
+global document frequency; a pair with overlap >= ceil(t * |x|) must share
+a token within the first |x| - ceil(t * |x|) + 1 tokens of that ordering.
+Joining on PREFIX tokens only — each document's globally rarest tokens —
+prunes the candidate space the way the full inverted-index self-join
+(ngram_jaccard_pairs) cannot: stop-shingles shared by everything never
+enter the join.
+
+Scale shape at 100 TB:
+- exact-duplicate collapse first (dedup.collapse_exact — the shared
+  hot-bucket defense): byte-identical boilerplate collapses to one
+  representative before any token work, so mass duplicates cost one
+  digest window, not a quadratic token join;
+- document frequency = one token groupBy; prefix selection = one
+  row_number window per document;
+- the candidate join runs on prefix tokens whose fan-out is their global
+  df — and df-ORDERING concentrates the prefix on the rare tail, so the
+  per-token join groups stay narrow (a token that is globally common is
+  in a document's prefix only when nearly all its tokens are common);
+- the size filter t*max(|x|,|y|) <= min(|x|,|y|) (a Jaccard necessary
+  condition) prunes candidates before verification;
+- verification touches candidate pairs only.
+
+The result keeps the guarded dedup-family semantics: exact-dup groups
+contribute their keeper->member star edges (jaccard 1.0), never all
+quadratic within-group pairs; near-dup pairs are reported between
+representatives. The DuckDB oracle for x84 verifies WITHOUT the prefix
+filter (full inverted-index join), so the hash match is an empirical
+proof of the filter's losslessness on top of the unit tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import portable_round
+from ..functions.text import word_ngrams_col
+from ..sources.tables import spread_small_input
+from .dedup import collapse_exact
+
+
+def prefix_jaccard_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """DataFrame[a_id, b_id, jaccard]: all pairs with word-``shingle_size``-
+    gram set Jaccard >= ``threshold`` (a_id < b_id), exact-dup star edges
+    included at jaccard 1.0.
+
+    ``threshold`` should be exactly representable in binary (0.5, 0.25,
+    0.75) so the >= comparison is engine-portable without rounding."""
+    chains, reps = collapse_exact(df, text_col, id_col)
+    toks = spread_small_input(reps).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams_col(F.col(text_col), shingle_size))
+        ).alias("w"),
+    )
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("n"))
+    dfreq = toks.groupBy("w").agg(F.count("*").alias("df"))
+    # prefix = the first n - ceil(t*n) + 1 tokens under the global
+    # (df asc, token asc) order; the window and the size join share the
+    # id partitioning
+    prefix = (
+        toks.join(dfreq, "w")
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy(id_col).orderBy("df", "w")),
+        )
+        .join(sizes, id_col)
+        .filter(
+            F.col("rk")
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        )
+        .select(F.col(id_col), "w", "n")
+    )
+    a = prefix.select(
+        F.col(id_col).alias("a_id"), "w", F.col("n").alias("na")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("b_id"), "w", F.col("n").alias("nb")
+    )
+    cand = (
+        a.join(b, "w")
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            # Jaccard >= t  =>  t * max(na, nb) <= min(na, nb)
+            & (F.lit(threshold) * F.col("na") <= F.col("nb"))
+            & (F.lit(threshold) * F.col("nb") <= F.col("na"))
+        )
+        .select("a_id", "b_id", "na", "nb")
+        .distinct()
+    )
+    # verify: exact intersection size over the FULL token sets of the
+    # candidate pairs only
+    ta = toks.select(F.col(id_col).alias("a_id"), "w")
+    tb = toks.select(F.col(id_col).alias("b_id"), "w")
+    inter = (
+        cand.join(ta, "a_id")
+        .join(tb, ["b_id", "w"])
+        .groupBy("a_id", "b_id", "na", "nb")
+        .agg(F.count("*").alias("i"))
+    )
+    verified = inter.filter(
+        F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+        >= F.lit(threshold)
+    ).select(
+        "a_id",
+        "b_id",
+        portable_round(
+            F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6
+        ).alias("jaccard"),
+    )
+    return chains.select(
+        "a_id", "b_id", F.lit(1.0).alias("jaccard")
+    ).unionByName(verified)

@@ -1,0 +1,263 @@
+"""Round-7 extension queries: ANN quality harness (x83), exact
+prefix-filter similarity join (x84), HLL distinct sketch (x85).
+
+Reference parity note: the reference has none of these (no ANN, no
+similarity join, exact single-node counting only); they are
+LLM-data-pipeline / 100 TB-shape additions — the recall harness every ANN
+deployment runs before trusting an index, the exact-threshold complement
+to the probabilistic MinHash dedup, and the mergeable-sketch form of
+COUNT(DISTINCT) whose shuffle is m longs per group instead of the
+distinct-value stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import portable_round
+from ..sources.tables import load_table
+from .extensions8 import N_CENTROIDS, N_ITER, _kmeans_ctes
+from .registry import query
+
+# --------------------------------------------------------------------------
+# X83 — ANN recall@k harness: IVF top-k vs exact brute-force ground truth.
+# recall = |IVF hits among the exact top-k| / k per query. Both rankings
+# are deterministic (unrounded cosine desc, cand_id tiebreak), so an
+# APPROXIMATE index's quality report is itself hash-checkable.
+# --------------------------------------------------------------------------
+_X83_K = 5
+_X83_NPROBE = 2
+
+_X83_ORACLE = f"""
+    WITH {_kmeans_ctes(N_CENTROIDS, N_ITER)},
+    q AS (
+      SELECT vec_id AS query_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY dist, cent_id) AS r
+        FROM dF WHERE vec_id BETWEEN 100 AND 109) t
+      WHERE r <= {_X83_NPROBE}
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, a.vec_id AS cand_id
+      FROM q JOIN aF a ON q.cell = a.cell AND a.vec_id <> q.query_id
+    ),
+    ex AS (
+      SELECT vec_id, GENERATE_SUBSCRIPTS(emb, 1) AS d, UNNEST(emb) AS v
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    ),
+    norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    idots AS (
+      SELECT cand.query_id, cand.cand_id, SUM(a.v * b.v) AS dot
+      FROM cand
+      JOIN ex a ON a.vec_id = cand.query_id
+      JOIN ex b ON b.vec_id = cand.cand_id AND a.d = b.d
+      GROUP BY cand.query_id, cand.cand_id
+    ),
+    ivf_top AS (
+      SELECT query_id, cand_id FROM (
+        SELECT i.query_id, i.cand_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY i.query_id
+                 ORDER BY i.dot / (nq.nrm * nc.nrm) DESC, i.cand_id) AS rnk
+        FROM idots i
+        JOIN norms nq ON i.query_id = nq.vec_id
+        JOIN norms nc ON i.cand_id = nc.vec_id) t
+      WHERE rnk <= {_X83_K}
+    ),
+    bdots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id, SUM(a.v * b.v) AS dot
+      FROM ex a JOIN ex b ON a.d = b.d AND a.vec_id <> b.vec_id
+      WHERE a.vec_id BETWEEN 100 AND 109
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    exact_top AS (
+      SELECT query_id, cand_id FROM (
+        SELECT d.query_id, d.cand_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY d.query_id
+                 ORDER BY d.dot / (nq.nrm * nc.nrm) DESC, d.cand_id) AS rnk
+        FROM bdots d
+        JOIN norms nq ON d.query_id = nq.vec_id
+        JOIN norms nc ON d.cand_id = nc.vec_id) t
+      WHERE rnk <= {_X83_K}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(i.cand_id) AS INT) AS n_hit,
+           FLOOR(COUNT(i.cand_id) / {_X83_K}.0 * 10000.0 + 0.5) / 10000.0
+             AS recall_at_k
+    FROM exact_top e
+    LEFT JOIN ivf_top i
+      ON i.query_id = e.query_id AND i.cand_id = e.cand_id
+    GROUP BY e.query_id
+"""
+
+
+@query("x83_ann_recall", oracle=_X83_ORACLE)
+def x83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@5 evaluation: for queries 100-109, the fitted-k-means
+    IVF index (x59's machinery, nprobe=2) is scored against exact
+    brute-force cosine ground truth over the full corpus. This is the
+    harness a production ANN deployment runs on a QUERY SAMPLE before
+    trusting an index — ground truth is exact (crossJoin on the sampled
+    queries only, broadcast; never all-pairs), recall is hits/k.
+
+    At 100 TB: ground truth cost is |sample| * corpus narrow scans (the
+    documented exact-baseline shape of operators/similarity.py:35); the
+    IVF side is the partition-pruned probe. Both rankings break ties
+    deterministically, so recall itself is oracle-hashable."""
+    from ..operators.kmeans import kmeans_ivf_topk
+    from ..operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = (F.col("vec_id") >= 100) & (F.col("vec_id") <= 109)
+    ivf = kmeans_ivf_topk(
+        emb,
+        pred,
+        n_centroids=N_CENTROIDS,
+        n_iter=N_ITER,
+        k=_X83_K,
+        nprobe=_X83_NPROBE,
+    )
+    exact = brute_force_topk(emb, emb.filter(pred), k=_X83_K)
+    hits = (
+        exact.select("query_id", "cand_id")
+        .join(
+            ivf.select("query_id", "cand_id"),
+            ["query_id", "cand_id"],
+            "semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    qids = exact.select("query_id").distinct()
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        n_hit.cast("int").alias("n_hit"),
+        portable_round(n_hit / F.lit(float(_X83_K)), 4).alias("recall_at_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X84 — exact set-similarity join via prefix filtering. The oracle verifies
+# WITHOUT the prefix filter (full inverted-index join over shared shingles)
+# — the hash match is an empirical losslessness proof of the filter.
+# --------------------------------------------------------------------------
+_X84_T = 0.5
+
+_X84_ORACLE = f"""
+    WITH dg AS (
+      SELECT doc_id, text, md5(text) AS dgst FROM documents
+    ),
+    lab AS (
+      SELECT doc_id, text,
+             MIN(doc_id) OVER (PARTITION BY dgst) AS keeper
+      FROM dg
+    ),
+    chains AS (
+      SELECT keeper AS a_id, doc_id AS b_id FROM lab WHERE doc_id <> keeper
+    ),
+    reps AS (SELECT doc_id, text FROM lab WHERE doc_id = keeper),
+    toks AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(w) - 2),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM reps)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+      FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    scored AS (
+      SELECT a_id, b_id,
+             CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jr
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id
+    )
+    SELECT a_id, b_id, 1.0 AS jaccard FROM chains
+    UNION ALL
+    SELECT a_id, b_id, FLOOR(jr * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+    FROM scored WHERE jr >= {_X84_T}
+"""
+
+
+@query("x84_prefix_jaccard_join", oracle=_X84_ORACLE)
+def x84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-threshold set-similarity self-join (SSJoin with prefix
+    filtering, operators/setjoin.py): every pair of documents whose
+    3-gram shingle sets have Jaccard >= 0.5 — the exact complement to the
+    probabilistic MinHash path (a band collision can miss a true pair;
+    this cannot). Exact-dup groups contribute star edges at 1.0, near-dup
+    pairs are reported between representatives, matching the guarded
+    dedup-family semantics. The oracle joins on ALL shared shingles with
+    no prefix filter, so hash equality doubles as a losslessness proof of
+    the prefix optimization."""
+    from ..operators.setjoin import prefix_jaccard_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_jaccard_join(docs, threshold=_X84_T, shingle_size=3)
+
+
+# --------------------------------------------------------------------------
+# X85 — HyperLogLog grouped distinct-count sketch with exact-count error
+# report. Registers merge with MAX, so the groupBy partial-aggregates
+# map-side: m = 64 longs per group cross the shuffle, vs the full
+# distinct-key stream of the exact path it is scored against.
+# --------------------------------------------------------------------------
+_X85_P = 6
+
+
+def _x85_oracle() -> str:
+    from ..operators.hll import hll_oracle_sql
+
+    return f"""
+    WITH {hll_oracle_sql("lineitem", "l_orderkey", "l_returnflag", _X85_P)},
+    ex AS (
+      SELECT l_returnflag AS grp,
+             COUNT(DISTINCT l_orderkey) AS exact_distinct
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT h.grp AS l_returnflag,
+           FLOOR(h.est * 10000.0 + 0.5) / 10000.0 AS est_distinct,
+           CAST(ex.exact_distinct AS INT) AS exact_distinct,
+           FLOOR((h.est - ex.exact_distinct) / ex.exact_distinct
+                 * 10000.0 + 0.5) / 10000.0 AS rel_err,
+           h.zero_regs
+    FROM hest h JOIN ex ON ex.grp = h.grp
+    """
+
+
+@query("x85_hll_distinct", oracle=_x85_oracle())
+def x85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HyperLogLog distinct estimate (operators/hll.py: md5-prefix
+    hash, exact int64 harmonic sum — an APPROXIMATE estimator that is
+    still bit-reproducible across engines), scored against the exact
+    count. m=64 registers -> ~13% relative error; the estimate's value at
+    100 TB is the shuffle shape (64 longs per group, map-side combined),
+    not precision — raise p for tighter bounds. Raw-regime estimator by
+    design (no ln-based small-range correction; see the module
+    docstring); distinct l_orderkey per flag is deep in the valid range
+    at every tested sf."""
+    from ..operators.hll import hll_distinct
+
+    li = load_table(spark, sf_dir, "lineitem")
+    est = hll_distinct(li, "l_orderkey", ["l_returnflag"], p=_X85_P)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").cast("int").alias("exact_distinct")
+    )
+    return est.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        portable_round(F.col("est"), 4).alias("est_distinct"),
+        "exact_distinct",
+        portable_round(
+            (F.col("est") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+        "zero_regs",
+    )

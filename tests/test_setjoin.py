@@ -1,0 +1,140 @@
+"""Prefix-filter exact set-similarity join (operators/setjoin.py):
+losslessness vs a brute-force all-pairs reference, exact-dup star-edge
+semantics, and the pruning the prefix actually buys."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from detecting_and_addressing_change_spark.operators.setjoin import (
+    prefix_jaccard_join,
+)
+
+
+def _shingles(text, n=3):
+    ws = text.split(" ")
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+def _brute_pairs(rows, t, n=3):
+    """All rep-pairs with Jaccard >= t + exact-dup star edges, straight
+    from the definition."""
+    by_text = {}
+    for i, txt in rows:
+        by_text.setdefault(txt, []).append(i)
+    chains = set()
+    reps = []
+    for txt, ids in by_text.items():
+        ids.sort()
+        reps.append((ids[0], txt))
+        chains.update((ids[0], m) for m in ids[1:])
+    out = set(chains)
+    for (ia, ta), (ib, tb) in itertools.combinations(sorted(reps), 2):
+        sa, sb = _shingles(ta, n), _shingles(tb, n)
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        if inter / (len(sa) + len(sb) - inter) >= t:
+            out.add((ia, ib))
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus_rows():
+    base = (
+        "the quick brown fox jumps over the lazy dog while a cat "
+        "watches from the windowsill with mild interest every day"
+    )
+    rows = []
+    for i in range(40):
+        if i % 8 == 0:
+            rows.append((i, base))  # exact-dup family
+        elif i % 8 == 1:
+            rows.append((i, base.replace("mild", f"keen{i}")))  # near dup
+        elif i % 8 == 2:
+            rows.append((i, base.replace("quick brown", f"slow grey{i}")))
+        else:
+            rows.append(
+                (
+                    i,
+                    f"document {i} covers shuffle partition tuning and "
+                    f"adaptive execution in distributed engines topic {i} "
+                    f"with its own unrelated vocabulary line {i}",
+                )
+            )
+    return rows
+
+
+def test_lossless_vs_brute_force(spark, corpus_rows):
+    df = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    for t in (0.25, 0.5, 0.75):
+        got = {
+            (r["a_id"], r["b_id"])
+            for r in prefix_jaccard_join(df, threshold=t).collect()
+        }
+        want = _brute_pairs(corpus_rows, t)
+        assert got == want, f"threshold {t}"
+        assert want  # non-trivial fixture
+
+
+def test_exact_dups_are_star_edges_only(spark):
+    rows = [(i, "same same same text body here repeated") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = prefix_jaccard_join(df, threshold=0.5).collect()
+    # 5 star edges from keeper 0, never 15 quadratic within-group pairs
+    assert sorted((r["a_id"], r["b_id"]) for r in got) == [
+        (0, i) for i in range(1, 6)
+    ]
+    assert all(r["jaccard"] == 1.0 for r in got)
+
+
+def test_short_docs_do_not_crash_or_pair(spark):
+    rows = [(0, "one two"), (1, "one two"), (2, "three"), (3, "a b c d e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in prefix_jaccard_join(df, threshold=0.5).collect()
+    }
+    # docs 0/1 are exact dups (chain); no shingle pairs exist otherwise
+    assert got == {(0, 1)}
+
+
+def test_prefix_prunes_candidate_space(spark, corpus_rows):
+    """The join input must be the PREFIX tokens only — materially fewer
+    rows than the full token explode the naive inverted index would join
+    (here prefix length ~ n/2 + 1 at t=0.5)."""
+    from pyspark.sql import Window
+    from detecting_and_addressing_change_spark.functions.text import (
+        word_ngrams_col,
+    )
+    from detecting_and_addressing_change_spark.operators.dedup import (
+        collapse_exact,
+    )
+
+    df = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    _, reps = collapse_exact(df)
+    toks = reps.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_ngrams_col(F.col("text"), 3))
+        ).alias("w"),
+    )
+    full = toks.count()
+    dfreq = toks.groupBy("w").agg(F.count("*").alias("df"))
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    prefix = (
+        toks.join(dfreq, "w")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "w")
+            ),
+        )
+        .join(sizes, "doc_id")
+        .filter(F.col("rk") <= F.col("n") - F.ceil(0.5 * F.col("n")) + 1)
+    )
+    assert prefix.count() < 0.65 * full
