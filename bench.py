@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "x83_ann_recall",
     "x84_prefix_jaccard_join",
     "x85_hll_distinct",
+    "x86_join_size_estimate",
+    "x87_quantized_recall",
 ]
 
 

@@ -63,8 +63,13 @@ def norm16_col(c: Column, minv: Column, maxv: Column) -> Column:
     is at least 2^-32 from any integer it doesn't equal, far beyond the
     7e-12 division error — so both engines floor to the same long for any
     32-bit-range key."""
+    # force LONG arithmetic on the bounds too: int-typed literals for a
+    # full-32-bit range make `maxv - minv + 1` overflow int32 under ANSI
+    # (hypothesis-found in round 7; long columns from real min/max aggs
+    # were never affected)
+    lo, hi = minv.cast("long"), maxv.cast("long")
     return F.floor(
-        (c.cast("long") - minv) * 65536 / (maxv - minv + 1)
+        (c.cast("long") - lo) * 65536 / (hi - lo + 1)
     ).cast("long")
 
 

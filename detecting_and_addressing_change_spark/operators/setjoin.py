@@ -66,6 +66,14 @@ def prefix_jaccard_join(
             F.array_distinct(word_ngrams_col(F.col(text_col), shingle_size))
         ).alias("w"),
     )
+    # materialize the tokenized corpus ONCE: six downstream branches
+    # (df-counts, sizes, both prefix sides, both verify sides) consume it,
+    # and Spark does not dedupe common subplans — without this the
+    # collapse window + shingle explode re-runs per branch (observed: 30
+    # Exchanges at sf0.01 vs 13 after). localCheckpoint (the repo's
+    # materialize-once idiom, operators/graph.py:16) also truncates the
+    # digest-window lineage out of every downstream stage.
+    toks = toks.localCheckpoint(eager=True)
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("n"))
     dfreq = toks.groupBy("w").agg(F.count("*").alias("df"))
     # prefix = the first n - ceil(t*n) + 1 tokens under the global
@@ -82,13 +90,36 @@ def prefix_jaccard_join(
             F.col("rk")
             <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
         )
-        .select(F.col(id_col), "w", "n")
+        .select(F.col(id_col), "w", "n", "rk")
     )
     a = prefix.select(
-        F.col(id_col).alias("a_id"), "w", F.col("n").alias("na")
+        F.col(id_col).alias("a_id"),
+        "w",
+        F.col("n").alias("na"),
+        F.col("rk").alias("pa"),
     )
     b = prefix.select(
-        F.col(id_col).alias("b_id"), "w", F.col("n").alias("nb")
+        F.col(id_col).alias("b_id"),
+        "w",
+        F.col("n").alias("nb"),
+        F.col("rk").alias("pb"),
+    )
+    # PPJoin positional filters (Xiao et al. VLDB'08), exact: both bounds
+    # come free from the groupBy that dedups the candidate pairs, and both
+    # rest on ORDER CONSISTENCY — shared tokens appear in the same relative
+    # order in every document under the one global (df, w) sort, so
+    #   (1) no shared token precedes the FIRST shared prefix token in
+    #       either document: i <= 1 + min(na - pa1, nb - pb1);
+    #   (2) every shared token not counted in the prefix intersection
+    #       follows the LAST shared prefix token in BOTH documents:
+    #       i <= cnt + min(na - paL, nb - pbL).
+    # Jaccard >= t needs i >= t*(na+nb)/(1+t); pairs whose upper bounds
+    # cannot reach it are dropped BEFORE the verification join — on
+    # low-entropy corpora (tiny shingle spaces) most spurious one-token
+    # collisions die here. Pruning is internal and lossless, so the
+    # DuckDB oracle needs no mirror.
+    required = F.lit(threshold) * (F.col("na") + F.col("nb")) / F.lit(
+        1.0 + threshold
     )
     cand = (
         a.join(b, "w")
@@ -98,8 +129,31 @@ def prefix_jaccard_join(
             & (F.lit(threshold) * F.col("na") <= F.col("nb"))
             & (F.lit(threshold) * F.col("nb") <= F.col("na"))
         )
+        .groupBy("a_id", "b_id", "na", "nb")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("pa").alias("pa1"),
+            F.min("pb").alias("pb1"),
+            F.max("pa").alias("paL"),
+            F.max("pb").alias("pbL"),
+        )
+        .filter(
+            (
+                1
+                + F.least(
+                    F.col("na") - F.col("pa1"), F.col("nb") - F.col("pb1")
+                )
+                >= required
+            )
+            & (
+                F.col("cnt")
+                + F.least(
+                    F.col("na") - F.col("paL"), F.col("nb") - F.col("pbL")
+                )
+                >= required
+            )
+        )
         .select("a_id", "b_id", "na", "nb")
-        .distinct()
     )
     # verify: exact intersection size over the FULL token sets of the
     # candidate pairs only

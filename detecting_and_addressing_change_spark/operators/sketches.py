@@ -128,6 +128,31 @@ def cms_estimate(
     )
 
 
+def cms_inner_product(
+    cells_a: DataFrame, cells_b: DataFrame, depth: int = 3
+) -> DataFrame:
+    """Equi-join SIZE estimate from two count-min sketches over the join
+    keys (Cormode & Muthukrishnan 2005, §4.2): for each row j the inner
+    product sum_p A[j][p] * B[j][p] overestimates |A join B| (colliding
+    keys only ever ADD), so the MIN over rows is the estimate — an upper
+    bound in expectation within eps * N_a * N_b.
+
+    One row out: DataFrame[est_rows long]. The sketch algebra is what a
+    cost-based planner would consult BEFORE running a shuffle join at
+    100 TB: each side's sketch is one map-side-combinable pass, O(d*w)
+    rows each, and the product is a d*w-row broadcast join — the estimate
+    costs nothing at the scale where the answer matters. All arithmetic
+    is exact int64 (counts * counts summed), hence oracle-hashable."""
+    a = cells_a.select("j", "p", F.col("cell_total").alias("ca"))
+    b = cells_b.select("j", "p", F.col("cell_total").alias("cb"))
+    per_row = (
+        a.join(b, ["j", "p"])
+        .groupBy("j")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("row_est"))
+    )
+    return per_row.agg(F.min("row_est").alias("est_rows"))
+
+
 # --------------------------------------------------------------------------
 # Deterministic stratified sampling
 # --------------------------------------------------------------------------

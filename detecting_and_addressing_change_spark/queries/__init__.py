@@ -101,7 +101,10 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     "x37_bm25_topk", "x43_audio_frames", "x44_image_resize",
     "x58_kmeans_cells", "x59_kmeans_ivf_topk",
     "x61_source_mixing", "x63_doc_chunking",
-    "x64_mmd_drift", "x65_ks_drift", "x66_chunk_dedup", "x67_zorder_key",
+    "x64_mmd_drift", "x65_ks_drift", "x66_chunk_dedup",
+    # x67_zorder_key deliberately NOT listed (round-7): norm16_col gained
+    # long casts on its bounds (ANSI int-overflow fix) — executed
+    # expression changed, floats forward for a fresh row.
     "x68_bpe_merges", "x69_oov_rate", "x70_data_expectations",
     "x71_textrank", "x73_quantile_drift",
     "x74_token_mixing",

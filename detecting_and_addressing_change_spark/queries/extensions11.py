@@ -1,13 +1,15 @@
 """Round-7 extension queries: ANN quality harness (x83), exact
-prefix-filter similarity join (x84), HLL distinct sketch (x85).
+prefix-filter similarity join (x84), HLL distinct sketch (x85), CMS
+join-size estimation (x86).
 
 Reference parity note: the reference has none of these (no ANN, no
 similarity join, exact single-node counting only); they are
 LLM-data-pipeline / 100 TB-shape additions — the recall harness every ANN
 deployment runs before trusting an index, the exact-threshold complement
-to the probabilistic MinHash dedup, and the mergeable-sketch form of
+to the probabilistic MinHash dedup, the mergeable-sketch form of
 COUNT(DISTINCT) whose shuffle is m longs per group instead of the
-distinct-value stream.
+distinct-value stream, and the sketch algebra a planner consults before
+paying for a 100 TB shuffle join.
 """
 
 from __future__ import annotations
@@ -260,4 +262,211 @@ def x85(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err"),
         "zero_regs",
+    )
+
+
+# --------------------------------------------------------------------------
+# X86 — CMS join-size estimation: the sketch algebra a cost-based planner
+# consults before committing to a shuffle join. est = MIN_j sum_p
+# A[j][p]*B[j][p] over the two sides' count-min sketches of the join key;
+# scored in-query against the exact join cardinality.
+# --------------------------------------------------------------------------
+_X86_D = 3
+_X86_W = 16384
+
+_X86_ORACLE = f"""
+    WITH ka AS (
+      SELECT l_orderkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+    ),
+    kb AS (
+      SELECT o_orderkey AS k, COUNT(*) AS cnt FROM orders GROUP BY 1
+    ),
+    ha AS (
+      SELECT cnt,
+             ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT AS hx,
+             ('0x' || substr(md5(CAST(k AS VARCHAR)), 9, 8))::BIGINT AS hy
+      FROM ka
+    ),
+    hb AS (
+      SELECT cnt,
+             ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT AS hx,
+             ('0x' || substr(md5(CAST(k AS VARCHAR)), 9, 8))::BIGINT AS hy
+      FROM kb
+    ),
+    ca AS (
+      SELECT j.g AS j, (hx + j.g * hy) % {_X86_W} AS p,
+             CAST(SUM(cnt) AS BIGINT) AS ct
+      FROM ha, generate_series(0, {_X86_D - 1}) j(g) GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT j.g AS j, (hx + j.g * hy) % {_X86_W} AS p,
+             CAST(SUM(cnt) AS BIGINT) AS ct
+      FROM hb, generate_series(0, {_X86_D - 1}) j(g) GROUP BY 1, 2
+    ),
+    prod AS (
+      SELECT ca.j, SUM(ca.ct * cb.ct) AS row_est
+      FROM ca JOIN cb ON ca.j = cb.j AND ca.p = cb.p
+      GROUP BY ca.j
+    ),
+    exact AS (
+      SELECT COUNT(*) AS exact_rows
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT CAST((SELECT MIN(row_est) FROM prod) AS BIGINT) AS est_rows,
+           exact_rows,
+           FLOOR(CAST((SELECT MIN(row_est) FROM prod) AS DOUBLE)
+                 / exact_rows * 10000.0 + 0.5) / 10000.0 AS over_ratio
+    FROM exact
+"""
+
+
+@query("x86_join_size_estimate", oracle=_X86_ORACLE)
+def x86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from count-min sketches of the two join
+    sides (operators/sketches.py cms_inner_product): the estimate a
+    planner would use to choose broadcast vs shuffle vs skew handling
+    BEFORE paying for the join. Each side's sketch is one
+    map-side-combinable pass; the inner product is a d*w-row broadcast
+    join; the exact join runs alongside purely to score the estimate
+    (over_ratio >= 1 by construction — CMS collisions only add).
+
+    Width note: the inner product's additive error is ~N_a*N_b/w, so w
+    must scale with the PRODUCT of the sides' row counts, not with key
+    cardinality as in point queries — w=16384 holds the observed
+    over_ratio near 2 at sf0.01 (w=1024 gave 15.6x: the error term, not
+    a bug). At 100 TB a planner sizes w from the sides' row-count
+    estimates; the sketch stays broadcastable for any sane w (d*w rows,
+    ~400 KB here)."""
+    from ..operators.sketches import cms_cells, cms_inner_product
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    est = cms_inner_product(
+        cms_cells(li, "l_orderkey", _X86_D, _X86_W),
+        cms_cells(orders, "o_orderkey", _X86_D, _X86_W),
+        _X86_D,
+    )
+    exact = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .agg(F.count("*").alias("exact_rows"))
+    )
+    return est.crossJoin(exact).select(
+        "est_rows",
+        "exact_rows",
+        portable_round(
+            F.col("est_rows").cast("double") / F.col("exact_rows"), 4
+        ).alias("over_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X87 — embedding-quantization recall: rank by cosine over int fixed-point
+# (scale 1000) quantized vectors, score against exact float ground truth.
+# Completes the compression story x29 starts: x29 SHRINKS the vectors,
+# x87 measures what that costs in retrieval quality.
+# --------------------------------------------------------------------------
+_X87_K = 5
+
+_X87_ORACLE = f"""
+    WITH ex AS (
+      SELECT vec_id, GENERATE_SUBSCRIPTS(emb, 1) AS d, UNNEST(emb) AS v
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    ),
+    exq AS (
+      SELECT vec_id, d, CAST(FLOOR(v * 1000.0 + 0.5) AS BIGINT) AS qv
+      FROM ex
+    ),
+    norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    qnorms AS (
+      SELECT vec_id, SQRT(SUM(CAST(qv * qv AS DOUBLE))) AS nrm
+      FROM exq GROUP BY vec_id
+    ),
+    fdots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id, SUM(a.v * b.v) AS dot
+      FROM ex a JOIN ex b ON a.d = b.d AND a.vec_id <> b.vec_id
+      WHERE a.vec_id BETWEEN 100 AND 109
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    qdots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+             SUM(a.qv * b.qv) AS qdot
+      FROM exq a JOIN exq b ON a.d = b.d AND a.vec_id <> b.vec_id
+      WHERE a.vec_id BETWEEN 100 AND 109
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    exact_top AS (
+      SELECT query_id, cand_id FROM (
+        SELECT d.query_id, d.cand_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY d.query_id
+                 ORDER BY d.dot / (nq.nrm * nc.nrm) DESC, d.cand_id) AS rnk
+        FROM fdots d
+        JOIN norms nq ON d.query_id = nq.vec_id
+        JOIN norms nc ON d.cand_id = nc.vec_id) t
+      WHERE rnk <= {_X87_K}
+    ),
+    quant_top AS (
+      SELECT query_id, cand_id FROM (
+        SELECT d.query_id, d.cand_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY d.query_id
+                 ORDER BY CAST(d.qdot AS DOUBLE) / (nq.nrm * nc.nrm) DESC,
+                          d.cand_id) AS rnk
+        FROM qdots d
+        JOIN qnorms nq ON d.query_id = nq.vec_id
+        JOIN qnorms nc ON d.cand_id = nc.vec_id) t
+      WHERE rnk <= {_X87_K}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(q.cand_id) AS INT) AS n_hit,
+           FLOOR(COUNT(q.cand_id) / {_X87_K}.0 * 10000.0 + 0.5) / 10000.0
+             AS recall_at_k
+    FROM exact_top e
+    LEFT JOIN quant_top q
+      ON q.query_id = e.query_id AND q.cand_id = e.cand_id
+    GROUP BY e.query_id
+"""
+
+
+@query("x87_quantized_recall", oracle=_X87_ORACLE)
+def x87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality cost of int fixed-point embedding quantization
+    (scale 1000, the x29/k-means quantizer): exact top-5 by QUANTIZED
+    cosine vs exact top-5 by float cosine for queries 100-109. The
+    quantized dot products are exact int64 (bit-identical across engines
+    and partitionings); only the final norm division is float, same as
+    every cosine ranking in the engine. At 100 TB quantization is what
+    makes the candidate vectors fit executor memory — this harness tells
+    you what it costs in recall BEFORE you deploy it."""
+    from ..operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = (F.col("vec_id") >= 100) & (F.col("vec_id") <= 109)
+    qemb = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.floor(v.cast("double") * 1000.0 + 0.5).cast(
+                "double"
+            ),
+        ).alias("embedding"),
+    )
+    quant = brute_force_topk(qemb, qemb.filter(pred), k=_X87_K)
+    exact = brute_force_topk(emb, emb.filter(pred), k=_X87_K)
+    hits = (
+        exact.select("query_id", "cand_id")
+        .join(
+            quant.select("query_id", "cand_id"),
+            ["query_id", "cand_id"],
+            "semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    qids = exact.select("query_id").distinct()
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        n_hit.cast("int").alias("n_hit"),
+        portable_round(n_hit / F.lit(float(_X87_K)), 4).alias("recall_at_k"),
     )

@@ -368,3 +368,31 @@ def test_x82_plan_is_narrow_until_output(spark):
     s = explain_str(QUERIES["x82_cdc_chunks"](spark, SF_SMOKE))
     assert "hashpartitioning" not in s
     assert "rangepartitioning" not in s
+
+
+def test_prefix_join_plan_shape(spark):
+    """x84: no cartesian/nested-loop anywhere (candidates only ever meet
+    through the prefix-token equi-join), and the tokenized corpus is
+    materialized once (localCheckpoint) so the digest window + shingle
+    explode do not re-run per consuming branch."""
+    s = explain_str(QUERIES["x84_prefix_jaccard_join"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "Scan ExistingRDD" in s  # the checkpointed toks table
+
+
+def test_hll_plan_no_distinct_shuffle(spark):
+    """x85: the sketch side must shuffle REGISTERS (two-phase hash agg),
+    never raw distinct values; only the exact-count comparison column is
+    allowed its expand/distinct machinery."""
+    from detecting_and_addressing_change_spark.operators.hll import (
+        hll_distinct,
+    )
+    from detecting_and_addressing_change_spark.sources.tables import (
+        load_table,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    s = explain_str(hll_distinct(li, "l_orderkey", ["l_returnflag"]))
+    assert "CartesianProduct" not in s
+    assert "Expand" not in s  # no count-distinct expansion in the sketch

@@ -25,6 +25,9 @@ QUERIES_UNDER_TEST = [
     "q39_abrupt_drift_experiment",  # E2E embed->NB->DDM pipeline
     "x04_minhash_pairs",         # collapse + banding + capped self-join
     "x75_dedup_savings",         # edges + CC + rollup
+    # round-7 additions over the same 10x corpora
+    "x83_ann_recall",            # exact ground truth x IVF probe
+    "x84_prefix_jaccard_join",   # prefix candidates + positional filters
 ]
 
 
