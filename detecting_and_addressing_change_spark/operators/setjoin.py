@@ -33,6 +33,16 @@ quadratic within-group pairs; near-dup pairs are reported between
 representatives. The DuckDB oracle for x84 verifies WITHOUT the prefix
 filter (full inverted-index join), so the hash match is an empirical
 proof of the filter's losslessness on top of the unit tests.
+
+Honest cost model (measured at 10x, BENCH_NOTES round 7): candidate
+generation is Theta(sum over prefix tokens of df(w)^2) — the same term
+that governs every published parallel SSJoin (Vernica SIGMOD'10). On
+corpora whose token space grows with the corpus (real crawls) prefix dfs
+stay flat and the join is ~linear; on LOW-ENTROPY corpora the shingle
+space saturates, dfs grow with the corpus, and the exact join goes
+super-linear — by nature, not by plan. When exactness is not required at
+that scale, the linear alternative is the guarded MinHash candidate path
+(operators/dedup.py) feeding the same exact verification.
 """
 
 from __future__ import annotations
