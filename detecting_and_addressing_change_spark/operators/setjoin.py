@@ -5,8 +5,9 @@ can MISS a true near-dup pair. This operator is the exact-threshold
 complement — every pair with shingle-set Jaccard >= t is returned, no
 recall loss — using the prefix-filtering principle (Chaudhuri et al.
 ICDE'06, Bayardo et al. WWW'07): order each set's tokens by ascending
-global document frequency; a pair with overlap >= ceil(t * |x|) must share
-a token within the first |x| - ceil(t * |x|) + 1 tokens of that ordering.
+global document frequency; a qualifying pair must share a token inside
+both members' short df-ordered prefixes (asymmetric lengths — see the
+role comment in the implementation).
 Joining on PREFIX tokens only — each document's globally rarest tokens —
 prunes the candidate space the way the full inverted-index self-join
 (ngram_jaccard_pairs) cannot: stop-shingles shared by everything never
@@ -86,9 +87,25 @@ def prefix_jaccard_join(
     toks = toks.localCheckpoint(eager=True)
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("n"))
     dfreq = toks.groupBy("w").agg(F.count("*").alias("df"))
-    # prefix = the first n - ceil(t*n) + 1 tokens under the global
-    # (df asc, token asc) order; the window and the size join share the
-    # id partitioning
+    # Asymmetric prefixes (Bayardo et al. WWW'07 all-pairs): order pair
+    # roles by (n, id) — the lexicographically smaller doc PROBES, the
+    # larger INDEXES — and each role needs only its own overlap lower
+    # bound:
+    #   probe side x (nx <= ny):  i >= t/(1+t)*(nx+ny) >= 2t/(1+t)*nx
+    #     -> probe prefix  nx - ceil(2t/(1+t)*nx) + 1   (~n/3 at t=0.5)
+    #   index side y:             i >= t*ny  (given the size filter)
+    #     -> index prefix  ny - ceil(t*ny) + 1          (~n/2 at t=0.5)
+    # Join rows drop from sum(df_sym^2) to sum(df_probe * df_index). The
+    # 1e-9 guard keeps float ceil from overshooting the exact rational
+    # bound when 2t/(1+t)*n lands on an integer (which would shorten a
+    # prefix below the theorem's length and lose pairs).
+    probe_frac = 2.0 * threshold / (1.0 + threshold)
+    li = F.col("n") - F.ceil(
+        F.lit(threshold) * F.col("n") - F.lit(1e-9)
+    ) + 1
+    lp = F.col("n") - F.ceil(
+        F.lit(probe_frac) * F.col("n") - F.lit(1e-9)
+    ) + 1
     prefix = (
         toks.join(dfreq, "w")
         .withColumn(
@@ -96,13 +113,12 @@ def prefix_jaccard_join(
             F.row_number().over(Window.partitionBy(id_col).orderBy("df", "w")),
         )
         .join(sizes, id_col)
-        .filter(
-            F.col("rk")
-            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        .filter(F.col("rk") <= li)
+        .select(
+            F.col(id_col), "w", "n", "rk", (F.col("rk") <= lp).alias("__pr")
         )
-        .select(F.col(id_col), "w", "n", "rk")
     )
-    a = prefix.select(
+    a = prefix.filter(F.col("__pr")).select(
         F.col(id_col).alias("a_id"),
         "w",
         F.col("n").alias("na"),
@@ -134,9 +150,15 @@ def prefix_jaccard_join(
     cand = (
         a.join(b, "w")
         .filter(
-            (F.col("a_id") < F.col("b_id"))
-            # Jaccard >= t  =>  t * max(na, nb) <= min(na, nb)
-            & (F.lit(threshold) * F.col("na") <= F.col("nb"))
+            # role order: probe side strictly (n, id)-smaller
+            (
+                (F.col("na") < F.col("nb"))
+                | (
+                    (F.col("na") == F.col("nb"))
+                    & (F.col("a_id") < F.col("b_id"))
+                )
+            )
+            # Jaccard >= t  =>  t * max <= min; na <= nb by role order
             & (F.lit(threshold) * F.col("nb") <= F.col("na"))
         )
         .groupBy("a_id", "b_id", "na", "nb")
@@ -175,12 +197,14 @@ def prefix_jaccard_join(
         .groupBy("a_id", "b_id", "na", "nb")
         .agg(F.count("*").alias("i"))
     )
+    # role ids are ordered by (n, id), not by id — normalize the output
+    # pair to (smaller id, larger id), the declared orientation
     verified = inter.filter(
         F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
         >= F.lit(threshold)
     ).select(
-        "a_id",
-        "b_id",
+        F.least("a_id", "b_id").alias("a_id"),
+        F.greatest("a_id", "b_id").alias("b_id"),
         portable_round(
             F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6
         ).alias("jaccard"),

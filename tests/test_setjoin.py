@@ -138,3 +138,41 @@ def test_prefix_prunes_candidate_space(spark, corpus_rows):
         .filter(F.col("rk") <= F.col("n") - F.ceil(0.5 * F.col("n")) + 1)
     )
     assert prefix.count() < 0.65 * full
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+
+if HAVE_HYP:
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        seed=st.integers(0, 10_000),
+        t=st.sampled_from([0.25, 0.5, 0.75]),
+        n_docs=st.integers(4, 18),
+    )
+    def test_lossless_on_random_low_entropy_corpora(spark, seed, t, n_docs):
+        """Adversarial regime for the prefix filter: documents drawn from
+        a TINY vocabulary, so shingle dfs are high, ties in the (df, w)
+        global order are common, and docs share most tokens — any
+        order-consistency bug in the positional bounds loses pairs here
+        first. Must equal brute force exactly."""
+        import random
+
+        rng = random.Random(seed)
+        vocab = ["a", "b", "c", "d", "e"]
+        rows = []
+        for i in range(n_docs):
+            L = rng.randint(3, 14)
+            rows.append((i, " ".join(rng.choice(vocab) for _ in range(L))))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["a_id"], r["b_id"])
+            for r in prefix_jaccard_join(df, threshold=t).collect()
+        }
+        assert got == _brute_pairs(rows, t), (seed, t, rows)
