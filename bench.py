@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "x85_hll_distinct",
     "x86_join_size_estimate",
     "x87_quantized_recall",
+    "x88_minhash_recall_audit",
 ]
 
 

@@ -1,6 +1,7 @@
 """Round-7 extension queries: ANN quality harness (x83), exact
 prefix-filter similarity join (x84), HLL distinct sketch (x85), CMS
-join-size estimation (x86).
+join-size estimation (x86), quantized-recall (x87), MinHash recall
+audit (x88).
 
 Reference parity note: the reference has none of these (no ANN, no
 similarity join, exact single-node counting only); they are
@@ -469,4 +470,94 @@ def x87(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         n_hit.cast("int").alias("n_hit"),
         portable_round(n_hit / F.lit(float(_X87_K)), 4).alias("recall_at_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X88 — MinHash recall audit: the guarded probabilistic edge set (x04
+# machinery) scored against EXACT Jaccard ground truth (x84 machinery),
+# bucketed by similarity band. Closes the loop between the engine's two
+# near-dup paths: the exact join is the oracle for the probabilistic one.
+# --------------------------------------------------------------------------
+def _x88_oracle() -> str:
+    from .extensions import _minhash_guarded_edges_oracle
+
+    return (
+        _minhash_guarded_edges_oracle()
+        + """,
+    toksx AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(w) - 2),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM reps)
+    ),
+    sizesx AS (SELECT doc_id, COUNT(*) AS n FROM toksx GROUP BY doc_id),
+    interx AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+      FROM toksx a JOIN toksx b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+      SELECT a_id, b_id, 1.0 AS jac FROM chains
+      UNION ALL
+      SELECT a_id, b_id,
+             FLOOR(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 1000000.0 + 0.5)
+               / 1000000.0 AS jac
+      FROM interx
+      JOIN sizesx sa ON sa.doc_id = interx.a_id
+      JOIN sizesx sb ON sb.doc_id = interx.b_id
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+    ),
+    marked AS (
+      SELECT t.jac, CASE WHEN e.a_id IS NULL THEN 0 ELSE 1 END AS hit
+      FROM truth t
+      LEFT JOIN (SELECT DISTINCT a_id, b_id FROM edges) e
+        ON e.a_id = t.a_id AND e.b_id = t.b_id
+    )
+    SELECT CASE WHEN jac >= 0.9 THEN 'hi_0.9_1.0'
+                WHEN jac >= 0.7 THEN 'mid_0.7_0.9'
+                ELSE 'lo_0.5_0.7' END AS band,
+           CAST(COUNT(*) AS INT) AS n_true,
+           CAST(SUM(hit) AS INT) AS n_hit,
+           FLOOR(SUM(hit) / CAST(COUNT(*) AS DOUBLE) * 10000.0 + 0.5)
+             / 10000.0 AS recall
+    FROM marked
+    GROUP BY 1
+    """
+    )
+
+
+@query("x88_minhash_recall_audit", oracle=_x88_oracle())
+def x88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the guarded MinHash near-dup edge set, measured against
+    EXACT shingle-Jaccard ground truth (the x84 prefix join) and bucketed
+    by true similarity — the empirical r-b curve check (8 hashes, 4
+    bands of 2: theoretical recall 1-(1-s^2)^4, so ~0.68 at s=0.5 rising
+    to ~1 at s=0.9) that tells a pipeline owner whether the banding
+    scheme matches their dedup threshold BEFORE a 100 TB run. Both
+    operands are the engine's own production paths; at scale the truth
+    side runs on a SAMPLE, here the corpus is small enough to audit
+    exhaustively."""
+    from ..operators.dedup import minhash_dedup_edges
+    from ..operators.setjoin import prefix_jaccard_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = prefix_jaccard_join(docs, threshold=0.5, shingle_size=3)
+    found = minhash_dedup_edges(docs).distinct()
+    marked = truth.join(
+        found.withColumn("__hit", F.lit(1)), ["a_id", "b_id"], "left"
+    )
+    band = (
+        F.when(F.col("jaccard") >= 0.9, F.lit("hi_0.9_1.0"))
+        .when(F.col("jaccard") >= 0.7, F.lit("mid_0.7_0.9"))
+        .otherwise(F.lit("lo_0.5_0.7"))
+    )
+    return marked.groupBy(band.alias("band")).agg(
+        F.count("*").cast("int").alias("n_true"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("int").alias("n_hit"),
+        portable_round(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            / F.count("*").cast("double"),
+            4,
+        ).alias("recall"),
     )

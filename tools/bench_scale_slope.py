@@ -28,6 +28,7 @@ QUERIES_UNDER_TEST = [
     # round-7 additions over the same 10x corpora
     "x83_ann_recall",            # exact ground truth x IVF probe
     "x84_prefix_jaccard_join",   # prefix candidates + positional filters
+    "x76_incremental_dedup",     # persisted-index lifecycle incl. writes
 ]
 
 
