@@ -1,0 +1,115 @@
+"""Continuous corpus curation: the streaming form of the batch curation
+pipeline (curation.py / x55) for a corpus that ARRIVES, not one that sits
+still.
+
+Per micro-batch (foreachBatch):
+
+1. **Exact-dup gate** — the batch's digests are probed against the
+   persisted MinHash index (operators/minhash_index.py): any document
+   whose text digest is already indexed is DROPPED (an earlier batch owns
+   it); within the batch, one min-id representative per digest survives.
+2. **Near-dup flag** — band collisions against the index (and nothing
+   else: the index stores digests + signatures, never text, so exact
+   Jaccard against indexed content is impossible by design) mark the
+   survivor `near_dup_suspect` instead of dropping it — the conservative
+   CCNet-style posture: a band collision at 4 bands of 2 hashes is
+   evidence, not proof, and a 100 TB pipeline reviews flags offline
+   rather than silently losing data to false positives.
+3. **Quality gate** — the x46 zero-shuffle quality score; below-threshold
+   documents are dropped (same rule as the batch pipeline).
+4. **Commit** — survivors are appended to the index (signing only
+   never-seen digests) and written to ``out_path/batch=<epoch>``; the
+   epoch-keyed overwrite makes a re-delivered epoch replace its own
+   output instead of duplicating it (the standard foreachBatch
+   exactly-once pattern, same as ``append_minhash_batch``).
+
+Determinism contract (tested): when batches partition the corpus in
+ascending doc_id order, the streamed kept-set equals the BATCH pipeline's
+kept-set (min-id exact dedup + the same quality rule) — the stream is an
+incremental evaluation of the same declared semantics, so kill-and-
+restart or batch-boundary changes cannot change WHAT survives, only when
+it is seen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import quality_score_col
+from ..operators.minhash_index import (
+    append_minhash_batch,
+    minhash_index_probe,
+)
+
+
+def curate_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+) -> None:
+    """foreachBatch body: gate the batch against the index, write
+    survivors, maintain the index. Attach with
+    ``.foreachBatch(lambda b, e: curate_batch(b, e, index_path, out_path))``.
+    """
+    spark = batch_df.sparkSession
+    # one representative per digest WITHIN the batch (min id — the same
+    # keeper rule as the batch pipeline's collapse)
+    keeper = F.min(id_col).over(Window.partitionBy("__dg"))
+    reps = (
+        batch_df.withColumn("__dg", F.md5(F.col(text_col)))
+        .withColumn("__keeper", keeper)
+        .filter(F.col(id_col) == F.col("__keeper"))
+        .drop("__keeper")
+    )
+    # probe BEFORE appending: exact hits -> drop; band hits -> flag.
+    # A hit whose matched digest-group keeper is the probing document
+    # ITSELF is this epoch's own prior commit showing back up on an
+    # at-least-once re-delivery — self-matches must gate nothing, or a
+    # retried epoch would overwrite its output with an empty slice
+    # (caught by tests/test_curation_stream.py::test_redelivered_epoch_).
+    probe = minhash_index_probe(
+        spark, index_path, reps, text_col=text_col, id_col=id_col
+    ).filter(F.col("index_id") != F.col("batch_id"))
+    exact_hits = (
+        probe.filter(F.col("via") == "exact")
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+    )
+    band_hits = (
+        probe.filter(F.col("via") == "band")
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+        .withColumn("__band_hit", F.lit(True))
+    )
+    survivors = (
+        reps.join(exact_hits, id_col, "left_anti")
+        .join(band_hits, id_col, "left")
+        .withColumn(
+            "near_dup_suspect", F.coalesce(F.col("__band_hit"), F.lit(False))
+        )
+        .withColumn("quality", quality_score_col(F.col(text_col)))
+        .filter(F.col("quality") >= F.lit(min_quality))
+        .drop("__band_hit", "__dg")
+    )
+    # materialize before the index append mutates what the probe read
+    survivors = survivors.localCheckpoint(eager=True)
+    survivors.write.mode("overwrite").parquet(
+        f"{out_path}/batch={int(epoch_id)}"
+    )
+    # epoch-keyed index append: a re-delivered epoch OVERWRITES its own
+    # docs/batch=<epoch> partition (never duplicates it) and the novel-sig
+    # anti-join is naturally idempotent — same protocol as the raw
+    # streaming ingest sink
+    append_minhash_batch(
+        survivors, epoch_id, index_path, text_col=text_col, id_col=id_col
+    )
+
+
+def curated_corpus(spark: SparkSession, out_path: str) -> DataFrame:
+    """The kept corpus across all committed epochs."""
+    return spark.read.parquet(out_path).drop("batch")

@@ -1,0 +1,134 @@
+"""Continuous curation (streaming/curation_stream.py): the streamed
+kept-set must equal the batch pipeline's declared semantics (min-id exact
+dedup + quality gate) regardless of batch boundaries, and a mid-stream
+restart must not change it."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from detecting_and_addressing_change_spark.functions.text import (
+    quality_score_col,
+)
+from detecting_and_addressing_change_spark.operators.minhash_index import (
+    init_minhash_index,
+)
+from detecting_and_addressing_change_spark.streaming.curation_stream import (
+    curate_batch,
+    curated_corpus,
+)
+
+MIN_Q = 0.5
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while a cat "
+        "watches from the windowsill with mild interest every day"
+    )
+    rows = []
+    for i in range(60):
+        if i % 6 == 0:
+            rows.append((i, base))  # exact dups across batches
+        elif i % 6 == 1:
+            rows.append((i, base.replace("mild", f"keen{i}")))  # near dups
+        elif i % 6 == 2:
+            rows.append((i, "x " * 3))  # low quality: tiny, repetitive
+        else:
+            rows.append(
+                (
+                    i,
+                    f"document {i} covers partition tuning and adaptive "
+                    f"execution with enough words to pass the gate {i}",
+                )
+            )
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _batch_semantics(spark, corpus):
+    from pyspark.sql import Window
+
+    keeper = F.min("doc_id").over(Window.partitionBy("__dg"))
+    return {
+        r["doc_id"]
+        for r in corpus.withColumn("__dg", F.md5("text"))
+        .withColumn("__k", keeper)
+        .filter(F.col("doc_id") == F.col("__k"))
+        .withColumn("q", quality_score_col(F.col("text")))
+        .filter(F.col("q") >= MIN_Q)
+        .collect()
+    }
+
+
+def _run_stream(spark, corpus, tmp, slices, crash_after=None):
+    """Feed ascending-doc_id slices through curate_batch; optionally
+    re-deliver one epoch to simulate an at-least-once retry."""
+    index = f"{tmp}/idx"
+    out = f"{tmp}/out"
+    init_minhash_index(spark, index)
+    for epoch, (lo, hi) in enumerate(slices):
+        b = corpus.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        curate_batch(b, epoch, index, out, min_quality=MIN_Q)
+        if crash_after is not None and epoch == crash_after:
+            # at-least-once: the same epoch is delivered again
+            curate_batch(b, epoch, index, out, min_quality=MIN_Q)
+    return {r["doc_id"] for r in curated_corpus(spark, out).collect()}
+
+
+def test_streamed_kept_set_equals_batch_semantics(spark, corpus, tmp_path):
+    want = _batch_semantics(spark, corpus)
+    got = _run_stream(
+        spark, corpus, str(tmp_path / "a"), [(0, 20), (20, 40), (40, 60)]
+    )
+    assert got == want and want
+
+
+def test_batch_boundaries_do_not_change_kept_set(spark, corpus, tmp_path):
+    want = _batch_semantics(spark, corpus)
+    one = _run_stream(spark, corpus, str(tmp_path / "b1"), [(0, 60)])
+    many = _run_stream(
+        spark,
+        corpus,
+        str(tmp_path / "b2"),
+        [(0, 7), (7, 13), (13, 31), (31, 44), (44, 60)],
+    )
+    assert one == many == want
+
+
+def test_redelivered_epoch_is_idempotent(spark, corpus, tmp_path):
+    want = _batch_semantics(spark, corpus)
+    got = _run_stream(
+        spark,
+        corpus,
+        str(tmp_path / "c"),
+        [(0, 20), (20, 40), (40, 60)],
+        crash_after=1,
+    )
+    assert got == want
+
+
+def test_near_dup_flags_and_gates(spark, corpus, tmp_path):
+    got = curated_corpus(
+        spark,
+        (
+            lambda t: (
+                _run_stream(spark, corpus, t, [(0, 30), (30, 60)]),
+                f"{t}/out",
+            )[1]
+        )(str(tmp_path / "d")),
+    )
+    rows = got.collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    # exact dups beyond the min-id keeper never appear (0 is the keeper of
+    # the base family, 6/12/... are its dups across both batches)
+    assert 0 in by_id
+    assert all(i not in by_id for i in range(6, 60, 6))
+    # low-quality docs never appear
+    assert all(i not in by_id for i in range(2, 60, 6))
+    # a near-dup in a LATER batch than its partner carries the flag
+    flagged = {i for i, r in by_id.items() if r["near_dup_suspect"]}
+    later_near_dups = {i for i in range(31, 60) if i % 6 == 1}
+    assert later_near_dups <= flagged
