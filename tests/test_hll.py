@@ -159,3 +159,34 @@ def test_streaming_merge_parity_and_redelivery(spark, values_df, tmp_path):
         for r in hll_estimate(spark.read.parquet(path), ["g"], p=P).collect()
     }
     assert after == batch
+
+
+@pytest.mark.parametrize("p", [4, 8])
+def test_estimate_matches_reference_other_precisions(spark, p):
+    """The register arithmetic must hold for any p, not just the x85
+    default: same independent Python reference, m = 2^p."""
+    from detecting_and_addressing_change_spark.operators.hll import (
+        HASH_BITS as HB,
+    )
+
+    m, w_bits = 1 << p, HASH_BITS - p
+
+    def py_ref(values):
+        regs = {}
+        for v in values:
+            h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+            b, w = h >> w_bits, h & ((1 << w_bits) - 1)
+            regs[b] = max(
+                regs.get(b, 0),
+                (w_bits + 1) if w == 0 else (w_bits + 1 - w.bit_length()),
+            )
+        s_shift = w_bits + 1
+        s = sum(1 << (s_shift - r) for r in regs.values())
+        s += (m - len(regs)) * (1 << s_shift)
+        return _alpha(m) * m * m * float(1 << s_shift) / s
+
+    df = spark.range(0, 2500).select(
+        F.lit(1).alias("g"), F.concat(F.lit("k"), "id").alias("v")
+    )
+    got = hll_distinct(df, "v", ["g"], p=p).collect()[0]["est"]
+    assert got == pytest.approx(py_ref({f"k{i}" for i in range(2500)}), abs=0.0)
