@@ -204,19 +204,7 @@ def compact_minhash_index(
     ``.old``/``.new`` dirs hold it; after, the new layout is live. On an
     object store without atomic rename the same sequence runs against
     versioned prefixes with a pointer-file flip."""
-    import os
-    import shutil
-
-    for name in ("docs", "sigs"):
-        live, new, old = (f"{path}/{name}{s}" for s in ("", ".new", ".old"))
-        if not os.path.exists(live) and os.path.exists(new):
-            # crash landed between the two renames of a prior swap: .new
-            # was fully committed before any rename began, so promote it
-            os.rename(new, live)
-        # live dir present → any leftover staging copy is redundant
-        for stale in (new, old):
-            if os.path.exists(live) and os.path.exists(stale):
-                shutil.rmtree(stale)
+    _recover_and_clear_staging(path)
     (
         spark.read.parquet(f"{path}/docs")
         .select("doc_id", "dgst")
@@ -230,11 +218,74 @@ def compact_minhash_index(
         .write.mode("overwrite")
         .parquet(f"{path}/sigs.new")
     )
+    _commit_swap(path)
+
+
+def _recover_and_clear_staging(path: str) -> None:
+    """Start-of-rewrite recovery: promote a fully-written ``.new`` left by
+    a crash between a prior swap's two renames, then clear redundant
+    staging dirs so this rewrite starts clean."""
+    import os
+    import shutil
+
+    for name in ("docs", "sigs"):
+        live, new, old = (f"{path}/{name}{s}" for s in ("", ".new", ".old"))
+        if not os.path.exists(live) and os.path.exists(new):
+            os.rename(new, live)
+        for stale in (new, old):
+            if os.path.exists(live) and os.path.exists(stale):
+                shutil.rmtree(stale)
+
+
+def _commit_swap(path: str) -> None:
+    """Swap fully-written ``docs.new``/``sigs.new`` in, then drop the old
+    layout — every row has a complete on-disk copy at every step."""
+    import os
+    import shutil
+
     for name in ("docs", "sigs"):
         os.rename(f"{path}/{name}", f"{path}/{name}.old")
         os.rename(f"{path}/{name}.new", f"{path}/{name}")
     for name in ("docs", "sigs"):
         shutil.rmtree(f"{path}/{name}.old")
+
+
+def delete_from_minhash_index(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+) -> None:
+    """Remove documents from the index — the right-to-be-forgotten
+    lifecycle step (takedowns, opt-outs, license revocations) a 100 TB
+    corpus index must support without a from-scratch rebuild.
+
+    - ``docs/``: anti-join on the id set, rewritten consolidated (same
+      write-fresh-then-swap commit protocol as ``compact_minhash_index``;
+      a crash never destroys the index).
+    - ``sigs/``: signatures whose digest has NO surviving document are
+      garbage-collected via a semi-join on the surviving digest set. This
+      is not just space reclamation: MinHash signatures are derived
+      content (shingle hashes of the deleted text), so a forget request
+      must drop them too. A later re-append of the same text re-signs it
+      from scratch — the novel-digest anti-join sees nothing.
+
+    Post-condition (parity-tested): ``minhash_index_edges`` /
+    ``minhash_index_probe`` over the index equal a batch rebuild over the
+    surviving corpus. Deleting a digest group's min-id keeper promotes
+    the next-smallest member automatically — keepers are derived from
+    docs/ at READ time, never stored."""
+    _recover_and_clear_staging(path)
+    del_ids = ids.select(F.col(id_col).alias("doc_id")).distinct()
+    kept = spark.read.parquet(f"{path}/docs").select("doc_id", "dgst").join(
+        del_ids, "doc_id", "left_anti"
+    )
+    kept.write.mode("overwrite").parquet(f"{path}/docs.new/batch=base")
+    surviving = spark.read.parquet(f"{path}/docs.new").select("dgst").distinct()
+    spark.read.parquet(f"{path}/sigs").join(
+        surviving, "dgst", "semi"
+    ).write.mode("overwrite").parquet(f"{path}/sigs.new")
+    _commit_swap(path)
 
 
 def init_minhash_index(

@@ -132,3 +132,31 @@ def test_near_dup_flags_and_gates(spark, corpus, tmp_path):
     flagged = {i for i, r in by_id.items() if r["near_dup_suspect"]}
     later_near_dups = {i for i in range(31, 60) if i % 6 == 1}
     assert later_near_dups <= flagged
+
+
+def test_real_readstream_wiring(spark, corpus, tmp_path):
+    """The same semantics through an ACTUAL Structured Streaming query
+    (ordered file replay -> foreachBatch(curate_batch) -> availableNow),
+    not just direct calls to the batch body."""
+    from detecting_and_addressing_change_spark.streaming.replay import (
+        read_replay_stream,
+        stage_replay_files,
+    )
+
+    staged = str(tmp_path / "staged")
+    stage_replay_files(corpus, "doc_id", staged, batch_size=20)
+    stream = read_replay_stream(spark, staged, "doc_id long, text string")
+    index = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    init_minhash_index(spark, index)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, e: curate_batch(b, e, index, out, min_quality=MIN_Q)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["doc_id"] for r in curated_corpus(spark, out).collect()}
+    assert got == _batch_semantics(spark, corpus)

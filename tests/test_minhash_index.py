@@ -280,3 +280,64 @@ def test_compact_crash_recovery_promotes_new(spark, corpus, tmp_path):
     assert not os.path.exists(f"{path}/docs.old")
     assert not os.path.exists(f"{path}/sigs.new")
     assert _edge_set(minhash_index_edges(spark, path)) == before
+
+
+def test_delete_equals_rebuild_and_forgets_signatures(spark, corpus, tmp_path):
+    """Right-to-be-forgotten: after deleting a set of ids — including a
+    digest group's KEEPER and one full group — edges and probe equal a
+    batch rebuild over the survivors, and no signature of fully-deleted
+    content remains on disk."""
+    from detecting_and_addressing_change_spark.operators.minhash_index import (
+        delete_from_minhash_index,
+        minhash_index_probe,
+    )
+
+    path = str(tmp_path / "delidx")
+    build_minhash_index(corpus, path)
+    # 0 is the exact-dup family keeper (i % 7 == 0 -> 0,7,14,21,28);
+    # delete the keeper (promotion case) plus every near-dup (i % 7 == 1)
+    # so one content family vanishes entirely (signature-GC case)
+    gone = [0] + [i for i in range(30) if i % 7 == 1]
+    del_df = spark.createDataFrame([(i,) for i in gone], "doc_id long")
+    delete_from_minhash_index(spark, path, del_df)
+
+    survivors = corpus.filter(~F.col("doc_id").isin(gone))
+    want = _edge_set(minhash_dedup_edges(survivors))
+    assert _edge_set(minhash_index_edges(spark, path)) == want and want
+    # keeper promotion: 7 is now the exact-dup family's min id
+    assert (7, 14) in want
+
+    # signature GC: probing the DELETED near-dup text yields no EXACT hit
+    # (its digest is gone) and no reference to any deleted id — the only
+    # legitimate result is a band collision with the SURVIVING base
+    # family it is a near-dup of
+    probe = minhash_index_probe(
+        spark,
+        path,
+        corpus.filter(F.col("doc_id") == 1).select(
+            (F.col("doc_id") + 700).alias("doc_id"), "text"
+        ),
+    )
+    rows = probe.collect()
+    assert all(r["via"] == "band" for r in rows)
+    assert all(r["index_id"] not in gone for r in rows)
+    # and the index still accepts a re-append of forgotten content,
+    # re-signing it from scratch
+    append_to_minhash_index(
+        corpus.filter(F.col("doc_id") == 1).select(
+            (F.col("doc_id") + 800).alias("doc_id"), "text"
+        ),
+        path,
+    )
+    assert (
+        minhash_index_probe(
+            spark,
+            path,
+            corpus.filter(F.col("doc_id") == 1).select(
+                (F.col("doc_id") + 900).alias("doc_id"), "text"
+            ),
+        )
+        .filter(F.col("via") == "exact")
+        .count()
+        == 1
+    )
