@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "x86_join_size_estimate",
     "x87_quantized_recall",
     "x88_minhash_recall_audit",
+    "x89_hll_rollup",
 ]
 
 

@@ -186,3 +186,61 @@ def ivf_index_search(
             "rnk",
         )
     )
+
+
+def delete_from_ivf_index(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+) -> None:
+    """Remove vectors from a persisted index — the takedown/opt-out step,
+    mirroring ``minhash_index.delete_from_minhash_index``. The postings
+    layout is partitioned by cell, so deletion is SURGICAL: only cells
+    that actually contain a deleted id are rewritten (the touched-cell
+    set is <= n_centroids, collected as a handful of ints); untouched
+    cells' files are never read or written. The frozen coarse quantizer
+    is untouched — deletion never refits (refit on drift is a separate,
+    monitored decision, see ``append_to_ivf_index``).
+
+    Each touched cell is replaced independently: its surviving rows are
+    FULLY written to a hidden ``.staging_del`` dir (invisible to Spark's
+    partition discovery), then swapped in by rename; a fully-emptied
+    cell's directory is removed. A crash mid-sequence leaves every cell
+    either old or new — both complete, never corrupt — and re-running
+    the same delete finishes the job (anti-join is idempotent)."""
+    import os
+    import shutil
+
+    del_ids = ids.select(F.col(id_col).alias("__del_id")).distinct()
+    posts = spark.read.parquet(f"{path}/postings")
+    touched = sorted(
+        int(r["cell"])
+        for r in posts.join(
+            F.broadcast(del_ids), posts[id_col] == F.col("__del_id"), "semi"
+        )
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    staging = f"{path}/.staging_del"
+    shutil.rmtree(staging, ignore_errors=True)
+    for cell in touched:
+        kept = (
+            spark.read.parquet(f"{path}/postings/cell={cell}")
+            .join(
+                F.broadcast(del_ids),
+                F.col(id_col) == F.col("__del_id"),
+                "left_anti",
+            )
+        )
+        kept_path = f"{staging}/cell={cell}"
+        kept.write.mode("overwrite").parquet(kept_path)
+        n_kept = spark.read.parquet(kept_path).limit(1).count()
+        live = f"{path}/postings/cell={cell}"
+        trash = f"{staging}/trash_cell={cell}"
+        os.rename(live, trash)
+        if n_kept:
+            os.rename(kept_path, live)
+        shutil.rmtree(trash)
+    shutil.rmtree(staging, ignore_errors=True)

@@ -561,3 +561,119 @@ def x88(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# X89 — HLL register ROLLUP: registers stored at fine granularity
+# ((l_returnflag, l_linestatus)) answer the coarse (l_returnflag) distinct
+# question by MAX-merging — without touching raw data again. The payoff of
+# a mergeable sketch over exact COUNT(DISTINCT): exact per-cell distinct
+# counts canNOT be rolled up (overlap is lost), registers can, losslessly.
+# --------------------------------------------------------------------------
+def _x89_oracle() -> str:
+    from ..operators.hll import HASH_BITS, _alpha
+
+    p = _X85_P
+    m = 1 << p
+    w_bits = HASH_BITS - p
+    s_shift = w_bits + 1
+    num = float(_alpha(m)) * float(m * m) * float(1 << s_shift)
+    return f"""
+    WITH rh AS (
+      SELECT l_returnflag AS flag, l_linestatus AS status,
+             ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+      FROM lineitem
+    ),
+    rbr AS (
+      SELECT flag, status, h // {1 << w_bits} AS bucket,
+             CASE WHEN h % {1 << w_bits} = 0 THEN {w_bits + 1}
+                  ELSE {w_bits + 1} - length(bin(h % {1 << w_bits}))
+             END AS rank
+      FROM rh
+    ),
+    fine AS (
+      SELECT flag, status, bucket, MAX(rank) AS reg
+      FROM rbr GROUP BY flag, status, bucket
+    ),
+    rolled AS (
+      SELECT flag, bucket, MAX(reg) AS reg FROM fine GROUP BY flag, bucket
+    ),
+    rollagg AS (
+      SELECT flag, SUM((1::BIGINT << ({s_shift} - reg))) AS s_nz,
+             COUNT(*) AS nz
+      FROM rolled GROUP BY flag
+    ),
+    rollest AS (
+      SELECT flag,
+             {num!r} / CAST(s_nz + ({m} - nz) * (1::BIGINT << {s_shift})
+                            AS DOUBLE) AS est
+      FROM rollagg
+    ),
+    direg AS (
+      SELECT flag, bucket, MAX(rank) AS reg FROM rbr GROUP BY flag, bucket
+    ),
+    diagg AS (
+      SELECT flag, SUM((1::BIGINT << ({s_shift} - reg))) AS s_nz,
+             COUNT(*) AS nz
+      FROM direg GROUP BY flag
+    ),
+    diest AS (
+      SELECT flag,
+             {num!r} / CAST(s_nz + ({m} - nz) * (1::BIGINT << {s_shift})
+                            AS DOUBLE) AS est
+      FROM diagg
+    ),
+    exq AS (
+      SELECT l_returnflag AS flag,
+             COUNT(DISTINCT l_orderkey) AS exact_distinct
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT r.flag AS l_returnflag,
+           FLOOR(r.est * 10000.0 + 0.5) / 10000.0 AS est_rollup,
+           FLOOR(d.est * 10000.0 + 0.5) / 10000.0 AS est_direct,
+           CAST(e.exact_distinct AS INT) AS exact_distinct
+    FROM rollest r
+    JOIN diest d ON d.flag = r.flag
+    JOIN exq e ON e.flag = r.flag
+    """
+
+
+@query("x89_hll_rollup", oracle=_x89_oracle())
+def x89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch rollup: per-(l_returnflag, l_linestatus) HLL registers are
+    MAX-merged up to l_returnflag and estimated, alongside the estimate
+    computed directly from raw rows — est_rollup == est_direct EXACTLY
+    (MAX over a partition refinement is MAX), which is the property that
+    makes register tables a storable pre-aggregation: at 100 TB you
+    persist registers per (source, day) once and answer ANY coarser
+    distinct question by merging m longs per cell, no raw-data pass.
+    Exact per-cell COUNT(DISTINCT)s cannot do this (overlap across cells
+    is lost at aggregation time)."""
+    from ..operators.hll import hll_distinct, hll_estimate, hll_registers
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fine = hll_registers(
+        li, "l_orderkey", ["l_returnflag", "l_linestatus"], p=_X85_P
+    )
+    rolled = fine.groupBy("l_returnflag", "bucket").agg(
+        F.max("reg").alias("reg")
+    )
+    est_roll = hll_estimate(rolled, ["l_returnflag"], p=_X85_P).select(
+        "l_returnflag", portable_round(F.col("est"), 4).alias("est_rollup")
+    )
+    est_dir = hll_distinct(
+        li, "l_orderkey", ["l_returnflag"], p=_X85_P
+    ).select(
+        "l_returnflag", portable_round(F.col("est"), 4).alias("est_direct")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").cast("int").alias("exact_distinct")
+    )
+    return (
+        est_roll.join(est_dir, "l_returnflag")
+        .join(exact, "l_returnflag")
+        .select(
+            "l_returnflag", "est_rollup", "est_direct", "exact_distinct"
+        )
+    )

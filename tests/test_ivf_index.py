@@ -137,3 +137,90 @@ def test_append_matches_full_build(spark):
             )
         )
     assert got == expected
+
+
+def test_delete_is_surgical_and_equals_rebuild(spark, tmp_path):
+    """Takedown: delete ids (including one whole cell) -> search equals an
+    index rebuilt from the survivors under the SAME frozen centroids;
+    untouched cell files keep their inodes (surgical rewrite proof)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from detecting_and_addressing_change_spark.operators.ivf_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        delete_from_ivf_index,
+        ivf_index_search,
+        load_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(120)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "vidx")
+    cents = build_ivf_index(corpus, path, n_centroids=4, n_iter=2)
+
+    # choose one whole cell to wipe + a few ids elsewhere
+    posts = spark.read.parquet(f"{path}/postings")
+    by_cell = {
+        int(r["cell"]): int(r["n"])
+        for r in posts.groupBy("cell").count().withColumnRenamed("count", "n").collect()
+    }
+    wipe_cell = min(by_cell, key=by_cell.get)
+    wiped_ids = [
+        int(r["vec_id"])
+        for r in posts.filter(F.col("cell") == wipe_cell).collect()
+    ]
+    gone = set(wiped_ids) | {0, 1, 2}
+    untouched_cells = [
+        c for c in by_cell
+        if c != wipe_cell
+        and not posts.filter(
+            (F.col("cell") == c) & F.col("vec_id").isin([0, 1, 2])
+        ).count()
+    ]
+    inode_before = {
+        c: sorted(os.listdir(f"{path}/postings/cell={c}"))
+        for c in untouched_cells
+    }
+    mtime_before = {
+        c: os.stat(f"{path}/postings/cell={c}").st_mtime_ns
+        for c in untouched_cells
+    }
+
+    del_df = spark.createDataFrame([(i,) for i in sorted(gone)], "vec_id long")
+    delete_from_ivf_index(spark, path, del_df)
+
+    assert not os.path.exists(f"{path}/postings/cell={wipe_cell}")
+    for c in untouched_cells:
+        assert sorted(os.listdir(f"{path}/postings/cell={c}")) == inode_before[c]
+        assert os.stat(f"{path}/postings/cell={c}").st_mtime_ns == mtime_before[c]
+
+    # rebuild reference index from survivors under the SAME centroids
+    ref = str(tmp_path / "vidx_ref")
+    os.makedirs(ref)
+    shutil.copytree(f"{path}/centroids", f"{ref}/centroids")
+    survivors = corpus.filter(~F.col("vec_id").isin(sorted(gone)))
+    append_to_ivf_index(survivors, ref, centroids=cents)
+
+    queries = corpus.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivf_index_search(spark, path, queries, k=3, nprobe=2)
+    want = ivf_index_search(spark, ref, queries, k=3, nprobe=2)
+    as_set = lambda df: {
+        (r["query_id"], r["cand_id"], r["rnk"]) for r in df.collect()
+    }
+    assert as_set(got) == as_set(want) and as_set(got)
+    # no deleted id ever surfaces
+    assert all(r["cand_id"] not in gone for r in got.collect())
+
+    # idempotent: re-running the same delete is a no-op
+    delete_from_ivf_index(spark, path, del_df)
+    assert as_set(
+        ivf_index_search(spark, path, queries, k=3, nprobe=2)
+    ) == as_set(want)
