@@ -86,20 +86,59 @@ def curate_batch(
         .distinct()
         .withColumn("__band_hit", F.lit(True))
     )
-    survivors = (
-        reps.join(exact_hits, id_col, "left_anti")
+    graded = (
+        reps.join(exact_hits.withColumn("__exact_hit", F.lit(True)), id_col, "left")
         .join(band_hits, id_col, "left")
         .withColumn(
             "near_dup_suspect", F.coalesce(F.col("__band_hit"), F.lit(False))
         )
         .withColumn("quality", quality_score_col(F.col(text_col)))
+    )
+    survivors = (
+        graded.filter(F.col("__exact_hit").isNull())
         .filter(F.col("quality") >= F.lit(min_quality))
-        .drop("__band_hit", "__dg")
+        .drop("__band_hit", "__exact_hit", "__dg")
     )
     # materialize before the index append mutates what the probe read
     survivors = survivors.localCheckpoint(eager=True)
     survivors.write.mode("overwrite").parquet(
         f"{out_path}/batch={int(epoch_id)}"
+    )
+    # per-epoch audit stats beside the corpus (one tiny row per epoch,
+    # epoch-keyed like everything else so redelivery replaces): the
+    # observability a continuous 100 TB ingest runs on — drop-rate spikes
+    # are the first drift signal an operator sees
+    n_rows = batch_df.count()
+    stats = graded.agg(
+        F.lit(int(epoch_id)).alias("epoch"),
+        F.lit(n_rows).alias("n_in"),
+        (F.lit(n_rows) - F.count("*")).alias("n_within_batch_dups"),
+        F.count(F.col("__exact_hit")).alias("n_exact_dropped"),
+        F.sum(
+            F.when(
+                F.col("__exact_hit").isNull()
+                & (F.col("quality") < F.lit(min_quality)),
+                1,
+            ).otherwise(0)
+        ).alias("n_quality_dropped"),
+        F.sum(
+            F.when(
+                F.col("__exact_hit").isNull()
+                & (F.col("quality") >= F.lit(min_quality)),
+                1,
+            ).otherwise(0)
+        ).alias("n_kept"),
+        F.sum(
+            F.when(
+                F.col("__exact_hit").isNull()
+                & (F.col("quality") >= F.lit(min_quality))
+                & F.col("near_dup_suspect"),
+                1,
+            ).otherwise(0)
+        ).alias("n_flagged"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        f"{out_path}/_stats/batch={int(epoch_id)}"
     )
     # epoch-keyed index append: a re-delivered epoch OVERWRITES its own
     # docs/batch=<epoch> partition (never duplicates it) and the novel-sig
@@ -111,5 +150,13 @@ def curate_batch(
 
 
 def curated_corpus(spark: SparkSession, out_path: str) -> DataFrame:
-    """The kept corpus across all committed epochs."""
+    """The kept corpus across all committed epochs (the ``_stats``
+    sidecar is underscore-prefixed, so Spark's file listing skips it)."""
     return spark.read.parquet(out_path).drop("batch")
+
+
+def curation_stats(spark: SparkSession, out_path: str) -> DataFrame:
+    """One audit row per epoch: n_in = n_within_batch_dups +
+    n_exact_dropped + n_quality_dropped + n_kept (conservation tested);
+    n_flagged counts kept-but-suspect docs."""
+    return spark.read.parquet(f"{out_path}/_stats").drop("batch")

@@ -160,3 +160,31 @@ def test_real_readstream_wiring(spark, corpus, tmp_path):
     q.awaitTermination(180)
     got = {r["doc_id"] for r in curated_corpus(spark, out).collect()}
     assert got == _batch_semantics(spark, corpus)
+
+
+def test_epoch_stats_conserve_and_track_drops(spark, corpus, tmp_path):
+    """Every input document is accounted for exactly once per epoch, and
+    the audit totals match the committed corpus."""
+    from detecting_and_addressing_change_spark.streaming.curation_stream import (
+        curation_stats,
+    )
+
+    t = str(tmp_path / "s")
+    kept = _run_stream(spark, corpus, t, [(0, 20), (20, 40), (40, 60)])
+    stats = curation_stats(spark, f"{t}/out").collect()
+    assert len(stats) == 3
+    for r in stats:
+        assert (
+            r["n_in"]
+            == r["n_within_batch_dups"]
+            + r["n_exact_dropped"]
+            + r["n_quality_dropped"]
+            + r["n_kept"]
+        )
+    assert sum(r["n_in"] for r in stats) == 60
+    assert sum(r["n_kept"] for r in stats) == len(kept)
+    # epochs after the first see the base family as EXACT index hits
+    assert sum(r["n_exact_dropped"] for r in stats if r["epoch"] > 0) > 0
+    # low-quality docs are dropped in every epoch (10 per 20-doc slice? no:
+    # 3-4 per slice at i % 6 == 2)
+    assert all(r["n_quality_dropped"] > 0 for r in stats)

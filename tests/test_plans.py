@@ -396,3 +396,21 @@ def test_hll_plan_no_distinct_shuffle(spark):
     s = explain_str(hll_distinct(li, "l_orderkey", ["l_returnflag"]))
     assert "CartesianProduct" not in s
     assert "Expand" not in s  # no count-distinct expansion in the sketch
+
+
+def test_cms_inner_product_broadcasts(spark):
+    """x86: the d*w-row sketch product must be a broadcast join (cells are
+    constant-size regardless of input), and the sketch build must partial-
+    aggregate — never shuffle raw key rows unaggregated."""
+    s = explain_str(QUERIES["x86_join_size_estimate"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+
+
+def test_hll_rollup_reuses_register_machinery(spark):
+    """x89: both estimates come from register aggs (two-phase hash agg);
+    the only Expand (count-distinct expansion) allowed is the exact
+    scoring column's."""
+    s = explain_str(QUERIES["x89_hll_rollup"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in s
+    assert s.count("Expand") <= 1  # exact_distinct only
