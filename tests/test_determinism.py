@@ -19,6 +19,13 @@ REPRESENTATIVE = [
     "x05_simhash",
     "x13_rolling_fingerprint",
     "q33_seeded_noise_gate",
+    # round-7 families: approximate-but-deterministic estimators and the
+    # exact similarity join (its candidate pruning must not leak
+    # partitioning into results)
+    "x84_prefix_jaccard_join",
+    "x85_hll_distinct",
+    "x86_join_size_estimate",
+    "x89_hll_rollup",
 ]
 
 
