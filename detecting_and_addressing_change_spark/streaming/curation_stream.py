@@ -160,3 +160,61 @@ def curation_stats(spark: SparkSession, out_path: str) -> DataFrame:
     n_exact_dropped + n_quality_dropped + n_kept (conservation tested);
     n_flagged counts kept-but-suspect docs."""
     return spark.read.parquet(f"{out_path}/_stats").drop("batch")
+
+
+def takedown_from_curation(
+    spark: SparkSession,
+    index_path: str,
+    out_path: str,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+) -> None:
+    """Right-to-be-forgotten across the WHOLE curation pipeline: remove
+    the documents from the dedup index (``delete_from_minhash_index`` —
+    digests and signatures of fully-deleted content are GC'd) AND from
+    the committed corpus. Only epoch partitions that actually contain a
+    deleted id are rewritten (the batch column is a partition key, so the
+    touched-epoch collect is a column-pruned scan); each is replaced via
+    a hidden staging dir + rename, the same surgical protocol as
+    ``delete_from_ivf_index`` — a crash leaves every partition either old
+    or new, both complete, and re-running finishes the job.
+
+    Note the dedup interaction this does NOT undo: if a taken-down
+    document was the min-id keeper of an exact-dup group, its dropped
+    duplicates from past epochs are gone too (they were never committed).
+    That is the correct legal posture — the CONTENT was taken down — but
+    operators should know re-ingesting a still-legitimate duplicate later
+    will now commit it, because the index forgot the digest."""
+    import os
+    import shutil
+
+    from ..operators.minhash_index import delete_from_minhash_index
+
+    delete_from_minhash_index(spark, index_path, ids, id_col=id_col)
+    del_ids = ids.select(F.col(id_col).alias("__del_id")).distinct()
+    corpus = spark.read.parquet(out_path)
+    touched = sorted(
+        int(r["batch"])
+        for r in corpus.join(
+            F.broadcast(del_ids), corpus[id_col] == F.col("__del_id"), "semi"
+        )
+        .select("batch")
+        .distinct()
+        .collect()
+    )
+    staging = f"{out_path}/.staging_takedown"
+    shutil.rmtree(staging, ignore_errors=True)
+    for epoch in touched:
+        kept = spark.read.parquet(f"{out_path}/batch={epoch}").join(
+            F.broadcast(del_ids),
+            F.col(id_col) == F.col("__del_id"),
+            "left_anti",
+        )
+        kept_path = f"{staging}/batch={epoch}"
+        kept.write.mode("overwrite").parquet(kept_path)
+        live = f"{out_path}/batch={epoch}"
+        trash = f"{staging}/trash_batch={epoch}"
+        os.rename(live, trash)
+        os.rename(kept_path, live)
+        shutil.rmtree(trash)
+    shutil.rmtree(staging, ignore_errors=True)

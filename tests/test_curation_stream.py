@@ -188,3 +188,37 @@ def test_epoch_stats_conserve_and_track_drops(spark, corpus, tmp_path):
     # low-quality docs are dropped in every epoch (10 per 20-doc slice? no:
     # 3-4 per slice at i % 6 == 2)
     assert all(r["n_quality_dropped"] > 0 for r in stats)
+
+
+def test_takedown_forgets_across_pipeline(spark, corpus, tmp_path):
+    """Takedown removes docs from BOTH the committed corpus and the dedup
+    index: untouched epoch partitions keep their exact files, and
+    re-ingesting the taken-down content afterwards COMMITS (the index
+    forgot the digest)."""
+    import os
+
+    from detecting_and_addressing_change_spark.streaming.curation_stream import (
+        curate_batch,
+        takedown_from_curation,
+    )
+
+    t = str(tmp_path / "td")
+    kept = _run_stream(spark, corpus, t, [(0, 20), (20, 40), (40, 60)])
+    out, index = f"{t}/out", f"{t}/idx"
+    # take down two kept docs from epoch 0 (incl. the base-family keeper)
+    gone = sorted(i for i in kept if i < 20)[:2]
+    assert 0 in gone  # the exact-dup family keeper is kept and early
+    files_before = sorted(os.listdir(f"{out}/batch=2"))
+    takedown_from_curation(
+        spark, index, out, spark.createDataFrame([(i,) for i in gone], "doc_id long")
+    )
+    after = {r["doc_id"] for r in curated_corpus(spark, out).collect()}
+    assert after == kept - set(gone)
+    assert sorted(os.listdir(f"{out}/batch=2")) == files_before  # surgical
+    # the index forgot: re-ingesting the same text as a new epoch COMMITS
+    reingest = corpus.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    curate_batch(reingest, 99, index, out, min_quality=MIN_Q)
+    final = {r["doc_id"] for r in curated_corpus(spark, out).collect()}
+    assert 1000 in final
