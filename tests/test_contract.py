@@ -1,0 +1,59 @@
+"""Driver-contract meta-guards: the invariants the external harness
+depends on but nothing else would catch until a round artifact came back
+broken."""
+
+from __future__ import annotations
+
+import importlib.util
+
+
+def _entry_module():
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_every_query_has_an_oracle():
+    """The correctness gate is oracle-everything: a registry entry
+    without oracle SQL silently downgrades to a rows-only check."""
+    mod = _entry_module()
+    q, o = mod.queries(), mod.oracle_sql()
+    assert set(q) == set(o), set(q) ^ set(o)
+
+
+def test_bench_queries_are_registered_and_prefix_unique():
+    """bench.py warm-up only prints a stderr line for an unknown query —
+    a typo would silently shrink the measured surface; and the stdout
+    summary keys timings by the qNN/xNN prefix, which must stay unique."""
+    import bench
+
+    mod = _entry_module()
+    q = mod.queries()
+    missing = [n for n in bench.BENCH_QUERIES if n not in q]
+    assert not missing, missing
+    prefixes = [n.split("_", 1)[0] for n in bench.BENCH_QUERIES]
+    assert len(set(prefixes)) == len(prefixes)
+
+
+def test_registry_rotation_puts_unattested_first():
+    """The driver attests only the first 50 names: every name NOT in the
+    attested set must sort before every name that is."""
+    import detecting_and_addressing_change_spark.queries as qpkg
+    from detecting_and_addressing_change_spark.queries import QUERIES
+
+    attested = qpkg._ATTESTED_PRIOR_ROUNDS
+    names = list(QUERIES)
+    seen_attested = False
+    for n in names:
+        if n in attested:
+            seen_attested = True
+        else:
+            assert not seen_attested, (
+                f"unattested query {n} sorted after an attested one"
+            )
+    assert sum(n not in attested for n in names) <= 50, (
+        "more unattested queries than the driver's 50-name window"
+    )
