@@ -248,6 +248,11 @@ def decode_png(data: bytes) -> np.ndarray:
         dobj.flush() if not dobj.eof else b""
     ):
         raise ValueError("IDAT inflates past declared image size")
+    if dobj.unused_data:
+        # bytes trailing a correctly-terminated deflate stream (ADVICE
+        # r7): harmless to the pixels but the same malformation class the
+        # bound rejects — accepting them made the strictness inconsistent
+        raise ValueError("trailing bytes after IDAT deflate stream")
     if len(raw) != expected:
         raise ValueError("IDAT length mismatch")
     out = np.zeros((h, w, nch), dtype=np.int32)

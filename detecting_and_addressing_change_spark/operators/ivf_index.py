@@ -208,9 +208,14 @@ def delete_from_ivf_index(
     partition discovery), then swapped in by rename; a fully-emptied
     cell's directory is removed. A crash mid-sequence leaves every cell
     either old or new — both complete, never corrupt — and re-running
-    the same delete finishes the job (anti-join is idempotent)."""
-    import os
+    the same delete finishes the job: the shared recovery pass
+    (``index_commit.recover_partition_swaps``, ADVICE r7 — the previous
+    start-of-run ``rmtree(staging)`` destroyed both copies of a cell
+    caught between its two renames) promotes or restores any stranded
+    cell before staging is cleared, and the anti-join is idempotent."""
     import shutil
+
+    from .index_commit import recover_partition_swaps, swap_partition
 
     del_ids = ids.select(F.col(id_col).alias("__del_id")).distinct()
     posts = spark.read.parquet(f"{path}/postings")
@@ -224,10 +229,11 @@ def delete_from_ivf_index(
         .collect()
     )
     staging = f"{path}/.staging_del"
-    shutil.rmtree(staging, ignore_errors=True)
+    live_root = f"{path}/postings"
+    recover_partition_swaps(live_root, staging)
     for cell in touched:
         kept = (
-            spark.read.parquet(f"{path}/postings/cell={cell}")
+            spark.read.parquet(f"{live_root}/cell={cell}")
             .join(
                 F.broadcast(del_ids),
                 F.col(id_col) == F.col("__del_id"),
@@ -237,10 +243,5 @@ def delete_from_ivf_index(
         kept_path = f"{staging}/cell={cell}"
         kept.write.mode("overwrite").parquet(kept_path)
         n_kept = spark.read.parquet(kept_path).limit(1).count()
-        live = f"{path}/postings/cell={cell}"
-        trash = f"{staging}/trash_cell={cell}"
-        os.rename(live, trash)
-        if n_kept:
-            os.rename(kept_path, live)
-        shutil.rmtree(trash)
+        swap_partition(live_root, staging, f"cell={cell}", keep=bool(n_kept))
     shutil.rmtree(staging, ignore_errors=True)

@@ -41,6 +41,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .dedup import minhash_bands, minhash_candidate_pairs, minhash_signatures
+from .index_commit import commit_table_swap, recover_table_swap
+
+_TABLES = ("docs", "sigs")
 
 
 def _digests(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -193,18 +196,16 @@ def compact_minhash_index(
     ``batch=base`` partition (labels never affect results). Edge/probe
     results are unchanged (tests pin it); only the file layout shrinks.
 
-    Commit protocol (ADVICE r6 — the earlier rmtree-then-rewrite variant
-    had a window where a driver crash permanently destroyed the index):
-    both consolidated tables are FULLY written to fresh ``docs.new`` /
+    Commit protocol (ADVICE r6; shared implementation + marker fencing in
+    ``operators/index_commit.py``, crash-window tests there too): both
+    consolidated tables are FULLY written to fresh ``docs.new`` /
     ``sigs.new`` sibling dirs first (reading the live dirs — distinct
-    paths, so no read-your-own-overwrite hazard and no checkpoint needed),
-    then swapped in via two renames each, and only then is the old layout
-    deleted. A crash at ANY step leaves a complete copy of every row on
-    disk: before the swap the live dirs are untouched; mid-swap the
-    ``.old``/``.new`` dirs hold it; after, the new layout is live. On an
-    object store without atomic rename the same sequence runs against
-    versioned prefixes with a pointer-file flip."""
-    _recover_and_clear_staging(path)
+    paths, so no read-your-own-overwrite hazard and no checkpoint
+    needed), then swapped in as one marker-fenced all-or-nothing unit. A
+    crash at ANY step leaves a complete copy of every row on disk and the
+    next mutation's recovery pass finishes the swap in the direction the
+    marker dictates."""
+    recover_table_swap(path, _TABLES)
     (
         spark.read.parquet(f"{path}/docs")
         .select("doc_id", "dgst")
@@ -218,36 +219,7 @@ def compact_minhash_index(
         .write.mode("overwrite")
         .parquet(f"{path}/sigs.new")
     )
-    _commit_swap(path)
-
-
-def _recover_and_clear_staging(path: str) -> None:
-    """Start-of-rewrite recovery: promote a fully-written ``.new`` left by
-    a crash between a prior swap's two renames, then clear redundant
-    staging dirs so this rewrite starts clean."""
-    import os
-    import shutil
-
-    for name in ("docs", "sigs"):
-        live, new, old = (f"{path}/{name}{s}" for s in ("", ".new", ".old"))
-        if not os.path.exists(live) and os.path.exists(new):
-            os.rename(new, live)
-        for stale in (new, old):
-            if os.path.exists(live) and os.path.exists(stale):
-                shutil.rmtree(stale)
-
-
-def _commit_swap(path: str) -> None:
-    """Swap fully-written ``docs.new``/``sigs.new`` in, then drop the old
-    layout — every row has a complete on-disk copy at every step."""
-    import os
-    import shutil
-
-    for name in ("docs", "sigs"):
-        os.rename(f"{path}/{name}", f"{path}/{name}.old")
-        os.rename(f"{path}/{name}.new", f"{path}/{name}")
-    for name in ("docs", "sigs"):
-        shutil.rmtree(f"{path}/{name}.old")
+    commit_table_swap(path, _TABLES)
 
 
 def delete_from_minhash_index(
@@ -262,7 +234,10 @@ def delete_from_minhash_index(
 
     - ``docs/``: anti-join on the id set, rewritten consolidated (same
       write-fresh-then-swap commit protocol as ``compact_minhash_index``;
-      a crash never destroys the index).
+      a crash never destroys the index, and the marker fencing makes the
+      docs+sigs swap all-or-nothing: a crash between the two table swaps
+      used to discard ``sigs.new`` on recovery, leaving GC'd signatures
+      of deleted content live indefinitely — ADVICE r7).
     - ``sigs/``: signatures whose digest has NO surviving document are
       garbage-collected via a semi-join on the surviving digest set. This
       is not just space reclamation: MinHash signatures are derived
@@ -275,7 +250,7 @@ def delete_from_minhash_index(
     surviving corpus. Deleting a digest group's min-id keeper promotes
     the next-smallest member automatically — keepers are derived from
     docs/ at READ time, never stored."""
-    _recover_and_clear_staging(path)
+    recover_table_swap(path, _TABLES)
     del_ids = ids.select(F.col(id_col).alias("doc_id")).distinct()
     kept = spark.read.parquet(f"{path}/docs").select("doc_id", "dgst").join(
         del_ids, "doc_id", "left_anti"
@@ -285,7 +260,7 @@ def delete_from_minhash_index(
     spark.read.parquet(f"{path}/sigs").join(
         surviving, "dgst", "semi"
     ).write.mode("overwrite").parquet(f"{path}/sigs.new")
-    _commit_swap(path)
+    commit_table_swap(path, _TABLES)
 
 
 def init_minhash_index(

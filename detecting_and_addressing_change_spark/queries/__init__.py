@@ -108,6 +108,19 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     "x68_bpe_merges", "x69_oov_rate", "x70_data_expectations",
     "x71_textrank", "x73_quantile_drift",
     "x74_token_mixing",
+    # green rows in CORRECTNESS_r07.json (the r7 refactor re-attests
+    # x09/x14/x67/x76/x79 + the new x83-x89 families + filler window),
+    # minus x78: decode_png's executed body changes again in round 8
+    # (trailing-byte strictness, ADVICE r7) so it floats for a fresh row.
+    # x76/x79/x83/x55 legitimately STAY attested through the round-8
+    # index_commit extraction: only compact/delete/takedown call the
+    # shared protocol; their executed paths (build/append/probe/edges,
+    # batch curate) are byte-identical.
+    "x09_embedding_near_dup", "x14_multimodal_features", "x67_zorder_key",
+    "x76_incremental_dedup", "x79_index_probe",
+    "x83_ann_recall", "x84_prefix_jaccard_join", "x85_hll_distinct",
+    "x86_join_size_estimate", "x87_quantized_recall",
+    "x88_minhash_recall_audit", "x89_hll_rollup",
     # green rows in CORRECTNESS_r06.json (hot-bucket-guarded dedup family,
     # r5-refactor re-attests, and the round-6 x77-x82 additions), minus
     # x09/x14/x76/x78/x79 which change again in round 7 (see policy note)

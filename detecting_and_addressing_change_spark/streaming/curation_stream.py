@@ -176,8 +176,13 @@ def takedown_from_curation(
     deleted id are rewritten (the batch column is a partition key, so the
     touched-epoch collect is a column-pruned scan); each is replaced via
     a hidden staging dir + rename, the same surgical protocol as
-    ``delete_from_ivf_index`` — a crash leaves every partition either old
-    or new, both complete, and re-running finishes the job.
+    ``delete_from_ivf_index`` (shared in ``operators/index_commit.py``) —
+    a crash leaves every partition either old or new, both complete, and
+    re-running finishes the job: the recovery pass promotes or restores
+    any epoch partition stranded between its two renames before staging
+    is cleared (ADVICE r7 — the previous start-of-run rmtree destroyed
+    both copies, permanently deleting committed rows NOT subject to the
+    takedown).
 
     Note the dedup interaction this does NOT undo: if a taken-down
     document was the min-id keeper of an exact-dup group, its dropped
@@ -185,9 +190,12 @@ def takedown_from_curation(
     That is the correct legal posture — the CONTENT was taken down — but
     operators should know re-ingesting a still-legitimate duplicate later
     will now commit it, because the index forgot the digest."""
-    import os
     import shutil
 
+    from ..operators.index_commit import (
+        recover_partition_swaps,
+        swap_partition,
+    )
     from ..operators.minhash_index import delete_from_minhash_index
 
     delete_from_minhash_index(spark, index_path, ids, id_col=id_col)
@@ -203,18 +211,13 @@ def takedown_from_curation(
         .collect()
     )
     staging = f"{out_path}/.staging_takedown"
-    shutil.rmtree(staging, ignore_errors=True)
+    recover_partition_swaps(out_path, staging)
     for epoch in touched:
         kept = spark.read.parquet(f"{out_path}/batch={epoch}").join(
             F.broadcast(del_ids),
             F.col(id_col) == F.col("__del_id"),
             "left_anti",
         )
-        kept_path = f"{staging}/batch={epoch}"
-        kept.write.mode("overwrite").parquet(kept_path)
-        live = f"{out_path}/batch={epoch}"
-        trash = f"{staging}/trash_batch={epoch}"
-        os.rename(live, trash)
-        os.rename(kept_path, live)
-        shutil.rmtree(trash)
+        kept.write.mode("overwrite").parquet(f"{staging}/batch={epoch}")
+        swap_partition(out_path, staging, f"batch={epoch}")
     shutil.rmtree(staging, ignore_errors=True)
