@@ -131,6 +131,10 @@ BENCH_QUERIES = [
     "x87_quantized_recall",
     "x88_minhash_recall_audit",
     "x89_hll_rollup",
+    # round-8: adaptive similarity-join routing — at sf0.1 the auto mode
+    # crosses the budget and exercises the MinHash fallback, so this
+    # times BOTH candidate strategies plus the pre-flight estimate
+    "x90_adaptive_similarity_join",
 ]
 
 

@@ -20,6 +20,7 @@ from . import extensions8  # noqa: F401,E402
 from . import extensions9  # noqa: F401,E402
 from . import extensions10  # noqa: F401,E402
 from . import extensions11  # noqa: F401,E402
+from . import extensions12  # noqa: F401,E402
 from . import drift  # noqa: F401,E402
 
 # The external driver evaluates at most the first 50 registered queries per
@@ -116,11 +117,15 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     # index_commit extraction: only compact/delete/takedown call the
     # shared protocol; their executed paths (build/append/probe/edges,
     # batch curate) are byte-identical.
+    # x84/x88 deliberately NOT listed (round-8): prefix_jaccard_join's
+    # body was factored into the shared helpers the adaptive route also
+    # uses, and x88's truth side gains the sample_frac parameter —
+    # executed paths changed, both float forward for fresh rows.
     "x09_embedding_near_dup", "x14_multimodal_features", "x67_zorder_key",
     "x76_incremental_dedup", "x79_index_probe",
-    "x83_ann_recall", "x84_prefix_jaccard_join", "x85_hll_distinct",
+    "x83_ann_recall", "x85_hll_distinct",
     "x86_join_size_estimate", "x87_quantized_recall",
-    "x88_minhash_recall_audit", "x89_hll_rollup",
+    "x89_hll_rollup",
     # green rows in CORRECTNESS_r06.json (hot-bucket-guarded dedup family,
     # r5-refactor re-attests, and the round-6 x77-x82 additions), minus
     # x09/x14/x76/x78/x79 which change again in round 7 (see policy note)

@@ -1,0 +1,138 @@
+"""Round-8 extension queries: adaptive similarity-join routing (x90).
+
+Reference parity note: the reference has no similarity join at all; this
+is the 100 TB regime guard VERDICT r7 asked for — the engine's exact
+SSJoin ships with a known super-linear cliff on low-entropy corpora
+(operators/setjoin.py cost model), and x90 attests the machinery that
+now predicts the cliff BEFORE paying for it and routes around it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table
+from .registry import query
+
+# --------------------------------------------------------------------------
+# X90 — adaptive similarity-join routing: the pre-flight exact
+# candidate-volume estimate (sum over prefix tokens of probe-postings *
+# index-postings — the Theta term of the SSJoin cost model, exact int64)
+# and the route it selects, plus an exact fingerprint of the returned pair
+# set under BOTH candidate strategies. The budget is demonstration-scaled
+# so the auto decision is data-driven: the fixture routes 'exact' at
+# sf<=0.01 and flips to 'minhash' at sf0.1 (volume ~658k). The oracle
+# computes the volume by mirroring the df-ordered asymmetric prefix
+# construction and the pair set by the filterless inverted-index join —
+# so a hash match proves (a) the volume aggregate, (b) the routing CASE,
+# and (c) that the MinHash-candidate route loses no pair on this corpus
+# (its banding miss probability at j>=0.5 is ~1e-4 with 32 bands of 2,
+# and the fixture's true-pair similarities sit far above the band knee).
+# --------------------------------------------------------------------------
+_X90_T = 0.5
+_X90_BUDGET = 100_000
+
+_X90_ORACLE = f"""
+    WITH dg AS (
+      SELECT doc_id, text, md5(text) AS dgst FROM documents
+    ),
+    lab AS (
+      SELECT doc_id, text,
+             MIN(doc_id) OVER (PARTITION BY dgst) AS keeper
+      FROM dg
+    ),
+    chains AS (
+      SELECT keeper AS a_id, doc_id AS b_id FROM lab WHERE doc_id <> keeper
+    ),
+    reps AS (SELECT doc_id, text FROM lab WHERE doc_id = keeper),
+    toks AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(w) - 2),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM reps)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    dfreq AS (SELECT w, COUNT(*) AS df FROM toks GROUP BY w),
+    pref AS (
+      SELECT t.doc_id, t.w,
+             ROW_NUMBER() OVER (
+               PARTITION BY t.doc_id ORDER BY d.df, t.w) AS rk,
+             s.n
+      FROM toks t
+      JOIN dfreq d ON d.w = t.w
+      JOIN sizes s ON s.doc_id = t.doc_id
+    ),
+    marked AS (
+      SELECT w,
+             rk <= n - CEIL({_X90_T} * n - 1e-9) + 1 AS in_idx,
+             rk <= n - CEIL({2.0 * _X90_T / (1.0 + _X90_T)!r} * n - 1e-9) + 1
+               AS in_probe
+      FROM pref
+    ),
+    vol AS (
+      SELECT CAST(COALESCE(SUM(ca.c * cb.c), 0) AS BIGINT) AS v
+      FROM (SELECT w, COUNT(*) AS c FROM marked WHERE in_probe GROUP BY w) ca
+      JOIN (SELECT w, COUNT(*) AS c FROM marked WHERE in_idx GROUP BY w) cb
+        ON ca.w = cb.w
+    ),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+      FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    scored AS (
+      SELECT CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jr
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.a_id
+      JOIN sizes sb ON sb.doc_id = inter.b_id
+    ),
+    allp AS (
+      SELECT 1.0 AS jaccard FROM chains
+      UNION ALL
+      SELECT FLOOR(jr * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+      FROM scored WHERE jr >= {_X90_T}
+    ),
+    pairstats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(COALESCE(SUM(CAST(FLOOR(jaccard * 1000000.0 + 0.5)
+                                    AS BIGINT)), 0) AS BIGINT) AS sum_jac_q
+      FROM allp
+    )
+    SELECT 'auto' AS mode,
+           CASE WHEN v <= {_X90_BUDGET} THEN 'exact' ELSE 'minhash' END
+             AS route,
+           v AS candidate_volume,
+           CAST({_X90_BUDGET} AS BIGINT) AS budget_rows,
+           n_pairs, sum_jac_q
+    FROM vol, pairstats
+    UNION ALL
+    SELECT 'forced_minhash' AS mode, 'minhash' AS route,
+           v AS candidate_volume,
+           CAST({_X90_BUDGET} AS BIGINT) AS budget_rows,
+           n_pairs, sum_jac_q
+    FROM vol, pairstats
+"""
+
+
+@query("x90_adaptive_similarity_join", oracle=_X90_ORACLE)
+def x90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive similarity-join routing audit (operators/setjoin.py
+    adaptive_jaccard_join): one row per mode — 'auto' (volume vs budget
+    picks the candidate strategy) and 'forced_minhash' (the linear
+    fallback exercised regardless of volume). Each row carries the exact
+    pre-flight candidate-volume estimate, the chosen route, and an exact
+    int64 fingerprint (count + quantized-jaccard sum) of the returned
+    pair set. The oracle recomputes the volume from the mirrored prefix
+    construction and the pair set from the filterless inverted-index
+    join, so the hash match attests the estimate, the routing decision,
+    AND both routes' outputs in one row set."""
+    from ..operators.setjoin import ssjoin_routing_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    auto = ssjoin_routing_audit(
+        docs, threshold=_X90_T, budget_rows=_X90_BUDGET, route="auto"
+    ).selectExpr("'auto' AS mode", "*")
+    forced = ssjoin_routing_audit(
+        docs, threshold=_X90_T, budget_rows=_X90_BUDGET, route="minhash"
+    ).selectExpr("'forced_minhash' AS mode", "*")
+    return auto.unionByName(forced)

@@ -11,7 +11,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from detecting_and_addressing_change_spark.operators.setjoin import (
+    _prefix_table,
+    _tokenize,
+    adaptive_jaccard_join,
     prefix_jaccard_join,
+    ssjoin_candidate_volume,
 )
 
 
@@ -140,6 +144,51 @@ def test_prefix_prunes_candidate_space(spark, corpus_rows):
     assert prefix.count() < 0.65 * full
 
 
+def test_candidate_volume_is_exact_prejoin_count(spark, corpus_rows):
+    """The pre-flight estimate must equal the ACTUAL row count of the
+    unfiltered prefix candidate join — it is a measurement, not a model."""
+    df = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    _, toks = _tokenize(df, "text", "doc_id", 3)
+    prefix = _prefix_table(toks, "doc_id", 0.5)
+    vol = ssjoin_candidate_volume(prefix, "doc_id").collect()[0][
+        "candidate_volume"
+    ]
+    a = prefix.filter(F.col("__pr")).select(
+        F.col("doc_id").alias("a_id"), "w"
+    )
+    b = prefix.select(F.col("doc_id").alias("b_id"), "w")
+    assert vol == a.join(b, "w").count()
+
+
+def test_adaptive_auto_routes_by_budget(spark, corpus_rows):
+    """auto picks exact under a generous budget, minhash under a zero
+    budget; the reported volume is identical either way, and the exact
+    route's output is byte-identical to prefix_jaccard_join."""
+    df = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    want = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in prefix_jaccard_join(df, threshold=0.5).collect()
+    }
+    pe, ie = adaptive_jaccard_join(df, budget_rows=10**12, route="auto")
+    pm, im = adaptive_jaccard_join(df, budget_rows=0, route="auto")
+    assert ie["route"] == "exact" and im["route"] == "minhash"
+    assert ie["candidate_volume"] == im["candidate_volume"] > 0
+    got_e = {(r["a_id"], r["b_id"], r["jaccard"]) for r in pe.collect()}
+    assert got_e == want
+    # the fixture's true pairs are all well above the 32-band knee and the
+    # hashes are deterministic md5, so the fallback finds every one here
+    got_m = {(r["a_id"], r["b_id"], r["jaccard"]) for r in pm.collect()}
+    assert got_m == want
+
+
+def test_adaptive_forced_route_overrides_budget(spark, corpus_rows):
+    df = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    _, info = adaptive_jaccard_join(df, budget_rows=0, route="exact")
+    assert info["route"] == "exact"
+    with pytest.raises(ValueError):
+        adaptive_jaccard_join(df, route="bogus")
+
+
 try:
     from hypothesis import given, settings, strategies as st
 
@@ -176,3 +225,33 @@ if HAVE_HYP:
             for r in prefix_jaccard_join(df, threshold=t).collect()
         }
         assert got == _brute_pairs(rows, t), (seed, t, rows)
+
+    @settings(max_examples=6, deadline=None)
+    @given(seed=st.integers(0, 10_000), n_docs=st.integers(6, 14))
+    def test_routing_never_changes_pairs_high_entropy(spark, seed, n_docs):
+        """VERDICT r7 #1 done-criterion: on high-entropy corpora (per-doc
+        vocabularies, near-dup pairs well above the banding knee) the
+        MinHash-candidate route returns EXACTLY the exact route's pair
+        set — the regime where the fallback is the right answer is the
+        regime where it loses nothing. Miss probability at j~0.7 with 32
+        bands of 2 is ~1e-10 and the hash family is deterministic, so
+        this is a stable property, not a flaky one."""
+        import random
+
+        rng = random.Random(seed)
+        rows = []
+        for i in range(n_docs):
+            words = [f"w{seed}x{i}y{j}" for j in range(20)]
+            rng.shuffle(words)
+            rows.append((2 * i, " ".join(words)))
+            if i % 2 == 0:  # high-similarity partner: one word swapped
+                words = list(words)
+                words[rng.randrange(20)] = f"alt{seed}z{i}"
+                rows.append((2 * i + 1, " ".join(words)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pe, ie = adaptive_jaccard_join(df, route="exact")
+        pm, im = adaptive_jaccard_join(df, route="minhash")
+        assert ie["candidate_volume"] == im["candidate_volume"]
+        se = {(r["a_id"], r["b_id"], r["jaccard"]) for r in pe.collect()}
+        sm = {(r["a_id"], r["b_id"], r["jaccard"]) for r in pm.collect()}
+        assert se == sm and len(se) >= n_docs // 2, (seed, rows)
