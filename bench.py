@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     # crosses the budget and exercises the MinHash fallback, so this
     # times BOTH candidate strategies plus the pre-flight estimate
     "x90_adaptive_similarity_join",
+    "x91_sampled_recall_audit",
 ]
 
 

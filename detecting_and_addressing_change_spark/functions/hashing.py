@@ -61,6 +61,22 @@ def km_minhash_col(shingle: Column, perm: int) -> Column:
     return (hx + F.lit(perm) * hy) % F.lit(M32)
 
 
+def md5_pct_col(key: Column) -> Column:
+    """Deterministic percent bucket 0-99 from md5 of the key's string form
+    — the engine-portable hash-sample primitive (``md5_pct_col(k) < pct``
+    keeps ~pct% of rows, reproducibly across engines, partitionings and
+    runs). DuckDB mirror:
+    ``('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT % 100``.
+    Used by the sample-bounded audit harnesses (x91): at 100 TB the exact
+    truth side of a recall audit runs on a hash-sample whose membership
+    any engine can recompute."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+
+
 def md5_u16_col(s: Column) -> Column:
     """First 16 bits of md5(s) as an integer — the per-feature hash for
     SimHash. conv(hex, 16, 10) is available in Spark; the oracle uses

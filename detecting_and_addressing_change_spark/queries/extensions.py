@@ -106,7 +106,10 @@ def _minhash_oracle(
 
 
 def _minhash_guarded_edges_oracle(
-    num_hashes: int = 8, rows_per_band: int = 2, bucket_cap: int = 64
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    bucket_cap: int = 64,
+    source: str = "documents",
 ) -> str:
     """Oracle CTE chain mirroring ``operators.dedup.minhash_dedup_edges``
     EXACTLY, guard included (the bounded semantics ARE the declared
@@ -116,9 +119,9 @@ def _minhash_guarded_edges_oracle(
     ``edges`` = chains UNION ALL pairs (disjoint by construction). Ends
     with the ``edges`` CTE defined; callers append their SELECT."""
     base = _minhash_oracle(num_hashes, rows_per_band, source="reps")
-    collapse = """
+    collapse = f"""
     WITH dg AS (
-      SELECT doc_id, text, md5(text) AS dgst FROM documents
+      SELECT doc_id, text, md5(text) AS dgst FROM {source}
     ),
     lab AS (
       SELECT doc_id, text,

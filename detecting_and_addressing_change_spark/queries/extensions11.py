@@ -479,12 +479,53 @@ def x87(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bucketed by similarity band. Closes the loop between the engine's two
 # near-dup paths: the exact join is the oracle for the probabilistic one.
 # --------------------------------------------------------------------------
-def _x88_oracle() -> str:
-    from .extensions import _minhash_guarded_edges_oracle
+def minhash_recall_audit(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    sample_pct: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded recall audit of the guarded MinHash edge set against exact
+    shingle-Jaccard ground truth (the x88 harness as a reusable
+    operator). ``sample_pct`` bounds BOTH operands to a deterministic
+    md5 hash-sample of the corpus (``md5_pct_col(id) < pct``): the audit
+    then estimates the banding scheme's r-b recall curve from the sample
+    alone, so its cost — including the exact truth side — scales with
+    the sample, not the corpus, which is what makes it runnable at
+    100 TB (VERDICT r7 #2). The sampled audit is EXACTLY the full audit
+    of the sampled subcorpus (parity-tested), every piece of it
+    recomputable by any engine from the id hash."""
+    from ..functions.hashing import md5_pct_col
+    from ..operators.dedup import minhash_dedup_edges
+    from ..operators.setjoin import prefix_jaccard_join
 
-    return (
-        _minhash_guarded_edges_oracle()
-        + """,
+    if sample_pct is not None:
+        docs = docs.filter(md5_pct_col(F.col(id_col)) < sample_pct)
+    truth = prefix_jaccard_join(docs, threshold=threshold, shingle_size=3)
+    found = minhash_dedup_edges(docs).distinct()
+    marked = truth.join(
+        found.withColumn("__hit", F.lit(1)), ["a_id", "b_id"], "left"
+    )
+    band = (
+        F.when(F.col("jaccard") >= 0.9, F.lit("hi_0.9_1.0"))
+        .when(F.col("jaccard") >= 0.7, F.lit("mid_0.7_0.9"))
+        .otherwise(F.lit("lo_0.5_0.7"))
+    )
+    return marked.groupBy(band.alias("band")).agg(
+        F.count("*").cast("int").alias("n_true"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("int").alias("n_hit"),
+        portable_round(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            / F.count("*").cast("double"),
+            4,
+        ).alias("recall"),
+    )
+
+
+def _recall_audit_tail() -> str:
+    """Truth-side + scoring CTE tail shared by the x88 (full) and x91
+    (sampled) oracles; expects ``reps``/``chains``/``edges`` defined."""
+    return """,
     toksx AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
                generate_series(1, len(w) - 2),
@@ -524,7 +565,12 @@ def _x88_oracle() -> str:
     FROM marked
     GROUP BY 1
     """
-    )
+
+
+def _x88_oracle() -> str:
+    from .extensions import _minhash_guarded_edges_oracle
+
+    return _minhash_guarded_edges_oracle() + _recall_audit_tail()
 
 
 @query("x88_minhash_recall_audit", oracle=_x88_oracle())
@@ -536,31 +582,11 @@ def x88(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ~1 at s=0.9) that tells a pipeline owner whether the banding
     scheme matches their dedup threshold BEFORE a 100 TB run. Both
     operands are the engine's own production paths; at scale the truth
-    side runs on a SAMPLE, here the corpus is small enough to audit
+    side runs on a SAMPLE (``minhash_recall_audit(sample_pct=...)``,
+    attested as x91) — here the corpus is small enough to audit
     exhaustively."""
-    from ..operators.dedup import minhash_dedup_edges
-    from ..operators.setjoin import prefix_jaccard_join
-
     docs = load_table(spark, sf_dir, "documents")
-    truth = prefix_jaccard_join(docs, threshold=0.5, shingle_size=3)
-    found = minhash_dedup_edges(docs).distinct()
-    marked = truth.join(
-        found.withColumn("__hit", F.lit(1)), ["a_id", "b_id"], "left"
-    )
-    band = (
-        F.when(F.col("jaccard") >= 0.9, F.lit("hi_0.9_1.0"))
-        .when(F.col("jaccard") >= 0.7, F.lit("mid_0.7_0.9"))
-        .otherwise(F.lit("lo_0.5_0.7"))
-    )
-    return marked.groupBy(band.alias("band")).agg(
-        F.count("*").cast("int").alias("n_true"),
-        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("int").alias("n_hit"),
-        portable_round(
-            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
-            / F.count("*").cast("double"),
-            4,
-        ).alias("recall"),
-    )
+    return minhash_recall_audit(docs, threshold=0.5, sample_pct=None)
 
 
 # --------------------------------------------------------------------------

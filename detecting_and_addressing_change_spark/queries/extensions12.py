@@ -31,6 +31,7 @@ from .registry import query
 # --------------------------------------------------------------------------
 _X90_T = 0.5
 _X90_BUDGET = 100_000
+_X91_PCT = 60
 
 _X90_ORACLE = f"""
     WITH dg AS (
@@ -136,3 +137,48 @@ def x90(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, threshold=_X90_T, budget_rows=_X90_BUDGET, route="minhash"
     ).selectExpr("'forced_minhash' AS mode", "*")
     return auto.unionByName(forced)
+
+
+# --------------------------------------------------------------------------
+# X91 — sample-bounded MinHash recall audit: the x88 harness with its
+# truth side (and found side) restricted to a deterministic md5
+# hash-sample of the corpus. This is the form that runs at 100 TB — the
+# exact ground-truth join costs scale with the SAMPLE, and the sample
+# membership is recomputable by any engine from the doc id alone (no
+# stored sample list, no RNG state). The oracle applies the identical
+# hash predicate in DuckDB and re-runs the full x88 CTE chain over the
+# sampled corpus: the sampled audit IS the full audit of the sampled
+# subcorpus, by construction and by parity test.
+# --------------------------------------------------------------------------
+def _x91_oracle() -> str:
+    from .extensions import _minhash_guarded_edges_oracle
+    from .extensions11 import _recall_audit_tail
+
+    base = _minhash_guarded_edges_oracle(source="samp").strip()
+    assert base.startswith("WITH")
+    return (
+        f"""
+    WITH samp AS (
+      SELECT doc_id, text FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 100 < {_X91_PCT}
+    ),"""
+        + base[len("WITH"):]
+        + _recall_audit_tail()
+    )
+
+
+@query("x91_sampled_recall_audit", oracle=_x91_oracle())
+def x91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-bounded banded recall audit (extensions11.
+    minhash_recall_audit with sample_pct=60): both the exact-Jaccard
+    truth side and the guarded MinHash edge set run on the md5
+    hash-sample, so the audit's cost — including the exact SSJoin — is
+    bounded by the sample size at any corpus scale. Recall estimated
+    from a hash-sample is unbiased per band (pair inclusion is
+    independent of similarity), which is why this is the deployable form
+    of x88 at 100 TB."""
+    from .extensions11 import minhash_recall_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_recall_audit(docs, threshold=0.5, sample_pct=_X91_PCT)
