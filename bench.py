@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     # times BOTH candidate strategies plus the pre-flight estimate
     "x90_adaptive_similarity_join",
     "x91_sampled_recall_audit",
+    "x92_transformer_embed",
 ]
 
 

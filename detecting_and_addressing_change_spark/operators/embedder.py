@@ -127,6 +127,21 @@ def embed_documents(
             fn, EMBED_SCHEMA
         )
 
+    if backend == "mini":
+        # deterministic numpy attention encoder (operators/transformer.py)
+        # — the transformer COMPUTE graph under hash weights; contextual
+        # token states where the hash backend is bag-of-words
+        from .transformer import transformer_embed_documents
+
+        return transformer_embed_documents(
+            docs,
+            model=model,
+            dim=dim,
+            max_seq_len=max_seq_len,
+            text_col=text_col,
+            id_col=id_col,
+        )
+
     if backend == "hf":
         _require_hf()  # raises unless torch+transformers are installed
         from ..sources.tables import spread_small_input

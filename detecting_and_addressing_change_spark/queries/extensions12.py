@@ -10,7 +10,9 @@ now predicts the cliff BEFORE paying for it and routes around it.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from ..functions.rounding import portable_round
 from ..sources.tables import load_table
 from .registry import query
 
@@ -182,3 +184,53 @@ def x91(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return minhash_recall_audit(docs, threshold=0.5, sample_pct=_X91_PCT)
+
+
+# --------------------------------------------------------------------------
+# X92 — mini-transformer embedding (operators/transformer.py): the full
+# attention-encoder forward (sinusoidal positions, pre-LN multi-head
+# softmax attention, GELU FFN, residuals) under deterministic hash
+# weights, mean-pooled per document. Softmax attention has no sane SQL
+# form, so the oracle is a GENERATED LITERAL (x42/q61 precedent): an
+# independent pure-Python replication of the forward computes the sf0.01
+# expected values (tools/gen_golden_oracles.py), pinned to the driver's
+# compare scale. The doc_id % 7 sample keeps the literal compact while
+# still exercising truncation (max words 99 > max_seq_len 64).
+# --------------------------------------------------------------------------
+def _x92_oracle() -> str:
+    from ._golden_oracles import X92_TRANSFORMER_ORACLE
+
+    return X92_TRANSFORMER_ORACLE
+
+
+@query("x92_transformer_embed", oracle=_x92_oracle())
+def x92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3/U7 to this environment's limit: contextual token states from
+    the deterministic numpy attention encoder (embed_documents
+    backend='mini'), float32-stored like every embedding in the engine,
+    mean-pooled and rounded portably. Valid at the driver's sf=0.01
+    (literal oracle). At 100 TB the pass is shuffle-free mapInPandas
+    with weights rederived executor-side from the hash construction —
+    the same scale shape as the hash embedder, plus O(seq^2 * d) per-doc
+    attention (seq capped at 64 here; a deployment sizes the cap to its
+    own latency budget)."""
+    from ..functions.arrays import mean_pool_col
+    from ..operators.embedder import embed_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 0
+    )
+    emb = embed_documents(
+        docs, model="MINI", dim=8, max_seq_len=64, backend="mini"
+    )
+    pooled = emb.select(
+        "doc_id", "seq_len", mean_pool_col(F.col("tokens")).alias("p")
+    )
+    return pooled.select(
+        "doc_id",
+        F.col("seq_len").cast("int").alias("seq_len"),
+        *[
+            portable_round(F.col("p")[j], 4).alias(f"e{j}")
+            for j in range(8)
+        ],
+    )

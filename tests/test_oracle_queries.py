@@ -19,6 +19,7 @@ SF_PINNED = {
     "x42_pca_project": "/root/testdata/sf0.01",
     "q61_mapping_experiment": "/root/testdata/sf0.01",
     "x68_bpe_merges": "/root/testdata/sf0.01",
+    "x92_transformer_embed": "/root/testdata/sf0.01",
 }
 
 

@@ -182,8 +182,42 @@ def golden_q61() -> list[tuple[int, str, float]]:
 
 
 # --------------------------------------------------------------------------
-# Rendering + self-check + write
+# x92: mini-transformer golden — the attention encoder forward via the
+# INDEPENDENT pure-Python replication (encoder_forward_pure: lists + math
+# module, no numpy in the forward), float32 storage round-trip, mean pool
+# folding left-to-right, 4dp portable rounding. Softmax attention has no
+# sane SQL form, hence the literal oracle (same contract as x42/q61).
 # --------------------------------------------------------------------------
+def golden_x92() -> list[tuple]:
+    from detecting_and_addressing_change_spark.operators.embedder import (
+        hash_embed_tokens,
+    )
+    from detecting_and_addressing_change_spark.operators.transformer import (
+        MiniTransformerWeights,
+        encoder_forward_pure,
+    )
+
+    dim, max_seq = 8, 64
+    ws = MiniTransformerWeights.init_hash(dim, n_layers=2, n_heads=2, d_ff=16)
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    doc_ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    memo: dict[str, list[float]] = {}
+    out = []
+    for d, txt in zip(doc_ids, texts):
+        if int(d) % 7 != 0:
+            continue
+        toks = hash_embed_tokens(txt or "", "MINI", dim, max_seq, memo)
+        states = encoder_forward_pure(ws, toks)
+        acc = [0.0] * dim
+        for row in states:
+            for j in range(dim):
+                # engine stores token states as float32; pooling casts back
+                acc[j] = acc[j] + float(np.float32(row[j]))
+        pooled = [_round_n(a / len(states), 4) for a in acc]
+        out.append((int(d), len(states), *pooled))
+    out.sort(key=lambda r: r[0])
+    return out
 def _dstr(v: float) -> str:
     """String-cast double literal: DuckDB's strtod is correctly rounded, so
     '<repr>'::DOUBLE reproduces the exact double for any repr output."""
@@ -210,6 +244,26 @@ def render_q61(rows) -> str:
         "FROM (VALUES\n  "
         + vals
         + "\n) AS t(seq_id, stream, accuracy)"
+    )
+
+
+def render_x92(rows) -> str:
+    vals = ",\n  ".join(
+        "(" + str(r[0]) + ", " + str(r[1]) + ", "
+        + ", ".join(_dstr(v) for v in r[2:])
+        + ")"
+        for r in rows
+    )
+    cols = ", ".join(f"e{j}" for j in range(8))
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(seq_len AS INT) AS seq_len, "
+        + cols
+        + " FROM (VALUES\n  "
+        + vals
+        + "\n) AS t(doc_id, seq_len, "
+        + cols
+        + ")"
     )
 
 
@@ -243,11 +297,31 @@ def spark_check(x42_rows, q61_rows) -> None:
     spark.stop()
 
 
+def spark_check_x92(x92_rows) -> None:
+    from detecting_and_addressing_change_spark.queries import QUERIES
+    from detecting_and_addressing_change_spark.session import get_spark
+
+    spark = get_spark(app_name="golden-check-x92")
+    spark.sparkContext.setLogLevel("ERROR")
+    got = sorted(
+        tuple(r) for r in QUERIES["x92_transformer_embed"](
+            spark, SF_DIR
+        ).collect()
+    )
+    assert len(got) == len(x92_rows), (len(got), len(x92_rows))
+    mism = [(a, b) for a, b in zip(got, sorted(x92_rows)) if a != b]
+    assert not mism, f"x92 golden mismatch: {mism[:5]}"
+    print(f"x92 self-check OK ({len(got)} rows)")
+    spark.stop()
+
+
 def main() -> None:
     x42_rows = golden_x42()
     q61_rows = golden_q61()
+    x92_rows = golden_x92()
     if "--no-spark-check" not in sys.argv:
         spark_check(x42_rows, q61_rows)
+        spark_check_x92(x92_rows)
     out_path = os.path.join(
         REPO,
         "detecting_and_addressing_change_spark",
@@ -258,15 +332,18 @@ def main() -> None:
         f.write(
             '"""GENERATED by tools/gen_golden_oracles.py — do not edit.\n'
             "\n"
-            "Literal DuckDB oracles for the two queries whose core math\n"
-            "(SVD) has no portable SQL form. Values come from an\n"
-            "independent numpy implementation over the sf0.01 parquet\n"
-            "(see the generator for the exact replication contract);\n"
-            "valid ONLY at the driver's compare scale sf=0.01.\n"
+            "Literal DuckDB oracles for the queries whose core math (SVD;\n"
+            "softmax attention) has no portable SQL form. Values come from\n"
+            "an independent numpy / pure-Python implementation over the\n"
+            "sf0.01 parquet (see the generator for the exact replication\n"
+            "contract); valid ONLY at the driver's compare scale sf=0.01.\n"
             '"""\n\n'
         )
         f.write(f"X42_PCA_ORACLE = '''\n{render_x42(x42_rows)}\n'''\n\n")
-        f.write(f"Q61_MAPPING_ORACLE = '''\n{render_q61(q61_rows)}\n'''\n")
+        f.write(f"Q61_MAPPING_ORACLE = '''\n{render_q61(q61_rows)}\n'''\n\n")
+        f.write(
+            f"X92_TRANSFORMER_ORACLE = '''\n{render_x92(x92_rows)}\n'''\n"
+        )
     print(f"wrote {out_path}")
 
 
