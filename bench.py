@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "x90_adaptive_similarity_join",
     "x91_sampled_recall_audit",
     "x92_transformer_embed",
+    "x93_winsorize_approx_audit",
 ]
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.rounding import portable_round
+from ..functions.rounding import portable_round, portable_round_sql
 from ..sources.tables import load_table
 from .registry import query
 
@@ -233,4 +233,134 @@ def x92(spark: SparkSession, sf_dir: str) -> DataFrame:
             portable_round(F.col("p")[j], 4).alias(f"e{j}")
             for j in range(8)
         ],
+    )
+
+
+# --------------------------------------------------------------------------
+# X93 — approx_percentile accuracy attestation (VERDICT r7 #5): x56
+# documents approx_percentile as the 100 TB swap-in and plan-asserts the
+# identical two-pass shape, but the approximate path's ACCURACY was never
+# driver-checked. The sketch's raw outputs are engine-specific (Spark's
+# GK summary has no DuckDB twin) and value-space envelopes conflate
+# interpolation conventions, so the check runs in RANK space — the
+# sketch's actual contract: the returned value's rank span
+# [count(x < v), count(x <= v)] must come within rank_tol = n/accuracy +
+# 2 of the target rank p*n (the documented 1/accuracy guarantee plus two
+# ranks of discretization/convention slack — approx returns a data
+# element, exact percentile interpolates). The approx-clamped mean must
+# sit within the theorem bound 2 * (affected fraction) * (bound shift).
+# The oracle recomputes the exact stats and pins the verdicts at TRUE —
+# a hash match certifies the guarantee HELD on this data, whatever
+# partitioning the sketch merged under (the verdicts, unlike the sketch
+# values, are partition-invariant).
+# --------------------------------------------------------------------------
+_X93_ACC = 10_000
+
+_X93_ORACLE = f"""
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.01) AS p1,
+             quantile_cont(l_extendedprice, 0.99) AS p99
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    w AS (
+      SELECT l.l_returnflag,
+             LEAST(GREATEST(l.l_extendedprice::DOUBLE, b.p1), b.p99) AS v
+      FROM lineitem l JOIN b USING (l_returnflag)
+    )
+    SELECT w.l_returnflag,
+           CAST(COUNT(*) AS INT) AS n,
+           {portable_round_sql('ANY_VALUE(b.p1)', 4)} AS p1,
+           {portable_round_sql('ANY_VALUE(b.p99)', 4)} AS p99,
+           {portable_round_sql('SUM(w.v) / COUNT(*)', 4)} AS w_mean,
+           TRUE AS p1_in_envelope,
+           TRUE AS p99_in_envelope,
+           TRUE AS w_mean_dev_ok
+    FROM w JOIN b ON b.l_returnflag = w.l_returnflag
+    GROUP BY w.l_returnflag
+"""
+
+
+@query("x93_winsorize_approx_audit", oracle=_X93_ORACLE)
+def x93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy audit of the winsorization family's 100 TB path
+    (extensions7.winsorized_stats(approx=True)): per group, each
+    approx_percentile bound's exact rank span is checked against the
+    target rank within rank_tol = n/accuracy + 2, and the approx-clamped
+    mean against the derived deviation bound — all computed in-engine,
+    reported as partition-invariant verdicts alongside the exact
+    stats."""
+    from .extensions7 import winsorized_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact_b = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("p1"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    )
+    appx = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"approx_percentile(l_extendedprice, array(0.01, 0.99), "
+            f"{_X93_ACC})"
+        ).alias("ps")
+    ).select(
+        "l_returnflag",
+        F.col("ps")[0].cast("double").alias("p1a"),
+        F.col("ps")[1].cast("double").alias("p99a"),
+    )
+    x = F.col("l_extendedprice").cast("double")
+    ranks = (
+        li.join(F.broadcast(appx), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("nn"),
+            F.sum((x < F.col("p1a")).cast("long")).alias("lt1"),
+            F.sum((x <= F.col("p1a")).cast("long")).alias("le1"),
+            F.sum((x < F.col("p99a")).cast("long")).alias("lt99"),
+            F.sum((x <= F.col("p99a")).cast("long")).alias("le99"),
+        )
+    )
+    we = winsorized_stats(li, approx=False).select(
+        "l_returnflag", "n", F.col("w_mean").alias("wm_e")
+    )
+    wa = winsorized_stats(li, approx=True, accuracy=_X93_ACC).select(
+        "l_returnflag", F.col("w_mean").alias("wm_a")
+    )
+    j = (
+        exact_b.join(appx, "l_returnflag")
+        .join(ranks, "l_returnflag")
+        .join(we, "l_returnflag")
+        .join(wa, "l_returnflag")
+    )
+    rank_tol = F.col("nn") / _X93_ACC + F.lit(2.0)
+
+    def rank_ok(lt, le, p):
+        target = F.lit(p) * F.col("nn")
+        # the value's rank span [lt, le] must reach within rank_tol of the
+        # target rank
+        return (F.col(lt) <= target + rank_tol) & (
+            F.col(le) >= target - rank_tol
+        )
+
+    # affected fraction per side <= p + rank_tol/n (~0.012), so the
+    # clamped-mean deviation is bounded by 2% of the total bound shift
+    # (w_mean values are 4dp-rounded -> 2e-4 slack)
+    dev_bound = (
+        F.lit(0.02)
+        * (
+            F.abs(F.col("p1a") - F.col("p1"))
+            + F.abs(F.col("p99a") - F.col("p99"))
+        )
+        + F.lit(2e-4)
+    )
+    return j.select(
+        "l_returnflag",
+        "n",
+        portable_round(F.col("p1"), 4).alias("p1"),
+        portable_round(F.col("p99"), 4).alias("p99"),
+        portable_round(F.col("wm_e"), 4).alias("w_mean"),
+        rank_ok("lt1", "le1", 0.01).alias("p1_in_envelope"),
+        rank_ok("lt99", "le99", 0.99).alias("p99_in_envelope"),
+        (F.abs(F.col("wm_a") - F.col("wm_e")) <= dev_bound).alias(
+            "w_mean_dev_ok"
+        ),
     )

@@ -214,3 +214,36 @@ def detect_drift_stream_tws(
         outputMode="append",
         timeMode="none",
     )
+
+
+def detect_drift_stream_auto(
+    stream_df: DataFrame,
+    detector_col: str = "detector_id",
+    seq_col: str = "seq_id",
+    error_col: str = "error",
+    min_num_instances: int = 30,
+    warning_level: float = 2.0,
+    out_control_level: float = 3.0,
+    prefer_tws: bool = True,
+) -> DataFrame:
+    """Capability-probed streaming-DDM entry point (VERDICT r7 #8): picks
+    ``transformWithStateInPandas`` (the Spark 4.x stateful API — typed
+    ValueState, init/close lifecycle) when the runtime can actually run it
+    (``tws_available()``: google.protobuf present), else the
+    ``applyInPandasWithState`` twin. The two paths are parity-pinned to
+    the same bit-exact DDM kernel (tests/test_streaming.py), so a
+    protobuf-equipped deployment gets the newer API with NO code change
+    and an environment like this container silently keeps the portable
+    path. ``prefer_tws=False`` forces the applyInPandasWithState path
+    (for A/B-ing state backends)."""
+    kwargs = dict(
+        detector_col=detector_col,
+        seq_col=seq_col,
+        error_col=error_col,
+        min_num_instances=min_num_instances,
+        warning_level=warning_level,
+        out_control_level=out_control_level,
+    )
+    if prefer_tws and tws_available():
+        return detect_drift_stream_tws(stream_df, **kwargs)
+    return detect_drift_stream(stream_df, **kwargs)

@@ -704,3 +704,26 @@ def test_x72_fleet_streams_with_restart_parity(spark):
     assert len(seen) == len(batch) == n_buckets * 3
     for key, val in seen.items():
         assert batch[key] == val, key
+
+
+def test_auto_selection_routes_by_capability(monkeypatch):
+    """detect_drift_stream_auto picks the TWS path iff the runtime probe
+    passes (and prefer_tws is set); no Spark session needed — routing is
+    decided before any plan is built."""
+    from detecting_and_addressing_change_spark.streaming import ddm_stream
+
+    calls = []
+    monkeypatch.setattr(
+        ddm_stream, "detect_drift_stream_tws",
+        lambda df, **kw: calls.append("tws"),
+    )
+    monkeypatch.setattr(
+        ddm_stream, "detect_drift_stream",
+        lambda df, **kw: calls.append("apiws"),
+    )
+    monkeypatch.setattr(ddm_stream, "tws_available", lambda: True)
+    ddm_stream.detect_drift_stream_auto(None)
+    monkeypatch.setattr(ddm_stream, "tws_available", lambda: False)
+    ddm_stream.detect_drift_stream_auto(None)
+    ddm_stream.detect_drift_stream_auto(None, prefer_tws=False)
+    assert calls == ["tws", "apiws", "apiws"]
