@@ -26,6 +26,15 @@ REPRESENTATIVE = [
     "x85_hll_distinct",
     "x86_join_size_estimate",
     "x89_hll_rollup",
+    # round-8 families: the routing decision + both routes' pair-set
+    # fingerprints, the hash-sampled audit, the attention-encoder
+    # forward, and the rank-space approx-percentile verdicts (the last
+    # is the one place an ENGINE-nondeterministic sketch value feeds the
+    # output — the verdicts must absorb it)
+    "x90_adaptive_similarity_join",
+    "x91_sampled_recall_audit",
+    "x92_transformer_embed",
+    "x93_winsorize_approx_audit",
 ]
 
 

@@ -414,3 +414,77 @@ def test_hll_rollup_reuses_register_machinery(spark):
     s = explain_str(QUERIES["x89_hll_rollup"](spark, SF_SMOKE))
     assert "CartesianProduct" not in s
     assert s.count("Expand") <= 1  # exact_distinct only
+
+
+def test_adaptive_join_minhash_route_plan(spark):
+    """x90's fallback route: candidates must only ever meet through the
+    (band, bucket) equi-join — no cartesian/nested-loop — and the
+    tokenized corpus is still checkpoint-materialized for the verifier."""
+    from detecting_and_addressing_change_spark.operators.setjoin import (
+        adaptive_jaccard_join,
+    )
+    from detecting_and_addressing_change_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pairs, info = adaptive_jaccard_join(docs, route="minhash")
+    s = explain_str(pairs)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "Scan ExistingRDD" in s  # checkpointed toks feeds the verifier
+    assert info["route"] == "minhash" and info["candidate_volume"] > 0
+
+
+def test_candidate_volume_is_one_aggregate(spark):
+    """The pre-flight estimate must not itself build the candidate join:
+    its plan is aggregates over the prefix postings (shuffle keys = token
+    / id), never a pair-producing join beyond the per-token counts."""
+    from detecting_and_addressing_change_spark.operators.setjoin import (
+        _prefix_table,
+        _tokenize,
+        ssjoin_candidate_volume,
+    )
+    from detecting_and_addressing_change_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    _, toks = _tokenize(docs, "text", "doc_id", 3)
+    vol = ssjoin_candidate_volume(
+        _prefix_table(toks, "doc_id", 0.5), "doc_id"
+    )
+    s = explain_str(vol)
+    assert "CartesianProduct" not in s
+    # the estimate's plan ends in aggregates over the prefix postings
+    # (the ca/cb per-token counts then their product-sum) — its join
+    # inputs are the PER-TOKEN aggregated sides, bounded by vocabulary,
+    # never the pair-producing prefix self-join it predicts: the a-side
+    # probe-filter/b-side full-prefix SELF-join pattern ("__pr") must be
+    # absent, while the prefix window machinery is present
+    assert "HashAggregate" in s and "Window" in s
+    # volume never instantiates probe-vs-index PAIR rows: the candidate
+    # join's output columns must not exist anywhere in this plan
+    assert "a_id" not in s and "b_id" not in s
+
+
+def test_transformer_embed_plan_is_narrow(spark):
+    """x92: one mapInPandas over the (spread) scan; no shuffle beyond the
+    spread repartition, no joins — the embedding pass must scale like a
+    map."""
+    s = explain_str(QUERIES["x92_transformer_embed"](spark, SF_SMOKE))
+    assert "MapInPandas" in s
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in s
+    # ONE Exchange (the spread_small_input repartition) — formatted
+    # explain lists every node twice (tree + numbered detail)
+    assert s.count("Exchange") <= 2
+
+
+def test_winsorize_audit_broadcasts_bounds(spark):
+    """x93: every bounds/verdict table joined back onto the fact scan is
+    group-cardinality-small and must broadcast; the lineitem scan must
+    never be cartesian-joined or shuffled for the rank counts."""
+    s = explain_str(QUERIES["x93_winsorize_approx_audit"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
