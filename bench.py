@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "x91_sampled_recall_audit",
     "x92_transformer_embed",
     "x93_winsorize_approx_audit",
+    "x94_ivf_index_lifecycle",
 ]
 
 

@@ -378,3 +378,98 @@ def x93(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w_mean_dev_ok"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# X94 — persisted IVF index lifecycle, driver-attested end-to-end: build
+# the index on the base corpus (vec_id % 10 != 9), APPEND the rest against
+# the frozen coarse quantizer, then search — the x59 scoring contract over
+# a disk layout whose probe is a partition-pruned scan. The oracle replays
+# the quantized Lloyd's fit on the BASE corpus only (the new fit_where
+# parameter of the x58/x59 CTE machinery) and assigns the FULL corpus to
+# the frozen centroids, so hash equality proves append-then-search ==
+# rebuild-with-same-centroids, including the appended vectors landing in
+# the same cells the oracle computes. (Until round 8 the persisted
+# lifecycle was property-tested only; this puts a driver row on it.)
+# --------------------------------------------------------------------------
+def _x94_oracle() -> str:
+    from .extensions8 import N_CENTROIDS, N_ITER, _kmeans_ctes
+
+    return f"""
+    WITH {_kmeans_ctes(N_CENTROIDS, N_ITER, fit_where="WHERE vec_id % 10 <> 9")},
+    q AS (
+      SELECT vec_id AS query_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY dist, cent_id) AS r
+        FROM dF WHERE vec_id BETWEEN 100 AND 109) t
+      WHERE r <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, a.vec_id AS cand_id
+      FROM q JOIN aF a ON q.cell = a.cell AND a.vec_id <> q.query_id
+    ),
+    ex AS (
+      SELECT vec_id, GENERATE_SUBSCRIPTS(emb, 1) AS d, UNNEST(emb) AS v
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    ),
+    norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    dots AS (
+      SELECT cand.query_id, cand.cand_id, SUM(a.v * b.v) AS dot
+      FROM cand
+      JOIN ex a ON a.vec_id = cand.query_id
+      JOIN ex b ON b.vec_id = cand.cand_id AND a.d = b.d
+      GROUP BY cand.query_id, cand.cand_id
+    ),
+    scored AS (
+      SELECT query_id, cand_id, dot / (nq.nrm * nc.nrm) AS cos_raw
+      FROM dots
+      JOIN norms nq ON query_id = nq.vec_id
+      JOIN norms nc ON cand_id = nc.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, cos_raw,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_raw DESC, cand_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, cand_id,
+           FLOOR(cos_raw * 10000.0 + 0.5) / 10000.0 AS cosine,
+           CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+"""
+
+
+@query("x94_ivf_index_lifecycle", oracle=_x94_oracle())
+def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF lifecycle (operators/ivf_index.py): build on the
+    base corpus, append the held-out vectors against the FROZEN coarse
+    quantizer (the standard IVF operating mode — centroids refit rarely,
+    postings grow continuously), search queries 100-109 at k=3/nprobe=2.
+    The probe-cell set is pushed into the postings read as a partition
+    filter (plan-pinned in tests/test_ivf_index.py), so at 100 TB a
+    search reads nprobe/k of the corpus, and append writes only the
+    touched cell partitions."""
+    from ..operators.ivf_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_index_search,
+    )
+    from .extensions8 import N_CENTROIDS, N_ITER
+    from .extensions10 import _scratch_index_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _scratch_index_dir(spark, "ivf94_")
+    cents = build_ivf_index(
+        emb.filter(F.col("vec_id") % 10 != 9),
+        path,
+        n_centroids=N_CENTROIDS,
+        n_iter=N_ITER,
+    )
+    append_to_ivf_index(
+        emb.filter(F.col("vec_id") % 10 == 9), path, centroids=cents
+    )
+    qs = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") <= 109)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_index_search(spark, path, qs, k=3, nprobe=2)

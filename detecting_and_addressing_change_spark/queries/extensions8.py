@@ -20,11 +20,20 @@ N_CENTROIDS = 8
 N_ITER = 3
 
 
-def _kmeans_ctes(n_centroids: int, n_iter: int) -> str:
+def _kmeans_ctes(
+    n_centroids: int, n_iter: int, fit_where: str = ""
+) -> str:
     """WITH-clause body replaying kmeans_fit: exq (quantized long format),
     c0 (seed = first k vectors), then per iteration distance/assign/update
     CTEs. Leaves ``c{n_iter}`` as the final centroids and defines
-    ``dF``/``aF`` as the final-assignment pass."""
+    ``dF``/``aF`` as the final-assignment pass.
+
+    ``fit_where`` (e.g. ``"WHERE vec_id % 10 <> 9"``) restricts the FIT
+    corpus only — the x94 persisted-index lifecycle shape, where centroids
+    freeze on the base corpus and the final assignment (dF/aF) covers the
+    full table including appended vectors. Default keeps the historical
+    single-corpus text byte-identical."""
+    fit_src = "exq"
     parts = [
         """exq AS (
       SELECT vec_id, d, CAST(FLOOR(v * 1000.0 + 0.5) AS BIGINT) AS qv
@@ -33,8 +42,17 @@ def _kmeans_ctes(n_centroids: int, n_iter: int) -> str:
         FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
       )
     )""",
+    ]
+    if fit_where:
+        fit_src = "exfit"
+        parts.append(
+            f"""exfit AS (
+      SELECT * FROM exq {fit_where}
+    )"""
+        )
+    parts += [
         f"""c0 AS (
-      SELECT vec_id AS cent_id, d, qv AS qc FROM exq
+      SELECT vec_id AS cent_id, d, qv AS qc FROM {fit_src}
       WHERE vec_id < {n_centroids}
     )""",
     ]
@@ -43,7 +61,7 @@ def _kmeans_ctes(n_centroids: int, n_iter: int) -> str:
             f"""d{i} AS (
       SELECT x.vec_id, c.cent_id,
              SUM((x.qv - c.qc) * (x.qv - c.qc)) AS dist
-      FROM exq x JOIN c{i - 1} c ON x.d = c.d
+      FROM {fit_src} x JOIN c{i - 1} c ON x.d = c.d
       GROUP BY x.vec_id, c.cent_id
     )"""
         )
@@ -60,7 +78,7 @@ def _kmeans_ctes(n_centroids: int, n_iter: int) -> str:
         parts.append(
             f"""s{i} AS (
       SELECT a.cell, x.d, SUM(x.qv) AS s, COUNT(*) AS n
-      FROM a{i} a JOIN exq x ON a.vec_id = x.vec_id
+      FROM a{i} a JOIN {fit_src} x ON a.vec_id = x.vec_id
       GROUP BY a.cell, x.d
     )"""
         )
