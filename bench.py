@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "x92_transformer_embed",
     "x93_winsorize_approx_audit",
     "x94_ivf_index_lifecycle",
+    "x95_ivf_occupancy_audit",
 ]
 
 

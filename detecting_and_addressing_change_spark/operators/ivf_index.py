@@ -105,6 +105,92 @@ def append_to_ivf_index(
     )
 
 
+def compact_ivf_index(
+    spark: SparkSession,
+    path: str,
+    max_files_per_cell: int = 1,
+    id_col: str = "vec_id",
+) -> int:
+    """Small-file maintenance after incremental appends: each cell whose
+    posting-file count exceeds ``max_files_per_cell`` is rewritten
+    consolidated (coalesce — no shuffle; sorted by id for zone-map
+    locality) and swapped in via the shared surgical-partition protocol
+    (``index_commit.swap_partition`` — same crash-safety as deletion:
+    every cell is old or new, both complete, at every instant; an
+    interrupted run resumes via the recovery pass). Cells already compact
+    are never read or written. Returns the number of cells rewritten.
+
+    This is the ``sinks/parquet.compact`` idea applied per-partition with
+    commit fencing — the maintenance pass a continuously-appended 100 TB
+    index needs so probe-side task counts stay ~max_files_per_cell per
+    probed cell instead of growing with append history."""
+    import os
+    import shutil
+
+    from .index_commit import recover_partition_swaps, swap_partition
+
+    live_root = f"{path}/postings"
+    staging = f"{path}/.staging_compact"
+    recover_partition_swaps(live_root, staging)
+    rewritten = 0
+    for entry in sorted(os.listdir(live_root)):
+        if not entry.startswith("cell="):
+            continue
+        cell_dir = os.path.join(live_root, entry)
+        n_files = sum(
+            1 for f in os.listdir(cell_dir) if f.endswith(".parquet")
+        )
+        if n_files <= max_files_per_cell:
+            continue
+        (
+            spark.read.parquet(cell_dir)
+            .coalesce(max_files_per_cell)
+            .sortWithinPartitions(id_col)
+            .write.mode("overwrite")
+            .parquet(os.path.join(staging, entry))
+        )
+        swap_partition(live_root, staging, entry)
+        rewritten += 1
+    shutil.rmtree(staging, ignore_errors=True)
+    return rewritten
+
+
+def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
+    """DataFrame[cell, n_vectors]: per-cell occupancy of a persisted
+    index — the monitoring input for the refit decision (see
+    ``ivf_refit_needed``). One column-pruned aggregate over the postings;
+    never touches vectors."""
+    return (
+        spark.read.parquet(f"{path}/postings")
+        .groupBy("cell")
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+    )
+
+
+def ivf_refit_needed(
+    spark: SparkSession, path: str, skew_threshold: float = 4.0
+) -> tuple[bool, dict]:
+    """The refit decision the append docstring defers to monitoring, made
+    concrete: occupancy skew = max cell size / mean cell size (mean over
+    ALL k centroids, so emptied cells raise it). Above
+    ``skew_threshold``, the frozen quantizer no longer matches the data
+    distribution — probes of hot cells scan far more than nprobe/k of
+    the corpus — and a refit+rebuild pays for itself. Driver-side cost:
+    one k-row aggregate. Returns (verdict, stats)."""
+    rows = ivf_cell_stats(spark, path).collect()
+    k = len(load_ivf_centroids(spark, path))
+    total = sum(int(r["n_vectors"]) for r in rows)
+    mx = max((int(r["n_vectors"]) for r in rows), default=0)
+    # exact integer comparison: mx/(total/k) > thr  <=>  mx*k > thr*total
+    verdict = total > 0 and mx * k > skew_threshold * total
+    return verdict, {
+        "k": k,
+        "total": total,
+        "max_cell": mx,
+        "skew": (mx * k / total) if total else 0.0,
+    }
+
+
 def load_ivf_centroids(
     spark: SparkSession, path: str
 ) -> list[tuple[int, list[int]]]:

@@ -473,3 +473,70 @@ def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") >= 100) & (F.col("vec_id") <= 109)
     ).select(F.col("vec_id").alias("query_id"), "embedding")
     return ivf_index_search(spark, path, qs, k=3, nprobe=2)
+
+
+# --------------------------------------------------------------------------
+# X95 — IVF occupancy audit + refit verdict: the monitoring half of the
+# persisted index's operating contract. append_to_ivf_index freezes the
+# coarse quantizer and documents "refit when occupancy skews"; x95 makes
+# that decision auditable — per-cell occupancy shares plus the skew
+# metric (max cell / mean cell over all k centroids) and the refit
+# verdict as an EXACT integer comparison (max*k > thr*total), so the
+# oracle pins the decision itself, not just the inputs. At 100 TB this
+# is one column-pruned k-row aggregate over the postings — the cheapest
+# health check an index can have.
+# --------------------------------------------------------------------------
+_X95_SKEW_THR = 2  # integer threshold -> exact cross-engine comparison
+
+
+def _x95_oracle() -> str:
+    from .extensions8 import N_CENTROIDS, N_ITER, _kmeans_ctes
+
+    return f"""
+    WITH {_kmeans_ctes(N_CENTROIDS, N_ITER)},
+    occ AS (SELECT cell, COUNT(*) AS n FROM aF GROUP BY cell),
+    tot AS (SELECT SUM(n) AS total, MAX(n) AS mx FROM occ)
+    SELECT CAST(o.cell AS INT) AS cell,
+           CAST(o.n AS BIGINT) AS n_vectors,
+           FLOOR(CAST(o.n AS DOUBLE) / t.total * 10000.0 + 0.5) / 10000.0
+             AS share,
+           FLOOR(CAST(t.mx * {N_CENTROIDS} AS DOUBLE) / t.total
+                 * 10000.0 + 0.5) / 10000.0 AS skew,
+           t.mx * {N_CENTROIDS} > {_X95_SKEW_THR} * t.total AS refit_needed
+    FROM occ o, tot t
+"""
+
+
+@query("x95_ivf_occupancy_audit", oracle=_x95_oracle())
+def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy audit of a freshly built persisted IVF index
+    (operators/ivf_index.py::ivf_cell_stats + the ivf_refit_needed
+    metric): per-cell vector counts, corpus share, the max/mean skew
+    over all k centroids, and the refit verdict via exact integer
+    arithmetic. The threshold (2x mean) is demonstration-tight so the
+    verdict is data-driven rather than vacuously false."""
+    from ..operators.ivf_index import build_ivf_index, ivf_cell_stats
+    from .extensions8 import N_CENTROIDS, N_ITER
+    from .extensions10 import _scratch_index_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _scratch_index_dir(spark, "ivf95_")
+    build_ivf_index(emb, path, n_centroids=N_CENTROIDS, n_iter=N_ITER)
+    stats = ivf_cell_stats(spark, path)
+    tot = stats.agg(
+        F.sum("n_vectors").alias("total"), F.max("n_vectors").alias("mx")
+    )
+    return stats.crossJoin(F.broadcast(tot)).select(
+        F.col("cell").cast("int").alias("cell"),
+        "n_vectors",
+        portable_round(
+            F.col("n_vectors").cast("double") / F.col("total"), 4
+        ).alias("share"),
+        portable_round(
+            (F.col("mx") * N_CENTROIDS).cast("double") / F.col("total"), 4
+        ).alias("skew"),
+        (
+            F.col("mx") * N_CENTROIDS
+            > F.lit(_X95_SKEW_THR) * F.col("total")
+        ).alias("refit_needed"),
+    )

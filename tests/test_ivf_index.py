@@ -224,3 +224,102 @@ def test_delete_is_surgical_and_equals_rebuild(spark, tmp_path):
     assert as_set(
         ivf_index_search(spark, path, queries, k=3, nprobe=2)
     ) == as_set(want)
+
+
+def test_compaction_shrinks_files_and_preserves_results(spark, tmp_path):
+    """After several appends a cell holds one file set per append;
+    compact_ivf_index consolidates every over-limit cell via the shared
+    crash-safe swap and search results are byte-identical."""
+    import os
+
+    from detecting_and_addressing_change_spark.operators.ivf_index import (
+        append_to_ivf_index,
+        compact_ivf_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "idx")
+    cents = build_ivf_index(emb.filter(F.col("vec_id") % 3 == 0), path)
+    for m in (1, 2):
+        append_to_ivf_index(
+            emb.filter(F.col("vec_id") % 3 == m), path, centroids=cents
+        )
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before = sorted(
+        map(tuple, ivf_index_search(spark, path, qs, k=3, nprobe=2).collect())
+    )
+
+    def max_files():
+        root = f"{path}/postings"
+        return max(
+            sum(1 for f in os.listdir(f"{root}/{d}") if f.endswith(".parquet"))
+            for d in os.listdir(root)
+            if d.startswith("cell=")
+        )
+
+    assert max_files() > 1  # appends fragmented at least one cell
+    n = compact_ivf_index(spark, path)
+    assert n > 0
+    assert max_files() == 1
+    after = sorted(
+        map(tuple, ivf_index_search(spark, path, qs, k=3, nprobe=2).collect())
+    )
+    assert after == before
+    # idempotent: nothing left over the limit
+    assert compact_ivf_index(spark, path) == 0
+
+
+def test_compaction_recovers_stranded_cell(spark, tmp_path):
+    """A crash between compaction's two renames leaves the cell only in
+    staging; the next compact must recover it via the shared protocol
+    before doing anything else."""
+    import os
+    import shutil
+
+    from detecting_and_addressing_change_spark.operators.ivf_index import (
+        compact_ivf_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb, path)
+    root = f"{path}/postings"
+    cell = sorted(d for d in os.listdir(root) if d.startswith("cell="))[0]
+    n_before = spark.read.parquet(f"{root}/{cell}").count()
+    staging = f"{path}/.staging_compact"
+    shutil.copytree(f"{root}/{cell}", f"{staging}/{cell}")
+    with open(f"{staging}/{cell}/_SUCCESS", "w"):
+        pass
+    os.rename(f"{root}/{cell}", f"{staging}/trash_{cell}")  # crash point
+    compact_ivf_index(spark, path)
+    assert spark.read.parquet(f"{root}/{cell}").count() == n_before
+    assert not os.path.exists(staging)
+
+
+def test_refit_verdict_fires_on_skew(spark, tmp_path):
+    """ivf_refit_needed: False on the roughly-uniform fixture, True once
+    appends concentrate mass into one cell."""
+    from detecting_and_addressing_change_spark.operators.ivf_index import (
+        append_to_ivf_index,
+        ivf_refit_needed,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "idx")
+    cents = build_ivf_index(emb, path)
+    ok, stats = ivf_refit_needed(spark, path, skew_threshold=4.0)
+    assert not ok and stats["skew"] < 4.0
+    # pile duplicates of one existing vector into its cell until that
+    # cell holds over half the corpus (skew = max*k/total > 4 needs
+    # max > total/2 at k=8)
+    seed = emb.filter(F.col("vec_id") == 0)
+    for m in range(4):
+        clones = seed.crossJoin(spark.range(150)).select(
+            (F.lit(10_000 + m * 1000) + F.col("id")).alias("vec_id"),
+            "embedding",
+        )
+        append_to_ivf_index(clones, path, centroids=cents)
+    ok2, stats2 = ivf_refit_needed(spark, path, skew_threshold=4.0)
+    assert ok2 and stats2["skew"] > 4.0 > stats["skew"]
