@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "x93_winsorize_approx_audit",
     "x94_ivf_index_lifecycle",
     "x95_ivf_occupancy_audit",
+    "x96_approx_distinct_audit",
 ]
 
 

@@ -540,3 +540,46 @@ def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(_X95_SKEW_THR) * F.col("total")
         ).alias("refit_needed"),
     )
+
+
+# --------------------------------------------------------------------------
+# X96 — approx_count_distinct accuracy attestation: x85/x89 attest the
+# engine's OWN bit-reproducible HLL; this attests the BUILT-IN HLL++ a
+# Spark user reaches for first (the q13 swap-in at 100 TB). Its register
+# values are engine-internal, but its merge is MAX — deterministic and
+# partition-invariant — so the documented-rsd verdict is stable and the
+# oracle pins it TRUE next to the exact counts: a hash match certifies
+# the configured rsd held on this data under any partitioning.
+# --------------------------------------------------------------------------
+_X96_RSD = 0.05
+
+_X96_ORACLE = """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
+           TRUE AS within_rsd_bound
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("x96_approx_distinct_audit", oracle=_X96_ORACLE)
+def x96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group approx_count_distinct(rsd=0.05) scored against the exact
+    count, reported as the partition-invariant verdict
+    |approx - exact| <= 4 * rsd * exact (4 standard errors of the
+    documented relative standard deviation — the bound a planner relies
+    on when it substitutes the sketch for an exact distinct at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").cast("long").alias("exact_distinct"),
+        F.expr(
+            f"approx_count_distinct(l_orderkey, {_X96_RSD!r})"
+        ).cast("long").alias("apx"),
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_distinct",
+        (
+            F.abs(F.col("apx") - F.col("exact_distinct"))
+            <= F.lit(4.0 * _X96_RSD) * F.col("exact_distinct")
+        ).alias("within_rsd_bound"),
+    )

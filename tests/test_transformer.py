@@ -134,3 +134,45 @@ def test_embed_documents_backend_dispatch(spark):
     assert mini["seq_len"] == hashb["seq_len"] == 3
     # contextual states differ from the bag-of-words input vectors
     assert not np.allclose(mini["tokens"], hashb["tokens"])
+
+
+def test_mini_backend_feeds_standard_pipeline(spark):
+    """Seam compatibility beyond schema: contextual token states from the
+    mini encoder flow through the SAME pooling -> NB fit/predict chain
+    every hash-backend consumer uses, and the fitted model separates two
+    vocabularies-apart classes."""
+    from pyspark.sql import functions as F
+
+    from detecting_and_addressing_change_spark.functions.arrays import (
+        first_token_pool_col,
+    )
+    from detecting_and_addressing_change_spark.operators.embedder import (
+        embed_documents,
+    )
+    from detecting_and_addressing_change_spark.operators.nb import (
+        nb_fit, nb_predict,
+    )
+
+    rows = []
+    for i in range(24):
+        if i % 2 == 0:
+            rows.append(
+                (i, f"alpha beta gamma delta epsilon zeta doc{i}", 0)
+            )
+        else:
+            rows.append((i, f"omega psi chi phi upsilon tau doc{i}", 1))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    emb = embed_documents(docs, backend="mini", dim=8, max_seq_len=16)
+    # first-token (CLS-style) pooling: the final LayerNorm squeezes every
+    # position to the same scale, so MEAN pooling nearly cancels across
+    # documents — the contextual signal lives in individual positions
+    # (measured: cross-class distance 0.35 first-token vs 0.009 mean)
+    feats = emb.join(docs.select("doc_id", "label"), "doc_id").select(
+        "doc_id",
+        "label",
+        first_token_pool_col(F.col("tokens")).alias("features"),
+    )
+    model = nb_fit(feats, features_col="features", label_col="label")
+    pred = nb_predict(feats, model, features_col="features")
+    got = {r["doc_id"]: r["pred"] for r in pred.collect()}
+    assert all(got[i] == i % 2 for i in range(24))
