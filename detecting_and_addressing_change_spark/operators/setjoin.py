@@ -79,7 +79,6 @@ from .dedup import (
     collapse_exact,
     minhash_bands,
     minhash_candidate_pairs,
-    minhash_signatures,
 )
 
 
@@ -298,22 +297,36 @@ def prefix_jaccard_join(
 
 def _minhash_candidates(
     toks: DataFrame,
-    reps_text: DataFrame,
-    text_col: str,
     id_col: str,
-    shingle_size: int,
     num_hashes: int,
     rows_per_band: int,
     bucket_cap: int,
 ) -> DataFrame:
     """Guarded MinHash candidate pairs over the representatives, shaped
-    for ``_verify``: DataFrame[a_id, b_id, na, nb] (a_id < b_id by id)."""
-    sigs = minhash_signatures(
-        reps_text,
-        text_col=text_col,
-        id_col=id_col,
-        num_hashes=num_hashes,
-        shingle_size=shingle_size,
+    for ``_verify``: DataFrame[a_id, b_id, na, nb] (a_id < b_id by id).
+
+    Signatures come straight from the already-materialized ``toks``
+    table (the checkpointed distinct-shingle rows) instead of
+    ``dedup.minhash_signatures`` over the raw text: MIN over distinct
+    shingles equals MIN over all shingle occurrences, and the hash
+    formula below is ``minhash_signatures``'s exactly (one md5 per
+    shingle, Kirsch-Mitzenmacher h_j = (hx + j*hy) mod 2^32), so the
+    signatures are bit-identical — but the fallback route skips a second
+    corpus scan, the collapse window re-run, and the re-explode
+    (measured ~2 s of x90's sf0.1 cost)."""
+    from ..functions.hashing import M32, km_hash_pair_cols
+
+    hx, hy = km_hash_pair_cols(F.col("w"))
+    hashed = toks.select(
+        F.col(id_col), hx.alias("hx"), hy.alias("hy")
+    )
+    sigs = hashed.groupBy(id_col).agg(
+        *[
+            F.min((F.col("hx") + F.lit(j) * F.col("hy")) % F.lit(M32)).alias(
+                f"h{j}"
+            )
+            for j in range(num_hashes)
+        ]
     )
     bands = minhash_bands(
         sigs,
@@ -384,20 +397,8 @@ def adaptive_jaccard_join(
     if chosen == "exact":
         cand = _exact_candidates(prefix, id_col, threshold)
     else:
-        # re-derive the representatives' text for signing: keepers are the
-        # ids present in toks (collapse_exact keeps one per digest group)
-        reps_text = df.select(F.col(id_col), F.col(text_col)).join(
-            toks.select(id_col).distinct(), id_col, "semi"
-        )
         cand = _minhash_candidates(
-            toks,
-            reps_text,
-            text_col,
-            id_col,
-            shingle_size,
-            num_hashes,
-            rows_per_band,
-            bucket_cap,
+            toks, id_col, num_hashes, rows_per_band, bucket_cap
         )
     verified = _verify(toks, cand, threshold)
     pairs = chains.select(
