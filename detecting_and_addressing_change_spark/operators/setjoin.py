@@ -285,7 +285,13 @@ def prefix_jaccard_join(
     included at jaccard 1.0.
 
     ``threshold`` should be exactly representable in binary (0.5, 0.25,
-    0.75) so the >= comparison is engine-portable without rounding."""
+    0.75) so the >= comparison is engine-portable without rounding.
+
+    This is the always-exact, fully-lazy form. For production corpora of
+    unknown entropy use ``adaptive_jaccard_join`` (or check
+    ``ssjoin_candidate_volume`` first): it measures this join's candidate
+    volume BEFORE running it and routes around the low-entropy
+    super-linear regime documented in the module docstring."""
     chains, toks = _tokenize(df, text_col, id_col, shingle_size)
     prefix = _prefix_table(toks, id_col, threshold)
     cand = _exact_candidates(prefix, id_col, threshold)
