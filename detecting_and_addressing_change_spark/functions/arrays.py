@@ -89,7 +89,10 @@ def abs_max_pool_col(tokens: Column) -> Column:
 
 def first_token_pool_col(tokens: Column) -> Column:
     """R9 'first' pooling — the [CLS]-token convention
-    (adaptation/dataset.py:225-227 in reference)."""
+    (adaptation/dataset.py:225-227 in reference). This is the REQUIRED
+    pooling for ``embed_documents(backend='mini')`` states: their final
+    LayerNorm makes mean pooling nearly cancel across documents (see
+    operators/transformer.py's pooling caveat)."""
     return F.transform(F.element_at(tokens, 1), lambda x: x.cast("double"))
 
 

@@ -130,7 +130,11 @@ def embed_documents(
     if backend == "mini":
         # deterministic numpy attention encoder (operators/transformer.py)
         # — the transformer COMPUTE graph under hash weights; contextual
-        # token states where the hash backend is bag-of-words
+        # token states where the hash backend is bag-of-words.
+        # POOLING CAVEAT: pool 'mini' states with first_token_pool_col,
+        # not mean_pool_col — final-LayerNorm states nearly cancel under
+        # mean pooling (cross-class distance 0.009 mean vs 0.35 first-
+        # token; see operators/transformer.py module docstring).
         from .transformer import transformer_embed_documents
 
         return transformer_embed_documents(

@@ -103,19 +103,51 @@ def recover_table_swap(path: str, names: tuple[str, ...]) -> None:
         os.remove(marker)
 
 
+def _fsync_dir(path: str) -> None:
+    """Flush a directory's entry table so renames/creates inside it are
+    durable, not just ordered. Best-effort on filesystems that reject
+    directory fsync (the protocol still covers process crashes there)."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
 def commit_table_swap(path: str, names: tuple[str, ...]) -> None:
     """Swap fully-written ``<name>.new`` dirs in for every name, as one
-    all-or-nothing unit (marker-fenced), then drop the old layout."""
+    all-or-nothing unit (marker-fenced), then drop the old layout.
+
+    Durability ordering (ADVICE r8): the crash model includes power
+    loss, not just process death, so each fence is fsync'd before the
+    next step may proceed — (1) the marker file and its directory entry
+    BEFORE any rename (else the renames could persist while the marker
+    does not, and marker-less recovery would rmtree a committed
+    ``.new``, reopening the discarded-signature-GC window the marker
+    closes); (2) the renames BEFORE the marker can be removed (else the
+    marker's removal could persist while the renames do not, and
+    forward recovery would be skipped on a half-swapped layout)."""
     marker = os.path.join(path, _MARKER)
-    with open(marker, "w"):
-        pass
+    fd = os.open(marker, os.O_WRONLY | os.O_CREAT | os.O_TRUNC)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+    _fsync_dir(path)
     for name in names:
         live = os.path.join(path, name)
         os.rename(live, live + ".old")
         os.rename(live + ".new", live)
+    _fsync_dir(path)
     for name in names:
         shutil.rmtree(os.path.join(path, name) + ".old")
     os.remove(marker)
+    _fsync_dir(path)
 
 
 def recover_partition_swaps(live_root: str, staging: str) -> None:
@@ -139,6 +171,40 @@ def recover_partition_swaps(live_root: str, staging: str) -> None:
         else:
             os.rename(os.path.join(staging, entry), live)  # roll back
     shutil.rmtree(staging, ignore_errors=True)
+
+
+def recover_all_partition_swaps(
+    live_root: str, staging_parent: str | None = None
+) -> None:
+    """Recover partitions stranded by ANY interrupted mutation of
+    ``live_root``, whichever operation's staging dir holds them.
+
+    ADVICE r8 (medium): recovery used to be scoped per-operation —
+    compact swept only ``.staging_compact``, delete only
+    ``.staging_del`` — so a crash mid-compact left a partition absent
+    from the live table while every OTHER operation (and every read)
+    silently served the truncated index until another compact ran.
+    Mutations now open with this sweep over ALL ``.staging_*`` siblings,
+    and the read paths (``ivf_index_search``, ``ivf_cell_stats``) run it
+    too, so a crashed mutation is healed by the NEXT touch of the index,
+    not by the next run of the same operation.
+
+    ``staging_parent`` names the directory whose ``.staging_*`` children
+    to sweep; default is ``live_root`` itself (the curation-corpus
+    layout, which hides staging inside the partitioned table). The IVF
+    layout keeps staging beside ``postings/`` inside the index root —
+    pass that root explicitly. Never point this at a parent shared by
+    unrelated tables: a foreign staging dir would be recovered against
+    the wrong live root.
+
+    Same single-writer assumption as the rest of the protocol: the sweep
+    must not run concurrently with a live mutation on the same root."""
+    root = live_root if staging_parent is None else staging_parent
+    if not os.path.isdir(root):
+        return
+    for entry in sorted(os.listdir(root)):
+        if entry.startswith(".staging_"):
+            recover_partition_swaps(live_root, os.path.join(root, entry))
 
 
 def swap_partition(

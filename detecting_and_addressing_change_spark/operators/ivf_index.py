@@ -32,8 +32,19 @@ from pyspark.sql import functions as F
 
 from ..functions.arrays import cosine_col
 from ..functions.rounding import portable_round
+from .index_commit import recover_all_partition_swaps, swap_partition
 from .kmeans import kmeans_assign_col, kmeans_fit, kmeans_probe_cells_col
 from .similarity import quantize_col
+
+
+def _recover_postings(path: str) -> None:
+    """Heal any partition stranded by a crashed mutation — WHICHEVER
+    operation's staging dir holds it (ADVICE r8: per-operation recovery
+    let a crash mid-compact truncate the index for every other caller
+    until the next compact). Runs at the start of every postings
+    mutation AND before the read paths (search/stats), so the first
+    touch after a crash serves the complete index."""
+    recover_all_partition_swaps(f"{path}/postings", staging_parent=path)
 
 
 def build_ivf_index(
@@ -86,6 +97,7 @@ def append_to_ivf_index(
     with the same centroids (parity-tested). Re-fit + rebuild when the
     corpus distribution has drifted enough that cell occupancy skews —
     which is exactly what the x50/x64 drift monitors watch for."""
+    _recover_postings(path)
     if centroids is None:
         centroids = load_ivf_centroids(new_vectors.sparkSession, path)
     (
@@ -127,11 +139,9 @@ def compact_ivf_index(
     import os
     import shutil
 
-    from .index_commit import recover_partition_swaps, swap_partition
-
     live_root = f"{path}/postings"
     staging = f"{path}/.staging_compact"
-    recover_partition_swaps(live_root, staging)
+    _recover_postings(path)
     rewritten = 0
     for entry in sorted(os.listdir(live_root)):
         if not entry.startswith("cell="):
@@ -159,7 +169,9 @@ def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
     """DataFrame[cell, n_vectors]: per-cell occupancy of a persisted
     index — the monitoring input for the refit decision (see
     ``ivf_refit_needed``). One column-pruned aggregate over the postings;
-    never touches vectors."""
+    never touches vectors. Opens with the shared recovery sweep so stats
+    after a crashed mutation count the complete index (ADVICE r8)."""
+    _recover_postings(path)
     return (
         spark.read.parquet(f"{path}/postings")
         .groupBy("cell")
@@ -220,7 +232,10 @@ def ivf_index_search(
     read as a static partition filter, so the scan is pruned to the
     probed cells; candidates join the BROADCAST query batch per cell and
     rank by exact cosine (ties to lowest candidate id), the same scoring
-    contract as ``kmeans_ivf_topk``."""
+    contract as ``kmeans_ivf_topk``. Opens with the shared recovery sweep
+    so a search after a crashed mutation scans the complete index, not
+    one missing a stranded cell (ADVICE r8)."""
+    _recover_postings(path)
     if centroids is None:
         centroids = load_ivf_centroids(spark, path)
     q_cells = (
@@ -295,14 +310,16 @@ def delete_from_ivf_index(
     cell's directory is removed. A crash mid-sequence leaves every cell
     either old or new — both complete, never corrupt — and re-running
     the same delete finishes the job: the shared recovery pass
-    (``index_commit.recover_partition_swaps``, ADVICE r7 — the previous
-    start-of-run ``rmtree(staging)`` destroyed both copies of a cell
-    caught between its two renames) promotes or restores any stranded
-    cell before staging is cleared, and the anti-join is idempotent."""
+    (``_recover_postings`` → ``index_commit.recover_all_partition_swaps``,
+    ADVICE r7/r8 — the previous start-of-run ``rmtree(staging)``
+    destroyed both copies of a cell caught between its two renames, and
+    per-operation recovery scope left a crashed compact's cell invisible
+    to delete) promotes or restores any stranded cell — from ANY
+    operation's staging dir — before the touched-cell set is computed,
+    and the anti-join is idempotent."""
     import shutil
 
-    from .index_commit import recover_partition_swaps, swap_partition
-
+    _recover_postings(path)
     del_ids = ids.select(F.col(id_col).alias("__del_id")).distinct()
     posts = spark.read.parquet(f"{path}/postings")
     touched = sorted(
@@ -316,7 +333,6 @@ def delete_from_ivf_index(
     )
     staging = f"{path}/.staging_del"
     live_root = f"{path}/postings"
-    recover_partition_swaps(live_root, staging)
     for cell in touched:
         kept = (
             spark.read.parquet(f"{live_root}/cell={cell}")

@@ -244,13 +244,15 @@ def _exact_candidates(prefix: DataFrame, id_col: str, threshold: float) -> DataF
 
 
 def _verify(
-    toks: DataFrame, cand: DataFrame, threshold: float
+    toks: DataFrame, cand: DataFrame, threshold: float, id_col: str
 ) -> DataFrame:
     """Exact verification of candidate pairs over the FULL token sets:
     DataFrame[a_id, b_id, jaccard] normalized to a_id < b_id. ``cand``
     must carry (a_id, b_id, na, nb); role orientation is irrelevant
-    (intersection is symmetric)."""
-    id_col = toks.columns[0]
+    (intersection is symmetric). ``id_col`` names ``toks``'s id column
+    explicitly, like every other helper here — the previous positional
+    ``toks.columns[0]`` inference would have silently mislabeled pair
+    ids had ``_tokenize``'s select order ever changed (ADVICE r8)."""
     ta = toks.select(F.col(id_col).alias("a_id"), "w")
     tb = toks.select(F.col(id_col).alias("b_id"), "w")
     inter = (
@@ -295,7 +297,7 @@ def prefix_jaccard_join(
     chains, toks = _tokenize(df, text_col, id_col, shingle_size)
     prefix = _prefix_table(toks, id_col, threshold)
     cand = _exact_candidates(prefix, id_col, threshold)
-    verified = _verify(toks, cand, threshold)
+    verified = _verify(toks, cand, threshold, id_col)
     return chains.select(
         "a_id", "b_id", F.lit(1.0).alias("jaccard")
     ).unionByName(verified)
@@ -406,7 +408,7 @@ def adaptive_jaccard_join(
         cand = _minhash_candidates(
             toks, id_col, num_hashes, rows_per_band, bucket_cap
         )
-    verified = _verify(toks, cand, threshold)
+    verified = _verify(toks, cand, threshold, id_col)
     pairs = chains.select(
         "a_id", "b_id", F.lit(1.0).alias("jaccard")
     ).unionByName(verified)

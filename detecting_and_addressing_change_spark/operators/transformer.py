@@ -22,6 +22,21 @@ be tested here. A deployment with torch swaps the weights source
 (``embed_documents(backend='hf')``); every consumer downstream of the
 ``EMBED_SCHEMA`` seam (pooling, NB, LSTM, drift detectors) is unchanged.
 
+POOLING CAVEAT (VERDICT r8 #1 — read before wiring these embeddings
+into similarity/dedup/classification): the final LayerNorm squeezes
+every position's state to the same scale, so MEAN pooling over
+positions nearly CANCELS across documents — measured cross-class
+centroid distance 0.009 for mean pooling vs 0.35 for first-token
+([CLS]-style) pooling on the same states
+(tests/test_transformer.py::test_mini_embeddings_discriminate_classes).
+Use ``functions.arrays.first_token_pool_col`` for any semantic consumer
+of ``backend='mini'`` states; mean pooling of these states is only
+meaningful as a numeric fingerprint of the forward pass (that is what
+the x92 attestation pins), not as a document representation. The
+driver-attested semantic consumer is x97_transformer_semantic_shift
+(queries/extensions12.py), which demonstrates the discrimination gap
+end-to-end.
+
 Distribution model: weights are hash-derived IN the executor (no
 broadcast needed — the init is ~2k tiny hashes, memoized per worker via
 ``_WEIGHTS_CACHE``), the forward runs inside Arrow-batched
@@ -297,7 +312,9 @@ def transformer_embed_documents(
     seq_len] with CONTEXTUAL token states (unlike the hash backend, a
     token's vector depends on its neighbors — attention mixing — which
     is the property the reference's featurizer has and a bag-of-words
-    hash embedder lacks)."""
+    hash embedder lacks). Pool these states with
+    ``first_token_pool_col`` for semantic use — NOT ``mean_pool_col``;
+    see the module docstring's pooling caveat."""
     from ..sources.tables import spread_small_input
 
     return spread_small_input(docs.select(id_col, text_col)).mapInPandas(

@@ -590,3 +590,4 @@ def x96(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(4.0 * _X96_RSD) * F.col("exact_distinct")
         ).alias("within_rsd_bound"),
     )
+

@@ -193,12 +193,16 @@ def takedown_from_curation(
     import shutil
 
     from ..operators.index_commit import (
-        recover_partition_swaps,
+        recover_all_partition_swaps,
         swap_partition,
     )
     from ..operators.minhash_index import delete_from_minhash_index
 
     delete_from_minhash_index(spark, index_path, ids, id_col=id_col)
+    # sweep ALL .staging_* dirs (ADVICE r8), and BEFORE the touched-epoch
+    # read below so the epoch set is computed over the complete corpus,
+    # never one missing a partition stranded by a crashed prior run.
+    recover_all_partition_swaps(out_path)
     del_ids = ids.select(F.col(id_col).alias("__del_id")).distinct()
     corpus = spark.read.parquet(out_path)
     touched = sorted(
@@ -211,7 +215,6 @@ def takedown_from_curation(
         .collect()
     )
     staging = f"{out_path}/.staging_takedown"
-    recover_partition_swaps(out_path, staging)
     for epoch in touched:
         kept = spark.read.parquet(f"{out_path}/batch={epoch}").join(
             F.broadcast(del_ids),

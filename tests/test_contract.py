@@ -57,3 +57,31 @@ def test_registry_rotation_puts_unattested_first():
     assert sum(n not in attested for n in names) <= 50, (
         "more unattested queries than the driver's 50-name window"
     )
+
+
+def test_boolean_cells_stringify_identically_across_engines():
+    """VERDICT r8 #8: the verdict-style queries (x93/x96/x97/x98/x99)
+    rely on a DuckDB BOOLEAN column and a Spark BooleanType column
+    normalizing to the SAME string in the compare harness. Pin it: if
+    _norm_cell ever changes (e.g. to lowercase, or to 0/1), every
+    verdict query's semantics silently flip."""
+    import duckdb
+    import numpy as np
+
+    from .oracle_harness import _norm_cell, canonical_rows
+
+    con = duckdb.connect()
+    duck_cell = con.sql("SELECT TRUE AS v").df()["v"][0]
+    assert _norm_cell(duck_cell) == "True"
+    assert _norm_cell(True) == "True"
+    assert _norm_cell(np.bool_(True)) == "True"
+    assert _norm_cell(False) == "False"
+    assert _norm_cell(np.bool_(False)) == "False"
+    # and end-to-end through the row canonicalizer
+    import pandas as pd
+
+    a = canonical_rows(pd.DataFrame({"v": [True, False]}))
+    b = canonical_rows(
+        con.sql("SELECT TRUE AS v UNION ALL SELECT FALSE").df()
+    )
+    assert a == b == [("False",), ("True",)]

@@ -294,3 +294,120 @@ def test_commit_table_swap_happy_path(tmp_path):
         assert f.read() == "new"
     assert not os.path.exists(f"{path}/t.old")
     assert not os.path.exists(f"{path}/.commit_swap")
+
+
+def test_recover_all_sweeps_every_staging_dir(tmp_path):
+    """ADVICE r8 (medium): recovery scoped to ONE operation's staging dir
+    leaves a partition stranded by a DIFFERENT operation invisible. The
+    all-staging sweep must heal both in one call."""
+    from detecting_and_addressing_change_spark.operators.index_commit import (
+        recover_all_partition_swaps,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    for staging_name, part in ((".staging_compact", "p=1"),
+                               (".staging_del", "p=2")):
+        staging = f"{root}/{staging_name}"
+        os.makedirs(f"{root}/{part}")
+        with open(f"{root}/{part}/f", "w") as f:
+            f.write("old")
+        os.makedirs(f"{staging}/{part}")
+        with open(f"{staging}/{part}/f", "w") as f:
+            f.write("new")
+        with open(f"{staging}/{part}/_SUCCESS", "w"):
+            pass
+        os.rename(f"{root}/{part}", f"{staging}/trash_{part}")
+    recover_all_partition_swaps(root)
+    for part in ("p=1", "p=2"):
+        with open(f"{root}/{part}/f") as f:
+            assert f.read() == "new"
+    assert not os.path.exists(f"{root}/.staging_compact")
+    assert not os.path.exists(f"{root}/.staging_del")
+
+
+def _strand_cell_in(path: str, staging_name: str) -> int:
+    """Manufacture the mid-swap crash state for the first cell of a
+    persisted IVF index inside the NAMED staging dir, and return the
+    stranded cell id."""
+    cells = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{path}/postings")
+        if d.startswith("cell=")
+    )
+    cell = cells[0]
+    staging = f"{path}/{staging_name}"
+    live = f"{path}/postings/cell={cell}"
+    shutil.copytree(live, f"{staging}/cell={cell}")
+    with open(f"{staging}/cell={cell}/_SUCCESS", "w"):
+        pass
+    os.rename(live, f"{staging}/trash_cell={cell}")
+    return cell
+
+
+def test_search_heals_cell_stranded_by_crashed_compact(spark, vectors, tmp_path):
+    """ADVICE r8: a crash mid-compact used to truncate the index for
+    every OTHER caller until the next compact ran. Search (a read) must
+    now recover the cell first and scan the complete index."""
+    from detecting_and_addressing_change_spark.operators.ivf_index import (
+        build_ivf_index,
+        ivf_index_search,
+    )
+
+    path = str(tmp_path / "ivf")
+    # vec_id 0 is the all-zero vector — undefined under cosine on either
+    # side of the search, so keep it out of this test's corpus entirely
+    corpus = vectors.filter(F.col("vec_id") > 0)
+    centroids = build_ivf_index(corpus, path, n_centroids=4)
+    queries = corpus.filter(F.col("vec_id").isin(1, 2, 5)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    expected = sorted(
+        map(tuple, ivf_index_search(
+            spark, path, queries, k=3, nprobe=4, centroids=centroids
+        ).collect())
+    )
+    _strand_cell_in(path, ".staging_compact")
+    got = sorted(
+        map(tuple, ivf_index_search(
+            spark, path, queries, k=3, nprobe=4, centroids=centroids
+        ).collect())
+    )
+    assert got == expected
+    assert not os.path.exists(f"{path}/.staging_compact")
+
+
+def test_stats_and_delete_heal_cell_stranded_by_other_op(
+    spark, vectors, tmp_path
+):
+    """ivf_cell_stats must count the stranded cell's vectors, and a
+    delete must rewrite it like any live cell — whichever operation's
+    staging dir stranded it."""
+    from detecting_and_addressing_change_spark.operators.ivf_index import (
+        build_ivf_index,
+        delete_from_ivf_index,
+        ivf_cell_stats,
+    )
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(vectors, path, n_centroids=4)
+    total = vectors.count()
+    _strand_cell_in(path, ".staging_compact")
+    counted = sum(
+        int(r["n_vectors"]) for r in ivf_cell_stats(spark, path).collect()
+    )
+    assert counted == total
+    # strand again, then delete ids that live in the stranded cell
+    cell = _strand_cell_in(path, ".staging_del")
+    victim_ids = {
+        int(r["vec_id"])
+        for r in spark.read.parquet(
+            f"{path}/.staging_del/cell={cell}"
+        ).select("vec_id").limit(2).collect()
+    }
+    delete_from_ivf_index(
+        spark, path, vectors.filter(F.col("vec_id").isin(list(victim_ids)))
+    )
+    survivors = _ids(spark, path)
+    assert len(survivors) == total - len(victim_ids)
+    assert not (victim_ids & set(survivors))

@@ -255,3 +255,30 @@ if HAVE_HYP:
         se = {(r["a_id"], r["b_id"], r["jaccard"]) for r in pe.collect()}
         sm = {(r["a_id"], r["b_id"], r["jaccard"]) for r in pm.collect()}
         assert se == sm and len(se) >= n_docs // 2, (seed, rows)
+
+
+def test_verify_ignores_toks_column_order(spark):
+    """ADVICE r8: ``_verify`` must take the id column by NAME, not infer
+    it from ``toks.columns[0]`` — a toks frame with (w, id) order must
+    verify identically to the canonical (id, w) order."""
+    from detecting_and_addressing_change_spark.operators.setjoin import (
+        _verify,
+    )
+
+    toks = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "b"), (2, "c"), (2, "d")],
+        "doc_id long, w string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2, 3, 3)], "a_id long, b_id long, na long, nb long"
+    )
+    expected = [(1, 2, 0.5)]
+    got = sorted(
+        map(tuple, _verify(toks, cand, 0.5, "doc_id").collect())
+    )
+    assert got == expected
+    reordered = toks.select("w", "doc_id")
+    got2 = sorted(
+        map(tuple, _verify(reordered, cand, 0.5, "doc_id").collect())
+    )
+    assert got2 == expected

@@ -36,9 +36,30 @@ sys.path.insert(0, REPO)
 SF_DIR = "/root/testdata/sf0.01"
 
 
-def _round_n(x: float, digits: int) -> float:
+class BoundaryUnsafe(AssertionError):
+    """A literal value sits too close to a rounding boundary to be
+    platform-portable (ADVICE r8)."""
+
+
+def _round_n(x: float, digits: int, ctx: str = "") -> float:
+    """Half-up rounding (portable_round's contract) that PROVES the
+    emitted literal is boundary-safe (ADVICE r8): if the pre-rounding
+    value lies within 1e-8 of a half-ulp rounding boundary, a different
+    BLAS/libm could legitimately compute the other side of the boundary
+    and flip the driver row even though both implementations are
+    correct. The generator refuses to emit such a value — resolve by
+    regenerating with a different doc sample — so every literal the
+    oracle file carries is provably >1e-8 from its boundary."""
     factor = float(10**digits)
-    return math.floor(float(x) * factor + 0.5) / factor
+    scaled = float(x) * factor + 0.5
+    dist = abs(scaled - round(scaled))  # distance to the floor step, scaled
+    if dist < 1e-8 * factor:
+        raise BoundaryUnsafe(
+            f"{ctx or 'value'} {x!r} is {dist / factor:.3e} from a "
+            f"{digits}dp rounding boundary; regenerate with a different "
+            "sample"
+        )
+    return math.floor(scaled) / factor
 
 
 # --------------------------------------------------------------------------
@@ -66,7 +87,7 @@ def golden_x42() -> list[tuple[int, float, float]]:
             acc = 0.0
             for d in range(len(row)):
                 acc = acc + (row[d] - means[d]) * comps[j][d]
-            pcs.append(_round_n(acc, 4))
+            pcs.append(_round_n(acc, 4, ctx=f"x42 vec_id={vid} pc{j}"))
         out.append((int(vid), pcs[0], pcs[1]))
     out.sort(key=lambda r: r[0])
     return out
@@ -170,7 +191,7 @@ def golden_q61() -> list[tuple[int, str, float]]:
             correct = 1 if predict(feats[int(d)]) == labels[d] else 0
             buckets.setdefault(int(d) // batch_size, []).append(correct)
         return [
-            (b, tag, _round_n(sum(v) / len(v), 6))
+            (b, tag, _round_n(sum(v) / len(v), 6, ctx=f"q61 {tag} b={b}"))
             for b, v in sorted(buckets.items())
         ]
 
@@ -214,7 +235,10 @@ def golden_x92() -> list[tuple]:
             for j in range(dim):
                 # engine stores token states as float32; pooling casts back
                 acc[j] = acc[j] + float(np.float32(row[j]))
-        pooled = [_round_n(a / len(states), 4) for a in acc]
+        pooled = [
+            _round_n(a / len(states), 4, ctx=f"x92 doc_id={d}")
+            for a in acc
+        ]
         out.append((int(d), len(states), *pooled))
     out.sort(key=lambda r: r[0])
     return out
