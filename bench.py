@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "x97_transformer_semantic_shift",
     "x98_curation_stream_verdict",
     "x99_upsert_stream_verdict",
+    "x100_ddm_stream_verdict",
 ]
 
 
