@@ -148,11 +148,13 @@ BENCH_QUERIES = [
     "x94_ivf_index_lifecycle",
     "x95_ivf_occupancy_audit",
     "x96_approx_distinct_audit",
-    # round-9: transformer pooling-trap verdict; the streaming twins
-    # (curation stream replay incl. re-delivery; changelog snapshot
-    # incl. restart) — their cost IS the streaming path's cost shape
+    # round-9: transformer pooling-trap verdict; the streaming twins.
+    # x98 (curation-stream replay) is DRIVER-GATED but not benched: its
+    # sf0.1 cost (~26 s) is ~10 fixed-overhead Spark jobs per epoch x 4
+    # epochs + a re-delivery — per-epoch machinery, not data, so it
+    # carries no scale signal (decomposed in BENCH_NOTES round 9); x99
+    # and x100 are the streaming surface's bench representatives
     "x97_transformer_semantic_shift",
-    "x98_curation_stream_verdict",
     "x99_upsert_stream_verdict",
     "x100_ddm_stream_verdict",
 ]

@@ -122,8 +122,11 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     # body was factored into the shared helpers the adaptive route also
     # uses, and x88's truth side gains the sample_frac parameter —
     # executed paths changed, both float forward for fresh rows.
+    # x76/x79 deliberately NOT listed (round-9): they now share the
+    # build-or-reuse base-index fixture (_minhash_base_index; x76 clones
+    # it before appending) — executed paths changed, both float forward
+    # for fresh rows.
     "x09_embedding_near_dup", "x14_multimodal_features", "x67_zorder_key",
-    "x76_incremental_dedup", "x79_index_probe",
     "x83_ann_recall", "x85_hll_distinct",
     "x86_join_size_estimate", "x87_quantized_recall",
     "x89_hll_rollup",

@@ -57,6 +57,30 @@ def _scratch_index_dir(spark: SparkSession, prefix: str) -> str:
 # BATCH re-run from scratch over the full corpus (x04's guarded edge
 # semantics) — hash-equality proves append-then-query == rebuild.
 # --------------------------------------------------------------------------
+# x76 and x79 exercise two contracts of the SAME base index (built on
+# the doc_id % 5 != 4 corpus): append-then-edges vs ingest probe. Since
+# round 9 they share one build-or-reuse fixture per (session, sf_dir)
+# under the bench budget policy (BENCH_NOTES round 9): x79 probes the
+# fixture read-only; x76 clones it (driver-side copytree of the tiny
+# docs/sigs tables) before appending, so the fixture itself stays the
+# pristine base state whatever the run order.
+_MINHASH_BASE_FIXTURE: dict = {}
+
+
+def _minhash_base_index(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.minhash_index import build_minhash_index
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _MINHASH_BASE_FIXTURE.get(key)
+    if hit is not None:
+        return hit
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch_index_dir(spark, "mhbase_")
+    build_minhash_index(docs.filter(F.col("doc_id") % 5 != 4), path)
+    _MINHASH_BASE_FIXTURE[key] = path
+    return path
+
+
 @query(
     "x76_incremental_dedup",
     oracle=_minhash_guarded_edges_oracle() + "SELECT a_id, b_id FROM edges",
@@ -76,13 +100,16 @@ def x76(spark: SparkSession, sf_dir: str) -> DataFrame:
     + the x04 capped self-join over signature-derived bands."""
     from ..operators.minhash_index import (
         append_to_minhash_index,
-        build_minhash_index,
         minhash_index_edges,
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    base = _minhash_base_index(spark, sf_dir)
+    # clone the shared base fixture before mutating it: the append below
+    # must not turn x79's pristine-base probe into a post-append probe
     path = _scratch_index_dir(spark, "mhidx_x76_")
-    build_minhash_index(docs.filter(F.col("doc_id") % 5 != 4), path)
+    shutil.rmtree(path)
+    shutil.copytree(base, path)
     append_to_minhash_index(docs.filter(F.col("doc_id") % 5 == 4), path)
     return minhash_index_edges(spark, path)
 
@@ -300,14 +327,10 @@ def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is broadcast; indexed texts are never read or re-signed. The
     oracle recomputes both match kinds from scratch over the full table,
     proving the stored-state probe equals the from-scratch semantics."""
-    from ..operators.minhash_index import (
-        build_minhash_index,
-        minhash_index_probe,
-    )
+    from ..operators.minhash_index import minhash_index_probe
 
     docs = load_table(spark, sf_dir, "documents")
-    path = _scratch_index_dir(spark, "mhidx_x79_")
-    build_minhash_index(docs.filter(F.col("doc_id") % 5 != 4), path)
+    path = _minhash_base_index(spark, sf_dir)  # read-only probe
     return minhash_index_probe(
         spark, path, docs.filter(F.col("doc_id") % 5 == 4)
     )

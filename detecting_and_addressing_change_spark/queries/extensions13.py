@@ -449,7 +449,14 @@ def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = _scratch_index_dir(spark, "ddm100_")
     staged = f"{tmp}/staged"
-    stage_replay_files(per_batch, "seq_id", staged, batch_size=1024)
+    # ~4 micro-batches whatever the scale: what the attestation needs is
+    # detector state CROSSING batch boundaries (incl. the drift tail in
+    # the last batch), not many batches — at sf0.1 a fixed 1k batch size
+    # meant 19 micro-batches whose per-batch machinery overhead (~0.4 s
+    # each) dominated the query (BENCH_NOTES round 9)
+    n_rows = per_batch.count()
+    batch_size = max(1024, -(-n_rows // 4))
+    stage_replay_files(per_batch, "seq_id", staged, batch_size=batch_size)
     stream = read_replay_stream(
         spark, staged, "detector_id string, seq_id long, error double"
     )

@@ -4,6 +4,7 @@ postings scan that is the point of materializing the index."""
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import functions as F
@@ -323,3 +324,31 @@ def test_refit_verdict_fires_on_skew(spark, tmp_path):
         append_to_ivf_index(clones, path, centroids=cents)
     ok2, stats2 = ivf_refit_needed(spark, path, skew_threshold=4.0)
     assert ok2 and stats2["skew"] > 4.0 > stats["skew"]
+
+
+def test_x94_x95_share_one_lifecycle_fixture(spark):
+    """The bench-budget contract (VERDICT r8 #3): within a session the
+    x94/x95 pair builds its canonical lifecycle index ONCE — the second
+    call returns the same path without a rebuild — and the fixture is
+    keyed per sf_dir so different scales never alias."""
+    from detecting_and_addressing_change_spark.queries.extensions12 import (
+        _IVF_LIFECYCLE_FIXTURE,
+        _ivf_lifecycle_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    _IVF_LIFECYCLE_FIXTURE.clear()
+    p1, c1 = _ivf_lifecycle_index(spark, sf)
+    mtimes = {
+        f: os.path.getmtime(os.path.join(f"{p1}/postings", f))
+        for f in os.listdir(f"{p1}/postings")
+    }
+    p2, c2 = _ivf_lifecycle_index(spark, sf)
+    assert p2 == p1 and c2 == c1
+    # no partition was rewritten by the cache hit
+    assert mtimes == {
+        f: os.path.getmtime(os.path.join(f"{p1}/postings", f))
+        for f in os.listdir(f"{p1}/postings")
+    }
+    p3, _ = _ivf_lifecycle_index(spark, "/root/testdata/sf0.01")
+    assert p3 != p1
