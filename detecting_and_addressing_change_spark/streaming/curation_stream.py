@@ -58,11 +58,16 @@ def curate_batch(
     """
     spark = batch_df.sparkSession
     # one representative per digest WITHIN the batch (min id — the same
-    # keeper rule as the batch pipeline's collapse)
+    # keeper rule as the batch pipeline's collapse); __grp_n rides the
+    # same window exchange so the audit row can reconstruct the batch's
+    # input count WITHOUT a separate count() job — per-epoch action count
+    # is micro-batch latency at 100 TB, so the audit must not add jobs
     keeper = F.min(id_col).over(Window.partitionBy("__dg"))
+    grp_n = F.count(F.lit(1)).over(Window.partitionBy("__dg"))
     reps = (
         batch_df.withColumn("__dg", F.md5(F.col(text_col)))
         .withColumn("__keeper", keeper)
+        .withColumn("__grp_n", grp_n)
         .filter(F.col(id_col) == F.col("__keeper"))
         .drop("__keeper")
     )
@@ -97,7 +102,7 @@ def curate_batch(
     survivors = (
         graded.filter(F.col("__exact_hit").isNull())
         .filter(F.col("quality") >= F.lit(min_quality))
-        .drop("__band_hit", "__exact_hit", "__dg")
+        .drop("__band_hit", "__exact_hit", "__dg", "__grp_n")
     )
     # materialize before the index append mutates what the probe read
     survivors = survivors.localCheckpoint(eager=True)
@@ -108,11 +113,12 @@ def curate_batch(
     # epoch-keyed like everything else so redelivery replaces): the
     # observability a continuous 100 TB ingest runs on — drop-rate spikes
     # are the first drift signal an operator sees
-    n_rows = batch_df.count()
     stats = graded.agg(
         F.lit(int(epoch_id)).alias("epoch"),
-        F.lit(n_rows).alias("n_in"),
-        (F.lit(n_rows) - F.count("*")).alias("n_within_batch_dups"),
+        F.coalesce(F.sum("__grp_n"), F.lit(0)).alias("n_in"),
+        (
+            F.coalesce(F.sum("__grp_n"), F.lit(0)) - F.count("*")
+        ).alias("n_within_batch_dups"),
         F.count(F.col("__exact_hit")).alias("n_exact_dropped"),
         F.sum(
             F.when(
