@@ -488,3 +488,139 @@ def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("drift_seq_sum"),
         F.lit(n_mismatch == 0).alias("streamed_equals_batch"),
     )
+
+
+# --------------------------------------------------------------------------
+# X101 — takedown verdict (right-to-be-forgotten E2E, the last
+# pytest-only streaming-surface claim put on the driver gate): curate a
+# deterministic document sample through two streaming epochs, TAKE DOWN
+# a deterministic id subset through the whole pipeline
+# (takedown_from_curation: dedup-index digests+signatures GC'd AND the
+# committed corpus's touched epoch partitions surgically rewritten),
+# then verdict (a) no taken-down id survives in the corpus, (b) the
+# surviving corpus equals the batch kept-set minus the takedown set, and
+# (c) re-ingesting a taken-down document RE-COMMITS it — the documented
+# legal posture: the index forgot the digest, so still-legitimate
+# content returns on re-ingest. The oracle recomputes the kept-set
+# arithmetic in SQL and pins the verdicts TRUE. Not benched (budget
+# policy: per-epoch machinery, no scale signal); the takedown itself is
+# surgical at any scale — only touched epoch partitions are rewritten.
+# --------------------------------------------------------------------------
+_X101_ORACLE = """
+    WITH f AS (
+      SELECT doc_id, md5(text) AS dg,
+             len(string_split(text, ' ')) AS nw,
+             len(list_distinct(string_split(text, ' '))) AS uq,
+             length(text) AS nc,
+             length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    k AS (
+      SELECT *, MIN(doc_id) OVER (PARTITION BY dg) AS keeper FROM f
+    ),
+    q AS (
+      SELECT doc_id,
+             FLOOR((
+               0.25 * (CASE WHEN nw >= 10 AND nw <= 1000 THEN 1 ELSE 0 END)
+             + 0.25 * (CASE WHEN nc / nw >= 2.0 AND nc / nw <= 12.0
+                            THEN 1 ELSE 0 END)
+             + 0.25 * (uq / nw)
+             + 0.25 * (1.0 - least(punct / nc * 10.0, 1.0))
+             ) * 10000.0 + 0.5) / 10000.0 AS quality
+      FROM k WHERE doc_id = keeper
+    ),
+    kept AS (SELECT doc_id FROM q WHERE quality >= 0.5)
+    SELECT
+      CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS n_kept_before,
+      CAST((SELECT COUNT(*) FROM kept WHERE doc_id % 9 <> 3) AS BIGINT)
+        AS n_kept_after,
+      CAST((SELECT COALESCE(SUM(doc_id), 0) FROM kept
+            WHERE doc_id % 9 <> 3) AS BIGINT) AS sum_id_after,
+      TRUE AS takedown_ids_absent,
+      TRUE AS corpus_equals_batch_minus_takedown,
+      TRUE AS reingest_recommits
+"""
+
+
+@query("x101_takedown_verdict", oracle=_X101_ORACLE)
+def x101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two curation epochs over the doc_id % 3 == 0 sample, takedown of
+    the % 9 == 3 ids through index AND corpus, re-ingest of the smallest
+    taken-down kept doc — with the forget/re-commit verdicts the module
+    docstring promises, as one driver-hashable row."""
+    from ..functions.text import quality_score_col
+    from ..operators.minhash_index import init_minhash_index
+    from ..streaming.curation_stream import (
+        curate_batch,
+        curated_corpus,
+        takedown_from_curation,
+    )
+    from .extensions10 import _scratch_index_dir
+
+    sample = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+    )
+    tmp = _scratch_index_dir(spark, "td101_")
+    index, out = f"{tmp}/idx", f"{tmp}/out"
+    init_minhash_index(spark, index)
+    mid = int(sample.agg(F.max("doc_id")).collect()[0][0]) // 2
+    curate_batch(sample.filter(F.col("doc_id") <= mid), 0, index, out)
+    curate_batch(sample.filter(F.col("doc_id") > mid), 1, index, out)
+
+    before = curated_corpus(spark, out).select("doc_id")
+    r = before.agg(
+        F.count("*"),
+        F.min(F.when(F.col("doc_id") % 9 == 3, F.col("doc_id"))),
+    ).collect()[0]
+    n_before, reingest_id = int(r[0]), r[1]
+
+    td_ids = sample.filter(F.col("doc_id") % 9 == 3).select("doc_id")
+    takedown_from_curation(spark, index, out, td_ids)
+
+    after = curated_corpus(spark, out).select("doc_id")
+    r = after.agg(
+        F.count("*"),
+        F.coalesce(F.sum("doc_id"), F.lit(0)),
+        F.sum((F.col("doc_id") % 9 == 3).cast("long")),
+    ).collect()[0]
+    n_after, sum_after, n_td_left = int(r[0]), int(r[1]), int(r[2] or 0)
+
+    # batch semantics minus the takedown set, independently recomputed
+    keeper = F.min("doc_id").over(Window.partitionBy("__dg"))
+    batch_kept = (
+        sample.withColumn("__dg", F.md5("text"))
+        .withColumn("__k", keeper)
+        .filter(F.col("doc_id") == F.col("__k"))
+        .withColumn("q", quality_score_col(F.col("text")))
+        .filter(F.col("q") >= F.lit(0.5))
+        .filter(F.col("doc_id") % 9 != 3)
+        .select("doc_id")
+    )
+    n_mismatch = int(
+        after.exceptAll(batch_kept)
+        .unionByName(batch_kept.exceptAll(after))
+        .count()
+    )
+
+    recommits = False
+    if reingest_id is not None:
+        curate_batch(
+            sample.filter(F.col("doc_id") == int(reingest_id)), 99, index, out
+        )
+        n2 = curated_corpus(spark, out).filter(
+            F.col("doc_id") == int(reingest_id)
+        ).count()
+        recommits = n2 == 1
+
+    return spark.range(1).select(
+        F.lit(n_before).cast("long").alias("n_kept_before"),
+        F.lit(n_after).cast("long").alias("n_kept_after"),
+        F.lit(sum_after).cast("long").alias("sum_id_after"),
+        F.lit(n_td_left == 0).alias("takedown_ids_absent"),
+        F.lit(n_mismatch == 0).alias(
+            "corpus_equals_batch_minus_takedown"
+        ),
+        F.lit(bool(recommits)).alias("reingest_recommits"),
+    )
