@@ -624,3 +624,78 @@ def x101(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(bool(recommits)).alias("reingest_recommits"),
     )
+
+
+# --------------------------------------------------------------------------
+# X102 — minhash-index compaction verdict: the one index-lifecycle
+# operation still without a driver row (build/append/probe/edges = x76/
+# x79, delete = inside x101's takedown). Clone the shared base fixture,
+# append the ingest wave (leaving the multi-partition, multi-file layout
+# appends create), run compact_minhash_index — the fsync-fenced
+# marker-swap of BOTH tables (operators/index_commit.py) — and verdict
+# that the guarded edge set is byte-identical across the rewrite while
+# the file count strictly shrank. The oracle recomputes the edge-set
+# fingerprint from scratch over the full corpus and pins the verdicts
+# TRUE: a hash match certifies compaction changed LAYOUT and nothing
+# else. Driver-gated, not benched (budget policy: lifecycle machinery).
+# --------------------------------------------------------------------------
+def _x102_oracle() -> str:
+    from .extensions import _minhash_guarded_edges_oracle
+
+    return _minhash_guarded_edges_oracle() + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(COALESCE(SUM(a_id + b_id), 0) AS BIGINT) AS edge_id_sum,
+           TRUE AS edges_unchanged_by_compaction,
+           TRUE AS files_compacted
+    FROM edges
+"""
+
+
+@query("x102_index_compaction_verdict", oracle=_x102_oracle())
+def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build(base) -> append(ingest wave) -> snapshot edges -> compact ->
+    verdict row: edge set unchanged (symmetric exceptAll), parquet file
+    count strictly smaller."""
+    import os
+
+    import shutil as _sh
+
+    from ..operators.minhash_index import (
+        append_to_minhash_index,
+        compact_minhash_index,
+        minhash_index_edges,
+    )
+    from .extensions10 import (
+        _minhash_base_index,
+        _scratch_index_dir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = _minhash_base_index(spark, sf_dir)
+    path = _scratch_index_dir(spark, "mhidx_x102_")
+    _sh.rmtree(path)
+    _sh.copytree(base, path)
+    append_to_minhash_index(docs.filter(F.col("doc_id") % 5 == 4), path)
+
+    def n_files() -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            total += sum(1 for f in files if f.endswith(".parquet"))
+        return total
+
+    before = minhash_index_edges(spark, path).localCheckpoint(eager=True)
+    files_before = n_files()
+    compact_minhash_index(spark, path, target_partitions=1)
+    files_after = n_files()
+    after = minhash_index_edges(spark, path)
+    n_mismatch = int(
+        before.exceptAll(after).unionByName(after.exceptAll(before)).count()
+    )
+    return after.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.coalesce(F.sum(F.col("a_id") + F.col("b_id")), F.lit(0))
+        .cast("long")
+        .alias("edge_id_sum"),
+        F.lit(n_mismatch == 0).alias("edges_unchanged_by_compaction"),
+        F.lit(files_after < files_before).alias("files_compacted"),
+    )
