@@ -119,19 +119,45 @@ def _fsync_dir(path: str) -> None:
         os.close(fd)
 
 
+def _fsync_tree(root: str) -> None:
+    """Flush every file and directory under ``root`` to stable storage.
+    Best-effort per entry (same posture as ``_fsync_dir``): a filesystem
+    that rejects fsync still gets the process-crash guarantees; the
+    power-loss guarantee is only as strong as the filesystem allows."""
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for fname in filenames:
+            try:
+                fd = os.open(os.path.join(dirpath, fname), os.O_RDONLY)
+            except OSError:
+                continue
+            try:
+                os.fsync(fd)
+            except OSError:
+                pass
+            finally:
+                os.close(fd)
+        _fsync_dir(dirpath)
+
+
 def commit_table_swap(path: str, names: tuple[str, ...]) -> None:
     """Swap fully-written ``<name>.new`` dirs in for every name, as one
     all-or-nothing unit (marker-fenced), then drop the old layout.
 
-    Durability ordering (ADVICE r8): the crash model includes power
+    Durability ordering (ADVICE r8/r9): the crash model includes power
     loss, not just process death, so each fence is fsync'd before the
-    next step may proceed — (1) the marker file and its directory entry
-    BEFORE any rename (else the renames could persist while the marker
-    does not, and marker-less recovery would rmtree a committed
-    ``.new``, reopening the discarded-signature-GC window the marker
-    closes); (2) the renames BEFORE the marker can be removed (else the
-    marker's removal could persist while the renames do not, and
-    forward recovery would be skipped on a half-swapped layout)."""
+    next step may proceed — (0) the PAYLOAD under every ``<name>.new``
+    BEFORE the marker is created (ADVICE r9: Spark's parquet committer
+    never fsyncs, so without this fence power loss after a durable
+    marker could truncate the very files forward recovery would then
+    promote as the committed truth); (1) the marker file and its
+    directory entry BEFORE any rename (else the renames could persist
+    while the marker does not, and marker-less recovery would rmtree a
+    committed ``.new``, reopening the discarded-signature-GC window the
+    marker closes); (2) the renames BEFORE the marker can be removed
+    (else the marker's removal could persist while the renames do not,
+    and forward recovery would be skipped on a half-swapped layout)."""
+    for name in names:
+        _fsync_tree(os.path.join(path, name) + ".new")
     marker = os.path.join(path, _MARKER)
     fd = os.open(marker, os.O_WRONLY | os.O_CREAT | os.O_TRUNC)
     try:

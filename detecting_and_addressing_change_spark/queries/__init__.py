@@ -145,6 +145,21 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     "x78_png_features", "x88_minhash_recall_audit",
     "x91_sampled_recall_audit", "x92_transformer_embed",
     "x93_winsorize_approx_audit", "x96_approx_distinct_audit",
+    # green rows in CORRECTNESS_r09.json (the r9 re-attests + the x97-x102
+    # streaming/verdict additions; the 38 filler rows in that window were
+    # already listed above), minus the queries whose executed paths change
+    # in round 10: x90 (adaptive_jaccard_join derives its default
+    # budget_rows from cluster shape — VERDICT r9 #6), x98 (curate_batch /
+    # curated_corpus / curation_stats gain the all-staging recovery sweep
+    # — ADVICE r9 — and the replay drops to 3 epochs — VERDICT r9 #3),
+    # x100 (micro-batch size floor so the replay is ~4 batches at every
+    # scale — ADVICE r9), x101/x102 (precondition asserts so fixture
+    # drift fails loudly instead of flipping a pinned verdict — ADVICE
+    # r9; both also execute commit_table_swap, which gains the payload
+    # fsync fence). Those five float forward for fresh rows.
+    "x76_incremental_dedup", "x79_index_probe", "x84_prefix_jaccard_join",
+    "x94_ivf_index_lifecycle", "x95_ivf_occupancy_audit",
+    "x97_transformer_semantic_shift", "x99_upsert_stream_verdict",
     # green rows in CORRECTNESS_r06.json continue below
     "q59_gradual_drift_experiment", "q61_mapping_experiment",
     "x03_minhash_bands", "x04_minhash_pairs", "x23_dedup_clusters",

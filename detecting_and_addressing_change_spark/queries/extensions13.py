@@ -144,7 +144,13 @@ def x97(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the final audit aggregate.
 # --------------------------------------------------------------------------
 _X98_MIN_Q = 0.5
-_X98_EPOCHS = 4
+# 3 epochs, not 4 (VERDICT r9 #3): the attested semantics are cross-epoch
+# dedup + a mid-stream re-delivery, which need >= 3 epochs (originals in
+# 0-1, every clone strictly later in 1-2, epoch 1 redelivered before 2) —
+# epoch count beyond that only multiplies the fixed ~10-job-per-epoch
+# foreachBatch machinery that dominates this query's driver-sweep cost
+# (timed in BENCH_NOTES "Driver-sweep budget").
+_X98_EPOCHS = 3
 
 _X98_ORACLE = """
     WITH base AS (SELECT doc_id, text FROM documents),
@@ -189,7 +195,7 @@ _X98_ORACLE = """
 @query("x98_curation_stream_verdict", oracle=_X98_ORACLE)
 def x98(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded ordered replay of the documents table through the
-    streaming curation pipeline (4 ascending-doc_id epochs; epoch 1
+    streaming curation pipeline (3 ascending-doc_id epochs; epoch 1
     delivered twice to exercise the at-least-once retry path), then the
     streamed kept-corpus fingerprint + the batch-equality and
     redelivery-idempotence verdicts, as one driver-hashable row."""
@@ -449,13 +455,17 @@ def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = _scratch_index_dir(spark, "ddm100_")
     staged = f"{tmp}/staged"
-    # ~4 micro-batches whatever the scale: what the attestation needs is
+    # ~4 micro-batches at EVERY scale: what the attestation needs is
     # detector state CROSSING batch boundaries (incl. the drift tail in
     # the last batch), not many batches — at sf0.1 a fixed 1k batch size
     # meant 19 micro-batches whose per-batch machinery overhead (~0.4 s
-    # each) dominated the query (BENCH_NOTES round 9)
+    # each) dominated the query (BENCH_NOTES round 9). The floor is 32,
+    # not 1024 (ADVICE r9): a 1024 floor produced ONE staged file — one
+    # micro-batch — at both driver scales (~111 rows at sf0.001, ~392 at
+    # sf0.01), making the cross-boundary property vacuous exactly where
+    # the correctness gate compares.
     n_rows = per_batch.count()
-    batch_size = max(1024, -(-n_rows // 4))
+    batch_size = max(32, -(-n_rows // 4))
     stage_replay_files(per_batch, "seq_id", staged, batch_size=batch_size)
     stream = read_replay_stream(
         spark, staged, "detector_id string, seq_id long, error double"
@@ -604,15 +614,22 @@ def x101(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
     )
 
-    recommits = False
-    if reingest_id is not None:
-        curate_batch(
-            sample.filter(F.col("doc_id") == int(reingest_id)), 99, index, out
+    # precondition, asserted loudly (ADVICE r9): the re-commit verdict is
+    # oracle-pinned TRUE, so a fixture drift that empties the takedown
+    # overlap (no kept doc with doc_id % 9 == 3) must fail HERE at
+    # generation time, not surface as a silent oracle mismatch
+    if reingest_id is None:
+        raise AssertionError(
+            "x101 fixture drift: no kept doc has doc_id % 9 == 3, the "
+            "takedown/re-ingest verdicts would be vacuous"
         )
-        n2 = curated_corpus(spark, out).filter(
-            F.col("doc_id") == int(reingest_id)
-        ).count()
-        recommits = n2 == 1
+    curate_batch(
+        sample.filter(F.col("doc_id") == int(reingest_id)), 99, index, out
+    )
+    n2 = curated_corpus(spark, out).filter(
+        F.col("doc_id") == int(reingest_id)
+    ).count()
+    recommits = n2 == 1
 
     return spark.range(1).select(
         F.lit(n_before).cast("long").alias("n_kept_before"),
@@ -685,6 +702,16 @@ def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     before = minhash_index_edges(spark, path).localCheckpoint(eager=True)
     files_before = n_files()
+    # precondition, asserted loudly (ADVICE r9): files_compacted is
+    # oracle-pinned TRUE, so a fixture/partitioning change that leaves
+    # the post-append layout already single-file must fail HERE, not
+    # flip the pinned verdict into a silent oracle mismatch
+    if files_before <= 2:
+        raise AssertionError(
+            f"x102 fixture drift: post-append layout has only "
+            f"{files_before} parquet files across docs+sigs — compaction "
+            f"to 1 file per table could not strictly shrink it"
+        )
     compact_minhash_index(spark, path, target_partitions=1)
     files_after = n_files()
     after = minhash_index_edges(spark, path)

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import quality_score_col
+from ..operators.index_commit import recover_all_partition_swaps
 from ..operators.minhash_index import (
     append_minhash_batch,
     minhash_index_probe,
@@ -57,6 +58,13 @@ def curate_batch(
     ``.foreachBatch(lambda b, e: curate_batch(b, e, index_path, out_path))``.
     """
     spark = batch_df.sparkSession
+    # heal any epoch partition stranded by a crashed takedown BEFORE this
+    # epoch probes or writes (ADVICE r9: the all-staging sweep covered the
+    # IVF index's every touch but not the curation corpus — a crash
+    # mid-takedown left an epoch missing from every read and ingest until
+    # the NEXT takedown ran). The sweep is one driver-side listdir when
+    # staging is empty — micro-batch-latency safe.
+    recover_all_partition_swaps(out_path)
     # one representative per digest WITHIN the batch (min id — the same
     # keeper rule as the batch pipeline's collapse); __grp_n rides the
     # same window exchange so the audit row can reconstruct the batch's
@@ -157,14 +165,23 @@ def curate_batch(
 
 def curated_corpus(spark: SparkSession, out_path: str) -> DataFrame:
     """The kept corpus across all committed epochs (the ``_stats``
-    sidecar is underscore-prefixed, so Spark's file listing skips it)."""
+    sidecar is underscore-prefixed, so Spark's file listing skips it).
+    Opens with the all-staging recovery sweep so a read after a crashed
+    takedown serves the complete corpus, not one missing a stranded
+    epoch partition (ADVICE r9 — same every-touch rule as the IVF
+    index's ``_recover_postings``)."""
+    recover_all_partition_swaps(out_path)
     return spark.read.parquet(out_path).drop("batch")
 
 
 def curation_stats(spark: SparkSession, out_path: str) -> DataFrame:
     """One audit row per epoch: n_in = n_within_batch_dups +
     n_exact_dropped + n_quality_dropped + n_kept (conservation tested);
-    n_flagged counts kept-but-suspect docs."""
+    n_flagged counts kept-but-suspect docs. Same recovery-on-read rule
+    as ``curated_corpus`` (the takedown never rewrites ``_stats``
+    partitions, but the sweep keys on the corpus root, so a stats read
+    after a crash heals the corpus too)."""
+    recover_all_partition_swaps(out_path)
     return spark.read.parquet(f"{out_path}/_stats").drop("batch")
 
 

@@ -188,6 +188,70 @@ def test_takedown_crash_between_renames_recovers(spark, tmp_path):
     assert not os.path.exists(staging)
 
 
+def test_curation_read_heals_crashed_takedown(spark, tmp_path):
+    """ADVICE r9 (medium): the every-touch recovery rule covered the IVF
+    index but not the curation corpus — a crash mid-takedown left an
+    epoch partition missing from every curated_corpus/curation_stats
+    read and every curate_batch ingest until the NEXT takedown ran.
+    A plain READ must now heal the stranded partition."""
+    from detecting_and_addressing_change_spark.operators.minhash_index import (
+        init_minhash_index,
+    )
+    from detecting_and_addressing_change_spark.streaming.curation_stream import (
+        curate_batch,
+        curated_corpus,
+        curation_stats,
+    )
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    init_minhash_index(spark, idx)
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                f"document {i} covers partition tuning and adaptive "
+                f"execution with enough words to pass the gate {i}",
+            )
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    curate_batch(docs.filter(F.col("doc_id") < 10), 0, idx, out)
+    curate_batch(docs.filter(F.col("doc_id") >= 10), 1, idx, out)
+    # manufacture the mid-takedown crash: epoch 0 caught between its two
+    # renames with a fully-written staged rewrite (doc 3 taken down)
+    staging = f"{out}/.staging_takedown"
+    spark.read.parquet(f"{out}/batch=0").filter(
+        F.col("doc_id") != 3
+    ).write.mode("overwrite").parquet(f"{staging}/batch=0")
+    os.rename(f"{out}/batch=0", f"{staging}/trash_batch=0")
+    # a read alone must finish the interrupted swap (forward: the staged
+    # rewrite carries _SUCCESS) — not silently serve a truncated corpus
+    kept = {r["doc_id"] for r in curated_corpus(spark, out).collect()}
+    assert kept == set(range(20)) - {3}
+    assert not os.path.exists(staging)
+    assert {int(r["epoch"]) for r in curation_stats(spark, out).collect()} == {
+        0,
+        1,
+    }
+    # and an INGEST after the same crash state must heal before probing,
+    # so the restored epoch's docs gate re-delivered duplicates
+    spark.read.parquet(f"{out}/batch=1").filter(
+        F.col("doc_id") != 12
+    ).write.mode("overwrite").parquet(f"{staging}/batch=1")
+    os.rename(f"{out}/batch=1", f"{staging}/trash_batch=1")
+    curate_batch(
+        docs.filter(F.col("doc_id") == 19), 2, idx, out
+    )  # duplicate of an epoch-1 doc: index probe drops it
+    # curate_batch itself must have healed the layout (assert on the
+    # filesystem, not through curated_corpus — that read would heal too)
+    assert os.path.isdir(f"{out}/batch=1")
+    assert not os.path.exists(staging)
+    kept2 = {r["doc_id"] for r in curated_corpus(spark, out).collect()}
+    assert kept2 == set(range(20)) - {3, 12}
+
+
 def test_marker_fenced_multi_table_swap_rolls_forward(spark, tmp_path):
     """ADVICE r7 (low): a crash between the docs swap and the sigs swap
     left ``sigs.new`` — carrying the signature GC of a delete — to be
