@@ -274,7 +274,14 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
 # iteration. Semantics additionally pinned by tests/test_pipeline.py on
 # separable synthetic classes.
 # --------------------------------------------------------------------------
-_Q39_ORACLE = """
+# Shared CTE prefix: the full relational NB drift pipeline (hash embed
+# both spaces -> ordered-fold mean pool -> NB sufficient stats on space A
+# -> score BOTH spaces), ending at ``preds(model, doc_id, pred)``. q39
+# appends the windowed-accuracy + DDM-scan tail; x103 (the fine-tune
+# session audit, queries/extensions14.py) appends a merged-stats second
+# scoring pass. Splitting the literal changes NEITHER oracle's text —
+# _Q39_ORACLE is byte-identical to its round-3 form.
+_NB_PIPELINE_CTES = """
 WITH RECURSIVE
 langcode AS (
   SELECT lang, CAST(ROW_NUMBER() OVER (ORDER BY lang) - 1 AS INT) AS label
@@ -352,7 +359,9 @@ best AS (
   FROM post
 ),
 preds AS (SELECT model, doc_id, cls AS pred FROM best WHERE r = 1),
-correct AS (
+"""
+
+_Q39_ORACLE = _NB_PIPELINE_CTES + """correct AS (
   SELECT CASE WHEN p.model = 'BERT' THEN p.doc_id
               ELSE p.doc_id + (SELECT n FROM n_docs) END AS seq_id,
          CASE WHEN p.model = 'BERT' THEN 'trained' ELSE 'untrained' END AS stream,

@@ -1,0 +1,535 @@
+"""Round-10 extension queries: driver attestation for the fine-tune
+adaptation session (x103 — U8, the last reference experiment shape
+without a driver row), the Page-Hinkley streaming twin (x104), and the
+IVF-index compaction verdict (x105).
+
+VERDICT r9 asked for exactly these (#2, #4, #7). All three follow the
+round's oracle-hygiene rule (#8): x103 carries NO pinned verdict at all —
+every column, including its boolean, is recomputed exactly by the SQL
+oracle — and x104/x105 carry batch-recomputable fingerprint columns
+beside their pinned equality verdicts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import portable_round
+from ..sources.tables import load_table
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# X103 — fine-tune adaptation session (U8; VERDICT r9 #2). Reference:
+# adaptation/fine_tuning_experiments.py::fine_tuning_different_embeddings
+# — three runs of the SAME pre-trained model: the stream it was trained
+# on, the stream with different embeddings (the drift), and the stream
+# after fine-tuning on its first no_batches batches (the reference
+# restarts the untrained stream and fine-tunes from its start;
+# the drift detector is deliberately disabled for these runs —
+# warm_start=sys.maxsize in fine_tuning_experiments.py — so fine-tuning
+# is unconditional, not detection-gated, and this query mirrors that).
+# Here the model is the exact-sufficient-statistics NB and "fine-tune"
+# is fine_tune_nb (streaming/prequential.py) — the same test-then-train
+# session loop, whose model state after N batches is the exact merge of
+# the pre-trained stats with the batches' stats.
+#
+# Honesty note (measured, round 10): on this synthetic corpus the
+# embedding-space swap barely degrades NB accuracy (the discriminative
+# signal in pooled hash embeddings is length/stopword shaped, which
+# SURVIVES a space swap), and the stats-merge "fine-tune" yields only a
+# modest held-out improvement (+5 correct of 372 at sf0.001, +11 at
+# sf0.01 with the 128-doc session below) — sufficient-statistics merging
+# dilutes rather than replaces (per-class variances inflate with the
+# cross-space mixture), which is exactly why the reference's gradient
+# fine_tune() is LSTM-only (adaptation/fine_tuning.py:15 — torch
+# optimizer; an NB model would fail at model.train()). The GENUINE
+# recovery semantics of the session loop are pinned where they are
+# provable: tests/test_adaptation_pipelines.py::
+# test_fine_tune_adapts_to_new_distribution (separable synthetic
+# classes, short pre-train, accuracy 0.0 -> >0.75 through the same
+# fine_tune_nb), and the LSTM half in tests/test_streaming.py::
+# test_fine_tune_lstm_adapts. This row attests the SESSION end-to-end
+# on driver data with every output column — series, held-out correct
+# counts, and the improvement boolean — recomputed exactly by the
+# oracle: no pinned verdict anywhere (VERDICT r9 #8's preferred shape).
+#
+# Scale shape: one fused embed+pool pass over both spaces (the corpus is
+# scanned once), one NB fit shuffle, zero-shuffle narrow scoring for all
+# three series, and a 4-iteration driver loop whose per-batch jobs touch
+# 32 rows each (the fine-tune session is bounded by construction — the
+# reference fine-tunes on a constant number of batches, not a corpus
+# fraction, so the loop cost is scale-invariant).
+# --------------------------------------------------------------------------
+_X103_FT_DOCS = 128  # 4 reference batches of 32
+_X103_BATCH = 32
+
+
+def _x103_oracle() -> str:
+    from .drift import _NB_PIPELINE_CTES
+
+    cut = _X103_FT_DOCS
+    return _NB_PIPELINE_CTES + f"""ftset AS (
+  SELECT p.doc_id, p.d, p.v, dc.label
+  FROM pooled p JOIN docs dc ON p.doc_id = dc.doc_id
+  WHERE p.model = 'SCIBERT' AND p.doc_id < {cut}
+),
+train2 AS (SELECT doc_id, d, v, label FROM train
+           UNION ALL SELECT doc_id, d, v, label FROM ftset),
+stats2 AS (
+  SELECT label, d, COUNT(*) AS n, SUM(v)/COUNT(*) AS mean,
+         SUM(v*v)/COUNT(*) - (SUM(v)/COUNT(*))*(SUM(v)/COUNT(*)) AS var
+  FROM train2 GROUP BY label, d
+),
+mv2 AS (SELECT MAX(var) AS maxvar FROM stats2),
+priors2 AS (
+  SELECT label, COUNT(*) AS cnt FROM train2 WHERE d = 0 GROUP BY label
+),
+total2 AS (SELECT COUNT(*) AS n_total FROM train2 WHERE d = 0),
+scored2 AS (
+  SELECT p.doc_id, s.label AS cls,
+         SUM(-0.5*LN(2*PI()*(s.var + 1e-9*mv2.maxvar))
+             - (p.v - s.mean)*(p.v - s.mean)
+               / (2*(s.var + 1e-9*mv2.maxvar))) AS ll
+  FROM pooled p JOIN stats2 s ON p.d = s.d
+  CROSS JOIN mv2
+  WHERE p.model = 'SCIBERT' AND p.doc_id >= {cut}
+  GROUP BY p.doc_id, s.label
+),
+post2 AS (
+  SELECT sc.doc_id, sc.cls,
+         sc.ll + LN(pr.cnt::DOUBLE / t.n_total) AS lp
+  FROM scored2 sc JOIN priors2 pr ON sc.cls = pr.label CROSS JOIN total2 t
+),
+best2 AS (
+  SELECT doc_id, cls,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lp DESC, cls) AS r
+  FROM post2
+),
+preds_ft AS (SELECT doc_id, cls AS pred FROM best2 WHERE r = 1),
+corr AS (
+  SELECT p.model, p.doc_id,
+         CASE WHEN p.pred = dc.label THEN 1 ELSE 0 END AS c
+  FROM preds p JOIN docs dc ON p.doc_id = dc.doc_id
+),
+corr_ft AS (
+  SELECT f.doc_id, CASE WHEN f.pred = dc.label THEN 1 ELSE 0 END AS c
+  FROM preds_ft f JOIN docs dc ON f.doc_id = dc.doc_id
+),
+held AS (
+  SELECT
+    (SELECT SUM(c) FROM corr
+     WHERE model = 'SCIBERT' AND doc_id >= {cut}) AS stale,
+    (SELECT SUM(c) FROM corr_ft) AS ft
+),
+series AS (
+  SELECT CAST(FLOOR(doc_id / {_X103_BATCH}) AS BIGINT) AS seq_id,
+         'trained' AS stream, AVG(c::DOUBLE) AS acc
+  FROM corr WHERE model = 'BERT' GROUP BY 1
+  UNION ALL
+  SELECT CAST(FLOOR(doc_id / {_X103_BATCH}) AS BIGINT),
+         'untrained', AVG(c::DOUBLE)
+  FROM corr WHERE model = 'SCIBERT' GROUP BY 1
+  UNION ALL
+  SELECT CAST(FLOOR(doc_id / {_X103_BATCH}) AS BIGINT),
+         'fine_tuned', AVG(c::DOUBLE)
+  FROM corr_ft GROUP BY 1
+)
+SELECT s.seq_id, s.stream,
+       FLOOR(s.acc * 1000000.0 + 0.5) / 1000000.0 AS accuracy,
+       CAST(h.stale AS BIGINT) AS stale_held_correct,
+       CAST(h.ft AS BIGINT) AS ft_held_correct,
+       h.ft > h.stale AS fine_tune_improves
+FROM series s, held h
+"""
+
+
+@query("x103_finetune_adaptation_audit", oracle=_x103_oracle())
+def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The U8 fine-tune session end-to-end on driver data: per-batch
+    accuracy series for the trained stream (space A scored by the
+    pre-trained NB), the untrained stream (space B scored by the SAME
+    model — the reference's abrupt embedding drift), and the fine-tuned
+    stream (space B held-out docs scored by the model AFTER a
+    fine_tune_nb session over B's first 4 batches), plus the exact
+    held-out correct counts both ways and the improvement boolean —
+    all recomputed by the oracle, nothing pinned."""
+    from pyspark.sql import Window
+
+    from ..operators.nb import nb_collect_stats, nb_fit, nb_predict
+    from ..pipelines import pooled_features_models
+    from ..streaming.prequential import PrequentialNB, fine_tune_nb
+
+    docs = load_table(spark, sf_dir, "documents")
+    lang_codes = (
+        docs.select("lang")
+        .distinct()
+        .withColumn(
+            "label",
+            (F.dense_rank().over(Window.orderBy("lang")) - 1).cast("int"),
+        )
+    )
+    labeled = docs.join(F.broadcast(lang_codes), "lang").select(
+        "doc_id", "text", "label"
+    )
+    labels = labeled.select("doc_id", "label")
+    pooled = pooled_features_models(
+        labeled, ("BERT", "SCIBERT"), dim=8
+    ).persist()
+    cached = [pooled]
+    try:
+        feats_a = pooled.filter(F.col("model") == "BERT").drop("model")
+        feats_b = pooled.filter(F.col("model") == "SCIBERT").drop("model")
+
+        stats_a_df = nb_fit(
+            feats_a.join(labels, "doc_id"),
+            features_col="features",
+            label_col="label",
+            dim=8,
+        )
+        # the fine-tune SESSION (U8): the loop is seeded with the trained
+        # model and continues test-then-train over the first 4 batches of
+        # the new-distribution stream — its post-session state is the
+        # exact sufficient-stats merge the oracle recomputes one-shot
+        # (merge order only moves means/vars by ulps; consumers compare
+        # at the prediction level, same posture as every NB oracle here)
+        loop = PrequentialNB(id_col="doc_id")
+        loop.stats = stats_a_df.persist()
+        loop.stats.count()
+        stats_a = nb_collect_stats(stats_a_df)  # while still cached
+        fine_tune_nb(
+            loop,
+            feats_b.join(labels, "doc_id"),
+            n_batches=_X103_FT_DOCS // _X103_BATCH,
+            batch_size=_X103_BATCH,
+            seq_col="doc_id",
+        )
+        stats_m = nb_collect_stats(loop.stats)
+        loop.close()
+
+        cut = F.lit(_X103_FT_DOCS)
+
+        def scored(feats: DataFrame, stats) -> DataFrame:
+            preds = nb_predict(
+                feats, stats, features_col="features", id_cols=("doc_id",)
+            )
+            return preds.join(labels, "doc_id").select(
+                "doc_id",
+                (F.col("pred") == F.col("label")).cast("int").alias("c"),
+            )
+
+        sc_tr = scored(feats_a, stats_a)
+        sc_un = scored(feats_b, stats_a).persist()
+        cached.append(sc_un)
+        sc_ft = scored(
+            feats_b.filter(F.col("doc_id") >= cut), stats_m
+        ).persist()
+        cached.append(sc_ft)
+
+        held = (
+            sc_un.filter(F.col("doc_id") >= cut)
+            .agg(F.sum("c").cast("long").alias("stale_held_correct"))
+            .crossJoin(
+                sc_ft.agg(F.sum("c").cast("long").alias("ft_held_correct"))
+            )
+            .withColumn(
+                "fine_tune_improves",
+                F.col("ft_held_correct") > F.col("stale_held_correct"),
+            )
+        )
+
+        def series(sc: DataFrame, tag: str) -> DataFrame:
+            return (
+                sc.groupBy(
+                    F.floor(F.col("doc_id") / _X103_BATCH)
+                    .cast("long")
+                    .alias("seq_id")
+                )
+                .agg(F.avg("c").alias("__acc"))
+                .select(
+                    "seq_id",
+                    F.lit(tag).alias("stream"),
+                    portable_round(F.col("__acc"), 6).alias("accuracy"),
+                )
+            )
+
+        out = (
+            series(sc_tr, "trained")
+            .unionByName(series(sc_un, "untrained"))
+            .unionByName(series(sc_ft, "fine_tuned"))
+            .crossJoin(F.broadcast(held))
+        )
+        # materialize before the persisted inputs are released
+        return out.localCheckpoint(eager=True)
+    finally:
+        for frame in cached:
+            frame.unpersist()
+
+
+# --------------------------------------------------------------------------
+# X104 — Page-Hinkley stream verdict (VERDICT r9 #4): x100 proved the
+# streaming-detector attestation pattern for DDM; this is the SAME real
+# Structured Streaming stack (ordered file replay ->
+# applyInPandasWithState -> availableNow -> unique-named memory sink)
+# through the OTHER T1 detector, streaming/ph_stream.py — until now
+# pytest-only. The x100 deterministic elevated-error tail is reused so
+# the attested flag series carries actual Drift firings (PH's cum-min
+# gap crosses threshold=1.0 within a few 0.9-error batches) and a
+# post-reset re-fire, not just 'N's. The oracle is the bit-exact
+# recursive-CTE Page-Hinkley scan (drift.ph_scan_oracle — the x57/x72
+# machinery) aggregated to the same fingerprint row; the
+# streamed==batch verdict is pinned TRUE beside the batch-recomputable
+# fingerprints (n_batches, drift count/position-sum — VERDICT r9 #8's
+# required shape). Scale shape: identical to x100 — state is one 4-field
+# tuple per detector key; micro-batch cost is rows-in-batch, and a
+# detector FLEET parallelizes across keys.
+# --------------------------------------------------------------------------
+_X104_TAIL_SEQ0 = 10_000_000
+_X104_TAIL_N = 40
+_X104_TAIL_ERR = 0.9
+
+
+def _x104_oracle() -> str:
+    from .drift import ph_scan_oracle
+
+    body = f"""
+    SELECT CAST(FLOOR(event_id / 32) AS BIGINT) AS bucket,
+           AVG(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END) AS error
+    FROM events
+    GROUP BY bucket
+    UNION ALL
+    SELECT {_X104_TAIL_SEQ0} + i AS bucket, {_X104_TAIL_ERR} AS error
+    FROM generate_series(0, {_X104_TAIL_N - 1}) AS t(i)
+"""
+    return f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(CASE WHEN flag = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_drift,
+           CAST(COALESCE(SUM(CASE WHEN flag = 'D' THEN seq_id END), 0)
+                AS BIGINT) AS drift_seq_sum,
+           TRUE AS streamed_equals_batch
+    FROM ({ph_scan_oracle(body)}) t
+"""
+
+
+@query("x104_ph_stream_verdict", oracle=_x104_oracle())
+def x104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q25/x57 per-batch error series (plus the deterministic
+    elevated-error tail) replayed through the real streaming stack with
+    the keyed Page-Hinkley operator, then the streamed flag-series
+    fingerprint + the streamed==batch verdict."""
+    import os
+
+    from ..operators.ph import detect_drift_ph
+    from ..operators.windows import count_window_agg
+    from ..streaming.ph_stream import detect_drift_ph_stream
+    from ..streaming.replay import read_replay_stream, stage_replay_files
+    from .extensions10 import _scratch_index_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    per_batch = count_window_agg(
+        ev,
+        seq_col="event_id",
+        batch_size=32,
+        aggs=[
+            F.avg((F.col("event_type") == "error").cast("int")).alias(
+                "error"
+            )
+        ],
+    ).select(
+        F.lit("events").alias("detector_id"),
+        F.col("bucket").cast("long").alias("seq_id"),
+        F.col("error").cast("double").alias("error"),
+    )
+    tail = spark.range(_X104_TAIL_N).select(
+        F.lit("events").alias("detector_id"),
+        (F.lit(_X104_TAIL_SEQ0) + F.col("id")).cast("long").alias("seq_id"),
+        F.lit(float(_X104_TAIL_ERR)).alias("error"),
+    )
+    per_batch = per_batch.unionByName(tail)
+    # materialize once: staged replay AND the batch twin read this series
+    per_batch = per_batch.localCheckpoint(eager=True)
+
+    tmp = _scratch_index_dir(spark, "ph104_")
+    staged = f"{tmp}/staged"
+    # ~4 micro-batches at every scale (the x100 floor after ADVICE r9):
+    # the attested property is detector state crossing batch boundaries
+    n_rows = per_batch.count()
+    batch_size = max(32, -(-n_rows // 4))
+    stage_replay_files(per_batch, "seq_id", staged, batch_size=batch_size)
+    stream = read_replay_stream(
+        spark, staged, "detector_id string, seq_id long, error double"
+    )
+    sink = f"x104_{os.path.basename(tmp)}"  # unique per invocation
+    q = (
+        detect_drift_ph_stream(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    streamed = spark.table(sink).select("seq_id", "error", "flag")
+    batch = detect_drift_ph(per_batch).select("seq_id", "error", "flag")
+    n_mismatch = int(
+        streamed.exceptAll(batch)
+        .unionByName(batch.exceptAll(streamed))
+        .count()
+    )
+    return streamed.agg(
+        F.count("*").cast("long").alias("n_batches"),
+        F.sum((F.col("flag") == "D").cast("long")).alias("n_drift"),
+        F.coalesce(
+            F.sum(F.when(F.col("flag") == "D", F.col("seq_id"))),
+            F.lit(0),
+        ).cast("long").alias("drift_seq_sum"),
+        F.lit(n_mismatch == 0).alias("streamed_equals_batch"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X105 — IVF-index compaction verdict (VERDICT r9 #7): x102 put the
+# minhash index's compaction on the driver gate; this mirrors it for the
+# OTHER persisted index. compact_ivf_index (operators/ivf_index.py) is
+# the per-cell small-file maintenance pass (coalesce + id-sorted rewrite
+# + the shared surgical partition swap) — pytest-pinned until now. The
+# query clones the shared x94/x95 lifecycle fixture (so their attested
+# state is never mutated), asserts the post-append layout actually HAS
+# cells to compact (precondition raises on fixture drift — the x101/x102
+# ADVICE r9 rule), snapshots search results, compacts, and verdicts that
+# the results are byte-identical across the rewrite while the postings
+# file count strictly shrank. The oracle recomputes the search from
+# scratch over the full corpus (the x94 CTE machinery at different query
+# ids) and pins the two verdicts TRUE beside the batch-recomputable
+# result fingerprints (VERDICT r9 #8's shape): a hash match certifies
+# compaction changed LAYOUT and nothing else. Driver-gated, not benched
+# (budget policy: lifecycle machinery, no scale signal — the operator's
+# scale story, probe-side task counts staying ~max_files_per_cell, is
+# documented at the operator and plan-asserted in tests/test_ivf_index).
+# --------------------------------------------------------------------------
+def _x105_oracle() -> str:
+    from .extensions8 import N_CENTROIDS, N_ITER, _kmeans_ctes
+
+    return f"""
+    WITH {_kmeans_ctes(N_CENTROIDS, N_ITER, fit_where="WHERE vec_id % 10 <> 9")},
+    q AS (
+      SELECT vec_id AS query_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY dist, cent_id) AS r
+        FROM dF WHERE vec_id BETWEEN 200 AND 209) t
+      WHERE r <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, a.vec_id AS cand_id
+      FROM q JOIN aF a ON q.cell = a.cell AND a.vec_id <> q.query_id
+    ),
+    ex AS (
+      SELECT vec_id, GENERATE_SUBSCRIPTS(emb, 1) AS d, UNNEST(emb) AS v
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    ),
+    norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    dots AS (
+      SELECT cand.query_id, cand.cand_id, SUM(a.v * b.v) AS dot
+      FROM cand
+      JOIN ex a ON a.vec_id = cand.query_id
+      JOIN ex b ON b.vec_id = cand.cand_id AND a.d = b.d
+      GROUP BY cand.query_id, cand.cand_id
+    ),
+    scored AS (
+      SELECT query_id, cand_id, dot / (nq.nrm * nc.nrm) AS cos_raw
+      FROM dots
+      JOIN norms nq ON query_id = nq.vec_id
+      JOIN norms nc ON cand_id = nc.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, cos_raw,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_raw DESC, cand_id) AS rnk
+      FROM scored
+    ),
+    top AS (
+      SELECT query_id, cand_id,
+             FLOOR(cos_raw * 10000.0 + 0.5) / 10000.0 AS cosine
+      FROM ranked WHERE rnk <= 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_results,
+           CAST(COALESCE(SUM(query_id + cand_id), 0) AS BIGINT)
+             AS result_id_sum,
+           CAST(COALESCE(SUM(CAST(FLOOR(cosine * 10000.0 + 0.5) AS BIGINT)),
+                         0) AS BIGINT) AS cos_sum_q,
+           TRUE AS results_unchanged_by_compaction,
+           TRUE AS files_compacted
+    FROM top
+"""
+
+
+@query("x105_ivf_compaction_verdict", oracle=_x105_oracle())
+def x105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clone(shared lifecycle index) -> snapshot search -> compact ->
+    verdict row: search results byte-identical (symmetric exceptAll),
+    postings file count strictly smaller, fingerprints recomputed from
+    scratch by the oracle."""
+    import os
+    import shutil as _sh
+
+    from ..operators.ivf_index import compact_ivf_index, ivf_index_search
+    from .extensions10 import _scratch_index_dir
+    from .extensions12 import _ivf_lifecycle_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base, cents = _ivf_lifecycle_index(spark, sf_dir)
+    path = _scratch_index_dir(spark, "ivf_x105_")
+    _sh.rmtree(path)
+    _sh.copytree(base, path)
+
+    def n_files() -> int:
+        total = 0
+        for root, _dirs, files in os.walk(f"{path}/postings"):
+            total += sum(1 for f in files if f.endswith(".parquet"))
+        return total
+
+    def n_cells() -> int:
+        return sum(
+            1
+            for e in os.listdir(f"{path}/postings")
+            if e.startswith("cell=")
+        )
+
+    qs = emb.filter(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") <= 209)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    before = ivf_index_search(
+        spark, path, qs, k=3, nprobe=2, centroids=cents
+    ).localCheckpoint(eager=True)
+    files_before = n_files()
+    # precondition, asserted loudly (ADVICE r9 rule): the files_compacted
+    # verdict is oracle-pinned TRUE, so a fixture change that leaves every
+    # cell already single-file must fail HERE at generation time
+    if files_before <= n_cells():
+        raise AssertionError(
+            f"x105 fixture drift: {files_before} parquet files across "
+            f"{n_cells()} cells — no cell has anything to compact"
+        )
+    compact_ivf_index(spark, path, max_files_per_cell=1)
+    files_after = n_files()
+    after = ivf_index_search(spark, path, qs, k=3, nprobe=2, centroids=cents)
+    n_mismatch = int(
+        before.exceptAll(after).unionByName(after.exceptAll(before)).count()
+    )
+    return after.agg(
+        F.count("*").cast("long").alias("n_results"),
+        F.coalesce(F.sum(F.col("query_id") + F.col("cand_id")), F.lit(0))
+        .cast("long")
+        .alias("result_id_sum"),
+        F.coalesce(
+            F.sum(F.floor(F.col("cosine") * 10000.0 + F.lit(0.5))), F.lit(0)
+        )
+        .cast("long")
+        .alias("cos_sum_q"),
+        F.lit(n_mismatch == 0).alias("results_unchanged_by_compaction"),
+        F.lit(files_after < files_before).alias("files_compacted"),
+    )
