@@ -78,11 +78,18 @@ scratch -> ~1e8 rows (the operator default). Then sanity-check wall
 time: verification streams ~volume rows through one hash join, so at a
 measured ~5M candidate-rows/s/32-cores (BENCH_NOTES round-9 slope
 table), 1e8 candidates is ~20 s of verify on one box — scale linearly
-with cores. The demo queries pin budget_rows=100k so the route flips
-between sf0.01 and sf0.1 on the driver's own data; production budgets
-are orders of magnitude higher and flip only on genuinely low-entropy
-corpora (measured slope: 10x documents -> 100.7x exact candidate volume
-on a saturated shingle space, while the fallback's wall time grew 1.55x).
+with cores. The DEFAULT budget applies exactly this formula from the
+session's own shape (VERDICT r9 #6): ``spark.sql.shuffle.partitions`` x
+~3M candidate rows per task (~300 MB of shuffle traffic per task at
+~100 B/row) — 32 partitions on the dev box -> 9.6e7 (the old 1e8
+constant, now derived); a 1000-executor cluster running 8k shuffle
+partitions -> 2.4e10, the same number the headroom rule of thumb gives.
+An explicit ``budget_rows`` always wins. The demo queries pin
+budget_rows=100k so the route flips between sf0.01 and sf0.1 on the
+driver's own data; production budgets are orders of magnitude higher
+and flip only on genuinely low-entropy corpora (measured slope: 10x
+documents -> 100.7x exact candidate volume on a saturated shingle
+space, while the fallback's wall time grew 1.55x).
 """
 
 from __future__ import annotations
@@ -376,13 +383,31 @@ def _minhash_candidates(
     )
 
 
+# ~3M candidate rows per shuffle task ~ 300 MB of in-flight shuffle
+# traffic per task at the ~100 B/row measured in the module docstring's
+# sizing paragraph — the per-task term of the default budget formula
+_BUDGET_ROWS_PER_TASK = 3_000_000
+
+
+def default_budget_rows(spark) -> int:
+    """The candidate-volume budget derived from cluster shape (VERDICT
+    r9 #6): the candidate join shuffles across
+    ``spark.sql.shuffle.partitions`` tasks, so the budget is
+    partitions x ``_BUDGET_ROWS_PER_TASK`` (sizing formula and worked
+    examples in the module docstring). 32 partitions -> 9.6e7; a
+    1000-executor cluster at 8k partitions -> 2.4e10. Callers needing a
+    different risk posture pass ``budget_rows`` explicitly."""
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return parts * _BUDGET_ROWS_PER_TASK
+
+
 def adaptive_jaccard_join(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
     shingle_size: int = 3,
-    budget_rows: int = 100_000_000,
+    budget_rows: int | None = None,
     route: str = "auto",
     num_hashes: int = 64,
     rows_per_band: int = 2,
@@ -398,7 +423,10 @@ def adaptive_jaccard_join(
     "budget_rows": int}``. ``route='exact'`` / ``'minhash'`` force a
     path (the volume is still computed and reported — forcing 'exact'
     over budget is how an operator consciously accepts the cliff);
-    ``'auto'`` compares volume to ``budget_rows``.
+    ``'auto'`` compares volume to ``budget_rows``, which defaults to
+    :func:`default_budget_rows` — shuffle-partition count x a per-task
+    candidate-row budget — so the same query auto-scales its routing
+    threshold with the cluster it runs on.
 
     The volume collect is one driver-side scalar (an aggregate over the
     prefix postings — itself bounded by the corpus token count, never by
@@ -410,6 +438,8 @@ def adaptive_jaccard_join(
     verification work — never a wrong pair."""
     if route not in ("auto", "exact", "minhash"):
         raise ValueError(f"route must be auto|exact|minhash, got {route!r}")
+    if budget_rows is None:
+        budget_rows = default_budget_rows(df.sparkSession)
     chains, toks = _tokenize(df, text_col, id_col, shingle_size)
     prefix = _prefix_table(toks, id_col, threshold)
     volume = int(
@@ -443,7 +473,7 @@ def ssjoin_routing_audit(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     shingle_size: int = 3,
-    budget_rows: int = 100_000_000,
+    budget_rows: int | None = None,
     route: str = "auto",
     **minhash_kwargs,
 ) -> DataFrame:
