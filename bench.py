@@ -157,7 +157,47 @@ BENCH_QUERIES = [
     "x97_transformer_semantic_shift",
     "x99_upsert_stream_verdict",
     "x100_ddm_stream_verdict",
+    # round-10: the Page-Hinkley streaming twin (the second keyed
+    # stateful detector through the real streaming stack — same floor
+    # shape as x100). x103 (fine-tune session) and x105 (IVF compaction
+    # verdict) are DRIVER-GATED but not benched per the budget policy:
+    # both are bounded lifecycle/session machinery whose cost is fixed
+    # per-batch job overhead, not data (x98/x102 precedent) — x103's
+    # loop is 4 batches of 32 docs at EVERY scale by construction
+    "x104_ph_stream_verdict",
 ]
+
+
+def warm_worker_pool(spark) -> None:
+    """Fork and warm the Python worker pool + shuffle machinery BEFORE
+    any timed (or JIT-warm-up) query runs (VERDICT r9 #5): one trivial
+    mapInPandas over every core forks the daemon's workers and imports
+    pandas/numpy in each (spark.python.worker.reuse then keeps them for
+    the session), and one shuffle touches the shuffle write+fetch path.
+    Cross-SESSION bench drift on sub-2s worker-bound queries (the
+    ±10-19%% carried-set band, BENCH_NOTES round 9) is the target; the
+    measured effect is recorded in BENCH_NOTES round 10."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    def _touch(it):
+        for pdf in it:
+            yield pd.DataFrame({"v": [float(len(pdf))]})
+
+    cpus = spark.sparkContext.defaultParallelism
+    for _ in range(3):
+        (
+            spark.range(cpus * 8, numPartitions=cpus)
+            .mapInPandas(_touch, "v double")
+            .write.format("noop").mode("overwrite").save()
+        )
+        (
+            spark.range(cpus * 1000, numPartitions=cpus)
+            .groupBy((F.col("id") % 97).alias("g"))
+            .count()
+            .write.format("noop").mode("overwrite").save()
+        )
 
 
 def main() -> None:
@@ -170,6 +210,9 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # fork/warm the Python worker pool before anything is timed (r10)
+    warm_worker_pool(spark)
 
     # warm the JVM on EVERY bench query at the smallest sf first: the heavy
     # E2E shapes (q39-family NB pipelines) take several runs of Catalyst /
