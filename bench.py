@@ -159,11 +159,13 @@ BENCH_QUERIES = [
     "x100_ddm_stream_verdict",
     # round-10: the Page-Hinkley streaming twin (the second keyed
     # stateful detector through the real streaming stack — same floor
-    # shape as x100). x103 (fine-tune session) and x105 (IVF compaction
-    # verdict) are DRIVER-GATED but not benched per the budget policy:
-    # both are bounded lifecycle/session machinery whose cost is fixed
-    # per-batch job overhead, not data (x98/x102 precedent) — x103's
-    # loop is 4 batches of 32 docs at EVERY scale by construction
+    # shape as x100). x103 (fine-tune session), x105 (IVF compaction
+    # verdict) and x106 (t-SNE projection) are DRIVER-GATED but not
+    # benched per the budget policy: x103/x105 are bounded
+    # lifecycle/session machinery whose cost is fixed per-batch job
+    # overhead, not data (x98/x102 precedent — x103's loop is 4 batches
+    # of 32 docs at EVERY scale by construction), and x106 is a
+    # clamped-sample driver-side solve with no distributed scale signal
     "x104_ph_stream_verdict",
 ]
 
