@@ -167,6 +167,9 @@ BENCH_QUERIES = [
     # of 32 docs at EVERY scale by construction), and x106 is a
     # clamped-sample driver-side solve with no distributed scale signal
     "x104_ph_stream_verdict",
+    # mp4/ISO-BMFF container metadata E2E — a narrow scan->encode->parse
+    # codec pipeline like x78 (real per-byte work, real scale signal)
+    "x107_mp4_metadata",
 ]
 
 

@@ -1,15 +1,17 @@
 """Round-10 extension queries: driver attestation for the fine-tune
 adaptation session (x103 — U8, the last reference experiment shape
 without a driver row), the Page-Hinkley streaming twin (x104), the
-IVF-index compaction verdict (x105), and the t-SNE visualization
-projection (x106 — U10, previously the one declared-out-of-scope
-reference capability with no engine data product).
+IVF-index compaction verdict (x105), the t-SNE visualization projection
+(x106 — U10, previously the one declared-out-of-scope reference
+capability with no engine data product), and mp4 container metadata
+E2E (x107 — narrowing the multimodal capability gate to exactly SAMPLE
+decode).
 
-VERDICT r9 asked for x103/x104/x105 (#2, #4, #7). All four follow the
-round's oracle-hygiene rule (#8): x103 carries NO pinned verdict at all —
-every column, including its boolean, is recomputed exactly by the SQL
-oracle — and x104/x105/x106 carry SQL-recomputable fingerprint columns
-beside their pinned (and raise-guarded) property verdicts.
+VERDICT r9 asked for x103/x104/x105 (#2, #4, #7). All five follow the
+round's oracle-hygiene rule (#8): x103 and x107 carry NO pinned verdict
+at all — every column is recomputed exactly by the SQL oracle — and
+x104/x105/x106 carry SQL-recomputable fingerprint columns beside their
+pinned (and raise-guarded) property verdicts.
 """
 
 from __future__ import annotations
@@ -620,4 +622,102 @@ def x106(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).cast("long").alias("n_dims"),
         F.lit(True).alias("coords_finite"),
         F.lit(True).alias("kl_decreased"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X107 — mp4 container metadata E2E (closing the last honest capability
+# gap to its true boundary): deterministic zero-sample mp4 containers are
+# ENCODED in-plan from documents-table parameters (real ISO-BMFF box
+# trees — ftyp/moov/mvhd/trak/tkhd/mdhd/hdlr/stbl, encode_mp4_skeleton),
+# then parsed BACK through the production decode path
+# (extract_features(decoder='real') -> parse_mp4_metadata, an
+# Arrow-batched mapInPandas). The oracle recomputes every output column
+# in CLOSED FORM from the generating expressions — the x14/x78 codec
+# posture: any box-layout/endianness/fixed-point bug breaks the hash.
+# What remains gated is exactly mp4 SAMPLE decode (codec payloads),
+# which genuinely needs media libraries this container lacks. Scale
+# shape: scan -> mapInPandas encode -> mapInPandas parse, fully narrow,
+# media bytes never shuffle (module docstring contract).
+# --------------------------------------------------------------------------
+_X107_ORACLE = """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT)
+             AS n_tracks,
+           CAST(1000 AS BIGINT) AS timescale,
+           CAST(1000 + 37 * doc_id AS BIGINT) AS duration_ms,
+           CAST(320 + 16 * (doc_id % 8) AS BIGINT) AS width,
+           CAST(240 + 16 * (doc_id % 5) AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 8000 + 100 * (doc_id % 7)
+                     ELSE 0 END AS BIGINT) AS audio_rate
+    FROM documents WHERE doc_id % 2 = 0
+"""
+
+
+@query("x107_mp4_metadata", oracle=_X107_ORACLE)
+def x107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """encode_mp4_skeleton(params from doc_id) -> decoder='real'
+    metadata features -> the parsed container fields, hash-compared to
+    the closed-form oracle."""
+    import pandas as pd
+
+    from ..multimodal.binary_ops import (
+        MEDIA_SCHEMA,
+        encode_mp4_skeleton,
+        extract_features,
+    )
+    from ..sources.tables import spread_small_input
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                tracks = [
+                    {
+                        "kind": "video",
+                        "fourcc": "avc1",
+                        "width": 320 + 16 * (doc_id % 8),
+                        "height": 240 + 16 * (doc_id % 5),
+                    }
+                ]
+                if doc_id % 3 == 0:
+                    tracks.append(
+                        {
+                            "kind": "audio",
+                            "fourcc": "mp4a",
+                            "sample_rate": 8000 + 100 * (doc_id % 7),
+                        }
+                    )
+                rows.append(
+                    (
+                        doc_id,
+                        "video",
+                        "mp4",
+                        encode_mp4_skeleton(1000 + 37 * doc_id, tracks),
+                        None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "fmt", "data", "meta"]
+            )
+
+    media = spread_small_input(docs.select("doc_id")).mapInPandas(
+        encode, MEDIA_SCHEMA
+    )
+    feats = extract_features(media, dim=8, decoder="real")
+    # feature layout for mp4 (binary_ops._real_decode):
+    # [n_tracks, timescale, duration_ms, width, height, audio_rate]
+    return feats.select(
+        "media_id",
+        F.element_at("feature", 1).cast("long").alias("n_tracks"),
+        F.element_at("feature", 2).cast("long").alias("timescale"),
+        F.element_at("feature", 3).cast("long").alias("duration_ms"),
+        F.element_at("feature", 4).cast("long").alias("width"),
+        F.element_at("feature", 5).cast("long").alias("height"),
+        F.element_at("feature", 6).cast("long").alias("audio_rate"),
     )

@@ -81,8 +81,85 @@ def test_real_decoder_raises_on_unsupported():
         _real_decode,
     )
 
+    # genuinely-unsupported formats still gate honestly
     with pytest.raises(NotImplementedError):
+        _real_decode(b"\x00\x01", "webm", 8)
+    # mp4 container parsing is real now — garbage bytes are a PARSE error
+    with pytest.raises(ValueError):
         _real_decode(b"\x00\x01", "mp4", 8)
+
+
+def test_mp4_skeleton_roundtrip_exact():
+    from detecting_and_addressing_change_spark.multimodal.binary_ops import (
+        encode_mp4_skeleton,
+        parse_mp4_metadata,
+    )
+
+    data = encode_mp4_skeleton(
+        4321,
+        [
+            {"kind": "video", "fourcc": "avc1", "width": 320, "height": 240},
+            {"kind": "audio", "fourcc": "mp4a", "sample_rate": 16000},
+        ],
+    )
+    m = parse_mp4_metadata(data)
+    assert m["major_brand"] == "isom"
+    assert m["timescale"] == 1000 and m["duration_ms"] == 4321
+    assert [t["handler"] for t in m["tracks"]] == ["vide", "soun"]
+    assert [t["fourcc"] for t in m["tracks"]] == ["avc1", "mp4a"]
+    assert m["tracks"][0]["width"] == 320
+    assert m["tracks"][0]["height"] == 240
+    assert m["tracks"][0]["track_id"] == 1
+    assert m["tracks"][1]["sample_rate"] == 16000
+    assert m["tracks"][1]["width"] == 0
+
+
+def test_mp4_real_decode_features():
+    from detecting_and_addressing_change_spark.multimodal.binary_ops import (
+        _real_decode,
+        encode_mp4_skeleton,
+    )
+
+    data = encode_mp4_skeleton(
+        2500,
+        [{"kind": "video", "fourcc": "avc1", "width": 64, "height": 48}],
+        timescale=90000,
+    )
+    f = _real_decode(data, "mp4", 8)
+    # [n_tracks, timescale, duration_ms, width, height, audio_rate]
+    assert list(f[:6]) == [1.0, 90000.0, 2500.0, 64.0, 48.0, 0.0]
+
+
+def test_mp4_parser_strictness():
+    import struct
+
+    from detecting_and_addressing_change_spark.multimodal.binary_ops import (
+        encode_mp4_skeleton,
+        parse_mp4_metadata,
+    )
+
+    good = encode_mp4_skeleton(
+        1000, [{"kind": "video", "fourcc": "avc1", "width": 8, "height": 8}]
+    )
+    with pytest.raises(ValueError):  # truncated mid-box
+        parse_mp4_metadata(good[:-7])
+    with pytest.raises(ValueError):  # no ftyp first
+        parse_mp4_metadata(good[good.index(b"moov") - 4 :])
+    with pytest.raises(ValueError):  # box overruns its container
+        bad = struct.pack(">I", len(good) + 99) + good[4:]
+        parse_mp4_metadata(bad)
+    # 64-bit largesize: rewrite the moov box header as size==1 + u64
+    ftyp = good[: struct.unpack(">I", good[:4])[0]]
+    rest = good[len(ftyp) :]
+    moov_size = struct.unpack(">I", rest[:4])[0]
+    large_moov = (
+        struct.pack(">I", 1)
+        + rest[4:8]
+        + struct.pack(">Q", moov_size + 8)
+        + rest[8:moov_size]
+    )
+    m = parse_mp4_metadata(ftyp + large_moov + rest[moov_size:])
+    assert m["duration_ms"] == 1000 and len(m["tracks"]) == 1
 
 
 def test_resize_images_real(spark):
