@@ -492,11 +492,23 @@ def _find(data: bytes, start: int, end: int, typ: bytes):
 def parse_mp4_metadata(data: bytes) -> dict:
     """Container-level metadata of an ISO-BMFF file: ``{"major_brand",
     "timescale", "duration_ms", "tracks": [{"track_id", "handler",
-    "fourcc", "width", "height", "sample_rate"}, ...]}``. Strict: raises
-    ValueError on anything that is not a well-formed box tree with one
-    moov/mvhd. Reads headers only — sample data (mdat) is never touched,
-    which is exactly the metadata/bytes split the module docstring's
-    scale posture requires."""
+    "fourcc", "width", "height", "sample_rate"}, ...]}``. Strict AND
+    total: raises ValueError on anything that is not a well-formed box
+    tree with one moov/mvhd — including header boxes whose bodies are
+    too short for their fixed fields (a struct/index error anywhere in
+    the walk is a malformed file, property-fuzzed in
+    tests/test_multimodal.py). Reads headers only — sample data (mdat)
+    is never touched, which is exactly the metadata/bytes split the
+    module docstring's scale posture requires."""
+    import struct
+
+    try:
+        return _parse_mp4_metadata_inner(data)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"mp4: malformed header box ({e})") from e
+
+
+def _parse_mp4_metadata_inner(data: bytes) -> dict:
     import struct
 
     top = list(_walk_boxes(data, 0, len(data)))

@@ -148,6 +148,20 @@ def test_mp4_parser_strictness():
     with pytest.raises(ValueError):  # box overruns its container
         bad = struct.pack(">I", len(good) + 99) + good[4:]
         parse_mp4_metadata(bad)
+    # a well-formed BOX TREE whose mvhd body is too short for its fixed
+    # fields must be a ValueError, not a struct.error escaping the
+    # contract (found by reasoning, pinned here; the fuzz tests cover
+    # the random neighborhood)
+    ftyp_len = struct.unpack(">I", good[:4])[0]
+    short_mvhd = struct.pack(">I", 12) + b"mvhd" + b"\x00" * 4
+    crafted = (
+        good[:ftyp_len]
+        + struct.pack(">I", 8 + len(short_mvhd))
+        + b"moov"
+        + short_mvhd
+    )
+    with pytest.raises(ValueError):
+        parse_mp4_metadata(crafted)
     # 64-bit largesize: rewrite the moov box header as size==1 + u64
     ftyp = good[: struct.unpack(">I", good[:4])[0]]
     rest = good[len(ftyp) :]
@@ -260,6 +274,97 @@ try:
         got_rate, got = decode_wav_pcm16(encode_wav_pcm16(rate, s))
         assert got_rate == rate
         np.testing.assert_array_equal(got, s)
+
+    @given(
+        duration=st.integers(0, 10**7),
+        n_video=st.integers(0, 2),
+        n_audio=st.integers(0, 2),
+        w=st.integers(0, 4096),
+        h=st.integers(0, 4096),
+        rate=st.integers(0, 65535),
+        timescale=st.sampled_from([1000, 90000, 48000]),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_mp4_roundtrip_property(
+        duration, n_video, n_audio, w, h, rate, timescale
+    ):
+        from detecting_and_addressing_change_spark.multimodal.binary_ops import (
+            encode_mp4_skeleton,
+            parse_mp4_metadata,
+        )
+
+        tracks = [
+            {"kind": "video", "fourcc": "avc1", "width": w, "height": h}
+        ] * n_video + [
+            {"kind": "audio", "fourcc": "mp4a", "sample_rate": rate}
+        ] * n_audio
+        m = parse_mp4_metadata(
+            encode_mp4_skeleton(duration, tracks, timescale=timescale)
+        )
+        assert m["timescale"] == timescale
+        # encode floors duration onto the timescale grid; parse floors
+        # back to ms — the composed error is < one timescale unit in ms
+        assert m["duration_ms"] == (duration * timescale // 1000) * 1000 // timescale
+        assert len(m["tracks"]) == n_video + n_audio
+        for i, t in enumerate(m["tracks"]):
+            assert t["track_id"] == i + 1
+            if i < n_video:
+                assert (t["handler"], t["fourcc"]) == ("vide", "avc1")
+                assert (t["width"], t["height"]) == (w, h)
+            else:
+                assert (t["handler"], t["fourcc"]) == ("soun", "mp4a")
+                assert t["sample_rate"] == rate
+
+    @given(data=st.binary(min_size=0, max_size=300))
+    @settings(max_examples=150, deadline=None)
+    def test_mp4_parser_total_on_garbage(data):
+        """The strict parser must be TOTAL on arbitrary bytes: either a
+        well-formed dict or ValueError — never another exception type,
+        never a hang (malformed sizes are bounds-checked before use)."""
+        from detecting_and_addressing_change_spark.multimodal.binary_ops import (
+            parse_mp4_metadata,
+        )
+
+        try:
+            m = parse_mp4_metadata(data)
+        except ValueError:
+            return
+        assert set(m) == {"major_brand", "timescale", "duration_ms", "tracks"}
+
+    @given(cut=st.integers(0, 200), flip=st.integers(0, 200))
+    @settings(max_examples=60, deadline=None)
+    def test_mp4_parser_total_on_mutated_good_bytes(cut, flip):
+        """Truncations and single-byte corruptions of a REAL container
+        must also hit the ValueError-or-valid-dict contract."""
+        from detecting_and_addressing_change_spark.multimodal.binary_ops import (
+            encode_mp4_skeleton,
+            parse_mp4_metadata,
+        )
+
+        good = bytearray(
+            encode_mp4_skeleton(
+                1234,
+                [
+                    {
+                        "kind": "video",
+                        "fourcc": "avc1",
+                        "width": 32,
+                        "height": 24,
+                    }
+                ],
+            )
+        )
+        mutated = bytes(good[: max(8, cut % len(good))])
+        try:
+            parse_mp4_metadata(mutated)
+        except ValueError:
+            pass
+        good[flip % len(good)] ^= 0xFF
+        try:
+            m = parse_mp4_metadata(bytes(good))
+            assert isinstance(m["tracks"], list)
+        except ValueError:
+            pass
 
 except ImportError:  # pragma: no cover
     pass
