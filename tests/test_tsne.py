@@ -90,3 +90,87 @@ def test_project_rejects_tiny_input(spark):
     )
     with pytest.raises(ValueError):
         tsne_project(df)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        n=st.integers(8, 40),
+        dim=st.integers(2, 12),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=15, deadline=None)
+    def test_fit_stays_finite_and_descends_property(n, dim, seed):
+        """Solver stability over arbitrary small inputs: coordinates
+        finite and the KL objective never ends above its init."""
+        rng = np.random.RandomState(seed)
+        x = rng.randn(n, dim) * rng.uniform(0.1, 10.0)
+        y, kl_i, kl_f = tsne_fit(x, n_iter=120)
+        assert np.isfinite(y).all()
+        assert np.isfinite(kl_i) and np.isfinite(kl_f)
+        assert kl_f <= kl_i
+
+except ImportError:  # pragma: no cover
+    pass
+
+
+def test_mapping_stack_projection_reference_shape(spark):
+    """The reference's actual t-SNE usage (adaptation/mapping.py:60-76):
+    stack source / target / MAPPED embeddings with a tag column and
+    project to 2-d — the visualization should show the mapped cloud
+    sitting nearer the target cloud than the raw source cloud does,
+    which is the entire point of the Procrustes plot. Reproduced here
+    on a deterministic synthetic rotation (mapped = exactly solvable),
+    asserting that geometric relation IN THE 2-D PROJECTION."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    n, dim = 25, 6
+    target = rng.randn(n, dim)
+    # source = rotated target (orthogonal), so Procrustes recovers it
+    q, _ = np.linalg.qr(rng.randn(dim, dim))
+    source = target @ q
+    rows = []
+    for tag, mat in (("source", source), ("target", target)):
+        for i in range(n):
+            rows.append((len(rows), tag, mat[i].tolist()))
+    from detecting_and_addressing_change_spark.operators.procrustes import (
+        apply_mapping,
+        procrustes_solve,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (f"w{i}", source[i].tolist(), target[i].tolist())
+            for i in range(n)
+        ],
+        "word string, source array<double>, target array<double>",
+    )
+    m = procrustes_solve(pairs)
+    mapped_rows = apply_mapping(
+        pairs, m, vec_col="source", out_col="mapped"
+    ).select("mapped").collect()
+    for r in mapped_rows:
+        rows.append((len(rows), "mapped", list(r["mapped"])))
+    stacked = spark.createDataFrame(
+        rows, "vec_id long, tag string, embedding array<double>"
+    )
+    coords, _, _ = tsne_project(
+        stacked, tag_col="tag", n_iter=200, max_points=3 * n
+    )
+    pts = {
+        tag: np.array(
+            [
+                (r["dim_one"], r["dim_two"])
+                for r in coords.filter(f"tag = '{tag}'").collect()
+            ]
+        )
+        for tag in ("source", "target", "mapped")
+    }
+    # per-point: the mapped twin of target row i should sit closer to it
+    # in 2-d than the raw source twin does, for most points
+    d_mapped = np.linalg.norm(pts["mapped"] - pts["target"], axis=1)
+    d_source = np.linalg.norm(pts["source"] - pts["target"], axis=1)
+    assert np.median(d_mapped) < np.median(d_source)
