@@ -563,6 +563,7 @@ _X106_SAMPLE = 512
 
 _X106_ORACLE = f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COALESCE(SUM(vec_id), 0) AS BIGINT) AS sum_vec_id,
            CAST(2 AS BIGINT) AS n_dims,
            TRUE AS coords_finite,
            TRUE AS kl_decreased
@@ -593,6 +594,7 @@ def x106(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = coords.agg(
         F.count("*").cast("long").alias("n"),
+        F.coalesce(F.sum("vec_id"), F.lit(0)).cast("long").alias("sid"),
         F.sum(
             (
                 F.col("dim_one").isNull()
@@ -603,6 +605,7 @@ def x106(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bad"),
     ).collect()[0]
     n_points, n_bad = int(r["n"]), int(r["bad"] or 0)
+    sum_vec_id = int(r["sid"])
     finite = n_bad == 0 and all(
         _math.isfinite(v) for v in (kl_initial, kl_final)
     )
@@ -619,6 +622,7 @@ def x106(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return spark.range(1).select(
         F.lit(n_points).cast("long").alias("n_points"),
+        F.lit(sum_vec_id).cast("long").alias("sum_vec_id"),
         F.lit(2).cast("long").alias("n_dims"),
         F.lit(True).alias("coords_finite"),
         F.lit(True).alias("kl_decreased"),
