@@ -508,12 +508,24 @@ def parse_mp4_metadata(data: bytes) -> dict:
         raise ValueError(f"mp4: malformed header box ({e})") from e
 
 
+def _require_body(typ: str, b: int, e: int, n: int) -> None:
+    """Fixed-field bounds check: every slice below is taken INSIDE the
+    box's own body, so a short box raises instead of silently parsing
+    the sibling/header bytes that follow it (ADVICE r10)."""
+    if e - b < n:
+        raise ValueError(
+            f"mp4: {typ} body too short for its fixed fields "
+            f"({e - b} < {n})"
+        )
+
+
 def _parse_mp4_metadata_inner(data: bytes) -> dict:
     import struct
 
     top = list(_walk_boxes(data, 0, len(data)))
     if not top or top[0][0] != b"ftyp":
         raise ValueError("mp4: missing ftyp")
+    _require_body("ftyp", top[0][1], top[0][2], 8)
     brand = data[top[0][1] : top[0][1] + 4].decode("ascii", "replace")
     moov = next(((b, e) for t, b, e in top if t == b"moov"), None)
     if moov is None:
@@ -521,7 +533,10 @@ def _parse_mp4_metadata_inner(data: bytes) -> dict:
     mvhd = _find(data, moov[0], moov[1], b"mvhd")
     if mvhd is None:
         raise ValueError("mp4: missing mvhd")
+    _require_body("mvhd", mvhd[0], mvhd[1], 4)
     ver = data[mvhd[0]]
+    # spec fixed-field body sizes (ISO 14496-12 §8.2.2): v0=100, v1=112
+    _require_body("mvhd", mvhd[0], mvhd[1], 112 if ver == 1 else 100)
     if ver == 1:
         timescale, duration = struct.unpack(
             ">IQ", data[mvhd[0] + 20 : mvhd[0] + 32]
@@ -540,11 +555,16 @@ def _parse_mp4_metadata_inner(data: bytes) -> dict:
         mdia = _find(data, b, e, b"mdia")
         if tkhd is None or mdia is None:
             raise ValueError("mp4: trak missing tkhd/mdia")
+        _require_body("tkhd", tkhd[0], tkhd[1], 4)
         tver = data[tkhd[0]]
+        # spec fixed-field body sizes (ISO 14496-12 §8.3.2): v0=84, v1=96
+        _require_body("tkhd", tkhd[0], tkhd[1], 96 if tver == 1 else 84)
         off = tkhd[0] + (12 if tver == 0 else 20)
         (track_id,) = struct.unpack(">I", data[off : off + 4])
         w, h = struct.unpack(">II", data[tkhd[1] - 8 : tkhd[1]])
         hdlr = _find(data, mdia[0], mdia[1], b"hdlr")
+        if hdlr is not None:
+            _require_body("hdlr", hdlr[0], hdlr[1], 12)
         handler = (
             data[hdlr[0] + 8 : hdlr[0] + 12].decode("ascii", "replace")
             if hdlr
@@ -555,6 +575,7 @@ def _parse_mp4_metadata_inner(data: bytes) -> dict:
         stbl = minf and _find(data, minf[0], minf[1], b"stbl")
         stsd = stbl and _find(data, stbl[0], stbl[1], b"stsd")
         if stsd:
+            _require_body("stsd", stsd[0], stsd[1], 8)
             (n_entries,) = struct.unpack(
                 ">I", data[stsd[0] + 4 : stsd[0] + 8]
             )

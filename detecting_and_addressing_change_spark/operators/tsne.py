@@ -137,13 +137,16 @@ def tsne_fit(
     ``max(n / early_exaggeration / 4, 50)``; updates carry the original
     algorithm's per-parameter adaptive gains (Jacobs' rule: grow 0.2
     when gradient and velocity disagree in sign, shrink x0.8 when they
-    agree). The returned Y is the BEST iterate by true-P KL, not the
-    last one — the true KL is evaluated every iteration from the Q
-    matrix the gradient already computed (one masked log-sum, same
-    O(n²) order), so ``kl_final <= kl_initial`` is a guarantee of the
-    operator, not an empirical hope: tiny inputs where the exaggeration
-    phase overshoots a near-optimal PCA init (found by the hypothesis
-    fuzz) simply return the init."""
+    agree). The returned Y is the best of the SAMPLED iterates by
+    true-P KL — the KL is evaluated at the init, every 5th iteration,
+    and the last iterate (each a masked log-sum over the Q matrix the
+    gradient already computed), not every iteration, so an
+    intermediate iterate between samples can be missed. Because the
+    init and the last iterate are always in the sample,
+    ``kl_final <= kl_initial`` is still a guarantee of the operator,
+    not an empirical hope: tiny inputs where the exaggeration phase
+    overshoots a near-optimal PCA init (found by the hypothesis fuzz)
+    simply return the init."""
     x = np.asarray(x, dtype=np.float64)
     n = x.shape[0]
     perplexity = min(perplexity, max((n - 1) / 3.0, 1.0))
@@ -201,10 +204,18 @@ def tsne_project(
     Collects at most ``max_points`` vectors (the sample IS the
     operator's contract — see module docstring); everything after the
     collect is driver-side numpy with no RNG, so repeated calls are
-    bit-identical."""
+    bit-identical. The id/tag columns keep their input types (the
+    output field DDL is derived from ``df.schema``, not hardcoded), so
+    int/string/uuid ids round-trip unchanged."""
     cols = [F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")]
     if tag_col is not None:
         cols.insert(1, F.col(tag_col))
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    tag_ddl = (
+        df.schema[tag_col].dataType.simpleString()
+        if tag_col is not None
+        else None
+    )
     rows = df.select(*cols).orderBy(id_col).limit(int(max_points)).collect()
     if len(rows) < 4:
         raise ValueError(
@@ -220,10 +231,10 @@ def tsne_project(
     import pandas as pd
 
     out = {id_col: [r[id_col] for r in rows]}
-    ddl = [f"{id_col} long"]
+    ddl = [f"{id_col} {id_ddl}"]
     if tag_col is not None:
         out[tag_col] = [r[tag_col] for r in rows]
-        ddl.append(f"{tag_col} string")
+        ddl.append(f"{tag_col} {tag_ddl}")
     for k in range(n_components):
         name = ("dim_one", "dim_two")[k] if k < 2 else f"dim_{k + 1}"
         out[name] = y[:, k]

@@ -161,6 +161,16 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     "x76_incremental_dedup", "x79_index_probe", "x84_prefix_jaccard_join",
     "x94_ivf_index_lifecycle", "x95_ivf_occupancy_audit",
     "x97_transformer_semantic_shift", "x99_upsert_stream_verdict",
+    # green rows in CORRECTNESS_r10.json (the r10 re-attests x90/x98/
+    # x100-x102 + the new x103-x107), minus the queries whose executed
+    # paths change in round 11: x106 (the KL raise-guard relaxes to the
+    # operator contract `<=` and tsne_fit/tsne_project change — ADVICE
+    # r10) and x107 (parse_mp4_metadata gains per-box fixed-field bounds
+    # checks — ADVICE r10). Those two float forward for fresh rows.
+    "x90_adaptive_similarity_join", "x98_curation_stream_verdict",
+    "x100_ddm_stream_verdict", "x101_takedown_verdict",
+    "x102_index_compaction_verdict", "x103_finetune_adaptation_audit",
+    "x104_ph_stream_verdict", "x105_ivf_compaction_verdict",
     # green rows in CORRECTNESS_r06.json continue below
     "q59_gradual_drift_experiment", "q61_mapping_experiment",
     "x03_minhash_bands", "x04_minhash_pairs", "x23_dedup_clusters",

@@ -566,7 +566,7 @@ _X106_ORACLE = f"""
            CAST(COALESCE(SUM(vec_id), 0) AS BIGINT) AS sum_vec_id,
            CAST(2 AS BIGINT) AS n_dims,
            TRUE AS coords_finite,
-           TRUE AS kl_decreased
+           TRUE AS kl_nonincreasing
     FROM (SELECT vec_id FROM embeddings ORDER BY vec_id
           LIMIT {_X106_SAMPLE})
 """
@@ -615,9 +615,14 @@ def x106(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(
             f"x106 solver regression: {n_bad} non-finite coordinates"
         )
-    if not kl_final < kl_initial:
+    # The operator contract (tsne_fit, best-of-sampled-iterates) is
+    # kl_final <= kl_initial — equality is legitimate when the PCA init
+    # is the best iterate (ADVICE r10), so the guard matches the
+    # contract rather than demanding strict descent of a possibly
+    # near-optimal init.
+    if not kl_final <= kl_initial:
         raise AssertionError(
-            f"x106 solver regression: KL did not decrease "
+            f"x106 solver regression: KL increased "
             f"({kl_initial} -> {kl_final})"
         )
     return spark.range(1).select(
@@ -625,7 +630,7 @@ def x106(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(sum_vec_id).cast("long").alias("sum_vec_id"),
         F.lit(2).cast("long").alias("n_dims"),
         F.lit(True).alias("coords_finite"),
-        F.lit(True).alias("kl_decreased"),
+        F.lit(True).alias("kl_nonincreasing"),
     )
 
 

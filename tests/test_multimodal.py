@@ -176,6 +176,57 @@ def test_mp4_parser_strictness():
     assert m["duration_ms"] == 1000 and len(m["tracks"]) == 1
 
 
+def test_mp4_short_fixed_fields_raise_not_sibling_parse():
+    """ADVICE r10: a box whose body is too short for its fixed fields,
+    FOLLOWED by sibling bytes, must raise — not silently unpack the
+    sibling/header bytes as field values (struct.error only fired at
+    EOF before the per-box bounds checks)."""
+    import struct
+
+    from detecting_and_addressing_change_spark.multimodal.binary_ops import (
+        encode_mp4_skeleton,
+        parse_mp4_metadata,
+    )
+
+    good = encode_mp4_skeleton(
+        1000, [{"kind": "video", "fourcc": "avc1", "width": 8, "height": 8}]
+    )
+    ftyp_len = struct.unpack(">I", good[:4])[0]
+    moov_off = ftyp_len
+    moov_size = struct.unpack(">I", good[moov_off : moov_off + 4])[0]
+    mvhd_off = moov_off + 8
+    mvhd_size = struct.unpack(">I", good[mvhd_off : mvhd_off + 4])[0]
+    trak_off = mvhd_off + mvhd_size
+    trak_size = struct.unpack(">I", good[trak_off : trak_off + 4])[0]
+    tkhd_off = trak_off + 8
+    tkhd_size = struct.unpack(">I", good[tkhd_off : tkhd_off + 4])[0]
+    # 4-byte tkhd body (verflags only, v0): track_id/width/height slices
+    # would land on the sibling mdia's header bytes without the check
+    short_tkhd = struct.pack(">I", 12) + b"tkhd" + b"\x00" * 4
+    delta = tkhd_size - len(short_tkhd)
+    new_trak = (
+        struct.pack(">I", trak_size - delta)
+        + b"trak"
+        + short_tkhd
+        + good[tkhd_off + tkhd_size : trak_off + trak_size]
+    )
+    crafted = (
+        good[:moov_off]
+        + struct.pack(">I", moov_size - delta)
+        + b"moov"
+        + good[mvhd_off : mvhd_off + mvhd_size]
+        + new_trak
+        + good[moov_off + moov_size :]
+    )
+    with pytest.raises(ValueError, match="tkhd body too short"):
+        parse_mp4_metadata(crafted)
+    # short ftyp body: the brand slice would read the next box's size
+    # field without the check
+    short_ftyp = struct.pack(">I", 10) + b"ftyp" + b"is"
+    with pytest.raises(ValueError, match="ftyp body too short"):
+        parse_mp4_metadata(short_ftyp + good[ftyp_len:])
+
+
 def test_resize_images_real(spark):
     """Nearest-neighbor resize on real PPM bytes: exact index remap."""
     from detecting_and_addressing_change_spark.multimodal.binary_ops import (
