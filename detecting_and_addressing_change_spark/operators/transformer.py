@@ -164,82 +164,12 @@ def encoder_forward_one(
     return _layer_norm(x, ws.lnf_g, ws.lnf_b)
 
 
-def encoder_forward_pure(ws: MiniTransformerWeights, tokens) -> list:
-    """Independent pure-Python replication of ``encoder_forward_one``
-    (lists + math module only — no numpy): the parity reference the
-    tests pin the numpy kernel against, and the implementation
-    ``tools/gen_golden_oracles.py`` uses so the x92 literal oracle is an
-    INDEPENDENT computation of the same function (q61 precedent)."""
-    d = len(tokens[0])
-    nh = ws.n_heads
-    dh = d // nh
-
-    def matmul(a, b):  # (n,k) x (k,m) lists
-        return [
-            [sum(ar[t] * b[t][c] for t in range(len(b))) for c in range(len(b[0]))]
-            for ar in a
-        ]
-
-    def ln(rows, g, b):
-        out = []
-        for r in rows:
-            mu = sum(r) / len(r)
-            var = sum((v - mu) ** 2 for v in r) / len(r)
-            s = math.sqrt(var + _LN_EPS)
-            out.append(
-                [(v - mu) / s * float(g[j]) + float(b[j]) for j, v in enumerate(r)]
-            )
-        return out
-
-    pe = positional_encoding(len(tokens), d)
-    x = [
-        [float(v) + float(pe[p][j]) for j, v in enumerate(row)]
-        for p, row in enumerate(tokens)
-    ]
-    for L in ws.layers:
-        h = ln(x, L["ln1_g"], L["ln1_b"])
-        wq = L["wq"].tolist()
-        wk = L["wk"].tolist()
-        wv = L["wv"].tolist()
-        q, k, v = matmul(h, wq), matmul(h, wk), matmul(h, wv)
-        concat = [[0.0] * d for _ in x]
-        for hd in range(nh):
-            lo = hd * dh
-            for i in range(len(x)):
-                raw = [
-                    sum(q[i][lo + t] * k[j][lo + t] for t in range(dh))
-                    / math.sqrt(dh)
-                    for j in range(len(x))
-                ]
-                m = max(raw)
-                e = [math.exp(s - m) for s in raw]
-                z = sum(e)
-                att = [ei / z for ei in e]
-                for t in range(dh):
-                    concat[i][lo + t] = sum(
-                        att[j] * v[j][lo + t] for j in range(len(x))
-                    )
-        proj = matmul(concat, L["wo"].tolist())
-        x = [[x[i][j] + proj[i][j] for j in range(d)] for i in range(len(x))]
-        h2 = ln(x, L["ln2_g"], L["ln2_b"])
-        a1 = matmul(h2, L["w1"].tolist())
-        b1 = L["b1"].tolist()
-        g = [
-            [
-                0.5 * (v + b1[j]) * (1.0 + math.erf((v + b1[j]) / math.sqrt(2.0)))
-                for j, v in enumerate(r)
-            ]
-            for r in a1
-        ]
-        a2 = matmul(g, L["w2"].tolist())
-        b2 = L["b2"].tolist()
-        x = [
-            [x[i][j] + a2[i][j] + b2[j] for j in range(d)]
-            for i in range(len(x))
-        ]
-    return ln(x, ws.lnf_g, ws.lnf_b)
-
-
+# The independent pure-Python replication of this forward (the parity
+# reference the tests pin the numpy kernel against, and the
+# implementation the x92 literal generator uses) lives in
+# tools/pure_kernels.py — deliberately OUTSIDE this module, with zero
+# imports from the engine package, so a bug here cannot satisfy both
+# sides of the parity check (VERDICT r10 #4).
 _WEIGHTS_CACHE: dict[tuple, MiniTransformerWeights] = {}
 
 

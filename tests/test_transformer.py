@@ -12,9 +12,12 @@ import pytest
 from detecting_and_addressing_change_spark.operators.transformer import (
     MiniTransformerWeights,
     encoder_forward_one,
-    encoder_forward_pure,
     positional_encoding,
     transformer_embed_documents,
+)
+from tools.pure_kernels import (
+    encoder_forward_pure,
+    transformer_weights_pure,
 )
 
 D = 8
@@ -31,13 +34,22 @@ def _toks(seed: int, seq: int) -> np.ndarray:
 
 
 def test_numpy_matches_pure_python(ws):
-    """Parity against the independent list/math-module replication — the
-    same contract that backs the generated-literal oracle (q61/x42
-    precedent): two implementations, one function."""
+    """Parity against the independent list/math-module replication in
+    tools/pure_kernels.py (zero imports from the engine package —
+    VERDICT r10 #4): two implementations of BOTH the weight init and the
+    forward, one function. This is the chain that backs the
+    generated-literal x92 oracle."""
+    pure_ws = transformer_weights_pure(D, n_layers=2, n_heads=2, d_ff=16)
+    # weight-init parity is bit-exact (same hash contract, re-derived)
+    for pl, el in zip(pure_ws["layers"], ws.layers):
+        for key in pl:
+            assert np.array_equal(np.array(pl[key]), np.asarray(el[key])), key
+    assert np.array_equal(np.array(pure_ws["lnf_g"]), ws.lnf_g)
+    assert np.array_equal(np.array(pure_ws["lnf_b"]), ws.lnf_b)
     for seed, seq in [(0, 1), (1, 3), (2, 7), (3, 16)]:
         t = _toks(seed, seq)
         a = encoder_forward_one(ws, t)
-        b = np.array(encoder_forward_pure(ws, t.tolist()))
+        b = np.array(encoder_forward_pure(pure_ws, t.tolist()))
         assert a.shape == (seq, D) == b.shape
         assert np.abs(a - b).max() < 1e-9, (seed, seq)
 

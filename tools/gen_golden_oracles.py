@@ -1,14 +1,18 @@
-"""Generate hash-exact literal oracles for the two non-SQL-expressible
-queries (VERDICT r3 #3): x42_pca_project and q61_mapping_experiment.
+"""Generate hash-exact literal oracles for the non-SQL-expressible
+queries (VERDICT r3 #3): x42_pca_project, q61_mapping_experiment and
+x92_transformer_embed.
 
-Both queries are deterministic after the repo's own sign normalization, but
-their core (SVD / eigendecomposition) has no portable SQL form, so the
-driver could only run a rows-only check. This script computes each query's
-expected sf0.01 output with an INDEPENDENT numpy implementation (no Spark
-in the computation path — parquet in via pyarrow, math in numpy/pure
-Python, mirroring the goldens in tests/test_pca.py, tests/test_nb_numpy.py
-and tests/test_procrustes.py), renders it as a DuckDB VALUES table, and
-writes ``detecting_and_addressing_change_spark/queries/_golden_oracles.py``.
+Each query is deterministic after the repo's own sign normalization, but
+its core (SVD / eigendecomposition / softmax attention) has no portable
+SQL form, so the driver could only run a rows-only check. This script
+computes each query's expected sf0.01 output with an INDEPENDENT
+implementation — parquet in via pyarrow, math in numpy/pure Python,
+**importing no kernels from the engine package** (VERDICT r10 #4): the
+hash embedding, transformer weights and encoder forward come from
+``tools/pure_kernels.py`` (lists + math module, zero engine imports),
+and the PCA tail is re-derived inline below. It renders each result as
+a DuckDB VALUES table and writes
+``detecting_and_addressing_change_spark/queries/_golden_oracles.py``.
 
 The literal oracles are pinned to the driver's documented compare scale
 (sf=0.01). Re-run this script if the sf0.01 testdata is regenerated:
@@ -32,6 +36,13 @@ import pyarrow.parquet as pq
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from pure_kernels import (  # noqa: E402  (tools-local, no engine imports)
+    encoder_forward_pure,
+    hash_embed_tokens_pure,
+    transformer_weights_pure,
+)
 
 SF_DIR = "/root/testdata/sf0.01"
 
@@ -63,22 +74,27 @@ def _round_n(x: float, digits: int, ctx: str = "") -> float:
 
 
 # --------------------------------------------------------------------------
-# x42: PCA projection golden — centered scatter + SVD, identical driver-side
-# tail as operators/pca.py (shared numpy code), distributed partials
-# replaced by one numpy pass over the same rows.
+# x42: PCA projection golden — centered scatter + SVD + the engine's
+# documented sign convention (largest-|loading| entry positive), written
+# out here rather than imported from operators/pca.py so the literal is
+# an independent computation (VERDICT r10 #4). The numpy-golden in
+# tests/test_pca.py pins the engine kernel against the same contract.
 # --------------------------------------------------------------------------
 def golden_x42() -> list[tuple[int, float, float]]:
-    from detecting_and_addressing_change_spark.operators.pca import (
-        _components_from_scatter,
-    )
-
     t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
     vec_ids = t.column("vec_id").to_pylist()
     x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
     n = x.shape[0]
     s = x.sum(axis=0)
     g = np.einsum("ni,nj->ij", x, x)
-    comps, _, means = _components_from_scatter(n, s, g, 2)
+    scatter = g - np.outer(s, s) / n
+    u, _eig, _ = np.linalg.svd(scatter)
+    comps = u.T[:2].copy()
+    for j in range(2):
+        lead = int(np.argmax(np.abs(comps[j])))
+        if comps[j][lead] < 0:
+            comps[j] = -comps[j]
+    means = [float(v) / n for v in s]
 
     out = []
     for vid, row in zip(vec_ids, x):
@@ -100,10 +116,6 @@ def golden_x42() -> list[tuple[int, float, float]]:
 # scoring, count-window accuracy series.
 # --------------------------------------------------------------------------
 def golden_q61() -> list[tuple[int, str, float]]:
-    from detecting_and_addressing_change_spark.operators.embedder import (
-        hash_embed_tokens,
-    )
-
     t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
     doc_ids = t.column("doc_id").to_pylist()
     texts = t.column("text").to_pylist()
@@ -119,7 +131,7 @@ def golden_q61() -> list[tuple[int, str, float]]:
         memo: dict[str, list[float]] = {}
         feats = {}
         for d, txt in zip(doc_ids, texts):
-            toks = hash_embed_tokens(txt or "", model, dim, 512, memo)
+            toks = hash_embed_tokens_pure(txt or "", model, dim, 512, memo)
             acc = np.zeros(dim)
             for tok in toks:
                 # tokens are stored float32 in the engine; pooling casts
@@ -163,7 +175,7 @@ def golden_q61() -> list[tuple[int, str, float]]:
     ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
 
     def word_vec(word: str, model: str) -> np.ndarray:
-        toks = hash_embed_tokens(word, model, dim, 512, {})
+        toks = hash_embed_tokens_pure(word, model, dim, 512, {})
         acc = np.zeros(dim)
         for tok in toks:
             acc += np.asarray(tok, dtype=np.float32).astype(np.float64)
@@ -204,22 +216,16 @@ def golden_q61() -> list[tuple[int, str, float]]:
 
 # --------------------------------------------------------------------------
 # x92: mini-transformer golden — the attention encoder forward via the
-# INDEPENDENT pure-Python replication (encoder_forward_pure: lists + math
-# module, no numpy in the forward), float32 storage round-trip, mean pool
-# folding left-to-right, 4dp portable rounding. Softmax attention has no
-# sane SQL form, hence the literal oracle (same contract as x42/q61).
+# INDEPENDENT pure-Python replication (tools/pure_kernels.py: lists +
+# math module, no numpy in the forward, weights re-derived from the hash
+# contract rather than imported — VERDICT r10 #4), float32 storage
+# round-trip, mean pool folding left-to-right, 4dp portable rounding.
+# Softmax attention has no sane SQL form, hence the literal oracle (same
+# contract as x42/q61).
 # --------------------------------------------------------------------------
 def golden_x92() -> list[tuple]:
-    from detecting_and_addressing_change_spark.operators.embedder import (
-        hash_embed_tokens,
-    )
-    from detecting_and_addressing_change_spark.operators.transformer import (
-        MiniTransformerWeights,
-        encoder_forward_pure,
-    )
-
     dim, max_seq = 8, 64
-    ws = MiniTransformerWeights.init_hash(dim, n_layers=2, n_heads=2, d_ff=16)
+    ws = transformer_weights_pure(dim, n_layers=2, n_heads=2, d_ff=16)
     t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
     doc_ids = t.column("doc_id").to_pylist()
     texts = t.column("text").to_pylist()
@@ -228,7 +234,7 @@ def golden_x92() -> list[tuple]:
     for d, txt in zip(doc_ids, texts):
         if int(d) % 7 != 0:
             continue
-        toks = hash_embed_tokens(txt or "", "MINI", dim, max_seq, memo)
+        toks = hash_embed_tokens_pure(txt or "", "MINI", dim, max_seq, memo)
         states = encoder_forward_pure(ws, toks)
         acc = [0.0] * dim
         for row in states:
