@@ -23,6 +23,7 @@ from . import extensions11  # noqa: F401,E402
 from . import extensions12  # noqa: F401,E402
 from . import extensions13  # noqa: F401,E402
 from . import extensions14  # noqa: F401,E402
+from . import extensions15  # noqa: F401,E402
 from . import drift  # noqa: F401,E402
 
 # The external driver evaluates at most the first 50 registered queries per

@@ -1,0 +1,536 @@
+"""Round-11 extension queries: driver attestation for the LSTM half of
+the U8 fine-tune session (x108 — the last pytest-only half of a
+reference experiment shape) and the RAG retrieval path end-to-end
+(x109 — chunk -> embed -> persisted IVF index -> text-query search,
+until now pytest-only composition).
+
+Both follow the oracle-hygiene rule (VERDICT r10 #8): x109 carries NO
+pinned verdict at all — every output column, including the search-result
+fingerprints, is recomputed from scratch by the SQL oracle (chunking,
+hash embedding, the k-means quantizer fit, probe-cell selection and
+cosine ranking are all replayed in DuckDB) — and x108's pinned verdicts
+are raise-guarded in-query beside SQL-recomputed session-shape
+fingerprints, with NO new generated literal (the Adam train steps are
+the genuinely non-SQL-expressible part; the x106 shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# X108 — LSTM fine-tune session (U8's LSTM half; VERDICT r10 #2).
+# Reference: adaptation/fine_tuning.py:10-97 fine-tunes the LSTM
+# classifier (torch optimizer, one step per batch) on the first
+# no_batches batches of the drifted stream, then continues evaluation —
+# the gradient sibling of x103's exact-merge NB session (x103's measured
+# finding: NB sufficient-stats merging DILUTES under representation
+# drift, which is exactly why the reference's fine_tune is LSTM-only;
+# x108 attests the half that genuinely recovers).
+#
+# The session runs the REAL loop classes (streaming/prequential.py
+# PrequentialLSTM + fine_tune_lstm: per-batch Spark collect -> test with
+# current weights -> one Adam step), on streams derived from driver
+# data: the 32 lowest documents are replicated into deterministic
+# marker-separable token sequences (the test_fine_tune_lstm_adapts
+# recipe, made RNG-free so the oracle can fingerprint the construction):
+# label y = seq_id % 2, the +3.0 marker sits on dimension y in the
+# pre-drift stream and on dimension 1-y in the drifted stream (label-
+# marker inversion — the hardest drift: the model must unlearn), and the
+# noise term is sin() of a phase that folds in each base document's text
+# length, so the inputs are data-bound, Spark-computed, and identical on
+# every run. Pre-train 12 batches of 32, fine-tune on the drifted
+# stream's first 24 batches (convergence for the inversion drift takes
+# ~16 one-step batches; 24 gives verdict margin), hold out its last 8
+# batches (256 docs).
+#
+# Verdicts (each raise-guarded in-query, then pinned TRUE — a training
+# regression fails loudly at generation time, ADVICE r9 rule):
+#  - pretrain_competent: mean accuracy of the last 3 pre-train batches
+#    > 0.8 (the loop learned the original distribution);
+#  - drift_degrades: the held-out drifted docs scored with the
+#    PRE-session weights fall below 0.6 accuracy (the inversion bites);
+#  - fine_tune_recovers: post-session held-out accuracy > 0.75 AND
+#    strictly more correct than the stale weights;
+#  - heldout_dual_path_equal: the distributed scoring (lstm_predict,
+#    Arrow-batched mapInPandas) and a driver-side forward_one replay
+#    agree on the per-batch correct counts AND on the rounded held-out
+#    accuracy-series fingerprint (floor(acc * 1e6) summed) — the
+#    plumbing the 100 TB path relies on is the thing being attested.
+# The non-boolean outputs are SQL-exact fingerprints of the session
+# construction (batch counts, held-out size and seq-id sum, and the
+# SUM(LENGTH(text)) of the 32 base documents that seeds the phases).
+#
+# Scale shape: the session loop is bounded by construction (the
+# reference fine-tunes on a constant number of batches, not a corpus
+# fraction), per-batch jobs touch 32 rows of a localCheckpointed
+# 1.4k-row frame, and held-out inference is the distributed mapInPandas
+# path — at 100 TB only the held-out scoring grows, and it is a narrow
+# single-pass scan.
+# --------------------------------------------------------------------------
+_X108_DIM = 4
+_X108_BATCH = 32
+_X108_BASE_DOCS = 32
+_X108_PRETRAIN_BATCHES = 12
+_X108_FT_BATCHES = 24
+_X108_HELD_BATCHES = 8
+
+_X108_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, COALESCE(text, '') AS text
+      FROM documents ORDER BY doc_id LIMIT {_X108_BASE_DOCS}
+    )
+    SELECT CAST({_X108_PRETRAIN_BATCHES} AS BIGINT) AS n_pretrain_batches,
+           CAST({_X108_FT_BATCHES} AS BIGINT) AS n_finetune_batches,
+           CAST((SELECT COUNT(*) FROM base) * {_X108_HELD_BATCHES} AS BIGINT)
+             AS n_held,
+           CAST((SELECT SUM(i) FROM generate_series(
+                   {_X108_FT_BATCHES * _X108_BATCH},
+                   {(_X108_FT_BATCHES + _X108_HELD_BATCHES) * _X108_BATCH - 1}
+                 ) AS t(i)) AS BIGINT) AS sum_held_seq_id,
+           CAST((SELECT SUM(LENGTH(text)) FROM base) AS BIGINT)
+             AS sum_base_len,
+           TRUE AS pretrain_competent,
+           TRUE AS drift_degrades,
+           TRUE AS fine_tune_recovers,
+           TRUE AS heldout_dual_path_equal
+"""
+
+
+def _x108_stream(base: DataFrame, n_rows: int, inverted: bool) -> DataFrame:
+    """Deterministic labeled token sequences from the 32 base docs:
+    seq_id = replica * 32 + base_rank, label = seq_id % 2, 2-4 timesteps
+    of dim-4 vectors = 0.1 * sin(len-seeded phase) + 3.0 on the marker
+    dimension (label y pre-drift, 1 - y after the inversion drift)."""
+    replicas = n_rows // _X108_BASE_DOCS
+    seq_id = (F.col("__r") * _X108_BASE_DOCS + F.col("__b")).cast("long")
+    rows = base.select(
+        "__b",
+        "__len",
+        F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("__r"),
+    ).select(seq_id.alias("seq_id"), "__len")
+    y = (F.col("seq_id") % 2).cast("int")
+    marker = (F.lit(1) - y) if inverted else y
+    seq_len = (F.lit(2) + F.col("seq_id") % 3).cast("int")
+    tokens = F.transform(
+        F.sequence(F.lit(0), seq_len - 1),
+        lambda t: F.transform(
+            F.sequence(F.lit(0), F.lit(_X108_DIM - 1)),
+            lambda j: (
+                F.lit(0.1)
+                * F.sin(
+                    F.col("__len").cast("double")
+                    + F.col("seq_id").cast("double") * 12.9898
+                    + t.cast("double") * 78.233
+                    + j.cast("double") * 37.719
+                )
+                + F.when(j == marker, F.lit(3.0)).otherwise(F.lit(0.0))
+            ),
+        ),
+    )
+    return rows.select(
+        "seq_id",
+        tokens.cast("array<array<double>>").alias("tokens"),
+        y.alias("label"),
+    )
+
+
+@query("x108_lstm_finetune_session", oracle=_X108_ORACLE)
+def x108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The U8 LSTM fine-tune session end-to-end on driver-derived
+    streams: pre-train to competence, hit label-marker-inversion drift,
+    fine-tune through the real one-Adam-step-per-batch loop, verdict
+    recovery on held-out drifted docs — dual-scored distributed vs
+    driver-side."""
+    import copy as _copy
+    import math as _math
+
+    import numpy as _np
+    from pyspark.sql import Window
+
+    from ..operators.lstm import lstm_predict
+    from ..streaming.prequential import PrequentialLSTM, fine_tune_lstm
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    base = (
+        docs.orderBy("doc_id")
+        .limit(_X108_BASE_DOCS)
+        .select(
+            "doc_id",
+            F.length(F.coalesce(F.col("text"), F.lit(""))).alias("__len"),
+        )
+        .withColumn("__b", (F.row_number().over(w) - 1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    sum_base_len = int(
+        base.agg(F.sum("__len").alias("s")).collect()[0]["s"]
+    )
+
+    df_a = _x108_stream(
+        base, _X108_PRETRAIN_BATCHES * _X108_BATCH, inverted=False
+    ).localCheckpoint(eager=True)
+    df_b = _x108_stream(
+        base,
+        (_X108_FT_BATCHES + _X108_HELD_BATCHES) * _X108_BATCH,
+        inverted=True,
+    ).localCheckpoint(eager=True)
+
+    loop = PrequentialLSTM(
+        n_classes=2,
+        hidden=8,
+        lr=5e-2,
+        seed=3,
+        tokens_col="tokens",
+        label_col="label",
+        id_col="seq_id",
+    )
+    fine_tune_lstm(
+        loop,
+        df_a,
+        n_batches=_X108_PRETRAIN_BATCHES,
+        batch_size=_X108_BATCH,
+        seq_col="seq_id",
+    )
+    pretrain_tail = [a for _, a, _ in loop.results()[-3:]]
+    pre_weights = _copy.deepcopy(loop.weights)
+
+    fine_tune_lstm(
+        loop,
+        df_b,
+        n_batches=_X108_FT_BATCHES,
+        batch_size=_X108_BATCH,
+        seq_col="seq_id",
+    )
+
+    held = df_b.filter(
+        F.col("seq_id") >= _X108_FT_BATCHES * _X108_BATCH
+    ).localCheckpoint(eager=True)
+
+    def dist_correct_by_batch(weights) -> dict[int, int]:
+        preds = lstm_predict(
+            held, weights, tokens_col="tokens", id_col="seq_id"
+        ).select(F.col("doc_id").alias("seq_id"), "pred")
+        rows = (
+            preds.join(held.select("seq_id", "label"), "seq_id")
+            .groupBy(
+                F.floor(F.col("seq_id") / _X108_BATCH).cast("long").alias(
+                    "bucket"
+                )
+            )
+            .agg(
+                F.sum(
+                    (F.col("pred") == F.col("label")).cast("long")
+                ).alias("c")
+            )
+            .collect()
+        )
+        return {int(r["bucket"]): int(r["c"]) for r in rows}
+
+    stale_by_batch = dist_correct_by_batch(pre_weights)
+    ft_by_batch = dist_correct_by_batch(loop.weights)
+
+    # driver-side replay of the post-session scoring (the dual path)
+    held_rows = (
+        held.select("seq_id", "tokens", "label").orderBy("seq_id").collect()
+    )
+    drv_by_batch: dict[int, int] = {}
+    for r in held_rows:
+        toks = _np.array([list(t) for t in r["tokens"]], dtype=_np.float64)
+        ok = int(loop.weights.forward_one(toks).argmax()) == int(r["label"])
+        b = int(r["seq_id"]) // _X108_BATCH
+        drv_by_batch[b] = drv_by_batch.get(b, 0) + int(ok)
+
+    n_held = len(held_rows)
+    sum_held_seq_id = sum(int(r["seq_id"]) for r in held_rows)
+    stale_correct = sum(stale_by_batch.values())
+    ft_correct = sum(ft_by_batch.values())
+
+    def series_fp(by_batch: dict[int, int]) -> int:
+        return sum(
+            int(_math.floor(by_batch.get(b, 0) / _X108_BATCH * 1e6))
+            for b in sorted(by_batch)
+        )
+
+    dual_equal = ft_by_batch == drv_by_batch and series_fp(
+        ft_by_batch
+    ) == series_fp(drv_by_batch)
+
+    # preconditions, asserted loudly (ADVICE r9 rule): every verdict
+    # below is oracle-pinned TRUE, so a training/scoring regression must
+    # fail HERE at generation time instead of flipping a pinned verdict
+    pretrain_acc = sum(pretrain_tail) / len(pretrain_tail)
+    if not pretrain_acc > 0.8:
+        raise AssertionError(
+            f"x108 training regression: pre-train tail accuracy "
+            f"{pretrain_acc:.3f} <= 0.8"
+        )
+    if not stale_correct < 0.6 * n_held:
+        raise AssertionError(
+            f"x108 drift construction regression: stale weights score "
+            f"{stale_correct}/{n_held} on inverted markers (>= 0.6)"
+        )
+    if not (ft_correct > 0.75 * n_held and ft_correct > stale_correct):
+        raise AssertionError(
+            f"x108 recovery regression: fine-tuned {ft_correct}/{n_held} "
+            f"vs stale {stale_correct}"
+        )
+    if not dual_equal:
+        raise AssertionError(
+            f"x108 dual-path mismatch: distributed {ft_by_batch} vs "
+            f"driver {drv_by_batch}"
+        )
+
+    return spark.range(1).select(
+        F.lit(_X108_PRETRAIN_BATCHES).cast("long").alias(
+            "n_pretrain_batches"
+        ),
+        F.lit(_X108_FT_BATCHES).cast("long").alias("n_finetune_batches"),
+        F.lit(n_held).cast("long").alias("n_held"),
+        F.lit(sum_held_seq_id).cast("long").alias("sum_held_seq_id"),
+        F.lit(sum_base_len).cast("long").alias("sum_base_len"),
+        F.lit(True).alias("pretrain_competent"),
+        F.lit(True).alias("drift_degrades"),
+        F.lit(True).alias("fine_tune_recovers"),
+        F.lit(True).alias("heldout_dual_path_equal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X109 — RAG retrieval path E2E (VERDICT r10 #3): retrieval.py's
+# chunk -> embed -> persisted IVF index -> text-query search composition
+# (the flagship consumer of x63 chunking + the x92-family hash embedder
+# + the x94 index lifecycle), until now pytest-only. The query builds
+# the index over the documents table's EVEN-doc_id shard (shared
+# per-session fixture, x94 pattern; sharding the corpus is the natural
+# multi-index posture and keeps this gate query inside the sweep
+# budget), runs 5 text queries (the first chunk of docs 4/8/12/16/20 —
+# texts the oracle can re-derive), and returns the search-result
+# fingerprints. NOTHING is pinned: the oracle replays the ENTIRE path
+# from scratch in SQL — sliding-window chunking (the x63 text), the
+# polyhash-31 word embedding + ordered-fold mean pooling (the q39/x103
+# text), the quantized Lloyd's k-means fit seeded on the 8 smallest
+# chunk ids (_kmeans_ctes with seed_by_rank, mirroring kmeans_fit's
+# dense-rank seeding for composite chunk ids), nprobe=2 probe-cell
+# selection, candidate generation and exact-cosine top-3 ranking — and
+# recomputes n_results / result_id_sum / cos_sum_q / n_chunks exactly.
+#
+# Scale shape: inherited from the operators — chunking is a narrow
+# map + explode, embedding one Arrow-batched pass, the index build one
+# partitioned write, and each search reads only the probed cell
+# partitions (plan-pinned in tests/test_ivf_index.py); the only
+# driver-side data is 5 query texts and the k-row centroid table.
+# --------------------------------------------------------------------------
+_X109_QUERY_DOCS = (4, 8, 12, 16, 20)
+_X109_K = 3
+_X109_NPROBE = 2
+_X109_CENTROIDS = 8
+_X109_ITER = 3
+_X109_CHUNK = 16
+_X109_STRIDE = 12
+_X109_ID_BASE = 1 << 20
+
+_RAG_INDEX_FIXTURE: dict = {}
+
+
+def _rag_text_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-or-reuse the session's retrieval index over the documents
+    table (the x94/x95 shared-fixture pattern: content is deterministic,
+    whichever caller runs first builds)."""
+    from ..retrieval import build_text_index
+    from .extensions10 import _scratch_index_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _RAG_INDEX_FIXTURE.get(key)
+    if hit is not None:
+        return hit
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    path = _scratch_index_dir(spark, "rag_x109_")
+    build_text_index(
+        docs,
+        path,
+        dim=8,
+        model="BERT",
+        size=_X109_CHUNK,
+        stride=_X109_STRIDE,
+        n_centroids=_X109_CENTROIDS,
+    )
+    _RAG_INDEX_FIXTURE[key] = path
+    return path
+
+
+def _x109_oracle() -> str:
+    from .extensions8 import _kmeans_ctes
+
+    size, stride = _X109_CHUNK, _X109_STRIDE
+    qvals = ",\n             ".join(
+        f"({i}, {d * _X109_ID_BASE})"
+        for i, d in enumerate(_X109_QUERY_DOCS)
+    )
+    kmeans = _kmeans_ctes(
+        _X109_CENTROIDS,
+        _X109_ITER,
+        exq_src="SELECT vec_id, d, v FROM pooled",
+        seed_by_rank=True,
+    )
+    return f"""
+    WITH chunks AS (
+      SELECT doc_id, j,
+             doc_id * {_X109_ID_BASE} + j AS vec_id,
+             array_to_string(
+               list_slice(ws, j * {stride} + 1,
+                          LEAST(j * {stride} + {size}, n)), ' ')
+               AS chunk_text
+      FROM (
+        SELECT doc_id, n,
+               UNNEST(range(0,
+                 1 + CASE WHEN n > {size}
+                          THEN CAST(CEIL((n - {size}) / {stride}.0) AS BIGINT)
+                          ELSE 0 END)) AS j,
+               ws
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+                     LEN(string_split(text, ' ')) AS n
+              FROM documents WHERE doc_id % 2 = 0)
+      )
+    ),
+    cwords AS (
+      SELECT vec_id, UNNEST(string_split(chunk_text, ' ')) AS word,
+             GENERATE_SUBSCRIPTS(string_split(chunk_text, ' '), 1) AS pos
+      FROM chunks
+    ),
+    words AS (SELECT DISTINCT word FROM cwords),
+    dims AS (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS d),
+    word_pre AS (
+      SELECT w.word,
+             list_reduce(
+                 [7::BIGINT] || list_transform(
+                   string_split_regex('BERT:' || w.word || ':', ''),
+                   c -> ord(c)::BIGINT),
+                 (a, b) -> (a * 31 + b) % 2147483647) AS hpre
+      FROM words w
+    ),
+    word_emb AS (
+      SELECT wp.word, dm.d,
+             CAST(sin((wp.hpre * 31 + 48 + dm.d) % 2147483647) * 2 - 1
+                  AS REAL) AS v32
+      FROM word_pre wp CROSS JOIN dims dm
+    ),
+    pooled AS (
+      SELECT cw.vec_id, we.d,
+             list_reduce([0.0::DOUBLE] || LIST(we.v32::DOUBLE ORDER BY cw.pos),
+                         (a, b) -> a + b) / COUNT(*) AS v
+      FROM cwords cw JOIN word_emb we ON cw.word = we.word
+      GROUP BY cw.vec_id, we.d
+    ),
+    {kmeans},
+    qids AS (SELECT * FROM (VALUES
+             {qvals}) AS t(query_id, qvec_id)),
+    q AS (
+      SELECT qi.query_id, dd.cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY dist, cent_id) AS r
+        FROM dF WHERE vec_id IN (SELECT qvec_id FROM qids)) dd
+      JOIN qids qi ON dd.vec_id = qi.qvec_id
+      WHERE dd.r <= {_X109_NPROBE}
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, a.vec_id AS cand_id
+      FROM q JOIN aF a ON q.cell = a.cell
+    ),
+    norms AS (
+      SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM pooled GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT cand.query_id, cand.cand_id, qi.qvec_id, SUM(a.v * b.v) AS dot
+      FROM cand
+      JOIN qids qi ON qi.query_id = cand.query_id
+      JOIN pooled a ON a.vec_id = qi.qvec_id
+      JOIN pooled b ON b.vec_id = cand.cand_id AND a.d = b.d
+      GROUP BY cand.query_id, cand.cand_id, qi.qvec_id
+    ),
+    scored AS (
+      SELECT query_id, cand_id, dot / (nq.nrm * nc.nrm) AS cos_raw
+      FROM dots
+      JOIN norms nq ON qvec_id = nq.vec_id
+      JOIN norms nc ON cand_id = nc.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, cos_raw,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_raw DESC, cand_id) AS rnk
+      FROM scored
+    ),
+    top AS (
+      SELECT query_id, cand_id,
+             FLOOR(cos_raw * 10000.0 + 0.5) / 10000.0 AS cosine
+      FROM ranked WHERE rnk <= {_X109_K}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_results,
+           CAST(COALESCE(SUM(query_id + cand_id), 0) AS BIGINT)
+             AS result_id_sum,
+           CAST(COALESCE(SUM(CAST(FLOOR(cosine * 10000.0 + 0.5) AS BIGINT)),
+                         0) AS BIGINT) AS cos_sum_q,
+           CAST((SELECT COUNT(*) FROM chunks) AS BIGINT) AS n_chunks
+    FROM top
+"""
+
+
+@query("x109_rag_retrieval", oracle=_x109_oracle())
+def x109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """retrieval.py end-to-end: persisted chunk index over the documents
+    table, 5 text queries (first chunk of docs 4/8/12/16/20), top-3
+    cosine hits -> fingerprints the oracle recomputes from scratch."""
+    from ..retrieval import search_text
+
+    path = _rag_text_index(spark, sf_dir)
+    chunks = spark.read.parquet(f"{path}/chunks")
+    qrows = (
+        chunks.filter(
+            (F.col("chunk_idx") == 0)
+            & F.col("doc_id").isin(list(_X109_QUERY_DOCS))
+        )
+        .select("doc_id", "chunk_text")
+        .collect()
+    )
+    by_doc = {int(r["doc_id"]): r["chunk_text"] for r in qrows}
+    if sorted(by_doc) != sorted(_X109_QUERY_DOCS):
+        # precondition, asserted loudly: the oracle derives the same 5
+        # query texts, so a fixture/testdata drift must fail here
+        raise AssertionError(
+            f"x109 fixture drift: query docs {sorted(by_doc)} != "
+            f"{sorted(_X109_QUERY_DOCS)}"
+        )
+    texts = [by_doc[d] for d in _X109_QUERY_DOCS]
+    hits = search_text(
+        spark,
+        path,
+        texts,
+        k=_X109_K,
+        nprobe=_X109_NPROBE,
+        dim=8,
+        model="BERT",
+    )
+    cand_id = (
+        F.col("doc_id") * F.lit(_X109_ID_BASE) + F.col("chunk_idx")
+    ).cast("long")
+    return hits.agg(
+        F.count("*").cast("long").alias("n_results"),
+        F.coalesce(F.sum(F.col("query_id") + cand_id), F.lit(0))
+        .cast("long")
+        .alias("result_id_sum"),
+        F.coalesce(
+            F.sum(F.floor(F.col("cosine") * 10000.0 + F.lit(0.5))), F.lit(0)
+        )
+        .cast("long")
+        .alias("cos_sum_q"),
+    ).crossJoin(
+        chunks.agg(F.count("*").cast("long").alias("n_chunks"))
+    )

@@ -21,7 +21,11 @@ N_ITER = 3
 
 
 def _kmeans_ctes(
-    n_centroids: int, n_iter: int, fit_where: str = ""
+    n_centroids: int,
+    n_iter: int,
+    fit_where: str = "",
+    exq_src: str | None = None,
+    seed_by_rank: bool = False,
 ) -> str:
     """WITH-clause body replaying kmeans_fit: exq (quantized long format),
     c0 (seed = first k vectors), then per iteration distance/assign/update
@@ -31,15 +35,28 @@ def _kmeans_ctes(
     ``fit_where`` (e.g. ``"WHERE vec_id % 10 <> 9"``) restricts the FIT
     corpus only — the x94 persisted-index lifecycle shape, where centroids
     freeze on the base corpus and the final assignment (dF/aF) covers the
-    full table including appended vectors. Default keeps the historical
-    single-corpus text byte-identical."""
+    full table including appended vectors.
+
+    ``exq_src`` replaces the vector source: any SELECT yielding
+    (vec_id, d, v) rows (1-based d, double v) — the x109 retrieval shape,
+    where the corpus is chunk embeddings computed in-SQL rather than the
+    embeddings table. ``seed_by_rank`` seeds c0 with the n_centroids
+    SMALLEST vec_ids (dense cell ids 0..k-1), mirroring kmeans_fit's
+    actual seeding for non-contiguous id spaces (composite chunk ids);
+    the default ``vec_id < k`` text is equivalent for 0-based contiguous
+    ids and keeps the historical single-corpus text byte-identical."""
     fit_src = "exq"
+    inner_src = (
+        exq_src
+        if exq_src is not None
+        else """SELECT vec_id, GENERATE_SUBSCRIPTS(emb, 1) AS d, UNNEST(emb) AS v
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)"""
+    )
     parts = [
-        """exq AS (
+        f"""exq AS (
       SELECT vec_id, d, CAST(FLOOR(v * 1000.0 + 0.5) AS BIGINT) AS qv
       FROM (
-        SELECT vec_id, GENERATE_SUBSCRIPTS(emb, 1) AS d, UNNEST(emb) AS v
-        FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+        {inner_src}
       )
     )""",
     ]
@@ -50,12 +67,28 @@ def _kmeans_ctes(
       SELECT * FROM exq {fit_where}
     )"""
         )
-    parts += [
-        f"""c0 AS (
+    if seed_by_rank:
+        parts += [
+            f"""seedids AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                 AS cent_id
+        FROM (SELECT DISTINCT vec_id FROM {fit_src})
+      ) WHERE cent_id < {n_centroids}
+    )""",
+            f"""c0 AS (
+      SELECT s.cent_id, x.d, x.qv AS qc
+      FROM seedids s JOIN {fit_src} x ON s.vec_id = x.vec_id
+    )""",
+        ]
+    else:
+        parts += [
+            f"""c0 AS (
       SELECT vec_id AS cent_id, d, qv AS qc FROM {fit_src}
       WHERE vec_id < {n_centroids}
     )""",
-    ]
+        ]
     for i in range(1, n_iter + 1):
         parts.append(
             f"""d{i} AS (

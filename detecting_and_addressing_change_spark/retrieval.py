@@ -81,8 +81,15 @@ def build_text_index(
             f"(document longer than ~{_CHUNK_ID_BASE * stride} words); "
             f"raise _CHUNK_ID_BASE or pre-split such documents"
         )
-    vecs = _embed_as(chunks, "chunk_id", "chunk_text", model, dim)
-    build_ivf_index(vecs, out_path, n_centroids=n_centroids)
+    # persist: build_ivf_index runs several jobs over the corpus (dim
+    # probe, seed collect, one agg per Lloyd iteration, postings write) —
+    # without this each job re-executes the Arrow embed pass
+    vecs = _embed_as(chunks, "chunk_id", "chunk_text", model, dim).persist()
+    try:
+        vecs.count()
+        build_ivf_index(vecs, out_path, n_centroids=n_centroids)
+    finally:
+        vecs.unpersist()
 
 
 def _embed_as(
