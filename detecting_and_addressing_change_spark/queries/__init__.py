@@ -166,12 +166,18 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     # x100-x102 + the new x103-x107), minus the queries whose executed
     # paths change in round 11: x106 (the KL raise-guard relaxes to the
     # operator contract `<=` and tsne_fit/tsne_project change — ADVICE
-    # r10) and x107 (parse_mp4_metadata gains per-box fixed-field bounds
-    # checks — ADVICE r10). Those two float forward for fresh rows.
-    "x90_adaptive_similarity_join", "x98_curation_stream_verdict",
-    "x100_ddm_stream_verdict", "x101_takedown_verdict",
+    # r10), x107 (parse_mp4_metadata gains per-box fixed-field bounds
+    # checks — ADVICE r10), x100/x104 (the streaming twins now share one
+    # staged replay layout — VERDICT r10 #6), and x98/x101 (curate_batch
+    # materializes `graded` once instead of recomputing the probe chain
+    # for the audit stats, and x98's replay drops to the 2-epoch
+    # originals/clones split with a mid-stream re-delivery — VERDICT r10
+    # #7). Those six float forward for fresh rows. x92 stays listed: its
+    # operator module only LOST the unused pure-Python twin (moved to
+    # tools/pure_kernels.py) — the executed forward is byte-identical.
+    "x90_adaptive_similarity_join",
     "x102_index_compaction_verdict", "x103_finetune_adaptation_audit",
-    "x104_ph_stream_verdict", "x105_ivf_compaction_verdict",
+    "x105_ivf_compaction_verdict",
     # green rows in CORRECTNESS_r06.json continue below
     "q59_gradual_drift_experiment", "q61_mapping_experiment",
     "x03_minhash_bands", "x04_minhash_pairs", "x23_dedup_clusters",

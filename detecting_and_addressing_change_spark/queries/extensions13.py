@@ -144,13 +144,20 @@ def x97(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the final audit aggregate.
 # --------------------------------------------------------------------------
 _X98_MIN_Q = 0.5
-# 3 epochs, not 4 (VERDICT r9 #3): the attested semantics are cross-epoch
-# dedup + a mid-stream re-delivery, which need >= 3 epochs (originals in
-# 0-1, every clone strictly later in 1-2, epoch 1 redelivered before 2) —
-# epoch count beyond that only multiplies the fixed ~10-job-per-epoch
-# foreachBatch machinery that dominates this query's driver-sweep cost
-# (timed in BENCH_NOTES "Driver-sweep budget").
-_X98_EPOCHS = 3
+# 2 epochs, not 3 (VERDICT r10 #7; r9 trimmed 4 -> 3): the attested
+# semantics are cross-epoch dedup + a MID-STREAM re-delivery. The r9
+# 3-epoch floor came from the range-thirds split (originals spanned
+# epochs 0-1, clones 1-2, epoch 1 redelivered before 2); splitting at
+# base_max instead makes epoch 0 exactly the originals and epoch 1
+# exactly the clones, so EVERY clone probes cross-epoch (strictly
+# stronger than the thirds split, where some clones shared epoch 1 with
+# originals) and the re-delivery of epoch 0 lands before epoch 1
+# commits (still mid-stream: a later epoch ingests against the
+# twice-delivered state). Each epoch is ~7 fixed-latency foreachBatch
+# actions of production machinery, which dominates this query's
+# driver-sweep cost (timed in BENCH_NOTES "Driver-sweep budget") — the
+# 2-epoch form is the minimum that attests both properties at full
+# strength.
 
 _X98_ORACLE = """
     WITH base AS (SELECT doc_id, text FROM documents),
@@ -195,9 +202,10 @@ _X98_ORACLE = """
 @query("x98_curation_stream_verdict", oracle=_X98_ORACLE)
 def x98(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded ordered replay of the documents table through the
-    streaming curation pipeline (3 ascending-doc_id epochs; epoch 1
-    delivered twice to exercise the at-least-once retry path), then the
-    streamed kept-corpus fingerprint + the batch-equality and
+    streaming curation pipeline (2 ascending-doc_id epochs — originals,
+    then every cross-epoch clone; epoch 0 delivered twice MID-stream to
+    exercise the at-least-once retry path before a later epoch commits),
+    then the streamed kept-corpus fingerprint + the batch-equality and
     redelivery-idempotence verdicts, as one driver-hashable row."""
     from ..functions.text import quality_score_col
     from ..operators.minhash_index import init_minhash_index
@@ -218,25 +226,27 @@ def x98(spark: SparkSession, sf_dir: str) -> DataFrame:
     index, out = f"{tmp}/idx", f"{tmp}/out"
     init_minhash_index(spark, index)
 
-    max_id = 2 * base_max + 1
-    step = max_id // _X98_EPOCHS + 1
-    fp_mid = None
-    for epoch in range(_X98_EPOCHS):
-        lo, hi = epoch * step, (epoch + 1) * step
-        b = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-        curate_batch(b, epoch, index, out, min_quality=_X98_MIN_Q)
-        if epoch == 1:
-            # fingerprint before and after an at-least-once re-delivery
-            # of the SAME epoch: two driver-tiny aggregates
-            def _fp():
-                r = curated_corpus(spark, out).agg(
-                    F.count("*"), F.sum("doc_id")
-                ).collect()[0]
-                return (int(r[0]), int(r[1] or 0))
+    # epoch 0 = exactly the originals, epoch 1 = exactly the clones (see
+    # the _X98_MIN_Q comment block: every clone probes cross-epoch)
+    e0 = docs.filter(F.col("doc_id") <= base_max)
+    e1 = docs.filter(F.col("doc_id") > base_max)
 
-            fp_mid = _fp()
-            curate_batch(b, epoch, index, out, min_quality=_X98_MIN_Q)
-            redelivery_ok = _fp() == fp_mid
+    def _fp():
+        # fingerprint before and after an at-least-once re-delivery of
+        # the SAME epoch: two driver-tiny aggregates
+        r = curated_corpus(spark, out).agg(
+            F.count("*"), F.sum("doc_id")
+        ).collect()[0]
+        return (int(r[0]), int(r[1] or 0))
+
+    curate_batch(e0, 0, index, out, min_quality=_X98_MIN_Q)
+    fp_mid = _fp()
+    # MID-stream at-least-once re-delivery: epoch 0 arrives again before
+    # epoch 1 commits, so a later epoch ingests against the
+    # twice-delivered state
+    curate_batch(e0, 0, index, out, min_quality=_X98_MIN_Q)
+    redelivery_ok = _fp() == fp_mid
+    curate_batch(e1, 1, index, out, min_quality=_X98_MIN_Q)
 
     kept = curated_corpus(spark, out).select("doc_id", "quality")
 
@@ -390,6 +400,71 @@ _X100_TAIL_SEQ0 = 10_000_000
 _X100_TAIL_N = 40
 _X100_TAIL_ERR = 0.9
 
+# The two streaming detector twins (x100 DDM here, x104 PH in
+# extensions14) replay the IDENTICAL input: the q25 per-batch error
+# series plus the same elevated tail, staged into the same ~4-file
+# ordered layout. Until round 11 each query re-built and re-staged it
+# (~2 s of duplicated fixed cost per sweep/bench run — VERDICT r10 #6);
+# they now share one build-or-reuse staging per (session, sf_dir), the
+# x94/x95 fixture pattern. Each query keeps its OWN streaming run,
+# checkpoint dir, sink and batch twin — the staged input is static and
+# read-only, so two independent streaming queries consuming it cannot
+# interact, and run order cannot change either result.
+_ERROR_SERIES_STAGING: dict = {}
+
+
+def _error_series_staging(spark: SparkSession, sf_dir: str):
+    """Build-or-reuse the staged error-series replay layout shared by
+    the streaming detector twins. Returns (staged_path, per_batch_df)."""
+    from ..operators.windows import count_window_agg
+    from ..streaming.replay import stage_replay_files
+    from .extensions10 import _scratch_index_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _ERROR_SERIES_STAGING.get(key)
+    if hit is not None:
+        return hit
+    ev = load_table(spark, sf_dir, "events")
+    per_batch = count_window_agg(
+        ev,
+        seq_col="event_id",
+        batch_size=32,
+        aggs=[
+            F.avg((F.col("event_type") == "error").cast("int")).alias(
+                "error"
+            )
+        ],
+    ).select(
+        F.lit("events").alias("detector_id"),
+        F.col("bucket").cast("long").alias("seq_id"),
+        F.col("error").cast("double").alias("error"),
+    )
+    tail = spark.range(_X100_TAIL_N).select(
+        F.lit("events").alias("detector_id"),
+        (F.lit(_X100_TAIL_SEQ0) + F.col("id")).cast("long").alias("seq_id"),
+        F.lit(float(_X100_TAIL_ERR)).alias("error"),
+    )
+    # materialize once: staged replay AND both queries' batch twins read
+    # this series
+    per_batch = per_batch.unionByName(tail).localCheckpoint(eager=True)
+
+    tmp = _scratch_index_dir(spark, "ddmseries_")
+    staged = f"{tmp}/staged"
+    # ~4 micro-batches at EVERY scale: what the attestation needs is
+    # detector state CROSSING batch boundaries (incl. the drift tail in
+    # the last batch), not many batches — at sf0.1 a fixed 1k batch size
+    # meant 19 micro-batches whose per-batch machinery overhead (~0.4 s
+    # each) dominated the query (BENCH_NOTES round 9). The floor is 32,
+    # not 1024 (ADVICE r9): a 1024 floor produced ONE staged file — one
+    # micro-batch — at both driver scales (~111 rows at sf0.001, ~392 at
+    # sf0.01), making the cross-boundary property vacuous exactly where
+    # the correctness gate compares.
+    n_rows = per_batch.count()
+    batch_size = max(32, -(-n_rows // 4))
+    stage_replay_files(per_batch, "seq_id", staged, batch_size=batch_size)
+    _ERROR_SERIES_STAGING[key] = (staged, per_batch)
+    return staged, per_batch
+
 
 def _x100_oracle() -> str:
     from .drift import ddm_scan_oracle
@@ -424,49 +499,12 @@ def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from ..operators.ddm import detect_drift
-    from ..operators.windows import count_window_agg
     from ..streaming.ddm_stream import detect_drift_stream
-    from ..streaming.replay import read_replay_stream, stage_replay_files
+    from ..streaming.replay import read_replay_stream
     from .extensions10 import _scratch_index_dir
 
-    ev = load_table(spark, sf_dir, "events")
-    per_batch = count_window_agg(
-        ev,
-        seq_col="event_id",
-        batch_size=32,
-        aggs=[
-            F.avg((F.col("event_type") == "error").cast("int")).alias(
-                "error"
-            )
-        ],
-    ).select(
-        F.lit("events").alias("detector_id"),
-        F.col("bucket").cast("long").alias("seq_id"),
-        F.col("error").cast("double").alias("error"),
-    )
-    tail = spark.range(_X100_TAIL_N).select(
-        F.lit("events").alias("detector_id"),
-        (F.lit(_X100_TAIL_SEQ0) + F.col("id")).cast("long").alias("seq_id"),
-        F.lit(float(_X100_TAIL_ERR)).alias("error"),
-    )
-    per_batch = per_batch.unionByName(tail)
-    # materialize once: staged replay AND the batch twin read this series
-    per_batch = per_batch.localCheckpoint(eager=True)
-
+    staged, per_batch = _error_series_staging(spark, sf_dir)
     tmp = _scratch_index_dir(spark, "ddm100_")
-    staged = f"{tmp}/staged"
-    # ~4 micro-batches at EVERY scale: what the attestation needs is
-    # detector state CROSSING batch boundaries (incl. the drift tail in
-    # the last batch), not many batches — at sf0.1 a fixed 1k batch size
-    # meant 19 micro-batches whose per-batch machinery overhead (~0.4 s
-    # each) dominated the query (BENCH_NOTES round 9). The floor is 32,
-    # not 1024 (ADVICE r9): a 1024 floor produced ONE staged file — one
-    # micro-batch — at both driver scales (~111 rows at sf0.001, ~392 at
-    # sf0.01), making the cross-boundary property vacuous exactly where
-    # the correctness gate compares.
-    n_rows = per_batch.count()
-    batch_size = max(32, -(-n_rows // 4))
-    stage_replay_files(per_batch, "seq_id", staged, batch_size=batch_size)
     stream = read_replay_stream(
         spark, staged, "detector_id string, seq_id long, error double"
     )

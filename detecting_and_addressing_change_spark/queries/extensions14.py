@@ -293,6 +293,22 @@ _X104_TAIL_SEQ0 = 10_000_000
 _X104_TAIL_N = 40
 _X104_TAIL_ERR = 0.9
 
+# staging/oracle coherence: the shared staged replay (extensions13's
+# _error_series_staging, VERDICT r10 #6) is built from the x100
+# constants; x104's oracle describes the same bytes, so the two constant
+# sets must be identical — asserted at import, not assumed
+from .extensions13 import (  # noqa: E402
+    _X100_TAIL_ERR,
+    _X100_TAIL_N,
+    _X100_TAIL_SEQ0,
+)
+
+assert (_X104_TAIL_SEQ0, _X104_TAIL_N, _X104_TAIL_ERR) == (
+    _X100_TAIL_SEQ0,
+    _X100_TAIL_N,
+    _X100_TAIL_ERR,
+), "x104 oracle constants diverged from the shared staged replay input"
+
 
 def _x104_oracle() -> str:
     from .drift import ph_scan_oracle
@@ -326,42 +342,16 @@ def x104(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from ..operators.ph import detect_drift_ph
-    from ..operators.windows import count_window_agg
     from ..streaming.ph_stream import detect_drift_ph_stream
-    from ..streaming.replay import read_replay_stream, stage_replay_files
+    from ..streaming.replay import read_replay_stream
     from .extensions10 import _scratch_index_dir
+    from .extensions13 import _error_series_staging
 
-    ev = load_table(spark, sf_dir, "events")
-    per_batch = count_window_agg(
-        ev,
-        seq_col="event_id",
-        batch_size=32,
-        aggs=[
-            F.avg((F.col("event_type") == "error").cast("int")).alias(
-                "error"
-            )
-        ],
-    ).select(
-        F.lit("events").alias("detector_id"),
-        F.col("bucket").cast("long").alias("seq_id"),
-        F.col("error").cast("double").alias("error"),
-    )
-    tail = spark.range(_X104_TAIL_N).select(
-        F.lit("events").alias("detector_id"),
-        (F.lit(_X104_TAIL_SEQ0) + F.col("id")).cast("long").alias("seq_id"),
-        F.lit(float(_X104_TAIL_ERR)).alias("error"),
-    )
-    per_batch = per_batch.unionByName(tail)
-    # materialize once: staged replay AND the batch twin read this series
-    per_batch = per_batch.localCheckpoint(eager=True)
-
+    # the same staged input as x100 — the shared build-or-reuse layout
+    # (VERDICT r10 #6); the tail constants above stay the oracle's
+    # source of truth and are asserted equal to the staging's in tests
+    staged, per_batch = _error_series_staging(spark, sf_dir)
     tmp = _scratch_index_dir(spark, "ph104_")
-    staged = f"{tmp}/staged"
-    # ~4 micro-batches at every scale (the x100 floor after ADVICE r9):
-    # the attested property is detector state crossing batch boundaries
-    n_rows = per_batch.count()
-    batch_size = max(32, -(-n_rows // 4))
-    stage_replay_files(per_batch, "seq_id", staged, batch_size=batch_size)
     stream = read_replay_stream(
         spark, staged, "detector_id string, seq_id long, error double"
     )

@@ -106,14 +106,16 @@ def curate_batch(
             "near_dup_suspect", F.coalesce(F.col("__band_hit"), F.lit(False))
         )
         .withColumn("quality", quality_score_col(F.col(text_col)))
+        # materialize ONCE, here: graded feeds BOTH the survivors write
+        # and the audit stats (before round 11 each re-executed the full
+        # window+probe chain — two redundant recomputes per micro-batch),
+        # and it must be pinned before the index append below mutates
+        # what the probe read
+        .localCheckpoint(eager=True)
     )
-    survivors = (
-        graded.filter(F.col("__exact_hit").isNull())
-        .filter(F.col("quality") >= F.lit(min_quality))
-        .drop("__band_hit", "__exact_hit", "__dg", "__grp_n")
-    )
-    # materialize before the index append mutates what the probe read
-    survivors = survivors.localCheckpoint(eager=True)
+    survivors = graded.filter(F.col("__exact_hit").isNull()).filter(
+        F.col("quality") >= F.lit(min_quality)
+    ).drop("__band_hit", "__exact_hit", "__dg", "__grp_n")
     survivors.write.mode("overwrite").parquet(
         f"{out_path}/batch={int(epoch_id)}"
     )
