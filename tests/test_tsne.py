@@ -83,6 +83,31 @@ def test_project_clamps_sample_and_carries_tag(spark):
     assert [tuple(r) for r in coords2.collect()] == [tuple(r) for r in got]
 
 
+def test_project_preserves_id_and_tag_types(spark):
+    """ADVICE r10: the output id/tag field DDL is derived from the input
+    schema, not hardcoded long/string — int ids and non-string tags must
+    round-trip with their types intact."""
+    x, labels = _clusters(n_per=5)
+    rows = [(i, int(labels[i]), x[i].tolist()) for i in range(len(labels))]
+    df = spark.createDataFrame(
+        rows, "vec_id int, tag int, embedding array<double>"
+    )
+    coords, _, _ = tsne_project(df, tag_col="tag", n_iter=40, max_points=8)
+    schema = {f.name: f.dataType.simpleString() for f in coords.schema}
+    assert schema["vec_id"] == "int" and schema["tag"] == "int"
+    got = coords.collect()
+    assert {r["vec_id"] for r in got} == set(range(8))
+    # string ids work too (ordered lexicographically, the orderBy contract)
+    rows_s = [
+        (f"id{i:03d}", x[i].tolist()) for i in range(len(labels))
+    ]
+    df_s = spark.createDataFrame(rows_s, "vec_id string, embedding array<double>")
+    coords_s, _, _ = tsne_project(df_s, n_iter=40, max_points=8)
+    assert {r["vec_id"] for r in coords_s.collect()} == {
+        f"id{i:03d}" for i in range(8)
+    }
+
+
 def test_project_rejects_tiny_input(spark):
     df = spark.createDataFrame(
         [(i, [float(i)] * 4) for i in range(3)],
