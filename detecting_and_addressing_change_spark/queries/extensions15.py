@@ -309,12 +309,18 @@ def x108(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the index over the documents table's EVEN-doc_id shard (shared
 # per-session fixture, x94 pattern; sharding the corpus is the natural
 # multi-index posture and keeps this gate query inside the sweep
-# budget), runs 5 text queries (the first chunk of docs 4/8/12/16/20 —
-# texts the oracle can re-derive), and returns the search-result
+# budget), runs 5 text queries (the texts of the 5 LOWEST-chunk_id
+# deduped chunks — data-derived, so the oracle re-derives them and
+# chunk dedup can never orphan a hardcoded doc), and returns the
+# search-result
 # fingerprints. NOTHING is pinned: the oracle replays the ENTIRE path
-# from scratch in SQL — sliding-window chunking (the x63 text), the
-# polyhash-31 word embedding + ordered-fold mean pooling (the q39/x103
-# text), the quantized Lloyd's k-means fit seeded on the 8 smallest
+# from scratch in SQL — sliding-window chunking (the x63 text) with the
+# min-chunk_id exact-dedup keeper (build_text_index's x66 hygiene rule:
+# duplicate chunk texts would otherwise make the top-k cutoff among
+# cosine-tied byte-identical vectors depend on last-ulp summation order
+# — a real cross-engine flake caught at sf0.001), the polyhash-31 word
+# embedding + ordered-fold mean pooling (the q39/x103 text), the
+# quantized Lloyd's k-means fit seeded on the 8 smallest surviving
 # chunk ids (_kmeans_ctes with seed_by_rank, mirroring kmeans_fit's
 # dense-rank seeding for composite chunk ids), nprobe=2 probe-cell
 # selection, candidate generation and exact-cosine top-3 ranking — and
@@ -326,7 +332,7 @@ def x108(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partitions (plan-pinned in tests/test_ivf_index.py); the only
 # driver-side data is 5 query texts and the k-row centroid table.
 # --------------------------------------------------------------------------
-_X109_QUERY_DOCS = (4, 8, 12, 16, 20)
+_X109_N_QUERIES = 5
 _X109_K = 3
 _X109_NPROBE = 2
 _X109_CENTROIDS = 8
@@ -370,10 +376,6 @@ def _x109_oracle() -> str:
     from .extensions8 import _kmeans_ctes
 
     size, stride = _X109_CHUNK, _X109_STRIDE
-    qvals = ",\n             ".join(
-        f"({i}, {d * _X109_ID_BASE})"
-        for i, d in enumerate(_X109_QUERY_DOCS)
-    )
     kmeans = _kmeans_ctes(
         _X109_CENTROIDS,
         _X109_ITER,
@@ -381,7 +383,7 @@ def _x109_oracle() -> str:
         seed_by_rank=True,
     )
     return f"""
-    WITH chunks AS (
+    WITH chunks0 AS (
       SELECT doc_id, j,
              doc_id * {_X109_ID_BASE} + j AS vec_id,
              array_to_string(
@@ -399,6 +401,13 @@ def _x109_oracle() -> str:
                      LEN(string_split(text, ' ')) AS n
               FROM documents WHERE doc_id % 2 = 0)
       )
+    ),
+    chunks AS (
+      SELECT doc_id, j, vec_id, chunk_text FROM (
+        SELECT c.*, MIN(vec_id) OVER (PARTITION BY md5(chunk_text))
+                 AS __keeper
+        FROM chunks0 c
+      ) WHERE vec_id = __keeper
     ),
     cwords AS (
       SELECT vec_id, UNNEST(string_split(chunk_text, ' ')) AS word,
@@ -430,8 +439,12 @@ def _x109_oracle() -> str:
       GROUP BY cw.vec_id, we.d
     ),
     {kmeans},
-    qids AS (SELECT * FROM (VALUES
-             {qvals}) AS t(query_id, qvec_id)),
+    qids AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+               AS query_id,
+             vec_id AS qvec_id
+      FROM chunks ORDER BY vec_id LIMIT {_X109_N_QUERIES}
+    ),
     q AS (
       SELECT qi.query_id, dd.cent_id AS cell FROM (
         SELECT vec_id, cent_id,
@@ -485,30 +498,28 @@ def _x109_oracle() -> str:
 
 @query("x109_rag_retrieval", oracle=_x109_oracle())
 def x109(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """retrieval.py end-to-end: persisted chunk index over the documents
-    table, 5 text queries (first chunk of docs 4/8/12/16/20), top-3
-    cosine hits -> fingerprints the oracle recomputes from scratch."""
+    """retrieval.py end-to-end: persisted deduped chunk index over the
+    even-doc documents shard, 5 text queries (the 5 lowest-chunk_id
+    surviving chunks' texts), top-3 cosine hits -> fingerprints the
+    oracle recomputes from scratch."""
     from ..retrieval import search_text
 
     path = _rag_text_index(spark, sf_dir)
     chunks = spark.read.parquet(f"{path}/chunks")
     qrows = (
-        chunks.filter(
-            (F.col("chunk_idx") == 0)
-            & F.col("doc_id").isin(list(_X109_QUERY_DOCS))
-        )
-        .select("doc_id", "chunk_text")
+        chunks.orderBy("chunk_id")
+        .limit(_X109_N_QUERIES)
+        .select("chunk_text")
         .collect()
     )
-    by_doc = {int(r["doc_id"]): r["chunk_text"] for r in qrows}
-    if sorted(by_doc) != sorted(_X109_QUERY_DOCS):
+    if len(qrows) != _X109_N_QUERIES:
         # precondition, asserted loudly: the oracle derives the same 5
         # query texts, so a fixture/testdata drift must fail here
         raise AssertionError(
-            f"x109 fixture drift: query docs {sorted(by_doc)} != "
-            f"{sorted(_X109_QUERY_DOCS)}"
+            f"x109 fixture drift: only {len(qrows)} chunks survive "
+            f"dedup, need {_X109_N_QUERIES}"
         )
-    texts = [by_doc[d] for d in _X109_QUERY_DOCS]
+    texts = [r["chunk_text"] for r in qrows]
     hits = search_text(
         spark,
         path,

@@ -65,9 +65,28 @@ def build_text_index(
     stride: int = 12,
     n_centroids: int = 8,
 ) -> None:
-    """Chunk, embed, and index ``docs`` at ``out_path``: the IVF index
-    over chunk vectors plus ``{out_path}/chunks`` metadata."""
+    """Chunk, DEDUPE, embed, and index ``docs`` at ``out_path``: the IVF
+    index over chunk vectors plus ``{out_path}/chunks`` metadata.
+
+    Exact-duplicate chunk texts keep one min-chunk_id representative
+    (the x66 chunk-hygiene rule, the same keeper idiom as the curation
+    stream): boilerplate and cross-doc repeats otherwise bloat the index
+    with byte-identical vectors — and duplicate vectors make top-k
+    CUTOFFS among cosine-tied candidates depend on last-ulp float
+    summation order, i.e. non-reproducible across engines/thread
+    counts. One hash exchange on the 16-byte digest; at 100 TB this is
+    the same single-shuffle exact-dedup shape as x01."""
+    from pyspark.sql import Window
+
     chunks = chunk_documents(docs, size=size, stride=stride)
+    keeper = F.min("chunk_id").over(
+        Window.partitionBy(F.md5(F.col("chunk_text")))
+    )
+    chunks = (
+        chunks.withColumn("__keeper", keeper)
+        .filter(F.col("chunk_id") == F.col("__keeper"))
+        .drop("__keeper")
+    )
     chunks.write.mode("overwrite").parquet(f"{out_path}/chunks")
     spark = docs.sparkSession
     chunks = spark.read.parquet(f"{out_path}/chunks")  # embed from disk,
