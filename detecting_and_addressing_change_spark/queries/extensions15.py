@@ -1,17 +1,21 @@
 """Round-11 extension queries: driver attestation for the LSTM half of
 the U8 fine-tune session (x108 — the last pytest-only half of a
-reference experiment shape) and the RAG retrieval path end-to-end
+reference experiment shape), the RAG retrieval path end-to-end
 (x109 — chunk -> embed -> persisted IVF index -> text-query search,
-until now pytest-only composition).
+until now pytest-only composition), and the event-time watermark
+semantics (x110 — late-data drop/accept + append-mode withholding, the
+one Structured Streaming behavior the x98-x104 processing-order
+replays did not cover).
 
-Both follow the oracle-hygiene rule (VERDICT r10 #8): x109 carries NO
-pinned verdict at all — every output column, including the search-result
-fingerprints, is recomputed from scratch by the SQL oracle (chunking,
-hash embedding, the k-means quantizer fit, probe-cell selection and
-cosine ranking are all replayed in DuckDB) — and x108's pinned verdicts
-are raise-guarded in-query beside SQL-recomputed session-shape
-fingerprints, with NO new generated literal (the Adam train steps are
-the genuinely non-SQL-expressible part; the x106 shape).
+All follow the oracle-hygiene rule (VERDICT r10 #8): x109 and x110's
+row values carry NO pinned numbers — every output column is recomputed
+from scratch by the SQL oracle (x109: chunking, dedup keeper, hash
+embedding, the k-means quantizer fit, probe-cell selection and cosine
+ranking, all replayed in DuckDB; x110: the full late-drop/emission
+arithmetic) — their booleans and x108's verdicts are raise-guarded
+in-query beside SQL-recomputed fingerprints, with NO new generated
+literal (x108's Adam train steps are the genuinely
+non-SQL-expressible part; the x106 shape).
 """
 
 from __future__ import annotations
@@ -545,3 +549,218 @@ def x109(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(
         chunks.agg(F.count("*").cast("long").alias("n_chunks"))
     )
+
+
+
+# --------------------------------------------------------------------------
+# X110 — event-time watermark verdict: the one Structured Streaming
+# semantic the attested streaming surface (x98-x104: processing-order
+# replays + keyed detector state) did not yet cover — EVENT-time
+# windowed aggregation under `withWatermark`, with real late data: rows
+# whose event time lags the stream get dropped past the watermark,
+# accepted inside it, and append-mode emission withholds still-open
+# windows. This is the telemetry shape a 100 TB ingest runs on (hourly
+# event rollups that must tolerate stragglers), and every output value
+# is deterministic arithmetic the oracle recomputes exactly — zero
+# pinned row values; the three booleans are non-vacuousness verdicts
+# raise-guarded in-query (ADVICE r9 rule).
+#
+# The construction is deliberately ROBUST to two engine details a naive
+# version trips over (both observed while building this query):
+#  - windows align to ABSOLUTE epoch, so BASE is a multiple of the
+#    window length (otherwise window boundaries shift by BASE mod 60
+#    and every closed-form start below is wrong);
+#  - the watermark used to FILTER late rows in batch N can lag the
+#    reported watermark by one batch (observed: the late batch was
+#    filtered at max(batch 0) - delay even though the progress row
+#    showed max(batches 0-1) - delay). Instead of encoding a
+#    version-specific lag, SPACER batches repeat the previous
+#    watermark-advancing maximum, so under a one-batch OR two-batch lag
+#    the effective watermark at the late batch (940) and at the final
+#    no-data emission (2140) is identical.
+#
+# Replay (event times synthesized from event_id; all rows from events):
+#   b0 normal : m100 ∉ late/jump/spacer sets, t = (id%100)*10  (max 980)
+#   b1 jump1  : id%20 == 9,  t = 1200 + (id%5)*10 — id ≡ 9 (mod 20)
+#               forces id%5 == 4, so max t is EXACTLY 1240
+#   b2 spacer1: id%100 == 11, t = 1240 (repeats b1's max)
+#   b3 LATE   : id%10 == 7,  t = (id%100)*10 — watermark 940 by either
+#               lag; dropped iff t < 900 ⇔ iff window end <= 940 (late
+#               times are ≡ 70 (mod 100), none in [900, 940), so the
+#               row-level and window-level drop rules give the SAME
+#               sets); id%100 == 97 (t = 970) is accepted into the
+#               still-open [960, 1020) window
+#   b4 jump2  : id%20 == 19, t = 2400 + (id%5)*10 (max exactly 2440)
+#   b5 spacer2: id%100 == 31, t = 2440 (repeats b4's max)
+#   final no-data batch: watermark 2140 closes everything through
+#   [2040, 2100) — including the accepted-late window, which is how
+#   acceptance becomes VISIBLE in the append-mode sink — while the
+#   jump2/spacer2 windows (start 2400) stay open and withheld. No
+#   window end ever equals a watermark (ends are multiples of 60; the
+#   watermarks are 940/2140), so inclusive-vs-strict boundaries cannot
+#   flip the result.
+#
+# Scale shape: one narrow synthesis pass + the staged replay write; the
+# streaming query is the standard windowed-aggregation state-store
+# shape (state keyed by (window, type), eviction at the watermark) —
+# the same floor cost as x100/x104. Driver-gated, not benched
+# (streaming floor, budget policy).
+# --------------------------------------------------------------------------
+_X110_BASE = 1_749_999_960  # = 60 * 29_166_666: window-aligned epoch
+_X110_WIN = 60
+_X110_DELAY = 300
+
+_X110_CASE_T = """
+             CASE WHEN event_id % 20 = 9
+                    THEN 1200 + (event_id % 5) * 10
+                  WHEN event_id % 20 = 19
+                    THEN 2400 + (event_id % 5) * 10
+                  WHEN event_id % 100 = 11 THEN 1240
+                  WHEN event_id % 100 = 31 THEN 2440
+                  ELSE (event_id % 100) * 10 END
+"""
+
+
+def _x110_oracle() -> str:
+    b, w = _X110_BASE, _X110_WIN
+    return f"""
+    WITH rows_ AS (
+      SELECT event_id, event_type,
+             {_X110_CASE_T} AS t,
+             CASE WHEN event_id % 20 = 9 THEN 1
+                  WHEN event_id % 20 = 19 THEN 4
+                  WHEN event_id % 100 = 11 THEN 2
+                  WHEN event_id % 100 = 31 THEN 5
+                  WHEN event_id % 10 = 7 THEN 3
+                  ELSE 0 END AS batch
+      FROM events
+    ),
+    -- the late batch lands at watermark 1240 - {_X110_DELAY} = 940:
+    -- dropped iff t < 900 (⇔ window end <= 940). The final watermark is
+    -- 2440 - {_X110_DELAY} = 2140: emitted windows end <= 2140 ⇔ start <= 2080.
+    accepted AS (
+      SELECT * FROM rows_ WHERE batch <> 3 OR t >= 900
+    ),
+    emitted AS (
+      SELECT CAST({b} + FLOOR(t / {w}) * {w} AS BIGINT) AS win_start,
+             event_type
+      FROM accepted
+      WHERE FLOOR(t / {w}) * {w} <= 2080
+    )
+    SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS late_drop_exercised,
+           TRUE AS late_accept_exercised,
+           TRUE AS open_windows_withheld
+    FROM emitted GROUP BY win_start, event_type
+"""
+
+
+@query("x110_watermark_window_verdict", oracle=_x110_oracle())
+def x110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window counts per event_type through a REAL
+    watermarked streaming query (ordered file replay -> withWatermark ->
+    window groupBy -> append-mode memory sink, availableNow): late rows
+    beyond the watermark dropped, stragglers inside it accepted, open
+    windows withheld — all recomputed exactly by the oracle."""
+    import os
+
+    from ..streaming.replay import read_replay_stream, stage_replay_files
+    from .extensions10 import _scratch_index_dir
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    e = F.col("event_id")
+    t = (
+        F.when(e % 20 == 9, F.lit(1200) + (e % 5) * 10)
+        .when(e % 20 == 19, F.lit(2400) + (e % 5) * 10)
+        .when(e % 100 == 11, F.lit(1240))
+        .when(e % 100 == 31, F.lit(2440))
+        .otherwise((e % 100) * 10)
+    ).cast("long")
+    batch = (
+        F.when(e % 20 == 9, 1)
+        .when(e % 20 == 19, 4)
+        .when(e % 100 == 11, 2)
+        .when(e % 100 == 31, 5)
+        .when(e % 10 == 7, 3)
+        .otherwise(0)
+    ).cast("long")
+    rows = ev.select(
+        batch.alias("replay_batch"),
+        F.timestamp_seconds(F.lit(_X110_BASE) + t).alias("ts"),
+        "event_type",
+        t.alias("__t"),
+    ).localCheckpoint(eager=True)
+
+    # non-vacuousness preconditions, asserted loudly BEFORE streaming:
+    # all three verdicts are oracle-pinned TRUE, so a testdata shape that
+    # empties any leg must fail here at generation time
+    legs = {
+        int(r["replay_batch"]): int(r["n"])
+        for r in rows.groupBy("replay_batch")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    n_dropped_late = rows.filter(
+        (F.col("replay_batch") == 3) & (F.col("__t") < 900)
+    ).count()
+    n_accepted_late = legs.get(3, 0) - n_dropped_late
+    if not all(legs.get(i, 0) for i in (0, 1, 2, 4, 5)):
+        raise AssertionError(f"x110 fixture drift: empty replay leg {legs}")
+    if not (n_dropped_late > 0 and n_accepted_late > 0):
+        raise AssertionError(
+            f"x110 fixture drift: late split dropped={n_dropped_late} "
+            f"accepted={n_accepted_late} — a leg is vacuous"
+        )
+
+    tmp = _scratch_index_dir(spark, "wm110_")
+    staged = f"{tmp}/staged"
+    stage_replay_files(rows.drop("__t"), "replay_batch", staged, batch_size=1)
+    stream = read_replay_stream(
+        spark, staged, "replay_batch long, ts timestamp, event_type string"
+    )
+    sink = f"x110_{os.path.basename(tmp)}"
+    q = (
+        stream.withWatermark("ts", f"{_X110_DELAY} seconds")
+        .groupBy(F.window("ts", f"{_X110_WIN} seconds"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").cast("long").alias("win_start"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = spark.table(sink).localCheckpoint(eager=True)
+
+    # raise-guarded verdicts over the SINK (then pinned TRUE)
+    agg = streamed.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("total"),
+        F.coalesce(F.max("win_start"), F.lit(0)).alias("max_start"),
+    ).collect()[0]
+    expected_emitted = rows.filter(
+        ((F.col("replay_batch") != 3) | (F.col("__t") >= 900))
+        & (F.floor(F.col("__t") / _X110_WIN) * _X110_WIN <= 2080)
+    ).count()
+    if int(agg["total"]) != int(expected_emitted):
+        raise AssertionError(
+            f"x110 watermark regression: sink holds {agg['total']} rows, "
+            f"expected {expected_emitted} (late-drop/accept arithmetic)"
+        )
+    if int(agg["max_start"]) > _X110_BASE + 2080:
+        raise AssertionError(
+            f"x110 append regression: an open window leaked "
+            f"(max win_start {int(agg['max_start']) - _X110_BASE})"
+        )
+    verdicts = spark.range(1).select(
+        F.lit(True).alias("late_drop_exercised"),
+        F.lit(True).alias("late_accept_exercised"),
+        F.lit(True).alias("open_windows_withheld"),
+    )
+    return streamed.crossJoin(F.broadcast(verdicts))
