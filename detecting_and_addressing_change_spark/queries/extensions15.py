@@ -3,19 +3,20 @@ the U8 fine-tune session (x108 — the last pytest-only half of a
 reference experiment shape), the RAG retrieval path end-to-end
 (x109 — chunk -> embed -> persisted IVF index -> text-query search,
 until now pytest-only composition), and the event-time watermark
-semantics (x110 — late-data drop/accept + append-mode withholding, the
-one Structured Streaming behavior the x98-x104 processing-order
-replays did not cover).
+semantics (x110 — late-data drop/accept + append-mode withholding) and
+the bounded-state streaming dedup with its at-least-once residue
+(x111) — together closing the built-in stateful-streaming surface the
+x98-x104 processing-order replays did not cover.
 
-All follow the oracle-hygiene rule (VERDICT r10 #8): x109 and x110's
+All follow the oracle-hygiene rule (VERDICT r10 #8): x109/x110/x111's
 row values carry NO pinned numbers — every output column is recomputed
 from scratch by the SQL oracle (x109: chunking, dedup keeper, hash
 embedding, the k-means quantizer fit, probe-cell selection and cosine
-ranking, all replayed in DuckDB; x110: the full late-drop/emission
-arithmetic) — their booleans and x108's verdicts are raise-guarded
-in-query beside SQL-recomputed fingerprints, with NO new generated
-literal (x108's Adam train steps are the genuinely
-non-SQL-expressible part; the x106 shape).
+ranking, all replayed in DuckDB; x110/x111: the full late-drop /
+dedup-horizon emission arithmetic) — their booleans and x108's
+verdicts are raise-guarded in-query beside SQL-recomputed
+fingerprints, with NO new generated literal (x108's Adam train steps
+are the genuinely non-SQL-expressible part; the x106 shape).
 """
 
 from __future__ import annotations
@@ -764,3 +765,174 @@ def x110(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("open_windows_withheld"),
     )
     return streamed.crossJoin(F.broadcast(verdicts))
+
+
+# --------------------------------------------------------------------------
+# X111 — streaming-dedup horizon verdict: Spark's built-in bounded-state
+# ingest dedup (`dropDuplicatesWithinWatermark`) driver-attested with
+# BOTH halves of its contract visible: a duplicate redelivered while the
+# key's state is live is dropped, and one redelivered after the
+# watermark evicted the state is RE-EMITTED — the documented
+# at-least-once residue every bounded-state dedup accepts (and exactly
+# the operational difference from x98's persisted-index dedup, which
+# never forgets; the two rows together are the engine's dedup-ingest
+# story: bounded-state for telemetry streams, persisted-index for
+# corpora with takedown obligations).
+#
+# Same robustness rules as x110 (engine facts documented there): BASE
+# aligned, a spacer batch pins the watermark at the redelivery batch to
+# 1740 under a one-batch OR two-batch filter lag, and every margin is
+# wide against rule variants — the within-horizon duplicate (ts 980)
+# sits above any possible watermark at its batch (<= 690) with state
+# expiring no earlier than 1230 under any plausible eviction rule
+# (first-seen ts 930 + 300), and the beyond-horizon redelivery (ts
+# 1900) sits above the 1740 watermark while its key's state (first seen
+# 430, expiry at most 730) is evicted under every variant. A probe run
+# also established that BELOW-watermark rows are late-filtered by this
+# operator (fresh or duplicate), which is why redeliveries carry their
+# REDELIVERY time, as real at-least-once transports do.
+#
+# Replay (keys = event_id; all rows derived from events):
+#   b0 originals: every id with id%20 != 9 and id%100 != 11,
+#                 t = (id%100)*10 (max 990)
+#   b1 dup-A    : id%100 == 93 redelivered at t = 980 -> state live
+#                 (watermark <= 690) -> DEDUPED
+#   b2 jump     : id%20 == 9, t = 2000 + (id%5)*10 (max exactly 2040;
+#                 fresh keys, emitted once)
+#   b3 spacer   : id%100 == 11, t = 2040 (fresh keys; pins the lag)
+#   b4 dup-B    : id%100 == 43 redelivered at t = 1900 -> watermark
+#                 1740 evicted the state -> RE-EMITTED at t = 1900
+# Zero pinned row values — the oracle recomputes every emitted (key, t)
+# row in closed form; the two booleans are raise-guarded in-query.
+# Driver-gated, not benched (streaming floor, budget policy).
+# --------------------------------------------------------------------------
+_X111_BASE = 1_749_999_960
+_X111_DELAY = 300
+
+_X111_ORACLE = """
+    WITH e AS (
+      SELECT event_id AS k, event_id % 100 AS m100, event_id % 20 AS m20
+      FROM events
+    ),
+    emitted AS (
+      -- every key's FIRST occurrence (originals, jump, spacer) ...
+      SELECT k, CASE WHEN m20 = 9 THEN 2000 + (k % 5) * 10
+                     WHEN m100 = 11 THEN 2040
+                     ELSE m100 * 10 END AS t
+      FROM e
+      UNION ALL
+      -- ... plus the beyond-horizon redeliveries the evicted state
+      -- cannot remember
+      SELECT k, 1900 FROM e WHERE m100 = 43
+    )
+    SELECT k, CAST(t AS BIGINT) AS t,
+           TRUE AS within_horizon_deduped,
+           TRUE AS beyond_horizon_reemitted
+    FROM emitted
+"""
+
+
+@query("x111_stream_dedup_horizon_verdict", oracle=_X111_ORACLE)
+def x111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark through the staged ordered replay:
+    originals emit once, a within-horizon redelivery is deduped, a
+    beyond-horizon redelivery re-emits (bounded state forgot it) — all
+    emitted (key, t) rows recomputed in closed form by the oracle."""
+    import os
+
+    from ..streaming.replay import read_replay_stream, stage_replay_files
+    from .extensions10 import _scratch_index_dir
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    e = F.col("event_id")
+    m100, m20 = e % 100, e % 20
+    originals = ev.filter((m20 != 9) & (m100 != 11)).select(
+        F.lit(0).alias("replay_batch"), e.alias("k"), (m100 * 10).alias("t")
+    )
+    dup_a = ev.filter(m100 == 93).select(
+        F.lit(1).alias("replay_batch"), e.alias("k"), F.lit(980).alias("t")
+    )
+    jump = ev.filter(m20 == 9).select(
+        F.lit(2).alias("replay_batch"),
+        e.alias("k"),
+        (F.lit(2000) + (e % 5) * 10).alias("t"),
+    )
+    spacer = ev.filter(m100 == 11).select(
+        F.lit(3).alias("replay_batch"), e.alias("k"), F.lit(2040).alias("t")
+    )
+    dup_b = ev.filter(m100 == 43).select(
+        F.lit(4).alias("replay_batch"), e.alias("k"), F.lit(1900).alias("t")
+    )
+    rows = (
+        originals.unionByName(dup_a)
+        .unionByName(jump)
+        .unionByName(spacer)
+        .unionByName(dup_b)
+        .select(
+            F.col("replay_batch").cast("long").alias("replay_batch"),
+            "k",
+            F.timestamp_seconds(
+                F.lit(_X111_BASE) + F.col("t")
+            ).alias("ts"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # non-vacuousness preconditions (both verdicts are oracle-pinned
+    # TRUE, so an empty leg must fail loudly at generation time)
+    legs = {
+        int(r["replay_batch"]): int(r["n"])
+        for r in rows.groupBy("replay_batch")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    if not all(legs.get(i, 0) for i in range(5)):
+        raise AssertionError(f"x111 fixture drift: empty replay leg {legs}")
+
+    tmp = _scratch_index_dir(spark, "dd111_")
+    staged = f"{tmp}/staged"
+    stage_replay_files(rows, "replay_batch", staged, batch_size=1)
+    stream = read_replay_stream(
+        spark, staged, "replay_batch long, k long, ts timestamp"
+    )
+    sink = f"x111_{os.path.basename(tmp)}"
+    q = (
+        stream.withWatermark("ts", f"{_X111_DELAY} seconds")
+        .dropDuplicatesWithinWatermark(["k"])
+        .select("k", (F.col("ts").cast("long") - _X111_BASE).alias("t"))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = spark.table(sink).localCheckpoint(eager=True)
+
+    # raise-guarded verdicts over the SINK (then pinned TRUE)
+    a_keys = streamed.filter(
+        (F.col("k") % 100 == 93) & (F.col("t") == 980)
+    ).count()
+    if a_keys != 0:
+        raise AssertionError(
+            f"x111 dedup regression: {a_keys} within-horizon redeliveries "
+            f"were re-emitted"
+        )
+    b_expected = legs[4]
+    b_got = streamed.filter(
+        (F.col("k") % 100 == 43) & (F.col("t") == 1900)
+    ).count()
+    if b_got != b_expected:
+        raise AssertionError(
+            f"x111 horizon regression: {b_got}/{b_expected} beyond-horizon "
+            f"redeliveries re-emitted"
+        )
+    verdicts = spark.range(1).select(
+        F.lit(True).alias("within_horizon_deduped"),
+        F.lit(True).alias("beyond_horizon_reemitted"),
+    )
+    return streamed.select("k", F.col("t").cast("long").alias("t")).crossJoin(
+        F.broadcast(verdicts)
+    )
