@@ -936,3 +936,188 @@ def x111(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streamed.select("k", F.col("t").cast("long").alias("t")).crossJoin(
         F.broadcast(verdicts)
     )
+
+
+# --------------------------------------------------------------------------
+# X112 — stream⋈stream join verdict: the two-sided-watermark
+# stream-stream inner join (until now pytest-only,
+# tests/test_streaming_joins.py) driver-attested with the three
+# behaviors that make it a STREAM join and not a batch join visible in
+# one run: (a) same-batch matches, (b) a CROSS-BATCH match served from
+# buffered join state (the left row arrives a batch before its partner),
+# and (c) a late leg — left rows arriving after both sides' watermarks
+# advanced — producing NO pairs even though their partners sit buffered
+# on the right. Join outputs are closed-form (key equality + a 60 s
+# event-time band over deterministic synthesized times), so the oracle
+# recomputes every (k, lt, rt) row; the two booleans are raise-guarded
+# non-vacuousness verdicts.
+#
+# Same robustness toolkit as x110/x111: BASE aligned, spacer batches pin
+# the watermark under a one- OR two-batch lag, and every margin is wide
+# (the cross-batch partner arrives at watermark <= 690 with event time
+# 860 and its buffered left row's eviction bound at 890; the late leg's
+# times <= 970 sit far below the 1740 watermark its batch sees), so
+# row-admission vs state-eviction rule variants cannot change the
+# emitted set — the probe for this query confirmed late-leg pairs are
+# absent under the engine's actual mechanism, whichever it is.
+#
+# Replay (keys = event_id; both sources stage FOUR files so triggers
+# pair deterministically, one file per source per batch):
+#   L b0: A ∪ D originals, t = (id%100)*10      R r0: partners of A ∪ C
+#   L b1: jump (id%20 == 9, max exactly 2040)    R r1: jump (id%20 == 19)
+#                                                       ∪ D partners t=860
+#   L b2: spacer (id%100 == 11, t 2040)          R r2: spacer (id%100 == 31)
+#   L b3: LATE leg C (id%10 == 7, original ts)   R r3: filler (id%100 == 51)
+# A = ids with id%20 ∉ {9,19}, id%10 != 7, id%100 ∉ {11,31,51,83}
+# (pairs in-batch: rt = lt + 30); D = id%100 == 83 (cross-batch pair
+# 830/860); C = id%10 == 7 (partners buffered in r0, left side dropped).
+# Jump/spacer/filler keys are disjoint from A ∪ C ∪ D, so the inner
+# join emits nothing for them. Driver-gated, not benched (streaming
+# floor, budget policy).
+# --------------------------------------------------------------------------
+_X112_BASE = 1_749_999_960
+_X112_DELAY = 300
+
+_X112_ORACLE = """
+    WITH e AS (
+      SELECT event_id AS k, event_id % 100 AS m100,
+             event_id % 20 AS m20, event_id % 10 AS m10
+      FROM events
+    ),
+    pairs AS (
+      SELECT k, m100 * 10 AS lt, m100 * 10 + 30 AS rt FROM e
+      WHERE m20 NOT IN (9, 19) AND m10 <> 7
+        AND m100 NOT IN (11, 31, 51, 83)
+      UNION ALL
+      SELECT k, 830, 860 FROM e WHERE m100 = 83
+    )
+    SELECT k, CAST(lt AS BIGINT) AS lt, CAST(rt AS BIGINT) AS rt,
+           TRUE AS cross_batch_matched,
+           TRUE AS late_leg_dropped
+    FROM pairs
+"""
+
+
+@query("x112_stream_join_verdict", oracle=_X112_ORACLE)
+def x112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided-watermark stream-stream inner join through paired
+    staged replays: same-batch pairs, a cross-batch pair served from
+    buffered state, and a late left leg whose buffered partners must
+    yield nothing — every emitted (k, lt, rt) recomputed by the
+    oracle."""
+    import os
+
+    from ..streaming.replay import read_replay_stream, stage_replay_files
+    from .extensions10 import _scratch_index_dir
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    e = F.col("event_id")
+    m100, m20, m10 = e % 100, e % 20, e % 10
+    is_a = (
+        ~m20.isin(9, 19) & (m10 != 7) & ~m100.isin(11, 31, 51, 83)
+    )
+
+    def leg(cond, b, t_expr):
+        return ev.filter(cond).select(
+            F.lit(b).cast("long").alias("replay_batch"),
+            e.alias("k"),
+            F.timestamp_seconds(
+                F.lit(_X112_BASE) + t_expr.cast("long")
+            ).alias("ts"),
+        )
+
+    left = (
+        leg(is_a | (m100 == 83), 0, m100 * 10)
+        .unionByName(leg(m20 == 9, 1, F.lit(2000) + (e % 5) * 10))
+        .unionByName(leg(m100 == 11, 2, F.lit(2040)))
+        .unionByName(leg(m10 == 7, 3, m100 * 10))  # the LATE leg
+        .localCheckpoint(eager=True)
+    )
+    right = (
+        leg(is_a | (m10 == 7), 0, m100 * 10 + 30)
+        .unionByName(
+            leg(m20 == 19, 1, F.lit(2000) + (e % 5) * 10).unionByName(
+                leg(m100 == 83, 1, F.lit(860))
+            )
+        )
+        .unionByName(leg(m100 == 31, 2, F.lit(2040)))
+        .unionByName(leg(m100 == 51, 3, F.lit(2040)))
+        .localCheckpoint(eager=True)
+    )
+
+    # non-vacuousness preconditions (both verdicts are oracle-pinned
+    # TRUE, so an empty leg must fail loudly at generation time)
+    n_cross = left.filter(F.col("k") % 100 == 83).count()
+    n_late = left.filter(F.col("replay_batch") == 3).count()
+    if not (n_cross > 0 and n_late > 0):
+        raise AssertionError(
+            f"x112 fixture drift: cross-batch leg {n_cross}, late leg "
+            f"{n_late} — a verdict would be vacuous"
+        )
+    for side, nm in ((left, "left"), (right, "right")):
+        legs = {
+            int(r["replay_batch"]): 1
+            for r in side.select("replay_batch").distinct().collect()
+        }
+        if sorted(legs) != [0, 1, 2, 3]:
+            raise AssertionError(
+                f"x112 fixture drift: {nm} legs {sorted(legs)} != 4 files"
+            )
+
+    tmp = _scratch_index_dir(spark, "ssj112_")
+    l_staged, r_staged = f"{tmp}/left", f"{tmp}/right"
+    stage_replay_files(left, "replay_batch", l_staged, batch_size=1)
+    stage_replay_files(right, "replay_batch", r_staged, batch_size=1)
+    schema = "replay_batch long, k long, ts timestamp"
+    ls = (
+        read_replay_stream(spark, l_staged, schema)
+        .withWatermark("ts", f"{_X112_DELAY} seconds")
+        .select(F.col("k").alias("lk"), F.col("ts").alias("lts"))
+    )
+    rs = (
+        read_replay_stream(spark, r_staged, schema)
+        .withWatermark("ts", f"{_X112_DELAY} seconds")
+        .select(F.col("k").alias("rk"), F.col("ts").alias("rts"))
+    )
+    joined = ls.join(
+        rs,
+        (F.col("lk") == F.col("rk"))
+        & (F.col("rts") >= F.col("lts"))
+        & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 60 SECONDS")),
+        "inner",
+    ).select(
+        F.col("lk").alias("k"),
+        (F.col("lts").cast("long") - _X112_BASE).alias("lt"),
+        (F.col("rts").cast("long") - _X112_BASE).alias("rt"),
+    )
+    sink = f"x112_{os.path.basename(tmp)}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = spark.table(sink).localCheckpoint(eager=True)
+
+    # raise-guarded verdicts over the SINK (then pinned TRUE)
+    got_cross = streamed.filter(
+        (F.col("k") % 100 == 83) & (F.col("lt") == 830) & (F.col("rt") == 860)
+    ).count()
+    if got_cross != n_cross:
+        raise AssertionError(
+            f"x112 buffering regression: {got_cross}/{n_cross} cross-batch "
+            f"pairs emitted"
+        )
+    got_late = streamed.filter(F.col("k") % 10 == 7).count()
+    if got_late != 0:
+        raise AssertionError(
+            f"x112 watermark regression: {got_late} late-leg pairs emitted"
+        )
+    verdicts = spark.range(1).select(
+        F.lit(True).alias("cross_batch_matched"),
+        F.lit(True).alias("late_leg_dropped"),
+    )
+    return streamed.crossJoin(F.broadcast(verdicts))
