@@ -24,6 +24,7 @@ from . import extensions12  # noqa: F401,E402
 from . import extensions13  # noqa: F401,E402
 from . import extensions14  # noqa: F401,E402
 from . import extensions15  # noqa: F401,E402
+from . import extensions16  # noqa: F401,E402
 from . import drift  # noqa: F401,E402
 
 # The external driver evaluates at most the first 50 registered queries per
@@ -178,6 +179,15 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     "x90_adaptive_similarity_join",
     "x102_index_compaction_verdict", "x103_finetune_adaptation_audit",
     "x105_ivf_compaction_verdict",
+    # green rows in CORRECTNESS_r11.json (the r11 re-attests x98/x100/
+    # x101/x104/x106/x107 + the new x108-x112), minus x109: its executed
+    # path changes in round 12 (the sweep-cost trim, VERDICT r11 #3 —
+    # the index shard shrinks), so it floats forward for a fresh row.
+    "x98_curation_stream_verdict", "x100_ddm_stream_verdict",
+    "x101_takedown_verdict", "x104_ph_stream_verdict",
+    "x106_tsne_projection", "x107_mp4_metadata",
+    "x108_lstm_finetune_session", "x110_watermark_window_verdict",
+    "x111_stream_dedup_horizon_verdict", "x112_stream_join_verdict",
     # green rows in CORRECTNESS_r06.json continue below
     "q59_gradual_drift_experiment", "q61_mapping_experiment",
     "x03_minhash_bands", "x04_minhash_pairs", "x23_dedup_clusters",

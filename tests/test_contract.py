@@ -59,6 +59,35 @@ def test_registry_rotation_puts_unattested_first():
     )
 
 
+def test_attested_names_have_green_history():
+    """VERDICT r11 #4: every name in _ATTESTED_PRIOR_ROUNDS must carry at
+    least one fully-green row in some CORRECTNESS_r*.json artifact —
+    listing a name the driver never attested would silently exempt it
+    from the correctness gate forever. (The judge ran this check by
+    script each round; this makes stale-row debt structurally
+    impossible.)"""
+    import glob
+    import json
+
+    import detecting_and_addressing_change_spark.queries as qpkg
+
+    rounds = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    assert rounds, "no CORRECTNESS_r*.json artifacts found"
+    green: set[str] = set()
+    for path in rounds:
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                if (
+                    row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match")
+                    and not row.get("err")
+                ):
+                    green.add(name)
+    stale = sorted(set(qpkg._ATTESTED_PRIOR_ROUNDS) - green)
+    assert not stale, f"attested without any green driver row: {stale}"
+
+
 def test_boolean_cells_stringify_identically_across_engines():
     """VERDICT r8 #8: the verdict-style queries (x93/x96/x97/x98/x99)
     rely on a DuckDB BOOLEAN column and a Spark BooleanType column
