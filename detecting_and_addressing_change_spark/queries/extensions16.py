@@ -1,7 +1,8 @@
 """Round-12 extension queries: checkpoint recovery of the BUILT-IN
 stateful streaming surface — VERDICT r11 #2 (x113, the watermarked
-window aggregation) plus its sibling for the heaviest state shape
-(x114, the stream-stream join's buffered state; see its block comment).
+window aggregation) plus its siblings for the other two built-in state
+shapes (x114, the stream-stream join's buffered state; x115, the
+bounded-state dedup's seen-keys map — see their block comments).
 
 x99 attested restart-safety for the foreachBatch/CDC upsert path, but
 the built-in stateful operators the r11 round closed (x110 watermarked
@@ -306,6 +307,204 @@ def x114(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("exactly_once_resume"),
     )
     return streamed.crossJoin(F.broadcast(verdicts))
+
+
+# --------------------------------------------------------------------------
+# X115 — dedup-state recovery verdict: the third built-in state shape,
+# `dropDuplicatesWithinWatermark`'s seen-keys map (x111's stack), killed
+# and resumed from its checkpoint. The replay splits after batch 0 (the
+# originals): run 1 emits every first occurrence and stops with the
+# whole key map in state at watermark 690; run 2 resumes and replays
+# the WITHIN-HORIZON redelivery first — its dedup can only come from
+# the RESTORED key map (first-seen t = 930, expiry >= 1230 under any
+# eviction rule, far above the restored 690), so a checkpoint that lost
+# the map re-emits it and fails both the raise-guard and the oracle.
+# The jump/spacer batches then advance the watermark to 1740 and the
+# BEYOND-HORIZON redelivery re-emits — eviction executed by the resumed
+# incarnation over restored state. Final sink must equal x111's
+# uninterrupted emission set, recomputed in closed form (zero pins).
+# With x113 (window-agg state + watermark) and x114 (join buffer) this
+# completes checkpoint-recovery attestation for every built-in state
+# shape the engine uses. Driver-gated, not benched (streaming floor).
+# --------------------------------------------------------------------------
+_X115_ORACLE = """
+    WITH e AS (
+      SELECT event_id AS k, event_id % 100 AS m100, event_id % 20 AS m20
+      FROM events
+    ),
+    emitted AS (
+      -- every key's FIRST occurrence (originals, jump, spacer) ...
+      SELECT k, CASE WHEN m20 = 9 THEN 2000 + (k % 5) * 10
+                     WHEN m100 = 11 THEN 2040
+                     ELSE m100 * 10 END AS t
+      FROM e
+      UNION ALL
+      -- ... plus the beyond-horizon redeliveries the evicted state
+      -- cannot remember
+      SELECT k, 1900 FROM e WHERE m100 = 43
+    )
+    SELECT k, CAST(t AS BIGINT) AS t,
+           TRUE AS dedup_state_restored,
+           TRUE AS horizon_eviction_after_resume,
+           TRUE AS exactly_once_resume
+    FROM emitted
+"""
+
+
+@query("x115_dedup_recovery_verdict", oracle=_X115_ORACLE)
+def x115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The x111 bounded-state streaming dedup stopped after the
+    originals batch and RESUMED from its checkpointLocation: the
+    within-horizon redelivery must be deduped by the RESTORED key map,
+    the beyond-horizon one must re-emit after the resumed incarnation's
+    own eviction, and the final sink must equal the uninterrupted run's
+    emission set — recomputed in closed form by the oracle."""
+    from ..streaming.replay import read_replay_stream, stage_replay_files
+    from .extensions10 import _scratch_index_dir
+    from .extensions15 import _X111_BASE, _X111_DELAY
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    e = F.col("event_id")
+    m100, m20 = e % 100, e % 20
+    # the x111 synthesis verbatim (extensions15.py x111 — kept inline so
+    # x111's attested executed path is untouched)
+    originals = ev.filter((m20 != 9) & (m100 != 11)).select(
+        F.lit(0).alias("replay_batch"), e.alias("k"), (m100 * 10).alias("t")
+    )
+    dup_a = ev.filter(m100 == 93).select(
+        F.lit(1).alias("replay_batch"), e.alias("k"), F.lit(980).alias("t")
+    )
+    jump = ev.filter(m20 == 9).select(
+        F.lit(2).alias("replay_batch"),
+        e.alias("k"),
+        (F.lit(2000) + (e % 5) * 10).alias("t"),
+    )
+    spacer = ev.filter(m100 == 11).select(
+        F.lit(3).alias("replay_batch"), e.alias("k"), F.lit(2040).alias("t")
+    )
+    dup_b = ev.filter(m100 == 43).select(
+        F.lit(4).alias("replay_batch"), e.alias("k"), F.lit(1900).alias("t")
+    )
+    rows = (
+        originals.unionByName(dup_a)
+        .unionByName(jump)
+        .unionByName(spacer)
+        .unionByName(dup_b)
+        .select(
+            F.col("replay_batch").cast("long").alias("replay_batch"),
+            "k",
+            F.timestamp_seconds(
+                F.lit(_X111_BASE) + F.col("t")
+            ).alias("ts"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # non-vacuousness preconditions (x111's)
+    legs = {
+        int(r["replay_batch"]): int(r["n"])
+        for r in rows.groupBy("replay_batch")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    if not all(legs.get(i, 0) for i in range(5)):
+        raise AssertionError(f"x115 fixture drift: empty replay leg {legs}")
+
+    tmp = _scratch_index_dir(spark, "ckpt115_")
+    staged = f"{tmp}/staged"
+    sink_dir, ckpt = f"{tmp}/sink", f"{tmp}/ckpt"
+
+    def run_incarnation(lo: int, hi: int, start_index: int) -> None:
+        stage_replay_files(
+            rows.filter(
+                (F.col("replay_batch") >= lo)
+                & (F.col("replay_batch") <= hi)
+            ),
+            "replay_batch",
+            staged,
+            batch_size=1,
+            start_index=start_index,
+        )
+        q = (
+            read_replay_stream(
+                spark, staged, "replay_batch long, k long, ts timestamp"
+            )
+            .withWatermark("ts", f"{_X111_DELAY} seconds")
+            .dropDuplicatesWithinWatermark(["k"])
+            .select(
+                "k", (F.col("ts").cast("long") - _X111_BASE).alias("t")
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise AssertionError(
+                f"x115 incarnation [{lo},{hi}] did not drain in 300s"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+
+    # scoped state partitions (the x114 rationale; checkpoint pins it)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # RUN 1: the originals only — every key enters the dedup map,
+        # every row emits once, then the query stops at watermark 690.
+        run_incarnation(0, 0, 0)
+        n_run1 = spark.read.parquet(sink_dir).count()
+
+        # RUN 2: within-horizon redelivery, jump, spacer, beyond-horizon
+        # redelivery — all against the restored checkpoint.
+        run_incarnation(1, 4, 1)
+        streamed = spark.read.parquet(sink_dir).localCheckpoint(eager=True)
+        n_final = streamed.count()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    # raise-guarded verdicts over the recovered sink (then pinned TRUE)
+    if n_run1 != legs[0]:
+        raise AssertionError(
+            f"x115 split vacuous: run1 emitted {n_run1}, expected the "
+            f"{legs[0]} originals exactly"
+        )
+    a_keys = streamed.filter(
+        (F.col("k") % 100 == 93) & (F.col("t") == 980)
+    ).count()
+    if a_keys != 0:
+        raise AssertionError(
+            f"x115 state-recovery regression: {a_keys} within-horizon "
+            f"redeliveries re-emitted — the dedup key map did not "
+            f"survive the restart"
+        )
+    b_got = streamed.filter(
+        (F.col("k") % 100 == 43) & (F.col("t") == 1900)
+    ).count()
+    if b_got != legs[4]:
+        raise AssertionError(
+            f"x115 horizon regression: {b_got}/{legs[4]} beyond-horizon "
+            f"redeliveries re-emitted after the resume"
+        )
+    n_keys = streamed.select("k", "t").distinct().count()
+    expected_total = legs[0] + legs[2] + legs[3] + legs[4]
+    if not (n_keys == n_final == expected_total):
+        raise AssertionError(
+            f"x115 exactly-once regression: {n_final} rows, {n_keys} "
+            f"distinct (k, t), expected {expected_total}"
+        )
+    verdicts = spark.range(1).select(
+        F.lit(True).alias("dedup_state_restored"),
+        F.lit(True).alias("horizon_eviction_after_resume"),
+        F.lit(True).alias("exactly_once_resume"),
+    )
+    return streamed.select(
+        "k", F.col("t").cast("long").alias("t")
+    ).crossJoin(F.broadcast(verdicts))
 
 
 def _x113_oracle() -> str:
