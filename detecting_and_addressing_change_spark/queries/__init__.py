@@ -180,14 +180,19 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     "x102_index_compaction_verdict", "x103_finetune_adaptation_audit",
     "x105_ivf_compaction_verdict",
     # green rows in CORRECTNESS_r11.json (the r11 re-attests x98/x100/
-    # x101/x104/x106/x107 + the new x108-x112), minus x109: its executed
-    # path changes in round 12 (the sweep-cost trim, VERDICT r11 #3 —
-    # the index shard shrinks), so it floats forward for a fresh row.
-    "x98_curation_stream_verdict", "x100_ddm_stream_verdict",
-    "x101_takedown_verdict", "x104_ph_stream_verdict",
+    # x101/x104/x106/x107 + the new x108-x112), minus the queries whose
+    # executed paths change in round 12: x109 (the sweep-cost trim,
+    # VERDICT r11 #3 — the index shard shrinks to doc_id % 4), and
+    # x100/x104/x110/x111/x112 (their streaming runs now execute under
+    # scoped_state_partitions — the state-store commit-overhead trim,
+    # streaming/replay.py). All six float forward for fresh rows. x98,
+    # x99 and x101 stay listed: stage_replay_files/read_replay_stream
+    # themselves are byte-identical (replay.py only GAINED the new
+    # context manager) and their foreachBatch bodies are untouched.
+    "x98_curation_stream_verdict",
+    "x101_takedown_verdict",
     "x106_tsne_projection", "x107_mp4_metadata",
-    "x108_lstm_finetune_session", "x110_watermark_window_verdict",
-    "x111_stream_dedup_horizon_verdict", "x112_stream_join_verdict",
+    "x108_lstm_finetune_session",
     # green rows in CORRECTNESS_r06.json continue below
     "q59_gradual_drift_experiment", "q61_mapping_experiment",
     "x03_minhash_bands", "x04_minhash_pairs", "x23_dedup_clusters",

@@ -500,7 +500,10 @@ def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.ddm import detect_drift
     from ..streaming.ddm_stream import detect_drift_stream
-    from ..streaming.replay import read_replay_stream
+    from ..streaming.replay import (
+        read_replay_stream,
+        scoped_state_partitions,
+    )
     from .extensions10 import _scratch_index_dir
 
     staged, per_batch = _error_series_staging(spark, sf_dir)
@@ -509,15 +512,18 @@ def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, staged, "detector_id string, seq_id long, error double"
     )
     sink = f"x100_{os.path.basename(tmp)}"  # unique per invocation
-    q = (
-        detect_drift_stream(stream)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # scoped state partitions (streaming/replay.py): ONE detector key
+    # through 32 state-store commits per batch was pure overhead
+    with scoped_state_partitions(spark):
+        q = (
+            detect_drift_stream(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
 
     streamed = spark.table(sink).select("seq_id", "error", "flag")
     batch = detect_drift(per_batch).select("seq_id", "error", "flag")

@@ -668,7 +668,11 @@ def x110(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows withheld — all recomputed exactly by the oracle."""
     import os
 
-    from ..streaming.replay import read_replay_stream, stage_replay_files
+    from ..streaming.replay import (
+        read_replay_stream,
+        scoped_state_partitions,
+        stage_replay_files,
+    )
     from .extensions10 import _scratch_index_dir
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
@@ -724,23 +728,26 @@ def x110(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, staged, "replay_batch long, ts timestamp, event_type string"
     )
     sink = f"x110_{os.path.basename(tmp)}"
-    q = (
-        stream.withWatermark("ts", f"{_X110_DELAY} seconds")
-        .groupBy(F.window("ts", f"{_X110_WIN} seconds"), "event_type")
-        .agg(F.count("*").alias("n"))
-        .select(
-            F.col("window.start").cast("long").alias("win_start"),
-            "event_type",
-            F.col("n").cast("long").alias("n"),
+    # scoped state partitions (streaming/replay.py): handfuls of window
+    # keys through 32 state-store commits per batch was pure overhead
+    with scoped_state_partitions(spark):
+        q = (
+            stream.withWatermark("ts", f"{_X110_DELAY} seconds")
+            .groupBy(F.window("ts", f"{_X110_WIN} seconds"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.col("window.start").cast("long").alias("win_start"),
+                "event_type",
+                F.col("n").cast("long").alias("n"),
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+        q.awaitTermination(300)
     streamed = spark.table(sink).localCheckpoint(eager=True)
 
     # raise-guarded verdicts over the SINK (then pinned TRUE)
@@ -843,7 +850,11 @@ def x111(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted (key, t) rows recomputed in closed form by the oracle."""
     import os
 
-    from ..streaming.replay import read_replay_stream, stage_replay_files
+    from ..streaming.replay import (
+        read_replay_stream,
+        scoped_state_partitions,
+        stage_replay_files,
+    )
     from .extensions10 import _scratch_index_dir
 
     ev = load_table(spark, sf_dir, "events").select("event_id")
@@ -900,18 +911,22 @@ def x111(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, staged, "replay_batch long, k long, ts timestamp"
     )
     sink = f"x111_{os.path.basename(tmp)}"
-    q = (
-        stream.withWatermark("ts", f"{_X111_DELAY} seconds")
-        .dropDuplicatesWithinWatermark(["k"])
-        .select("k", (F.col("ts").cast("long") - _X111_BASE).alias("t"))
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # scoped state partitions (streaming/replay.py)
+    with scoped_state_partitions(spark):
+        q = (
+            stream.withWatermark("ts", f"{_X111_DELAY} seconds")
+            .dropDuplicatesWithinWatermark(["k"])
+            .select(
+                "k", (F.col("ts").cast("long") - _X111_BASE).alias("t")
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     streamed = spark.table(sink).localCheckpoint(eager=True)
 
     # raise-guarded verdicts over the SINK (then pinned TRUE)
@@ -1010,7 +1025,11 @@ def x112(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle."""
     import os
 
-    from ..streaming.replay import read_replay_stream, stage_replay_files
+    from ..streaming.replay import (
+        read_replay_stream,
+        scoped_state_partitions,
+        stage_replay_files,
+    )
     from .extensions10 import _scratch_index_dir
 
     ev = load_table(spark, sf_dir, "events").select("event_id")
@@ -1094,15 +1113,18 @@ def x112(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rts").cast("long") - _X112_BASE).alias("rt"),
     )
     sink = f"x112_{os.path.basename(tmp)}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # scoped state partitions (streaming/replay.py): join state commits
+    # PER SIDE per batch — the heaviest case of the commit overhead
+    with scoped_state_partitions(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     streamed = spark.table(sink).localCheckpoint(eager=True)
 
     # raise-guarded verdicts over the SINK (then pinned TRUE)

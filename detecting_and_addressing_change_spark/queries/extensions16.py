@@ -116,7 +116,11 @@ def x114(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stop, its partner arriving after the resume), the late left leg
     must still drop, and the final sink must equal the uninterrupted
     run's emission set — recomputed by the oracle."""
-    from ..streaming.replay import read_replay_stream, stage_replay_files
+    from ..streaming.replay import (
+        read_replay_stream,
+        scoped_state_partitions,
+        stage_replay_files,
+    )
     from .extensions10 import _scratch_index_dir
     from .extensions15 import _X112_BASE, _X112_DELAY
 
@@ -236,17 +240,10 @@ def x114(spark: SparkSession, sf_dir: str) -> DataFrame:
         if q.exception() is not None:
             raise q.exception()
 
-    # Stream-stream join state is committed across
-    # spark.sql.shuffle.partitions state-store instances PER SIDE PER
-    # BATCH — at this replay's row counts that overhead IS the query's
-    # cost, so scope the partition count down for the streaming runs
-    # (the first incarnation pins it in the checkpoint; Spark restores
-    # it on resume). At 100 TB the same knob is sized UP to the stream
-    # volume instead — state partitioning is a capacity decision, not a
-    # semantic one.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # Scoped state partitions (see streaming/replay.py — join state is
+    # committed PER SIDE per batch, the heaviest case of the commit
+    # overhead the helper documents; measured here 25 s -> 10 s warm).
+    with scoped_state_partitions(spark):
         # RUN 1: batch 0 of both sources — emits the in-batch pairs,
         # leaves the cross pair's left row in the join buffer, stops.
         run_incarnation(0, 0, 0)
@@ -259,8 +256,6 @@ def x114(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_incarnation(1, 3, 1)
         streamed = spark.read.parquet(sink_dir).localCheckpoint(eager=True)
         n_final = streamed.count()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     # raise-guarded verdicts over the recovered sink (then pinned TRUE)
     if cross_in_run1 != 0:
@@ -359,7 +354,11 @@ def x115(spark: SparkSession, sf_dir: str) -> DataFrame:
     the beyond-horizon one must re-emit after the resumed incarnation's
     own eviction, and the final sink must equal the uninterrupted run's
     emission set — recomputed in closed form by the oracle."""
-    from ..streaming.replay import read_replay_stream, stage_replay_files
+    from ..streaming.replay import (
+        read_replay_stream,
+        scoped_state_partitions,
+        stage_replay_files,
+    )
     from .extensions10 import _scratch_index_dir
     from .extensions15 import _X111_BASE, _X111_DELAY
 
@@ -450,10 +449,8 @@ def x115(spark: SparkSession, sf_dir: str) -> DataFrame:
         if q.exception() is not None:
             raise q.exception()
 
-    # scoped state partitions (the x114 rationale; checkpoint pins it)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # scoped state partitions (see streaming/replay.py)
+    with scoped_state_partitions(spark):
         # RUN 1: the originals only — every key enters the dedup map,
         # every row emits once, then the query stops at watermark 690.
         run_incarnation(0, 0, 0)
@@ -464,8 +461,6 @@ def x115(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_incarnation(1, 4, 1)
         streamed = spark.read.parquet(sink_dir).localCheckpoint(eager=True)
         n_final = streamed.count()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     # raise-guarded verdicts over the recovered sink (then pinned TRUE)
     if n_run1 != legs[0]:
@@ -552,7 +547,11 @@ def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
     uninterrupted run's emission set, which the oracle recomputes."""
     import os
 
-    from ..streaming.replay import read_replay_stream, stage_replay_files
+    from ..streaming.replay import (
+        read_replay_stream,
+        scoped_state_partitions,
+        stage_replay_files,
+    )
     from .extensions10 import _scratch_index_dir
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
@@ -647,14 +646,9 @@ def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
         if q.exception() is not None:
             raise q.exception()
 
-    # Scope the state-partition count down for the streaming runs (the
-    # x114 rationale: per-batch state-store commit overhead dominates a
-    # verdict-scale replay; the first incarnation pins the count in the
-    # checkpoint and Spark restores it on resume — at 100 TB the knob is
-    # sized UP to stream volume instead).
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # Scoped state partitions (see streaming/replay.py — the checkpoint
+    # pins the count at first start; Spark restores it on resume).
+    with scoped_state_partitions(spark):
         # RUN 1: normal + jump1 + spacer1, then a graceful stop — the
         # checkpoint persists watermark 940 and the open-window state.
         run_incarnation(0, 2, 0)
@@ -666,8 +660,6 @@ def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_incarnation(3, 5, 3)
         streamed = spark.read.parquet(sink_dir).localCheckpoint(eager=True)
         n_final = streamed.count()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     # raise-guarded verdicts over the recovered sink (then pinned TRUE)
     if not 0 < n_run1 < n_final:
