@@ -727,3 +727,26 @@ def test_auto_selection_routes_by_capability(monkeypatch):
     ddm_stream.detect_drift_stream_auto(None)
     ddm_stream.detect_drift_stream_auto(None, prefer_tws=False)
     assert calls == ["tws", "apiws", "apiws"]
+
+
+def test_scoped_state_partitions_restores_on_error(spark):
+    """The scope must restore spark.sql.shuffle.partitions even when the
+    streaming run raises — a leak would silently re-plan every
+    subsequent query in the session (including attested ones) at the
+    scoped width."""
+    from detecting_and_addressing_change_spark.streaming.replay import (
+        scoped_state_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    assert prev != "4"
+    with pytest.raises(RuntimeError, match="boom"):
+        with scoped_state_partitions(spark, 4):
+            assert spark.conf.get(key) == "4"
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == prev
+    # and the clean path restores too
+    with scoped_state_partitions(spark, 4):
+        assert spark.conf.get(key) == "4"
+    assert spark.conf.get(key) == prev
