@@ -545,8 +545,6 @@ def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
     remaining three: the recovered final sink (a real parquet file sink
     read through its _spark_metadata commit log) must equal the
     uninterrupted run's emission set, which the oracle recomputes."""
-    import os
-
     from ..streaming.replay import (
         read_replay_stream,
         scoped_state_partitions,

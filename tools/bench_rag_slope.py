@@ -63,22 +63,26 @@ def main() -> None:
             continue
         docs = load_table(spark, d, "documents")
         n_docs = docs.count()
+        chunks_seen = None
         for policy in ("fixed", "scaled"):
             path = f"/tmp/rag_slope_{label}_{policy}"
             shutil.rmtree(path, ignore_errors=True)
             if policy == "fixed":
                 k = 8
             else:
-                # k ~ sqrt(n_chunks) (IVF's standard occupancy policy),
-                # estimated from the doc count (chunks/doc is
-                # scale-invariant across these corpora, ~2.2)
-                k = max(8, int(math.sqrt(n_docs * 2.2)))
+                # k = sqrt(n_chunks) (IVF's standard occupancy policy),
+                # from the SURVIVING chunk count the fixed build just
+                # measured — post-dedup chunks/doc is NOT scale-invariant
+                # (4.5 raw here, 1.3 at sf1eq where the tiled replicas'
+                # interior chunks collapse), so a doc-count proxy would
+                # misstate the policy by ~30%
+                k = max(8, int(math.sqrt(chunks_seen)))
             t0 = time.perf_counter()
             build_text_index(docs, path, dim=8, model="BERT",
                              n_centroids=k)
             build_s = time.perf_counter() - t0
             chunks = spark.read.parquet(f"{path}/chunks")
-            n_chunks = chunks.count()
+            n_chunks = chunks_seen = chunks.count()
             texts = [
                 r["chunk_text"]
                 for r in chunks.orderBy("chunk_id")
