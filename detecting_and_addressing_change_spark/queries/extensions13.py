@@ -523,7 +523,11 @@ def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise AssertionError("x100 replay did not drain in 300s")
+        if q.exception() is not None:
+            raise q.exception()
 
     streamed = spark.table(sink).select("seq_id", "error", "flag")
     batch = detect_drift(per_batch).select("seq_id", "error", "flag")

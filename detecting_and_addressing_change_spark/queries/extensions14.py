@@ -370,7 +370,11 @@ def x104(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise AssertionError("x104 replay did not drain in 300s")
+        if q.exception() is not None:
+            raise q.exception()
 
     streamed = spark.table(sink).select("seq_id", "error", "flag")
     batch = detect_drift_ph(per_batch).select("seq_id", "error", "flag")

@@ -747,7 +747,11 @@ def x110(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise AssertionError("x110 replay did not drain in 300s")
+        if q.exception() is not None:
+            raise q.exception()
     streamed = spark.table(sink).localCheckpoint(eager=True)
 
     # raise-guarded verdicts over the SINK (then pinned TRUE)
@@ -926,7 +930,11 @@ def x111(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise AssertionError("x111 replay did not drain in 300s")
+        if q.exception() is not None:
+            raise q.exception()
     streamed = spark.table(sink).localCheckpoint(eager=True)
 
     # raise-guarded verdicts over the SINK (then pinned TRUE)
@@ -1124,7 +1132,11 @@ def x112(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise AssertionError("x112 replay did not drain in 300s")
+        if q.exception() is not None:
+            raise q.exception()
     streamed = spark.table(sink).localCheckpoint(eager=True)
 
     # raise-guarded verdicts over the SINK (then pinned TRUE)

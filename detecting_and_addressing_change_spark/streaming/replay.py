@@ -76,6 +76,15 @@ def stage_replay_files(
     return len(staged)
 
 
+# NOTE (ADVICE r12): scoped_state_partitions mutates the SESSION-GLOBAL
+# ``spark.sql.shuffle.partitions`` conf for the duration of the scope, so
+# it assumes single-threaded planning — two concurrent scopes (or a scope
+# overlapping any other query's planning) in one SparkSession would race
+# on the conf. Every caller in this repo (the driver sweep, bench.py, the
+# pytest suite) plans sequentially within a session; do not wrap scopes
+# around concurrently-planned work. (Recorded here at module level: the
+# function body below is attestation-frozen — editing it de-lists the
+# whole streaming-verdict family per the round-12 rotation rule.)
 @contextmanager
 def scoped_state_partitions(spark: SparkSession, n: int = 8):
     """Run a streaming query with ``spark.sql.shuffle.partitions`` scoped

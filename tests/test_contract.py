@@ -5,11 +5,16 @@ broken."""
 from __future__ import annotations
 
 import importlib.util
+from pathlib import Path
+
+# checkout-relative repo root (ADVICE r12: hardcoding /root/repo made the
+# contract tests silently scan nothing in any other clone path)
+REPO_ROOT = Path(__file__).resolve().parents[1]
 
 
 def _entry_module():
     spec = importlib.util.spec_from_file_location(
-        "spark_entry", "/root/repo/__spark_entry__.py"
+        "spark_entry", str(REPO_ROOT / "__spark_entry__.py")
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
@@ -66,12 +71,11 @@ def test_attested_names_have_green_history():
     from the correctness gate forever. (The judge ran this check by
     script each round; this makes stale-row debt structurally
     impossible.)"""
-    import glob
     import json
 
     import detecting_and_addressing_change_spark.queries as qpkg
 
-    rounds = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    rounds = sorted(REPO_ROOT.glob("CORRECTNESS_r*.json"))
     assert rounds, "no CORRECTNESS_r*.json artifacts found"
     green: set[str] = set()
     for path in rounds:

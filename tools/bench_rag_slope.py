@@ -40,8 +40,6 @@ NPROBE = 2
 def main() -> None:
     probe_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
-    from pyspark.sql import functions as F
-
     from detecting_and_addressing_change_spark.retrieval import (
         build_text_index,
         search_text,

@@ -100,7 +100,12 @@ def main() -> None:
                         .trigger(availableNow=True)
                         .start()
                     )
-                    q.awaitTermination(600)
+                    if not q.awaitTermination(600):
+                        q.stop()
+                        raise AssertionError(
+                            f"{label} n_parts={n_parts} replay did not "
+                            f"drain in 600s"
+                        )
                 dt = time.perf_counter() - t0
                 out = spark.table(sink).count()
                 assert out == n_keys, (out, n_keys)
