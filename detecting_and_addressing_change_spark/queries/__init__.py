@@ -25,6 +25,7 @@ from . import extensions13  # noqa: F401,E402
 from . import extensions14  # noqa: F401,E402
 from . import extensions15  # noqa: F401,E402
 from . import extensions16  # noqa: F401,E402
+from . import extensions17  # noqa: F401,E402
 from . import drift  # noqa: F401,E402
 
 # The external driver evaluates at most the first 50 registered queries per
@@ -193,6 +194,18 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     "x101_takedown_verdict",
     "x106_tsne_projection", "x107_mp4_metadata",
     "x108_lstm_finetune_session",
+    # green rows in CORRECTNESS_r12.json (the r12 re-attests x100/x104/
+    # x109-x112 + the new checkpoint-recovery trio x113-x115), minus the
+    # queries whose executed paths change in round 13:
+    # x100/x104/x110/x111/x112 (their awaitTermination(300) results are
+    # now checked — timeout raises instead of reading a partially-drained
+    # sink, ADVICE r12). Those five float forward for fresh rows.
+    # x109/x113/x114/x115 stay listed: their bodies and the replay.py
+    # functions they execute (stage_replay_files / read_replay_stream /
+    # scoped_state_partitions) are byte-identical this round (replay.py
+    # only gained a module-level comment ABOVE the scoping helper).
+    "x109_rag_retrieval", "x113_checkpoint_recovery_verdict",
+    "x114_join_recovery_verdict", "x115_dedup_recovery_verdict",
     # green rows in CORRECTNESS_r06.json continue below
     "q59_gradual_drift_experiment", "q61_mapping_experiment",
     "x03_minhash_bands", "x04_minhash_pairs", "x23_dedup_clusters",

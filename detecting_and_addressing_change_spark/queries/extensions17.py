@@ -1,0 +1,276 @@
+"""Round-13 extension queries: driver attestation for the MLP mapping
+train/apply session (x116 — U4/U5, the last §2.7 model-compute family
+that was verified only by pytest parity; VERDICT r12 #2).
+
+Follows the oracle-hygiene rule: the session's verdicts are raise-guarded
+in-query and pinned TRUE by the oracle, beside SQL-exact structural
+fingerprints of the session construction (pair/TRAIN/HELD counts, the
+held-out seq-id sum, and the SUM(LENGTH(text)) of the base documents that
+seeds the input phases) — NO new generated literal (the Adam train steps
+are the genuinely non-SQL-expressible part; the x106/x108 shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# X116 — MLP mapping session (U4 apply + U5 train; VERDICT r12 #2).
+# Reference: adaptation/mapping.py:148-184 trains a shape-preserving
+# 2-layer MLP (Linear->ReLU->Linear, models/adaptation_models.py:9-39)
+# with Adam on MSE over (source, target) embedding pairs, and its own
+# success check is "MSE after mapping < MSE before mapping"
+# (adaptation/mapping.py:157-161 prints the before-loss it must beat).
+#
+# The session runs the REAL operators (operators/mapping.py):
+# train_mlp_mapping (U5 — collect the driver-small pair table, numpy
+# Adam, the reference's architecture/loss/update rule) and
+# apply_mlp_mapping (U4 — the distributed Arrow-batched mapInPandas
+# forward, the path 100 TB of embeddings would take). The pair fixture
+# is deterministic and data-bound, the x108 recipe: the 32 lowest
+# documents seed per-pair phases through their text lengths,
+# source[j] = sin(len + seq_id*12.9898 + j*37.719) (computed IN SPARK
+# with built-in functions — a narrow map, no UDF), and the target is a
+# fixed orthogonal map of the source (dimension reversal + negation:
+# target[j] = -source[dim-1-j]) — a planted linear mapping the MLP must
+# recover, the same construction tests/test_mapping.py proves the
+# operator learns. TRAIN = pairs with seq_id % 4 != 0; HELD-OUT = the
+# seq_id % 4 == 0 quarter the optimizer never sees.
+#
+# Verdicts (each raise-guarded in-query, then pinned TRUE by the
+# oracle — a training regression fails loudly at generation time):
+#  - mapping_mse_improves: distributed MSE(mapped source, target) on the
+#    TRAIN pairs < distributed MSE(source, target) — the reference's own
+#    success check;
+#  - heldout_margin_improves: on the HELD-OUT quarter, mapped MSE <
+#    0.5 * raw MSE — generalization, not memorization;
+#  - shape_preserved: every mapped vector keeps the input dimension and
+#    every component is finite (the reference MLP's own
+#    assert out.shape == inputs.shape, checked DISTRIBUTED);
+#  - dual_path_equal: the distributed mapInPandas forward and a
+#    driver-side weights.forward replay agree per-element (atol 1e-9)
+#    on every held-out row AND on the floor(mse * 1e9) fingerprint —
+#    the plumbing the 100 TB apply path relies on is the thing attested.
+#
+# MSEs are computed DISTRIBUTED with built-in array lambdas
+# (zip_with/aggregate — exact, JVM-side); only the k-free pair table
+# (384 x 8 doubles) is ever collected, by train_mlp_mapping itself.
+#
+# Scale shape: train is driver-side BY DESIGN at any scale — the pair
+# table is top-k words x dim, bounded by construction (the reference's
+# is <= 10k x 768); apply is one Arrow-batched narrow pass with the
+# weights riding the closure, embarrassingly parallel over 100 TB.
+# --------------------------------------------------------------------------
+_X116_DIM = 8
+_X116_BASE_DOCS = 32
+_X116_REPLICAS = 12
+_X116_N_PAIRS = _X116_BASE_DOCS * _X116_REPLICAS
+
+_X116_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, COALESCE(text, '') AS text
+      FROM documents ORDER BY doc_id LIMIT {_X116_BASE_DOCS}
+    ),
+    ids AS (
+      SELECT i FROM generate_series(0, {_X116_N_PAIRS - 1}) AS t(i)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM base) * {_X116_REPLICAS} AS BIGINT)
+             AS n_pairs,
+           CAST((SELECT COUNT(*) FROM ids WHERE i % 4 <> 0) AS BIGINT)
+             AS n_train,
+           CAST((SELECT COUNT(*) FROM ids WHERE i % 4 = 0) AS BIGINT)
+             AS n_held,
+           CAST((SELECT SUM(i) FROM ids WHERE i % 4 = 0) AS BIGINT)
+             AS sum_held_seq_id,
+           CAST((SELECT SUM(LENGTH(text)) FROM base) AS BIGINT)
+             AS sum_base_len,
+           TRUE AS mapping_mse_improves,
+           TRUE AS heldout_margin_improves,
+           TRUE AS shape_preserved,
+           TRUE AS dual_path_equal
+"""
+
+
+def _x116_pairs(base: DataFrame) -> DataFrame:
+    """Deterministic (source, target) pairs from the 32 base docs:
+    seq_id = replica * 32 + base_rank, source = sin() of a text-length-
+    seeded phase, target = the planted orthogonal map -reverse(source)."""
+    seq_id = (F.col("__r") * _X116_BASE_DOCS + F.col("__b")).cast("long")
+    rows = base.select(
+        "__b",
+        "__len",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_X116_REPLICAS - 1))
+        ).alias("__r"),
+    ).select(seq_id.alias("seq_id"), "__len")
+    source = F.transform(
+        F.sequence(F.lit(0), F.lit(_X116_DIM - 1)),
+        lambda j: F.sin(
+            F.col("__len").cast("double")
+            + F.col("seq_id").cast("double") * 12.9898
+            + j.cast("double") * 37.719
+        ),
+    )
+    return rows.select(
+        "seq_id",
+        source.cast("array<double>").alias("source"),
+    ).select(
+        "seq_id",
+        "source",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_X116_DIM - 1)),
+            lambda j: -F.element_at(
+                F.col("source"), F.lit(_X116_DIM).cast("int") - j.cast("int")
+            ),
+        ).cast("array<double>").alias("target"),
+    )
+
+
+def _mse_col(a: str, b: str):
+    """Exact JVM-side per-row MSE between two equal-length array columns."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size(F.col(a))
+
+
+@query("x116_mlp_mapping_session", oracle=_X116_ORACLE)
+def x116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The U4/U5 MLP mapping session end-to-end on driver-derived pairs:
+    numpy-Adam train (the real train_mlp_mapping loop) on the TRAIN
+    split, distributed Arrow-batched apply on all pairs, verdict the
+    reference's MSE-improves check plus a held-out margin, shape
+    preservation, and distributed==driver dual-path equality."""
+    import math as _math
+
+    import numpy as _np
+    from pyspark.sql import Window
+
+    from ..operators.mapping import apply_mlp_mapping, train_mlp_mapping
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    base = (
+        docs.orderBy("doc_id")
+        .limit(_X116_BASE_DOCS)
+        .select(
+            "doc_id",
+            F.length(F.coalesce(F.col("text"), F.lit(""))).alias("__len"),
+        )
+        .withColumn("__b", (F.row_number().over(w) - 1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    sum_base_len = int(base.agg(F.sum("__len").alias("s")).collect()[0]["s"])
+
+    pairs = _x116_pairs(base).localCheckpoint(eager=True)
+    train = pairs.filter(F.col("seq_id") % 4 != 0)
+    held = pairs.filter(F.col("seq_id") % 4 == 0)
+
+    # U5: the real driver-side numpy-Adam loop (reference architecture,
+    # loss and update rule — adaptation/mapping.py:148-184)
+    weights = train_mlp_mapping(
+        train,
+        source_col="source",
+        target_col="target",
+        hidden=64,
+        epochs=60,
+        lr=3e-3,
+        seed=1,
+    )
+
+    # U4: ONE distributed Arrow-batched forward over all pairs, then the
+    # MSEs as exact JVM-side array lambdas on the joined frame
+    mapped = apply_mlp_mapping(
+        pairs, weights, vec_col="source", out_col="mapped",
+        id_cols=("seq_id",),
+    ).join(pairs, "seq_id")
+    mapped = mapped.localCheckpoint(eager=True)
+
+    stats = mapped.agg(
+        F.avg(F.when(F.col("seq_id") % 4 != 0, _mse_col("source", "target")))
+          .alias("raw_train"),
+        F.avg(F.when(F.col("seq_id") % 4 != 0, _mse_col("mapped", "target")))
+          .alias("map_train"),
+        F.avg(F.when(F.col("seq_id") % 4 == 0, _mse_col("source", "target")))
+          .alias("raw_held"),
+        F.avg(F.when(F.col("seq_id") % 4 == 0, _mse_col("mapped", "target")))
+          .alias("map_held"),
+        F.min(F.size("mapped")).alias("min_dim"),
+        F.max(F.size("mapped")).alias("max_dim"),
+        F.max(
+            F.exists(
+                "mapped",
+                lambda x: F.isnan(x) | (F.abs(x) > F.lit(1e18)),
+            ).cast("int")
+        ).alias("any_nonfinite"),
+        F.count("*").alias("n_pairs"),
+        F.sum((F.col("seq_id") % 4 != 0).cast("long")).alias("n_train"),
+        F.sum((F.col("seq_id") % 4 == 0).cast("long")).alias("n_held"),
+        F.sum(F.when(F.col("seq_id") % 4 == 0, F.col("seq_id")))
+          .cast("long").alias("sum_held_seq_id"),
+    ).collect()[0]
+
+    # dual path: driver-side forward replay of the held-out rows vs the
+    # distributed mapInPandas output (the 100 TB plumbing under test)
+    held_rows = (
+        mapped.filter(F.col("seq_id") % 4 == 0)
+        .select("seq_id", "source", "target", "mapped")
+        .orderBy("seq_id")
+        .collect()
+    )
+    src = _np.array([r["source"] for r in held_rows], dtype=_np.float64)
+    tgt = _np.array([r["target"] for r in held_rows], dtype=_np.float64)
+    got = _np.array([r["mapped"] for r in held_rows], dtype=_np.float64)
+    drv = weights.forward(src)
+    max_abs_diff = float(_np.max(_np.abs(got - drv))) if len(held_rows) else 0.0
+    fp_dist = int(_math.floor(float(((got - tgt) ** 2).mean()) * 1e9))
+    fp_drv = int(_math.floor(float(((drv - tgt) ** 2).mean()) * 1e9))
+    dual_equal = max_abs_diff < 1e-9 and fp_dist == fp_drv
+
+    # preconditions, asserted loudly (ADVICE r9 rule): every verdict
+    # below is oracle-pinned TRUE, so a regression must fail HERE
+    if not float(stats["map_train"]) < float(stats["raw_train"]):
+        raise AssertionError(
+            f"x116 training regression: mapped train MSE "
+            f"{stats['map_train']:.6f} >= raw {stats['raw_train']:.6f}"
+        )
+    if not float(stats["map_held"]) < 0.5 * float(stats["raw_held"]):
+        raise AssertionError(
+            f"x116 generalization regression: mapped held MSE "
+            f"{stats['map_held']:.6f} vs raw {stats['raw_held']:.6f} "
+            f"(margin 0.5 missed)"
+        )
+    if not (
+        int(stats["min_dim"]) == _X116_DIM
+        and int(stats["max_dim"]) == _X116_DIM
+        and int(stats["any_nonfinite"]) == 0
+    ):
+        raise AssertionError(
+            f"x116 shape regression: dims [{stats['min_dim']},"
+            f"{stats['max_dim']}] nonfinite={stats['any_nonfinite']}"
+        )
+    if not dual_equal:
+        raise AssertionError(
+            f"x116 dual-path mismatch: max|dist-driver|={max_abs_diff} "
+            f"fp {fp_dist} vs {fp_drv}"
+        )
+
+    return spark.range(1).select(
+        F.lit(int(stats["n_pairs"])).cast("long").alias("n_pairs"),
+        F.lit(int(stats["n_train"])).cast("long").alias("n_train"),
+        F.lit(int(stats["n_held"])).cast("long").alias("n_held"),
+        F.lit(int(stats["sum_held_seq_id"])).cast("long").alias(
+            "sum_held_seq_id"
+        ),
+        F.lit(sum_base_len).cast("long").alias("sum_base_len"),
+        F.lit(True).alias("mapping_mse_improves"),
+        F.lit(True).alias("heldout_margin_improves"),
+        F.lit(True).alias("shape_preserved"),
+        F.lit(True).alias("dual_path_equal"),
+    )
