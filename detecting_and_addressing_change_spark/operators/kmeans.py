@@ -74,17 +74,70 @@ def _cells_sql(
     return f"array({structs})"
 
 
+# Route threshold between the two physically-different assign forms
+# (measured by tools/bench_assign_route.py, BENCH_NOTES r13):
+#
+# - UNROLLED (k < threshold): k separate `named_struct('d', <sqdist>,
+#   'cid', i)` expression TERMS. Analysis/codegen cost grows with k —
+#   at k≈256 Catalyst analysis alone takes seconds per query, and
+#   Lloyd's pays it once per iteration.
+# - TABLE (k >= threshold): the centroid table rides as ONE constant
+#   `array<struct<cid,qc>>` literal — broadcast DATA, not unrolled code
+#   — and the argmin is a single transform/array_min over it, so the
+#   expression tree is O(1) regardless of k.
+#
+# Both compute the identical exact int64 squared distance and the
+# identical (distance, cid) struct-min tie-break; parity is pinned in
+# tests/test_kmeans.py. A broadcast-JOIN assign (crossJoin against a
+# centroid DataFrame + min_by groupBy) was considered and rejected: it
+# re-shuffles the whole corpus by row id for an argmin the row can
+# compute locally — the table literal keeps assign a ZERO-shuffle
+# narrow map at any k, which is the property that matters at 100 TB.
+ASSIGN_TABLE_ROUTE_K = 64
+
+
+def _cents_table_sql(centroids: list[tuple[int, list[int]]]) -> str:
+    """The centroid table as ONE array<struct<cid,qc>> constant."""
+    entries = ",".join(
+        "named_struct('cid', {}, 'qc', array({}))".format(
+            int(cid), ",".join(f"{int(c)}L" for c in qc)
+        )
+        for cid, qc in centroids
+    )
+    return f"array({entries})"
+
+
+def _cells_table_sql(
+    centroids: list[tuple[int, list[int]]], qv_sql: str
+) -> str:
+    """Same (d, cid) struct array as :func:`_cells_sql`, built by ONE
+    transform over the constant centroid table instead of k unrolled
+    terms — exact int64 math, identical tie-break ordering."""
+    return (
+        f"transform({_cents_table_sql(centroids)}, c -> named_struct("
+        f"'d', aggregate(zip_with(c.qc, {qv_sql},"
+        f" (cc, x) -> (x - cc) * (x - cc)), 0L, (acc, x) -> acc + x),"
+        f" 'cid', c.cid))"
+    )
+
+
 def kmeans_assign_col(
     centroids: list[tuple[int, list[int]]], qv: Column | str
 ) -> Column:
-    """Argmin cell id over literal quantized centroids: struct-min on
-    (distance, centroid_id) — lowest distance wins, ties to lowest id.
+    """Argmin cell id over the broadcast quantized centroids: struct-min
+    on (distance, centroid_id) — lowest distance wins, ties to lowest id.
 
     ``qv``: the quantized-vector column NAME (fast path — the whole
     expression is one parsed SQL string) or a Column (the expression is
     built as a py4j Column graph via ``_cells_col`` — same result,
-    slower to construct on the driver)."""
+    slower to construct on the driver). String-named inputs auto-route
+    between the unrolled and table forms on k (VERDICT r12 #3; see
+    ASSIGN_TABLE_ROUTE_K above)."""
     if isinstance(qv, str):
+        if len(centroids) >= ASSIGN_TABLE_ROUTE_K:
+            return F.expr(
+                f"array_min({_cells_table_sql(centroids, qv)})['cid']"
+            ).cast("int")
         return F.expr(
             f"array_min({_cells_sql(centroids, qv)})['cid']"
         ).cast("int")
@@ -119,10 +172,16 @@ def kmeans_probe_cells_col(
     centroids: list[tuple[int, list[int]]], qv: Column | str, nprobe: int
 ) -> Column:
     """The nprobe nearest cell ids (distance asc, ties to lowest id) —
-    the multi-probe recall knob, same tie rule as assignment."""
+    the multi-probe recall knob, same tie rule as assignment. Auto-routes
+    on k like :func:`kmeans_assign_col`."""
     if isinstance(qv, str):
+        cells = (
+            _cells_table_sql(centroids, qv)
+            if len(centroids) >= ASSIGN_TABLE_ROUTE_K
+            else _cells_sql(centroids, qv)
+        )
         return F.expr(
-            f"transform(slice(array_sort({_cells_sql(centroids, qv)}),"
+            f"transform(slice(array_sort({cells}),"
             f" 1, {int(nprobe)}), s -> cast(s.cid as int))"
         )
     return F.transform(

@@ -146,3 +146,71 @@ def test_empty_cell_keeps_previous_centroid(spark):
         for r in kmeans_cells(df, n_centroids=2, n_iter=2).collect()
     }
     assert cells == {0: 1, 1: 1, 2: 0, 3: 0}
+
+
+def test_assign_table_route_parity(spark, emb_rows, monkeypatch):
+    """VERDICT r12 #3: the O(1)-expression table route (constant
+    centroid-table array + one transform) must equal the unrolled
+    literal route — same exact int64 distances, same (d, cid) tie-break
+    — for both assignment and probe-cell selection."""
+    import detecting_and_addressing_change_spark.operators.kmeans as km
+    from detecting_and_addressing_change_spark.operators.similarity import (
+        quantize_col,
+    )
+    from detecting_and_addressing_change_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    quant = emb.select(
+        "vec_id", quantize_col(F.col("embedding")).alias("qv")
+    ).localCheckpoint(eager=True)
+
+    for k in (3, 8):
+        centroids = km.kmeans_fit(emb, n_centroids=k, n_iter=2)
+
+        def collect_routes(threshold):
+            monkeypatch.setattr(km, "ASSIGN_TABLE_ROUTE_K", threshold)
+            rows = quant.select(
+                "vec_id",
+                km.kmeans_assign_col(centroids, "qv").alias("cell"),
+                km.kmeans_probe_cells_col(centroids, "qv", 2).alias("probe"),
+            ).collect()
+            return {
+                int(r["vec_id"]): (int(r["cell"]), list(r["probe"]))
+                for r in rows
+            }
+
+        unrolled = collect_routes(10**9)  # force the unrolled route
+        table = collect_routes(0)  # force the table route
+        assert unrolled == table, f"route divergence at k={k}"
+        # and the Column-input path (py4j graph) agrees too
+        col_rows = quant.select(
+            "vec_id",
+            km.kmeans_assign_col(centroids, F.col("qv")).alias("cell"),
+        ).collect()
+        got = {int(r["vec_id"]): int(r["cell"]) for r in col_rows}
+        assert got == {i: c for i, (c, _) in unrolled.items()}
+
+
+def test_assign_table_route_tie_break(spark, monkeypatch):
+    """Duplicate centroids: equal distances must resolve to the LOWEST
+    cid on both routes (assignment and probe order)."""
+    import detecting_and_addressing_change_spark.operators.kmeans as km
+
+    dup = [500, -250]
+    centroids = [(0, list(dup)), (1, list(dup)), (2, [900, 900])]
+    df = spark.createDataFrame(
+        [(0, [500, -250]), (1, [900, 900])], "vec_id long, qv array<long>"
+    )
+    for threshold in (10**9, 0):
+        monkeypatch.setattr(km, "ASSIGN_TABLE_ROUTE_K", threshold)
+        rows = df.select(
+            "vec_id",
+            km.kmeans_assign_col(centroids, "qv").alias("cell"),
+            km.kmeans_probe_cells_col(centroids, "qv", 2).alias("probe"),
+        ).collect()
+        got = {
+            int(r["vec_id"]): (int(r["cell"]), list(r["probe"]))
+            for r in rows
+        }
+        assert got[0] == (0, [0, 1])  # exact tie -> lowest cid first
+        assert got[1] == (2, [2, 0])
