@@ -181,6 +181,10 @@ BENCH_QUERIES = [
     # text-query search; every stage's cost grows with the corpus (real
     # scale signal, unlike the session/lifecycle queries above)
     "x109_rag_retrieval",
+    # round-13: training-shard export — seeded epoch shuffle + budgeted
+    # shard layout + manifest; the range-shuffle + cumsum + agg all grow
+    # with the corpus (real scale signal; x53's packing cousin)
+    "x117_shard_export",
 ]
 
 

@@ -1,0 +1,138 @@
+"""Training-shard export: seeded epoch shuffle -> token-budgeted shard
+assignment -> manifest (+ the partitioned write) — the trainer-facing
+OUTPUT side of the curation pipeline (WebDataset / streaming-loader
+shard layout).
+
+The reference's training loop consumes its corpus as an in-memory
+iterator (``streams/loaders.py``); at 100 TB the equivalent contract is
+"a directory of size-balanced shards in a deterministic, seeded epoch
+order, plus a manifest the loader can trust". Three pieces, all exact
+int64 arithmetic so the whole layout is DuckDB-oracle-checkable:
+
+- **Seeded epoch order** (:func:`epoch_order_col`): a Knuth
+  multiplicative mix ``((id + seed*40503) % 2^20) * 2654435761 % 2^32``.
+  The seed lands INSIDE the multiplicand (adding it after the multiply
+  would shift every key by the same constant and change almost no
+  relative order); the golden-ratio multiplier then scrambles the
+  shifted values, so a new seed is a genuinely new permutation (every
+  position moves — pinned in tests). The key needs MIXING, not
+  uniqueness — ties break on the id itself — so the id is first reduced
+  mod 2^20, which also keeps the multiply inside int64 at any
+  conceivable id range (2^20 x 2654435761 < 2^52). Epoch re-shuffles
+  are one range-shuffle, the floor for any true global shuffle.
+- **Shard assignment** (:func:`assign_shards`): lay the weighted stream
+  (token counts) end-to-end in epoch order and cut at ``budget``
+  boundaries — a document belongs to the shard holding its START
+  offset (same straddle rule as x53 sequence packing; the loader pads
+  or spills at read time). The running offset uses
+  :func:`..operators.order.global_cumsum` — range-partition +
+  per-partition sums + broadcast offsets — NOT a single-partition
+  window, so the plan survives a 100 TB token stream.
+- **Manifest** (:func:`shard_manifest`): one tiny groupBy row per shard
+  (doc count, token sum, id span, an exact weighted checksum) — what a
+  loader verifies before trusting a shard directory.
+
+:func:`write_shards` materializes the layout: one hash shuffle on
+shard_id (each shard lands in exactly one task -> one file per shard
+directory), ``partitionBy("shard_id")`` parquet, manifest alongside.
+
+Relation to :func:`..curation.build_training_shards`: that is the
+one-shot corpus MATERIALIZATION (curate -> encode -> pack -> write) in
+doc_id order; this module adds the between-epoch layer on top of any
+such corpus — a new seeded permutation per epoch and the manifest
+contract a remote loader verifies — without re-running curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .order import global_cumsum
+
+# Knuth multiplicative constant + a small odd mixer for the seed; the id
+# is reduced mod 2^20 first so the product stays far inside int64.
+_MIX_A = 2654435761
+_SEED_MIX = 40503
+_ID_MOD = 1 << 20
+_HASH_MOD = 1 << 32
+
+
+def epoch_order_col(id_col: Column | str, seed: int) -> Column:
+    """Deterministic seeded shuffle key (exact int64, engine-portable)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        ((c + F.lit(int(seed) * _SEED_MIX)) % _ID_MOD) * _MIX_A
+    ) % _HASH_MOD
+
+
+def epoch_order_sql(id_expr: str, seed: int) -> str:
+    """The same key as SQL text (for oracles)."""
+    return (
+        f"(((({id_expr}) + {int(seed) * _SEED_MIX}) % {_ID_MOD}) "
+        f"* {_MIX_A}) % {_HASH_MOD}"
+    )
+
+
+def assign_shards(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Assign every row a ``shard_id`` under the seeded epoch order and
+    the token ``budget`` (start-offset straddle rule). Adds
+    ``epoch_key`` (the shuffle key) and ``shard_id``; keeps input
+    columns. ``weight_col`` must be integral, non-null, >= 0."""
+    keyed = df.withColumn("epoch_key", epoch_order_col(id_col, seed))
+    cum = global_cumsum(
+        keyed,
+        [F.asc("epoch_key"), F.asc(id_col)],
+        weight_col,
+        out_col="__cum",
+    )
+    strt = F.col("__cum") - F.col(weight_col)
+    return cum.withColumn(
+        "shard_id", F.floor(strt / int(budget)).cast("long")
+    ).drop("__cum")
+
+
+def shard_manifest(assigned: DataFrame, id_col: str, weight_col: str) -> DataFrame:
+    """One row per shard: the loader-verifiable layout summary."""
+    w = F.col(weight_col).cast("long")
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(w).alias("n_tokens"),
+        F.min(id_col).cast("long").alias("min_id"),
+        F.max(id_col).cast("long").alias("max_id"),
+        F.sum(F.col(id_col).cast("long") * w).alias("checksum"),
+    )
+
+
+def write_shards(
+    assigned: DataFrame,
+    path: str,
+    id_col: str,
+    weight_col: str,
+    max_parallel_files: int = 200,
+) -> DataFrame:
+    """Write the shard layout: ``{path}/data`` parquet partitioned by
+    shard_id (hash-repartitioned on shard_id first, so each shard
+    directory is written by exactly one task -> one file), and
+    ``{path}/manifest`` parquet. Returns the manifest DataFrame."""
+    n_shards = assigned.agg(
+        (F.max("shard_id") + 1).alias("n")
+    ).collect()[0]["n"]
+    n_parts = max(1, min(int(max_parallel_files), int(n_shards)))
+    (
+        assigned.repartition(n_parts, "shard_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(f"{path}/data")
+    )
+    manifest = shard_manifest(assigned, id_col, weight_col)
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/manifest"
+    )
+    return manifest

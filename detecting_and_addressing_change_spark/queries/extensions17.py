@@ -274,3 +274,75 @@ def x116(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("shape_preserved"),
         F.lit(True).alias("dual_path_equal"),
     )
+
+
+# --------------------------------------------------------------------------
+# X117 — training-shard export: seeded epoch shuffle + token-budgeted
+# shard layout + manifest (operators/sharding.py).
+#
+# The trainer-facing OUTPUT of the whole curation pipeline: the corpus
+# in a deterministic seed-13 epoch order, cut into 4096-token shards
+# (start-offset straddle rule, the x53 packing convention), summarized
+# as the manifest a streaming loader verifies before trusting a shard
+# directory. Everything is exact int64 arithmetic — the seeded
+# permutation key ((doc_id + 13*40503) % 2^20) * 2654435761 % 2^32, the
+# running token offset, the per-shard checksum SUM(doc_id * n_tokens) —
+# so DuckDB replays the layout bit-exactly. The Spark side computes the
+# running offset with operators/order.global_cumsum (range partition +
+# per-partition sums + broadcast offsets), NEVER a single-partition
+# window; the oracle uses the window form, which is the semantic
+# definition both must match. The actual partitioned write + read-back
+# verification is pinned in tests/test_sharding.py (file layout is not
+# SQL-expressible; the layout ARITHMETIC — this query — is).
+# Reference contrast: streams/loaders.py holds the corpus in memory and
+# shuffles with a torch Generator; the shard/manifest contract is the
+# 100 TB replacement for that iterator.
+# --------------------------------------------------------------------------
+_X117_SEED = 13
+_X117_BUDGET = 4096
+
+from ..operators.sharding import epoch_order_sql as _epoch_order_sql
+
+_X117_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             {_epoch_order_sql('doc_id', 13)} AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, h,
+             SUM(n_tokens) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS strt
+      FROM t
+    ),
+    s AS (
+      SELECT CAST(FLOOR(strt / {_X117_BUDGET}) AS BIGINT) AS shard_id,
+             doc_id, n_tokens
+      FROM c
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id,
+           CAST(SUM(doc_id * n_tokens) AS BIGINT) AS checksum
+    FROM s GROUP BY shard_id
+"""
+
+
+@query("x117_shard_export", oracle=_X117_ORACLE)
+def x117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-layout manifest of the documents table under the seed-13
+    epoch shuffle and a 4096-token budget."""
+    from ..operators.sharding import assign_shards, shard_manifest
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    assigned = assign_shards(
+        docs, "doc_id", "n_tokens", budget=_X117_BUDGET, seed=_X117_SEED
+    )
+    return shard_manifest(assigned, "doc_id", "n_tokens")

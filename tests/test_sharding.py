@@ -1,0 +1,143 @@
+"""Training-shard export (operators/sharding.py, x117): assignment
+semantics, seeded-epoch determinism, the partitioned write round-trip,
+and the no-single-partition-window plan property."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from detecting_and_addressing_change_spark.operators.sharding import (
+    assign_shards,
+    epoch_order_col,
+    shard_manifest,
+    write_shards,
+)
+from detecting_and_addressing_change_spark.plans import explain_str
+from detecting_and_addressing_change_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+BUDGET = 64
+
+
+def _toy(spark, n=300, seed_weights=7):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * seed_weights) % 23 + 1).alias("n_tokens"),
+    )
+
+
+def test_assignment_matches_pandas_reference(spark):
+    df = _toy(spark)
+    got = (
+        assign_shards(df, "doc_id", "n_tokens", budget=BUDGET, seed=13)
+        .select("doc_id", "n_tokens", "epoch_key", "shard_id")
+        .toPandas()
+    )
+    # semantic definition: one global cumsum over (epoch_key, doc_id)
+    ref = got.sort_values(["epoch_key", "doc_id"]).reset_index(drop=True)
+    strt = ref["n_tokens"].cumsum() - ref["n_tokens"]
+    ref_shard = (strt // BUDGET).astype("int64")
+    merged = ref.assign(expect=ref_shard).set_index("doc_id")
+    assert (
+        merged["shard_id"] == merged["expect"]
+    ).all(), merged[merged["shard_id"] != merged["expect"]].head()
+
+
+def test_every_doc_assigned_exactly_once(spark):
+    df = _toy(spark)
+    out = assign_shards(df, "doc_id", "n_tokens", budget=BUDGET, seed=1)
+    assert out.count() == df.count()
+    assert out.select("doc_id").distinct().count() == df.count()
+    assert out.filter(F.col("shard_id").isNull()).count() == 0
+
+
+def test_same_seed_is_deterministic_and_new_seed_permutes(spark):
+    df = _toy(spark)
+    a = assign_shards(df, "doc_id", "n_tokens", budget=BUDGET, seed=5)
+    b = assign_shards(df, "doc_id", "n_tokens", budget=BUDGET, seed=5)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    c = assign_shards(df, "doc_id", "n_tokens", budget=BUDGET, seed=6)
+    moved = (
+        a.select("doc_id", "shard_id")
+        .join(
+            c.select("doc_id", F.col("shard_id").alias("s2")), "doc_id"
+        )
+        .filter(F.col("shard_id") != F.col("s2"))
+        .count()
+    )
+    assert moved > 0, "a new epoch seed must re-permute the layout"
+
+
+def test_shard_sizes_respect_budget_with_straddle_rule(spark):
+    df = _toy(spark)
+    m = shard_manifest(
+        assign_shards(df, "doc_id", "n_tokens", budget=BUDGET, seed=13),
+        "doc_id",
+        "n_tokens",
+    ).toPandas()
+    max_w = 23  # max n_tokens in the toy fixture
+    # start-offset rule: a shard holds every doc STARTING inside its
+    # budget window, so its token sum is < budget + the last doc's tail
+    assert (m["n_tokens"] < BUDGET + max_w).all(), m
+    # and shards are dense: ids 0..max contiguous
+    sids = sorted(m["shard_id"])
+    assert sids == list(range(len(sids)))
+
+
+def test_write_shards_round_trip(spark, tmp_path):
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    assigned = assign_shards(
+        docs, "doc_id", "n_tokens", budget=4096, seed=13
+    )
+    path = str(tmp_path / "shards")
+    manifest = write_shards(assigned, path, "doc_id", "n_tokens")
+    m = manifest.toPandas().set_index("shard_id").sort_index()
+
+    data = spark.read.parquet(f"{path}/data")
+    back = (
+        data.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(F.col("doc_id") * F.col("n_tokens")).alias("checksum"),
+        )
+        .toPandas()
+        .set_index("shard_id")
+        .sort_index()
+    )
+    assert list(back.index) == list(m.index)
+    for colname in ("n_docs", "n_tokens", "checksum"):
+        assert (back[colname] == m[colname]).all(), colname
+    stored = (
+        spark.read.parquet(f"{path}/manifest")
+        .toPandas()
+        .set_index("shard_id")
+        .sort_index()
+    )
+    assert (stored["checksum"] == m["checksum"]).all()
+
+
+def test_epoch_key_exact_and_overflow_safe(spark):
+    # the key must be exact int64 for ANY id (the mod-2^20 reduction is
+    # what keeps (id * 2654435761) inside int64 at planetary id ranges)
+    big = spark.range(1).select(
+        F.lit(10**15).cast("long").alias("doc_id")
+    )
+    v = big.select(
+        epoch_order_col("doc_id", 13).alias("h")
+    ).collect()[0]["h"]
+    expect = (((10**15 + 13 * 40503) % (1 << 20)) * 2654435761) % (1 << 32)
+    assert v == expect
+
+
+def test_no_single_partition_window_in_plan(spark):
+    df = _toy(spark, n=50)
+    out = assign_shards(df, "doc_id", "n_tokens", budget=BUDGET, seed=13)
+    s = explain_str(out)
+    # the global cumsum decomposition: no Window operator at all — the
+    # running offset rides mapInPandas over range partitions
+    assert "Window" not in s, s
