@@ -346,3 +346,196 @@ def x117(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "n_tokens", budget=_X117_BUDGET, seed=_X117_SEED
     )
     return shard_manifest(assigned, "doc_id", "n_tokens")
+
+
+# --------------------------------------------------------------------------
+# X118 — leakage-safe train/eval split: assign SPLITS BY NEAR-DUP
+# CLUSTER, not by document.
+#
+# The naive hash split (q22's shape — the reference's own
+# train_test_split usage, streams/loaders.py) puts near-duplicate
+# documents on BOTH sides of the split: the eval set then contains
+# near-copies of training documents and the measured accuracy is
+# contaminated. The fix is standard in LLM data work: compute near-dup
+# clusters (x23's guarded MinHash edges + connected components), hash
+# the CLUSTER id to a side, and let every member inherit its cluster's
+# side — by construction, zero near-dup edges cross the split.
+#
+# One row, FULLY COMPUTED oracle (no pinned verdicts): per-side doc and
+# cluster counts, plus the crossing-edge counts under BOTH policies —
+# n_cross_cluster_split (0 by construction; the oracle RECOMPUTES it
+# through the same recursive-CTE components rather than pinning TRUE)
+# and n_cross_naive_split (the q22-shape doc-hash split's measured
+# leakage on this corpus — the number the cluster split eliminates).
+# A fixture-drift guard raises if the corpus has no near-dup edges at
+# all (both counts would be vacuously zero).
+#
+# Scale shape: edges/clusters are x23's machinery (bucketed banding,
+# O(log n) components); side assignment is a narrow map over the
+# cluster labels (the seeded epoch mix on cluster_id — exact int64,
+# engine-portable); the audit is ONE join of the bounded edge set
+# against the label table. Nothing new shuffles the corpus.
+# --------------------------------------------------------------------------
+_X118_SEED = 7
+_X118_TRAIN_PCT = 80
+
+
+def _x118_oracle() -> str:
+    from ..operators.sharding import epoch_order_sql
+    from .extensions import _minhash_guarded_edges_oracle
+
+    base = _minhash_guarded_edges_oracle().replace(
+        "WITH dg", "WITH RECURSIVE dg", 1
+    )
+    side = (
+        "CASE WHEN (" + epoch_order_sql("{id}", _X118_SEED)
+        + f") % 100 < {_X118_TRAIN_PCT} THEN 'train' ELSE 'eval' END"
+    )
+    cl_side = side.format(id="cluster_id")
+    doc_side = side.format(id="l.doc_id")
+    return (
+        base
+        + f"""
+    , sym AS (
+      SELECT a_id AS a, b_id AS b FROM edges
+      UNION
+      SELECT b_id, a_id FROM edges
+    ),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    labels AS (
+      SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach
+      GROUP BY node
+    ),
+    sided AS (
+      SELECT l.doc_id, l.cluster_id,
+             {cl_side} AS side,
+             {doc_side} AS naive_side
+      FROM labels l
+    ),
+    cross_counts AS (
+      SELECT
+        COALESCE(SUM(CASE WHEN sa.side <> sb.side THEN 1 ELSE 0 END), 0)
+          AS n_cross_cluster_split,
+        COALESCE(SUM(CASE WHEN sa.naive_side <> sb.naive_side
+                          THEN 1 ELSE 0 END), 0)
+          AS n_cross_naive_split,
+        COUNT(*) AS n_edges
+      FROM edges e
+      JOIN sided sa ON sa.doc_id = e.a_id
+      JOIN sided sb ON sb.doc_id = e.b_id
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM sided WHERE side = 'train') AS BIGINT)
+        AS n_train_docs,
+      CAST((SELECT COUNT(*) FROM sided WHERE side = 'eval') AS BIGINT)
+        AS n_eval_docs,
+      CAST((SELECT COUNT(DISTINCT cluster_id) FROM sided
+            WHERE side = 'train') AS BIGINT) AS n_train_clusters,
+      CAST((SELECT COUNT(DISTINCT cluster_id) FROM sided
+            WHERE side = 'eval') AS BIGINT) AS n_eval_clusters,
+      CAST((SELECT n_edges FROM cross_counts) AS BIGINT) AS n_edges,
+      CAST((SELECT n_cross_cluster_split FROM cross_counts) AS BIGINT)
+        AS n_cross_cluster_split,
+      CAST((SELECT n_cross_naive_split FROM cross_counts) AS BIGINT)
+        AS n_cross_naive_split
+"""
+    )
+
+
+@query("x118_leakage_safe_split", oracle=_x118_oracle())
+def x118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-inherited train/eval split + the crossing-edge audit for
+    both split policies, as one driver-hashable row."""
+    from ..operators.dedup import minhash_dedup_edges
+    from ..operators.graph import dedup_clusters
+    from ..operators.sharding import epoch_order_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = minhash_dedup_edges(docs).select("a_id", "b_id")
+    labels = dedup_clusters(docs.select("doc_id"), edges).select(
+        "doc_id", "cluster_id"
+    )
+
+    def side_of(c):
+        return F.when(
+            epoch_order_col(c, _X118_SEED) % 100 < _X118_TRAIN_PCT,
+            F.lit("train"),
+        ).otherwise(F.lit("eval"))
+
+    sided = labels.select(
+        "doc_id",
+        "cluster_id",
+        side_of(F.col("cluster_id")).alias("side"),
+        side_of(F.col("doc_id")).alias("naive_side"),
+    )
+
+    sa = sided.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("side").alias("side_a"),
+        F.col("naive_side").alias("naive_a"),
+    )
+    sb = sided.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("side").alias("side_b"),
+        F.col("naive_side").alias("naive_b"),
+    )
+    audit = (
+        edges.join(sa, "a_id")
+        .join(sb, "b_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum(
+                (F.col("side_a") != F.col("side_b")).cast("long")
+            ).alias("n_cross_cluster_split"),
+            F.sum(
+                (F.col("naive_a") != F.col("naive_b")).cast("long")
+            ).alias("n_cross_naive_split"),
+        )
+        .collect()[0]
+    )
+    n_edges = int(audit["n_edges"] or 0)
+    if n_edges == 0:
+        raise AssertionError(
+            "x118 fixture drift: corpus has no near-dup edges — both "
+            "crossing counts would be vacuously zero"
+        )
+    n_cross_cluster = int(audit["n_cross_cluster_split"] or 0)
+    if n_cross_cluster != 0:
+        raise AssertionError(
+            f"x118 split regression: {n_cross_cluster} near-dup edges "
+            "cross the cluster-inherited split (must be 0 by "
+            "construction)"
+        )
+
+    sides = {
+        r["side"]: r
+        for r in sided.groupBy("side")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .collect()
+    }
+
+    def stat(side, colname):
+        return int(sides[side][colname]) if side in sides else 0
+
+    return spark.range(1).select(
+        F.lit(stat("train", "n_docs")).cast("long").alias("n_train_docs"),
+        F.lit(stat("eval", "n_docs")).cast("long").alias("n_eval_docs"),
+        F.lit(stat("train", "n_clusters")).cast("long").alias(
+            "n_train_clusters"
+        ),
+        F.lit(stat("eval", "n_clusters")).cast("long").alias(
+            "n_eval_clusters"
+        ),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.lit(n_cross_cluster).cast("long").alias("n_cross_cluster_split"),
+        F.lit(int(audit["n_cross_naive_split"] or 0))
+        .cast("long")
+        .alias("n_cross_naive_split"),
+    )
