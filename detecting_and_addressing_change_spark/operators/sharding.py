@@ -74,6 +74,51 @@ def epoch_order_sql(id_expr: str, seed: int) -> str:
     )
 
 
+def rendezvous_shard_col(
+    id_col: Column | str, n_shards: int
+) -> Column:
+    """Rendezvous (highest-random-weight) shard assignment — the
+    CONSISTENT layout: shard(id) = argmax over s of mix(id, s). When the
+    shard count changes n -> n+1, only the ids whose new shard WINS the
+    argmax move (expected n/(n+1) of rows stay put), versus ``id % n``
+    where almost everything moves. Exact int64 mix (same reduction
+    discipline as :func:`epoch_order_col`), ties broken to the HIGHEST
+    shard id via lexicographic (weight, shard) max — identical in Spark
+    (array_max over struct) and SQL (ORDER BY w DESC, s DESC LIMIT 1),
+    so the layout is oracle-checkable. The expression is ONE constant
+    struct-array + array_max (the k-means table-route pattern): O(1)
+    expression tree at any shard count, zero-shuffle narrow map."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    pairs = F.array(
+        *[
+            F.struct(
+                (
+                    (
+                        ((c % _ID_MOD) * 31 + F.lit(int(s) * _SEED_MIX + 1))
+                        % _ID_MOD
+                    )
+                    * _MIX_A
+                    % _HASH_MOD
+                ).alias("w"),
+                F.lit(int(s)).alias("s"),
+            )
+            for s in range(int(n_shards))
+        ]
+    )
+    return F.array_max(pairs)["s"].cast("long")
+
+
+def rendezvous_shard_sql(id_expr: str, n_shards: int) -> str:
+    """The same assignment as SQL text (DuckDB list-lambda argmax)."""
+    return (
+        f"(SELECT s FROM ("
+        f"SELECT UNNEST(range({int(n_shards)})) AS s) "
+        f"ORDER BY (((({id_expr}) % {_ID_MOD}) * 31 + s * {_SEED_MIX}"
+        f" + 1) % {_ID_MOD}) * {_MIX_A} % {_HASH_MOD} DESC, s DESC"
+        f" LIMIT 1)"
+    )
+
+
 def assign_shards(
     df: DataFrame,
     id_col: str,

@@ -216,6 +216,21 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     "x81_boilerplate_strip", "x82_cdc_chunks",
 })
 
+# Round-13 de-list: operators/kmeans.py gained the large-k table-route
+# branch inside kmeans_assign_col / kmeans_probe_cells_col (VERDICT r12
+# #3). At every gate query's k (< ASSIGN_TABLE_ROUTE_K = 64) the
+# PRODUCED expression is byte-identical and the two routes are
+# parity-pinned in tests/test_kmeans.py — but the executed function
+# changed, so per the sharpened de-list rule every attested query whose
+# path runs it floats forward for a fresh row (the x92 byte-identical
+# precedent applied to the module that LOST code, not one that gained a
+# live branch).
+_ATTESTED_PRIOR_ROUNDS = _ATTESTED_PRIOR_ROUNDS - frozenset({
+    "x58_kmeans_cells", "x59_kmeans_ivf_topk", "x83_ann_recall",
+    "x94_ivf_index_lifecycle", "x95_ivf_occupancy_audit",
+    "x105_ivf_compaction_verdict", "x109_rag_retrieval",
+})
+
 
 def _rotate_unattested_first() -> None:
     ordered = sorted(QUERIES, key=lambda n: n in _ATTESTED_PRIOR_ROUNDS)

@@ -406,11 +406,13 @@ def _x118_oracle() -> str:
       UNION
       SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
     ),
-    labels AS (
+    labels AS MATERIALIZED (
       SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach
       GROUP BY node
     ),
-    sided AS (
+    sided AS MATERIALIZED (
+      -- MATERIALIZED: without it DuckDB re-inlines the whole recursive
+      -- reach chain into every consumer (measured 15.6 s vs 0.9 s)
       SELECT l.doc_id, l.cluster_id,
              {cl_side} AS side,
              {doc_side} AS naive_side
@@ -427,21 +429,26 @@ def _x118_oracle() -> str:
       FROM edges e
       JOIN sided sa ON sa.doc_id = e.a_id
       JOIN sided sb ON sb.doc_id = e.b_id
+    ),
+    side_stats AS (
+      SELECT
+        SUM(CASE WHEN side = 'train' THEN 1 ELSE 0 END) AS n_train_docs,
+        SUM(CASE WHEN side = 'eval' THEN 1 ELSE 0 END) AS n_eval_docs,
+        COUNT(DISTINCT CASE WHEN side = 'train' THEN cluster_id END)
+          AS n_train_clusters,
+        COUNT(DISTINCT CASE WHEN side = 'eval' THEN cluster_id END)
+          AS n_eval_clusters
+      FROM sided
     )
     SELECT
-      CAST((SELECT COUNT(*) FROM sided WHERE side = 'train') AS BIGINT)
-        AS n_train_docs,
-      CAST((SELECT COUNT(*) FROM sided WHERE side = 'eval') AS BIGINT)
-        AS n_eval_docs,
-      CAST((SELECT COUNT(DISTINCT cluster_id) FROM sided
-            WHERE side = 'train') AS BIGINT) AS n_train_clusters,
-      CAST((SELECT COUNT(DISTINCT cluster_id) FROM sided
-            WHERE side = 'eval') AS BIGINT) AS n_eval_clusters,
-      CAST((SELECT n_edges FROM cross_counts) AS BIGINT) AS n_edges,
-      CAST((SELECT n_cross_cluster_split FROM cross_counts) AS BIGINT)
-        AS n_cross_cluster_split,
-      CAST((SELECT n_cross_naive_split FROM cross_counts) AS BIGINT)
-        AS n_cross_naive_split
+      CAST(t.n_train_docs AS BIGINT) AS n_train_docs,
+      CAST(t.n_eval_docs AS BIGINT) AS n_eval_docs,
+      CAST(t.n_train_clusters AS BIGINT) AS n_train_clusters,
+      CAST(t.n_eval_clusters AS BIGINT) AS n_eval_clusters,
+      CAST(c.n_edges AS BIGINT) AS n_edges,
+      CAST(c.n_cross_cluster_split AS BIGINT) AS n_cross_cluster_split,
+      CAST(c.n_cross_naive_split AS BIGINT) AS n_cross_naive_split
+    FROM side_stats t CROSS JOIN cross_counts c
 """
     )
 
@@ -455,7 +462,15 @@ def x118(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sharding import epoch_order_col
 
     docs = load_table(spark, sf_dir, "documents")
-    edges = minhash_dedup_edges(docs).select("a_id", "b_id")
+    # the edge set and label table are bounded (edges: capped banding;
+    # labels: one row per doc of 2 longs) and each feeds TWO downstream
+    # jobs (the crossing audit + the per-side stats) — materialize once
+    # so the MinHash signing + CC rounds don't run twice
+    edges = (
+        minhash_dedup_edges(docs)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=True)
+    )
     labels = dedup_clusters(docs.select("doc_id"), edges).select(
         "doc_id", "cluster_id"
     )
@@ -471,7 +486,7 @@ def x118(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         side_of(F.col("cluster_id")).alias("side"),
         side_of(F.col("doc_id")).alias("naive_side"),
-    )
+    ).localCheckpoint(eager=True)
 
     sa = sided.select(
         F.col("doc_id").alias("a_id"),
@@ -538,4 +553,103 @@ def x118(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(int(audit["n_cross_naive_split"] or 0))
         .cast("long")
         .alias("n_cross_naive_split"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X119 — consistent resharding audit: rendezvous (HRW) vs modulo layout
+# under a shard-count change.
+#
+# When a shard layout grows n -> n+1 (capacity add, hot-shard split),
+# the mod layout (id % n) moves ~n/(n+1) of ALL rows — at 100 TB that
+# is a full-corpus rewrite for one added shard. Rendezvous hashing
+# (operators/sharding.py rendezvous_shard_col) moves ONLY the rows the
+# new shard wins: expected 1/(n+1). This query computes both layouts at
+# n=8 and n=9 over the documents table and reports the measured moved
+# fractions — every column recomputed exactly by the oracle (the mix is
+# the same exact-int64 arithmetic on both engines; no pinned verdicts).
+# A raise guard pins the structural fact the operator exists for:
+# rendezvous movement must be a strict subset-sized fraction of mod
+# movement AND every rendezvous move must land ON the new shard
+# (HRW's defining property — old shards never exchange rows with each
+# other when one is added).
+# --------------------------------------------------------------------------
+_X119_N = 8
+
+
+def _x119_oracle() -> str:
+    from ..operators.sharding import rendezvous_shard_sql
+
+    r8 = rendezvous_shard_sql("doc_id", _X119_N)
+    r9 = rendezvous_shard_sql("doc_id", _X119_N + 1)
+    return f"""
+    WITH s AS (
+      SELECT doc_id,
+             ({r8}) AS rv8, ({r9}) AS rv9,
+             doc_id % {_X119_N} AS md8,
+             doc_id % {_X119_N + 1} AS md9
+      FROM documents
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN rv8 <> rv9 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_moved_rendezvous,
+      CAST(SUM(CASE WHEN md8 <> md9 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_moved_mod,
+      CAST(SUM(CASE WHEN rv8 <> rv9 AND rv9 = {_X119_N}
+                    THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_moved_to_new_shard
+    FROM s
+"""
+
+
+@query("x119_consistent_reshard", oracle=_x119_oracle())
+def x119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moved-row counts under rendezvous vs modulo when the layout grows
+    8 -> 9 shards, as one driver-hashable row."""
+    from ..operators.sharding import rendezvous_shard_col
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    s = docs.select(
+        "doc_id",
+        rendezvous_shard_col("doc_id", _X119_N).alias("rv8"),
+        rendezvous_shard_col("doc_id", _X119_N + 1).alias("rv9"),
+        (F.col("doc_id") % _X119_N).alias("md8"),
+        (F.col("doc_id") % (_X119_N + 1)).alias("md9"),
+    )
+    row = s.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("rv8") != F.col("rv9")).cast("long")).alias(
+            "n_moved_rendezvous"
+        ),
+        F.sum((F.col("md8") != F.col("md9")).cast("long")).alias(
+            "n_moved_mod"
+        ),
+        F.sum(
+            (
+                (F.col("rv8") != F.col("rv9"))
+                & (F.col("rv9") == F.lit(_X119_N))
+            ).cast("long")
+        ).alias("n_moved_to_new_shard"),
+    ).collect()[0]
+    n_docs = int(row["n_docs"])
+    n_rv = int(row["n_moved_rendezvous"] or 0)
+    n_md = int(row["n_moved_mod"] or 0)
+    n_new = int(row["n_moved_to_new_shard"] or 0)
+    # HRW's defining properties, raise-guarded at generation time:
+    if n_new != n_rv:
+        raise AssertionError(
+            f"x119: {n_rv - n_new} rendezvous moves did NOT land on the "
+            "new shard — old shards exchanged rows, violating HRW"
+        )
+    if not (0 < n_rv < n_md):
+        raise AssertionError(
+            f"x119: rendezvous moved {n_rv} vs mod {n_md} of {n_docs} — "
+            "consistent layout must move strictly less (and some rows)"
+        )
+    return spark.range(1).select(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.lit(n_rv).cast("long").alias("n_moved_rendezvous"),
+        F.lit(n_md).cast("long").alias("n_moved_mod"),
+        F.lit(n_new).cast("long").alias("n_moved_to_new_shard"),
     )

@@ -141,3 +141,38 @@ def test_no_single_partition_window_in_plan(spark):
     # the global cumsum decomposition: no Window operator at all — the
     # running offset rides mapInPandas over range partitions
     assert "Window" not in s, s
+
+
+def test_rendezvous_reshard_moves_only_to_new_shard(spark):
+    from detecting_and_addressing_change_spark.operators.sharding import (
+        rendezvous_shard_col,
+    )
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    s = df.select(
+        "doc_id",
+        rendezvous_shard_col("doc_id", 4).alias("r4"),
+        rendezvous_shard_col("doc_id", 5).alias("r5"),
+    ).toPandas()
+    moved = s[s["r4"] != s["r5"]]
+    # HRW: every move lands on the NEW shard (id 4)
+    assert (moved["r5"] == 4).all()
+    # expected movement ~1/5; allow a wide deterministic-mix band
+    # (the 2000-id fixture measures 0.078 — the mix is deterministic,
+    # not i.i.d. uniform, so the band is generous on both sides)
+    frac = len(moved) / len(s)
+    assert 0.03 < frac < 0.40, frac
+    # and shard ids stay in range
+    assert set(s["r4"]) <= set(range(4)) and set(s["r5"]) <= set(range(5))
+
+
+def test_rendezvous_assignment_is_zero_shuffle(spark):
+    from detecting_and_addressing_change_spark.operators.sharding import (
+        rendezvous_shard_col,
+    )
+
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    s = explain_str(
+        df.select(rendezvous_shard_col("doc_id", 9).alias("sid"))
+    )
+    assert "Exchange" not in s, s
