@@ -4,7 +4,6 @@ and the no-single-partition-window plan property."""
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import functions as F
 
 from detecting_and_addressing_change_spark.operators.sharding import (
