@@ -161,11 +161,16 @@ def write_shards(
     id_col: str,
     weight_col: str,
     max_parallel_files: int = 200,
+    data_format: str = "parquet",
 ) -> DataFrame:
-    """Write the shard layout: ``{path}/data`` parquet partitioned by
-    shard_id (hash-repartitioned on shard_id first, so each shard
-    directory is written by exactly one task -> one file), and
-    ``{path}/manifest`` parquet. Returns the manifest DataFrame."""
+    """Write the shard layout: ``{path}/data`` partitioned by shard_id
+    (hash-repartitioned on shard_id first, so each shard directory is
+    written by exactly one task -> one file), and ``{path}/manifest``
+    parquet. ``data_format`` is ``parquet`` (default) or ``json``
+    (JSONL — the common trainer interchange format; same layout, same
+    manifest). Returns the manifest DataFrame."""
+    if data_format not in ("parquet", "json"):
+        raise ValueError(f"unsupported shard format {data_format!r}")
     n_shards = assigned.agg(
         (F.max("shard_id") + 1).alias("n")
     ).collect()[0]["n"]
@@ -174,10 +179,71 @@ def write_shards(
         assigned.repartition(n_parts, "shard_id")
         .write.mode("overwrite")
         .partitionBy("shard_id")
-        .parquet(f"{path}/data")
+        .format(data_format)
+        .save(f"{path}/data")
     )
     manifest = shard_manifest(assigned, id_col, weight_col)
     manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{path}/manifest"
     )
     return manifest
+
+
+def read_shards(
+    spark,
+    path: str,
+    id_col: str,
+    weight_col: str,
+    data_format: str = "parquet",
+    shard_ids: list[int] | None = None,
+) -> DataFrame:
+    """Manifest-VERIFIED shard read — the loader side of the contract.
+
+    Recomputes each selected shard's (n_docs, n_tokens, checksum) from
+    the data files and raises if any disagrees with the stored manifest
+    (a truncated transfer, partial overwrite, or stale manifest fails
+    loudly BEFORE training consumes the corpus). ``shard_ids`` prunes
+    the read to those partition directories (partition-pruned scan —
+    verification cost scales with what is read, not the corpus).
+    Returns the data DataFrame for the selected shards."""
+    data = spark.read.format(data_format).load(f"{path}/data")
+    manifest = spark.read.parquet(f"{path}/manifest")
+    if shard_ids is not None:
+        ids = [int(s) for s in shard_ids]
+        data = data.filter(F.col("shard_id").isin(ids))
+        manifest = manifest.filter(F.col("shard_id").isin(ids))
+    w = F.col(weight_col).cast("long")
+    recomputed = data.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(w).alias("n_tokens"),
+        F.sum(F.col(id_col).cast("long") * w).alias("checksum"),
+    )
+    m = {
+        int(r["shard_id"]): r
+        for r in manifest.select(
+            "shard_id", "n_docs", "n_tokens", "checksum"
+        ).collect()
+    }
+    bad: list[str] = []
+    seen: set[int] = set()
+    for r in recomputed.collect():
+        sid = int(r["shard_id"])
+        seen.add(sid)
+        exp = m.get(sid)
+        if exp is None:
+            bad.append(f"shard {sid}: present on disk, not in manifest")
+            continue
+        for colname in ("n_docs", "n_tokens", "checksum"):
+            if int(r[colname]) != int(exp[colname]):
+                bad.append(
+                    f"shard {sid}: {colname} {int(r[colname])} != "
+                    f"manifest {int(exp[colname])}"
+                )
+    missing = sorted(set(m) - seen)
+    if missing:
+        bad.append(f"shards in manifest but missing on disk: {missing}")
+    if bad:
+        raise AssertionError(
+            "shard layout failed manifest verification: " + "; ".join(bad)
+        )
+    return data

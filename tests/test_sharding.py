@@ -175,3 +175,152 @@ def test_rendezvous_assignment_is_zero_shuffle(spark):
         df.select(rendezvous_shard_col("doc_id", 9).alias("sid"))
     )
     assert "Exchange" not in s, s
+
+
+def test_read_shards_verifies_and_prunes(spark, tmp_path):
+    df = _toy(spark, n=200)
+    assigned = assign_shards(df, "doc_id", "n_tokens", budget=BUDGET,
+                             seed=3)
+    path = str(tmp_path / "layout")
+    write_shards(assigned, path, "doc_id", "n_tokens")
+
+    from detecting_and_addressing_change_spark.operators.sharding import (
+        read_shards,
+    )
+
+    back = read_shards(spark, path, "doc_id", "n_tokens")
+    assert back.count() == 200
+    # pruned read verifies only the selected shards
+    two = read_shards(spark, path, "doc_id", "n_tokens",
+                      shard_ids=[0, 1])
+    assert set(
+        r["shard_id"] for r in two.select("shard_id").distinct().collect()
+    ) == {0, 1}
+
+
+def test_read_shards_detects_corruption(spark, tmp_path):
+    import glob
+    import os
+
+    import pytest
+
+    df = _toy(spark, n=200)
+    assigned = assign_shards(df, "doc_id", "n_tokens", budget=BUDGET,
+                             seed=3)
+    path = str(tmp_path / "layout")
+    write_shards(assigned, path, "doc_id", "n_tokens")
+    # simulate a truncated transfer: drop one shard's data file
+    victim = sorted(glob.glob(f"{path}/data/shard_id=*/*.parquet"))[0]
+    os.remove(victim)
+
+    from detecting_and_addressing_change_spark.operators.sharding import (
+        read_shards,
+    )
+
+    with pytest.raises(AssertionError, match="manifest"):
+        read_shards(spark, path, "doc_id", "n_tokens")
+
+
+def test_write_shards_jsonl_round_trip(spark, tmp_path):
+    df = _toy(spark, n=150)
+    assigned = assign_shards(df, "doc_id", "n_tokens", budget=BUDGET,
+                             seed=9)
+    path = str(tmp_path / "jsonl")
+    manifest = write_shards(assigned, path, "doc_id", "n_tokens",
+                            data_format="json")
+
+    from detecting_and_addressing_change_spark.operators.sharding import (
+        read_shards,
+    )
+
+    back = read_shards(spark, path, "doc_id", "n_tokens",
+                       data_format="json")
+    assert back.count() == 150
+    assert manifest.agg(F.sum("n_docs")).collect()[0][0] == 150
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis): the layout invariants must hold for ANY
+# id set and shard-count step, not just the fixtures above.
+# ---------------------------------------------------------------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+
+    def _hrw_weight(i: int, s: int) -> int:
+        return (((i % (1 << 20)) * 31 + s * 40503 + 1) % (1 << 20)) \
+            * 2654435761 % (1 << 32)
+
+    def _hrw(i: int, n: int) -> int:
+        return max(range(n), key=lambda s: (_hrw_weight(i, s), s))
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        ids=st.lists(st.integers(min_value=0, max_value=2**62),
+                     min_size=1, max_size=60),
+        n=st.integers(min_value=1, max_value=12),
+    )
+    def test_hrw_property_monotone_growth(ids, n):
+        """Pure-python twin of rendezvous_shard_col (same arithmetic):
+        growing n -> n+1 never moves a row to an OLD shard."""
+        for i in ids:
+            a, b = _hrw(i, n), _hrw(i, n + 1)
+            assert 0 <= a < n and 0 <= b < n + 1
+            if a != b:
+                assert b == n  # moves only to the new shard
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        ids=st.lists(st.integers(min_value=0, max_value=2**62),
+                     min_size=2, max_size=60, unique=True),
+        seed=st.integers(min_value=0, max_value=10**6),
+    )
+    def test_epoch_key_pure_twin_total_order(ids, seed):
+        """The epoch key's pure twin: deterministic, and (key, id) is a
+        total order over any unique id set."""
+        def key(i):
+            return ((i + seed * 40503) % (1 << 20)) * 2654435761 \
+                % (1 << 32)
+
+        pairs = sorted((key(i), i) for i in ids)
+        assert len(set(pairs)) == len(ids)
+        assert pairs == sorted(set(pairs))
+
+
+def test_pure_twins_match_spark_columns(spark):
+    """The property tests above exercise pure-python twins; this pins
+    twin == Spark column on a deterministic sample (incl. huge ids), so
+    the twins cannot drift from the executed arithmetic."""
+    from detecting_and_addressing_change_spark.operators.sharding import (
+        rendezvous_shard_col,
+    )
+
+    ids = [0, 1, 7, 97, 2**19, 2**20, 2**20 + 1, 10**9, 10**15, 2**62]
+    df = spark.createDataFrame(
+        [(i,) for i in ids], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: (r["h"], r["rv"])
+        for r in df.select(
+            "doc_id",
+            epoch_order_col("doc_id", 13).alias("h"),
+            rendezvous_shard_col("doc_id", 9).alias("rv"),
+        ).collect()
+    }
+
+    def twin_key(i):
+        return ((i + 13 * 40503) % (1 << 20)) * 2654435761 % (1 << 32)
+
+    def twin_w(i, s):
+        return (((i % (1 << 20)) * 31 + s * 40503 + 1) % (1 << 20)) \
+            * 2654435761 % (1 << 32)
+
+    for i in ids:
+        rv = max(range(9), key=lambda s: (twin_w(i, s), s))
+        assert got[i] == (twin_key(i), rv), (i, got[i])
