@@ -653,3 +653,151 @@ def x119(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_md).cast("long").alias("n_moved_mod"),
         F.lit(n_new).cast("long").alias("n_moved_to_new_shard"),
     )
+
+
+# --------------------------------------------------------------------------
+# X120 — shard-layout write/load verdict: the x117 arithmetic is on the
+# oracle gate; this puts the MATERIALIZED layout there too (the x94
+# index-lifecycle pattern for file layouts SQL cannot express).
+#
+# Over the doc_id % 2 == 0 sample: write_shards to a scratch dir, then
+# verdict in-query (each raise-guarded at generation time, pinned TRUE
+# by the oracle):
+#  - one_file_per_shard: every shard_id= directory holds exactly ONE
+#    data file (the hash-repartition write contract — a loader can
+#    stream a shard as one object);
+#  - manifest_verified: read_shards' checksum verification PASSES on
+#    the intact layout and returns every row;
+#  - pruned_plan_partition_filtered: the shard_ids-pruned read's
+#    physical plan carries a shard_id partition filter (the scan reads
+#    selected directories, not the corpus);
+#  - corruption_detected: deleting one shard's data file makes
+#    read_shards RAISE — the truncated-transfer failure mode fails
+#    loudly, attested driver-side, not just in pytest.
+# Beside the pins, SQL-exact fingerprints: n_docs, total_tokens,
+# checksum_total (shard-invariant sums) and n_shards (the same
+# window-cumsum layout arithmetic as x117's oracle).
+# --------------------------------------------------------------------------
+_X120_SEED = 13
+_X120_BUDGET = 2048
+
+
+def _x120_oracle() -> str:
+    from ..operators.sharding import epoch_order_sql
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             {epoch_order_sql('doc_id', _X120_SEED)} AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS strt
+      FROM t
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      CAST(SUM(doc_id * n_tokens) AS BIGINT) AS checksum_total,
+      CAST(MAX(FLOOR(strt / {_X120_BUDGET})) + 1 AS BIGINT) AS n_shards,
+      TRUE AS one_file_per_shard,
+      TRUE AS manifest_verified,
+      TRUE AS pruned_plan_partition_filtered,
+      TRUE AS corruption_detected
+    FROM c
+"""
+
+
+@query("x120_shard_layout_verdict", oracle=_x120_oracle())
+def x120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized shard layout E2E: write, per-dir file-count audit,
+    manifest-verified load, partition-pruned read, and the
+    corruption-raises posture, as one driver-hashable row."""
+    import glob as _glob
+    import os as _os
+
+    from ..operators.sharding import (
+        assign_shards,
+        read_shards,
+        write_shards,
+    )
+    from .extensions10 import _scratch_index_dir
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        )
+    )
+    path = _scratch_index_dir(spark, "shard120_")
+    assigned = assign_shards(
+        docs, "doc_id", "n_tokens", budget=_X120_BUDGET, seed=_X120_SEED
+    )
+    manifest = write_shards(assigned, path, "doc_id", "n_tokens")
+    mrows = manifest.collect()
+    n_shards = len(mrows)
+    n_docs = sum(int(r["n_docs"]) for r in mrows)
+    total_tokens = sum(int(r["n_tokens"]) for r in mrows)
+    checksum_total = sum(int(r["checksum"]) for r in mrows)
+
+    dirs = sorted(_glob.glob(f"{path}/data/shard_id=*"))
+    if len(dirs) != n_shards:
+        raise AssertionError(
+            f"x120: {len(dirs)} shard dirs != {n_shards} manifest rows"
+        )
+    per_dir = [
+        len(_glob.glob(f"{d}/*.parquet")) for d in dirs
+    ]
+    if any(n != 1 for n in per_dir):
+        raise AssertionError(
+            f"x120: shard dirs with != 1 data file: "
+            f"{[d for d, n in zip(dirs, per_dir) if n != 1]}"
+        )
+
+    # manifest-verified full load (raises internally on any mismatch)
+    back = read_shards(spark, path, "doc_id", "n_tokens")
+    if back.count() != n_docs:
+        raise AssertionError("x120: verified load row-count mismatch")
+
+    # pruned read: the scan must carry a shard_id partition filter
+    two_ids = [int(r["shard_id"]) for r in mrows[:2]]
+    pruned = read_shards(
+        spark, path, "doc_id", "n_tokens", shard_ids=two_ids
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    if "shard_id" not in plan.split("PartitionFilters", 1)[-1][:200]:
+        raise AssertionError(
+            f"x120: pruned read plan lacks a shard_id partition filter: "
+            f"{plan[:500]}"
+        )
+
+    # corruption posture: drop one data file -> the loader must raise
+    victim = _glob.glob(f"{dirs[0]}/*.parquet")[0]
+    _os.remove(victim)
+    try:
+        read_shards(spark, path, "doc_id", "n_tokens")
+    except AssertionError:
+        corruption_detected = True
+    else:
+        raise AssertionError(
+            "x120: read_shards accepted a layout with a deleted shard "
+            "file — the manifest verification is vacuous"
+        )
+
+    return spark.range(1).select(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.lit(total_tokens).cast("long").alias("total_tokens"),
+        F.lit(checksum_total).cast("long").alias("checksum_total"),
+        F.lit(n_shards).cast("long").alias("n_shards"),
+        F.lit(True).alias("one_file_per_shard"),
+        F.lit(True).alias("manifest_verified"),
+        F.lit(True).alias("pruned_plan_partition_filtered"),
+        F.lit(bool(corruption_detected)).alias("corruption_detected"),
+    )
