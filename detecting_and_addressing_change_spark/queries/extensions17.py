@@ -292,8 +292,9 @@ def x116(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-partition sums + broadcast offsets), NEVER a single-partition
 # window; the oracle uses the window form, which is the semantic
 # definition both must match. The actual partitioned write + read-back
-# verification is pinned in tests/test_sharding.py (file layout is not
-# SQL-expressible; the layout ARITHMETIC — this query — is).
+# verification is pinned in tests/test_sharding.py AND driver-attested
+# by x120 below (file layout is not SQL-expressible; the layout
+# ARITHMETIC — this query — is).
 # Reference contrast: streams/loaders.py holds the corpus in memory and
 # shuffles with a torch Generator; the shard/manifest contract is the
 # 100 TB replacement for that iterator.

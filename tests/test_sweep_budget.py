@@ -30,8 +30,13 @@ JUSTIFIED_WARM_PINS_S = {
     # audits BOTH candidate routes plus the exact volume pre-flight
     "x90_adaptive_similarity_join": 25.0,
     # fine-tune session: bounded 4x32-doc prequential loop + 3 scoring
-    # passes; constant batch count at every scale by construction
-    "x103_finetune_adaptation_audit": 25.0,
+    # passes; constant batch count at every scale by construction.
+    # Fresh-session standalone warm measured 10.6-11.6 s (r13) — well
+    # under the trim line; like x101 below, its in-sweep warm row runs
+    # late in the 182x2-pass session and carries JVM/worker aging
+    # (wandered 12.7/18.1/28.4 s across three r13 sweeps), so the pin
+    # reflects the sweep protocol, not the standalone cost.
+    "x103_finetune_adaptation_audit": 35.0,
     # RAG build replayed in both engines (chunk->embed->kmeans->index)
     "x109_rag_retrieval": 22.0,
     # takedown E2E: 2 curate epochs + delete + surgical rewrite +
