@@ -220,6 +220,37 @@ def warm_worker_pool(spark) -> None:
         )
 
 
+def measure_calibration(spark) -> float:
+    """Box-calibration constant (VERDICT r13 #6): min-of-3 wall time of
+    a FIXED 10^7-row shuffle+agg that never changes across rounds, so a
+    judge can normalize round-over-round totals for machine variance
+    mechanically (r13's headline moved 125 -> 136.5 s on identical code
+    purely from a slower box). Runs on the warm JVM/worker pool, after
+    its own two warm-up passes, so it measures box throughput — CPU,
+    shuffle, codegen — not first-touch cost."""
+    from pyspark.sql import functions as F
+
+    def _calib_pass() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(10_000_000, numPartitions=32)
+            .groupBy((F.col("id") % 100_003).alias("g"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("id").alias("s"),
+                F.max((F.col("id") * 2_654_435_761) % (1 << 32)).alias(
+                    "h"
+                ),
+            )
+            .write.format("noop").mode("overwrite").save()
+        )
+        return time.perf_counter() - t0
+
+    for _ in range(2):
+        _calib_pass()
+    return round(min(_calib_pass() for _ in range(3)), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -233,6 +264,10 @@ def main() -> None:
 
     # fork/warm the Python worker pool before anything is timed (r10)
     warm_worker_pool(spark)
+
+    # fixed box-calibration workload (VERDICT r13 #6) — emitted as
+    # calib_sec so cross-round totals can be normalized for box speed
+    calib_sec = measure_calibration(spark)
 
     # warm the JVM on EVERY bench query at the smallest sf first: the heavy
     # E2E shapes (q39-family NB pipelines) take several runs of Catalyst /
@@ -299,6 +334,7 @@ def main() -> None:
                 "queries_median": medians,
                 "queries_cov": covs,
                 "median_total_sec": round(sum(medians.values()), 3),
+                "calib_sec": calib_sec,
                 "runs": runs,
                 "sf": sf,
             },
@@ -315,6 +351,7 @@ def main() -> None:
             "unit": "sec",
             "queries": short_timings,
             "median_total_sec": round(sum(medians.values()), 3),
+            "calib_sec": calib_sec,
             "runs": runs,
             "sf": sf,
         },
@@ -329,6 +366,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {"detail": "BENCH_DETAIL.json"},
                 "median_total_sec": round(sum(medians.values()), 3),
+                "calib_sec": calib_sec,
                 "runs": runs,
                 "sf": sf,
             },

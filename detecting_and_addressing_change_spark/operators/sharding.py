@@ -9,22 +9,41 @@ iterator (``streams/loaders.py``); at 100 TB the equivalent contract is
 order, plus a manifest the loader can trust". Three pieces, all exact
 int64 arithmetic so the whole layout is DuckDB-oracle-checkable:
 
-- **Seeded epoch order** (:func:`epoch_order_col`): a Knuth
-  multiplicative mix ``((id + seed*40503) % 2^20) * 2654435761 % 2^32``.
-  The seed lands INSIDE the multiplicand (adding it after the multiply
-  would shift every key by the same constant and change almost no
-  relative order); the golden-ratio multiplier then scrambles the
-  shifted values, so a new seed is a genuinely new permutation (every
-  position moves — pinned in tests). The key needs MIXING, not
-  uniqueness — ties break on the id itself — so the id is first reduced
-  mod 2^20, which also keeps the multiply inside int64 at any
-  conceivable id range (2^20 x 2654435761 < 2^52). Epoch re-shuffles
-  are one range-shuffle, the floor for any true global shuffle.
+- **Seeded epoch order** (:func:`epoch_order_col`): per 20-bit slice
+  of the id (bits 0-19, 20-39, 40-59), a multiply -> seed-XOR ->
+  truncate -> multiply round; the three rounds are summed mod 2^32.
+  Two r13 defects drove this shape (VERDICT r13 #1 + the r14 x121
+  composition measurement):
+
+  * the single low-bits round was seed-INVARIANT within id classes
+    congruent mod 2^20 — beyond 2^20 docs, stride-2^20 neighbours
+    stayed adjacent in EVERY epoch. The hi/top slice rounds fix that
+    (seed-dependent order for ids differing anywhere below 2^60).
+  * worse, the seed entered ADDITIVELY: with power-of-two moduli, a
+    seed offset propagates through (+, *, % 2^k) stages as a
+    PIECEWISE-CONSTANT shift of the key, so a new seed produced a
+    near-ROTATION of the old epoch order (measured on 500 consecutive
+    ids / 7 shards: max cross-epoch shard-pair overlap 56 of ~78-doc
+    shards, only 14/49 pairs populated). XOR-ing the seed between the
+    two multiplies is carry-free and value-dependent, which breaks the
+    affine structure; the same measurement gives max overlap 15-19
+    with all 49 pairs populated — indistinguishable from independent
+    permutations (the x121 driver query attests this composition stat
+    on the real corpus every round).
+
+  The key needs MIXING, not uniqueness — ties break on the id itself —
+  and every product stays far inside int64 (inputs are truncated to 20
+  bits before each multiply; xor operands are < 2^32), so the
+  arithmetic is exact on both engines. Epoch re-shuffles are one
+  range-shuffle, the floor for any true global shuffle.
 - **Shard assignment** (:func:`assign_shards`): lay the weighted stream
   (token counts) end-to-end in epoch order and cut at ``budget``
   boundaries — a document belongs to the shard holding its START
   offset (same straddle rule as x53 sequence packing; the loader pads
-  or spills at read time). The running offset uses
+  or spills at read time). The cut is TRUE integer division (``div`` /
+  ``//``), never double ``FLOOR(x / y)`` — IEEE doubles lose exactness
+  past 2^53 cumulative tokens, well inside a 100 TB token stream
+  (ADVICE r13). The running offset uses
   :func:`..operators.order.global_cumsum` — range-partition +
   per-partition sums + broadcast offsets — NOT a single-partition
   window, so the plan survives a 100 TB token stream.
@@ -50,28 +69,70 @@ from pyspark.sql import functions as F
 
 from .order import global_cumsum
 
-# Knuth multiplicative constant + a small odd mixer for the seed; the id
-# is reduced mod 2^20 first so the product stays far inside int64.
-_MIX_A = 2654435761
+# Public odd multipliers (Knuth's golden-ratio constant + the xxHash32
+# primes): per slice a FIRST multiplier (scramble the slice), then the
+# seed xor, then a SECOND multiplier over the truncated low 20 bits.
+# Each multiply's input is < 2^20 so every product stays far inside
+# int64 (2^20 * A < 2^52); xor operands are < 2^32.
+_MIX_A = 2654435761  # Knuth / xxHash PRIME32_1
+_MIX_B = 2246822519  # xxHash PRIME32_2
+_MIX_C = 3266489917  # xxHash PRIME32_3
+_MIX_D = 668265263  # xxHash PRIME32_4
+_MIX_E = 374761393  # xxHash PRIME32_5
 _SEED_MIX = 40503
+_SEED_CO_B = 31
+_SEED_CO_C = 977
 _ID_MOD = 1 << 20
 _HASH_MOD = 1 << 32
 
+# (first multiplier, second multiplier, seed co-factor) per id slice
+_ROUNDS = (
+    (_MIX_A, _MIX_D, _SEED_MIX),
+    (_MIX_B, _MIX_E, _SEED_MIX * _SEED_CO_B),
+    (_MIX_C, _MIX_A, _SEED_MIX * _SEED_CO_C),
+)
+
 
 def epoch_order_col(id_col: Column | str, seed: int) -> Column:
-    """Deterministic seeded shuffle key (exact int64, engine-portable)."""
+    """Deterministic seeded shuffle key (exact int64, engine-portable).
+
+    Per 20-bit slice of the (non-negative) id: multiply, XOR the seed,
+    truncate, multiply again; the three slice rounds are summed mod
+    2^32 — seed-DEPENDENT relative order for ids differing anywhere
+    below 2^60, and the xor keeps different seeds' orders mutually
+    independent rather than rotations of one another (module
+    docstring). ``shiftright`` on the Spark side == ``//`` on the SQL
+    side for the non-negative ids this contract covers."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return (
-        ((c + F.lit(int(seed) * _SEED_MIX)) % _ID_MOD) * _MIX_A
-    ) % _HASH_MOD
+    s = int(seed)
+    slices = (c % _ID_MOD, F.shiftright(c, 20) % _ID_MOD,
+              F.shiftright(c, 40) % _ID_MOD)
+    total = F.lit(0).cast("long")
+    for v, (a, b, co) in zip(slices, _ROUNDS):
+        m = (v * a) % _HASH_MOD
+        x = m.bitwiseXOR(F.lit((s * co) % _HASH_MOD))
+        total = total + ((x % _ID_MOD) * b) % _HASH_MOD
+    return total % _HASH_MOD
 
 
 def epoch_order_sql(id_expr: str, seed: int) -> str:
-    """The same key as SQL text (for oracles)."""
-    return (
-        f"(((({id_expr}) + {int(seed) * _SEED_MIX}) % {_ID_MOD}) "
-        f"* {_MIX_A}) % {_HASH_MOD}"
+    """The same key as SQL text (for oracles; DuckDB ``//`` is the
+    non-negative twin of Spark ``shiftright``, ``xor()`` of Spark
+    ``^``)."""
+    s = int(seed)
+    e = f"({id_expr})"
+    slices = (
+        f"({e} % {_ID_MOD})",
+        f"(({e} // {1 << 20}) % {_ID_MOD})",
+        f"(({e} // {1 << 40}) % {_ID_MOD})",
     )
+    terms = []
+    for v, (a, b, co) in zip(slices, _ROUNDS):
+        terms.append(
+            f"((xor(({v} * {a}) % {_HASH_MOD},"
+            f" {(s * co) % _HASH_MOD}) % {_ID_MOD}) * {b}) % {_HASH_MOD}"
+        )
+    return f"({' + '.join(terms)}) % {_HASH_MOD}"
 
 
 def rendezvous_shard_col(
@@ -85,9 +146,38 @@ def rendezvous_shard_col(
     discipline as :func:`epoch_order_col`), ties broken to the HIGHEST
     shard id via lexicographic (weight, shard) max — identical in Spark
     (array_max over struct) and SQL (ORDER BY w DESC, s DESC LIMIT 1),
-    so the layout is oracle-checkable. The expression is ONE constant
-    struct-array + array_max (the k-means table-route pattern): O(1)
-    expression tree at any shard count, zero-shuffle narrow map."""
+    so the layout is oracle-checkable. The expression is ONE
+    ``transform(sequence(0, n-1), ...)`` lambda + array_max (the
+    k-means table-route pattern, ``operators/kmeans.py``
+    ASSIGN_TABLE_ROUTE_K): a CONSTANT-size expression tree at any shard
+    count — n_shards is data inside the sequence, not n unrolled code
+    terms, so Catalyst analysis cost does not grow with the shard count
+    (parity vs the unrolled form pinned in tests/test_sharding.py;
+    analysis-cost numbers in BENCH_NOTES r14) — and a zero-shuffle
+    narrow map."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    n = int(n_shards)
+    seq = F.sequence(
+        F.lit(0).cast("long"), F.lit(n - 1).cast("long")
+    )
+    r = (c % _ID_MOD) * 31
+
+    def _entry(s: Column) -> Column:
+        w = (
+            ((r + s * _SEED_MIX + 1) % _ID_MOD) * _MIX_A % _HASH_MOD
+        )
+        return F.struct(w.alias("w"), s.alias("s"))
+
+    return F.array_max(F.transform(seq, _entry))["s"].cast("long")
+
+
+def _rendezvous_shard_col_unrolled(
+    id_col: Column | str, n_shards: int
+) -> Column:
+    """The r13 UNROLLED form (n_shards separate struct terms) — kept
+    ONLY as the parity oracle for :func:`rendezvous_shard_col`'s table
+    route (tests/test_sharding.py); its expression tree grows with
+    n_shards, the exact analysis-cost shape the table route removes."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     pairs = F.array(
         *[
@@ -100,7 +190,7 @@ def rendezvous_shard_col(
                     * _MIX_A
                     % _HASH_MOD
                 ).alias("w"),
-                F.lit(int(s)).alias("s"),
+                F.lit(int(s)).cast("long").alias("s"),
             )
             for s in range(int(n_shards))
         ]
@@ -129,7 +219,9 @@ def assign_shards(
     """Assign every row a ``shard_id`` under the seeded epoch order and
     the token ``budget`` (start-offset straddle rule). Adds
     ``epoch_key`` (the shuffle key) and ``shard_id``; keeps input
-    columns. ``weight_col`` must be integral, non-null, >= 0."""
+    columns. ``weight_col`` must be integral, non-null, >= 0. The cut
+    is exact int64 ``div`` (not double FLOOR-division, which loses
+    exactness past 2^53 cumulative tokens — ADVICE r13)."""
     keyed = df.withColumn("epoch_key", epoch_order_col(id_col, seed))
     cum = global_cumsum(
         keyed,
@@ -137,9 +229,11 @@ def assign_shards(
         weight_col,
         out_col="__cum",
     )
-    strt = F.col("__cum") - F.col(weight_col)
     return cum.withColumn(
-        "shard_id", F.floor(strt / int(budget)).cast("long")
+        "shard_id",
+        F.expr(
+            f"(__cum - `{weight_col}`) div {int(budget)}"
+        ).cast("long"),
     ).drop("__cum")
 
 
@@ -168,12 +262,24 @@ def write_shards(
     written by exactly one task -> one file), and ``{path}/manifest``
     parquet. ``data_format`` is ``parquet`` (default) or ``json``
     (JSONL — the common trainer interchange format; same layout, same
-    manifest). Returns the manifest DataFrame."""
+    manifest). Returns the (written, read-back) manifest DataFrame.
+
+    The manifest is written FIRST and its (tiny) read-back supplies the
+    shard count — one aggregation pass over the assignment lineage
+    instead of the r13 form's separate max() job, and an EMPTY input
+    short-circuits to an empty manifest with no data write instead of
+    raising TypeError on int(None) (ADVICE r13). A crash between the
+    two writes leaves manifest-without-data, which
+    :func:`read_shards` rejects loudly."""
     if data_format not in ("parquet", "json"):
         raise ValueError(f"unsupported shard format {data_format!r}")
-    n_shards = assigned.agg(
-        (F.max("shard_id") + 1).alias("n")
-    ).collect()[0]["n"]
+    shard_manifest(assigned, id_col, weight_col).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/manifest")
+    manifest = assigned.sparkSession.read.parquet(f"{path}/manifest")
+    n_shards = manifest.count()
+    if n_shards == 0:
+        return manifest
     n_parts = max(1, min(int(max_parallel_files), int(n_shards)))
     (
         assigned.repartition(n_parts, "shard_id")
@@ -181,10 +287,6 @@ def write_shards(
         .partitionBy("shard_id")
         .format(data_format)
         .save(f"{path}/data")
-    )
-    manifest = shard_manifest(assigned, id_col, weight_col)
-    manifest.coalesce(1).write.mode("overwrite").parquet(
-        f"{path}/manifest"
     )
     return manifest
 

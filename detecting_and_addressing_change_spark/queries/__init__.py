@@ -206,6 +206,23 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     # only gained a module-level comment ABOVE the scoping helper).
     "x109_rag_retrieval", "x113_checkpoint_recovery_verdict",
     "x114_join_recovery_verdict", "x115_dedup_recovery_verdict",
+    # green rows in CORRECTNESS_r13.json (the r13 re-attests of the
+    # five timeout-hardened streaming verdicts and the seven
+    # kmeans-route rows, plus the new x116-x120), minus the queries
+    # whose executed paths change in round 14: x117-x120 float forward
+    # because operators/sharding.py is rewritten this round (the
+    # xor-injected epoch key — VERDICT r13 #1 plus the r14 rotation
+    # finding —, the transform-over-sequence rendezvous route — VERDICT
+    # r13 #2 —, the integer-div shard cut and the manifest-first
+    # write_shards — ADVICE r13) and x120 additionally gains the JSONL
+    # round-trip verdict column (VERDICT r13 #7). x118 also floats: its
+    # split side rides epoch_order_col, whose executed expression
+    # changed. The new x121 two-epoch composition audit (VERDICT r13
+    # #4) starts unattested. x116 stays: operators/mapping.py and its
+    # query body are untouched this round.
+    "x100_ddm_stream_verdict", "x104_ph_stream_verdict",
+    "x110_watermark_window_verdict", "x111_stream_dedup_horizon_verdict",
+    "x112_stream_join_verdict", "x116_mlp_mapping_session",
     # green rows in CORRECTNESS_r06.json continue below
     "q59_gradual_drift_experiment", "q61_mapping_experiment",
     "x03_minhash_bands", "x04_minhash_pairs", "x23_dedup_clusters",
@@ -216,20 +233,9 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     "x81_boilerplate_strip", "x82_cdc_chunks",
 })
 
-# Round-13 de-list: operators/kmeans.py gained the large-k table-route
-# branch inside kmeans_assign_col / kmeans_probe_cells_col (VERDICT r12
-# #3). At every gate query's k (< ASSIGN_TABLE_ROUTE_K = 64) the
-# PRODUCED expression is byte-identical and the two routes are
-# parity-pinned in tests/test_kmeans.py — but the executed function
-# changed, so per the sharpened de-list rule every attested query whose
-# path runs it floats forward for a fresh row (the x92 byte-identical
-# precedent applied to the module that LOST code, not one that gained a
-# live branch).
-_ATTESTED_PRIOR_ROUNDS = _ATTESTED_PRIOR_ROUNDS - frozenset({
-    "x58_kmeans_cells", "x59_kmeans_ivf_topk", "x83_ann_recall",
-    "x94_ivf_index_lifecycle", "x95_ivf_occupancy_audit",
-    "x105_ivf_compaction_verdict", "x109_rag_retrieval",
-})
+# (The round-13 kmeans-route de-list — x58/x59/x83/x94/x95/x105/x109 —
+# was re-attested green in CORRECTNESS_r13.json with the table-route
+# branch live, so those rows fold back into the listing above.)
 
 
 def _rotate_unattested_first() -> None:

@@ -20,6 +20,23 @@ from .conftest import SF_SMOKE
 BUDGET = 64
 
 
+def _twin_epoch_key(i: int, seed: int) -> int:
+    """Pure-python twin of epoch_order_col (per 20-bit slice: multiply,
+    seed-XOR, truncate, multiply; rounds summed mod 2^32 — keep in
+    lockstep with operators/sharding.py)."""
+    M, H = 1 << 20, 1 << 32
+
+    def rnd(v, a, b, co):
+        x = ((v * a) % H) ^ ((seed * co) % H)
+        return ((x % M) * b) % H
+
+    return (
+        rnd(i % M, 2654435761, 668265263, 40503)
+        + rnd((i >> 20) % M, 2246822519, 374761393, 40503 * 31)
+        + rnd((i >> 40) % M, 3266489917, 2654435761, 40503 * 977)
+    ) % H
+
+
 def _toy(spark, n=300, seed_weights=7):
     return spark.range(n).select(
         F.col("id").alias("doc_id"),
@@ -121,16 +138,55 @@ def test_write_shards_round_trip(spark, tmp_path):
 
 
 def test_epoch_key_exact_and_overflow_safe(spark):
-    # the key must be exact int64 for ANY id (the mod-2^20 reduction is
-    # what keeps (id * 2654435761) inside int64 at planetary id ranges)
-    big = spark.range(1).select(
-        F.lit(10**15).cast("long").alias("doc_id")
-    )
-    v = big.select(
-        epoch_order_col("doc_id", 13).alias("h")
-    ).collect()[0]["h"]
-    expect = (((10**15 + 13 * 40503) % (1 << 20)) * 2654435761) % (1 << 32)
-    assert v == expect
+    # the key must be exact int64 for ANY id (each 20-bit slice is
+    # reduced mod 2^20 before its multiply, so every product and the
+    # 3-term sum stay far inside int64 at planetary id ranges)
+    ids = [10**15, 2**62, 0, 2**20 + 7]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", epoch_order_col("doc_id", 13).alias("h")
+        ).collect()
+    }
+    for i in ids:
+        assert got[i] == _twin_epoch_key(i, 13), i
+
+
+def test_stride_2_20_pairs_decorrelate_across_seeds(spark):
+    """VERDICT r13 #1: ids congruent mod 2^20 must NOT keep the same
+    relative epoch order in every epoch — the relative order of each
+    stride-2^20 pair has to flip across seeds (the r13 single-round key
+    gave them the SAME key for every seed, so raw-id tie-break froze
+    their order permanently). Also covers stride-2^40 pairs (the top
+    slice round)."""
+    pairs = [
+        (7, 7 + (1 << 20)),
+        (123_456, 123_456 + 5 * (1 << 20)),
+        (42, 42 + (1 << 40)),
+        (999, 999 + (1 << 40) + (1 << 20)),
+    ]
+    for a, b in pairs:
+        orders = set()
+        for seed in range(16):
+            ka, kb = _twin_epoch_key(a, seed), _twin_epoch_key(b, seed)
+            assert ka != kb or a == b  # distinct slices -> distinct keys
+            orders.add(ka < kb)
+        assert orders == {True, False}, (
+            f"pair ({a},{b}) kept one relative order across 16 seeds"
+        )
+    # and the twin matches the executed Spark column on these ids
+    ids = sorted({i for p in pairs for i in p})
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    for seed in (0, 3):
+        got = {
+            r["doc_id"]: r["h"]
+            for r in df.select(
+                "doc_id", epoch_order_col("doc_id", seed).alias("h")
+            ).collect()
+        }
+        for i in ids:
+            assert got[i] == _twin_epoch_key(i, seed), (i, seed)
 
 
 def test_no_single_partition_window_in_plan(spark):
@@ -163,6 +219,72 @@ def test_rendezvous_reshard_moves_only_to_new_shard(spark):
     assert 0.03 < frac < 0.40, frac
     # and shard ids stay in range
     assert set(s["r4"]) <= set(range(4)) and set(s["r5"]) <= set(range(5))
+
+
+def test_epoch_orders_are_not_rotations_of_each_other():
+    """The r14 composition finding: with ADDITIVE seed mixing and
+    power-of-two moduli, a new seed produced a near-rotation of the old
+    epoch order (max cross-epoch shard-pair overlap 56 of ~71-doc
+    shards, 14/49 pairs populated, on 500 consecutive ids / 7 shards).
+    The xor-injected key must instead look like independent
+    permutations: every shard pair populated, max overlap near the
+    hypergeometric expectation (~10 +/- a few sigma)."""
+    import collections
+
+    n, nsh = 500, 7
+    for s0, s1 in [(0, 1), (1, 2), (0, 13)]:
+        orders = {
+            s: sorted(range(n), key=lambda i: (_twin_epoch_key(i, s), i))
+            for s in (s0, s1)
+        }
+        pos = {
+            s: {i: p for p, i in enumerate(orders[s])} for s in (s0, s1)
+        }
+        pairs = collections.Counter(
+            (pos[s0][i] * nsh // n, pos[s1][i] * nsh // n)
+            for i in range(n)
+        )
+        assert len(pairs) == nsh * nsh, (s0, s1, len(pairs))
+        assert max(pairs.values()) < 30, (s0, s1, max(pairs.values()))
+
+
+def test_rendezvous_table_route_parity_with_unrolled(spark):
+    """The transform-over-sequence table route must assign EXACTLY the
+    same shard as the r13 unrolled struct-array form at every shard
+    count (the tests/test_kmeans.py route-parity precedent, VERDICT r13
+    #2) — same int64 mix, same (w, s) lexicographic tie-break."""
+    from detecting_and_addressing_change_spark.operators.sharding import (
+        _rendezvous_shard_col_unrolled,
+        rendezvous_shard_col,
+    )
+
+    ids = list(range(400)) + [2**20, 2**20 + 1, 10**15, 2**62]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    for n in (2, 8, 64, 512):
+        mism = (
+            df.select(
+                "doc_id",
+                rendezvous_shard_col("doc_id", n).alias("t"),
+                _rendezvous_shard_col_unrolled("doc_id", n).alias("u"),
+            )
+            .filter(F.col("t") != F.col("u"))
+            .count()
+        )
+        assert mism == 0, f"route mismatch at n_shards={n}"
+
+
+def test_write_shards_empty_input(spark, tmp_path):
+    """ADVICE r13: an empty input must yield an empty manifest (no
+    TypeError on int(None)) and skip the data write."""
+    import os
+
+    df = _toy(spark, n=10).filter(F.col("doc_id") < 0)
+    assigned = assign_shards(df, "doc_id", "n_tokens", budget=BUDGET,
+                             seed=1)
+    path = str(tmp_path / "empty_layout")
+    manifest = write_shards(assigned, path, "doc_id", "n_tokens")
+    assert manifest.count() == 0
+    assert not os.path.exists(f"{path}/data")
 
 
 def test_rendezvous_assignment_is_zero_shuffle(spark):
@@ -284,11 +406,7 @@ if _HYP:
     def test_epoch_key_pure_twin_total_order(ids, seed):
         """The epoch key's pure twin: deterministic, and (key, id) is a
         total order over any unique id set."""
-        def key(i):
-            return ((i + seed * 40503) % (1 << 20)) * 2654435761 \
-                % (1 << 32)
-
-        pairs = sorted((key(i), i) for i in ids)
+        pairs = sorted((_twin_epoch_key(i, seed), i) for i in ids)
         assert len(set(pairs)) == len(ids)
         assert pairs == sorted(set(pairs))
 
@@ -315,7 +433,7 @@ def test_pure_twins_match_spark_columns(spark):
     }
 
     def twin_key(i):
-        return ((i + 13 * 40503) % (1 << 20)) * 2654435761 % (1 << 32)
+        return _twin_epoch_key(i, 13)
 
     def twin_w(i, s):
         return (((i % (1 << 20)) * 31 + s * 40503 + 1) % (1 << 20)) \

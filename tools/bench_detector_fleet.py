@@ -65,19 +65,30 @@ def main() -> None:
             "error",
             ((F.col("k") * 2654435761) % 100 < 30).cast("double"),
         )
-        .withColumn("batch", (F.col("k") % 4).cast("long"))
         .localCheckpoint(eager=True)
     )
     n_rows = base.count()
+    k_max = base.agg(F.max("k").alias("m")).collect()[0]["m"]
     print(f"rows={n_rows} runs={runs} sf_dir={sf_dir}")
     print(f"{'keys':>6} {'parts':>5} {'wall_s':>7} {'rows_per_s':>10}")
 
     for n_keys in KEY_COUNTS:
+        # batch = the row's CONTIGUOUS QUARTER of the global k range,
+        # not k % 4: with k % 4, a detector's rows spanned replay
+        # batches with interleaved seq ids whenever n_keys % 4 != 0
+        # (e.g. K=10), so DDM saw out-of-order sequences (ADVICE r13;
+        # the round-robin (k div n_keys) % 4 variant has the same
+        # defect — batch 1 holds seq d+n < batch 0's d+4n). Contiguous
+        # k-quarters make seq_id (=k) non-decreasing across batches
+        # within EVERY detector at ANY K, and each batch still carries
+        # ~1/4 of every detector's rows.
         series = base.select(
             (F.col("k") % n_keys).cast("string").alias("detector_id"),
             "seq_id",
             "error",
-            "batch",
+            F.expr(f"(k * 4) div {int(k_max) + 1}").cast("long").alias(
+                "batch"
+            ),
         ).localCheckpoint(eager=True)
         for n_parts in PARTS:
             best = float("inf")

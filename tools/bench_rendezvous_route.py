@@ -1,0 +1,57 @@
+"""Measure the Catalyst analysis cost of the two rendezvous-assignment
+forms (VERDICT r13 #2): the r13 UNROLLED struct-array (expression tree
+grows with n_shards) vs the r14 transform-over-sequence TABLE route
+(constant-size tree). Same exact int64 mix, parity-pinned in
+tests/test_sharding.py; this tool records the cost shape the table
+route removes — the operators/kmeans.py ASSIGN_TABLE_ROUTE_K
+precedent applied to shard counts.
+
+Usage: python tools/bench_rendezvous_route.py
+Prints one row per (form, n_shards): analysis wall (df.schema on a
+fresh expression) and end-to-end execution wall over 200k rows.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from detecting_and_addressing_change_spark.operators.sharding import (  # noqa: E402
+    _rendezvous_shard_col_unrolled,
+    rendezvous_shard_col,
+)
+from detecting_and_addressing_change_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench_rendezvous_route")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.range(200_000).select(F.col("id").alias("doc_id"))
+    df.agg(F.max("doc_id")).collect()  # warm
+
+    print(f"{'form':>8} {'n_shards':>8} {'analyze_s':>9} {'exec_s':>7}")
+    for n in (8, 64, 512, 2048):
+        for label, fn in (
+            ("table", rendezvous_shard_col),
+            ("unrolled", _rendezvous_shard_col_unrolled),
+        ):
+            if label == "unrolled" and n > 512:
+                continue  # minutes of analysis; the point is made by 512
+            t0 = time.perf_counter()
+            out = df.select(fn("doc_id", n).alias("sid"))
+            out.schema  # forces analysis
+            t_an = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out.agg(F.sum("sid"), F.countDistinct("sid")).collect()
+            t_ex = time.perf_counter() - t0
+            print(f"{label:>8} {n:>8} {t_an:>9.3f} {t_ex:>7.3f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

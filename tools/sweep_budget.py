@@ -22,6 +22,20 @@ rows under per-query ceilings (default + the documented justified-audit
 pins), cold total under the gate ceiling. Regenerate each round:
 
     PYTHONPATH=. python tools/sweep_budget.py [sf_dir]
+
+Round-14 additions (VERDICT r13 #5 — two budget pins were justified by
+"runs late in a 182x2-pass session" rather than query cost):
+
+ - a FIXED probe workload (a 2M-row shuffle+agg that never changes) is
+   re-measured every PROBE_EVERY rows and recorded as ``probe_curve``
+   [(row_index, seconds)] — the session-decay curve itself, so "aging"
+   is a measured series, not prose;
+ - SWEEP_HYGIENE=1 runs a hygiene step every PROBE_EVERY rows (drop all
+   temp views — memory-sink streaming tables live there —, CLEAR
+   CACHE, python gc + JVM System.gc() so dropped localCheckpoint RDDs
+   actually release their block-manager blocks) BEFORE the probe, to
+   test whether session hygiene flattens the curve. Compare the two
+   probe_curve series across a hygiene-off and a hygiene-on run.
 """
 
 from __future__ import annotations
@@ -38,6 +52,48 @@ sys.path.insert(0, os.path.join(REPO_ROOT, "tests"))
 # Soft ceilings (seconds) — tests/test_sweep_budget.py reads these.
 PER_QUERY_WARM_CEILING_S = 15.0
 TOTAL_COLD_CEILING_S = 450.0
+
+# Session-decay instrumentation (VERDICT r13 #5)
+PROBE_EVERY = 20
+
+
+def _probe(spark) -> float:
+    """Fixed never-changing workload: its wall time should be flat over
+    the sweep; a rising series IS the session decay."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    t0 = _time.perf_counter()
+    (
+        spark.range(2_000_000, numPartitions=32)
+        .groupBy((F.col("id") % 10_007).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    return round(_time.perf_counter() - t0, 3)
+
+
+def _hygiene(spark) -> None:
+    """Session hygiene: drop temp views (memory-sink streaming tables
+    are temp views), clear the SQL cache, and force both collectors so
+    dereferenced localCheckpoint RDDs release their blocks."""
+    import gc
+
+    for t in spark.catalog.listTables():
+        if getattr(t, "isTemporary", False) or (
+            getattr(t, "tableType", "") == "TEMPORARY"
+        ):
+            try:
+                spark.catalog.dropTempView(t.name)
+            except Exception:
+                pass
+    spark.catalog.clearCache()
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
 
 
 def main() -> None:
@@ -67,11 +123,20 @@ def main() -> None:
         else:
             compare(df, oracle, sf_dir)
 
+    hygiene = os.environ.get("SWEEP_HYGIENE", "") == "1"
+    probe_curve: list[tuple[int, float]] = []
+    _probe(spark)  # probe warm-up (codegen/JIT) so curve point 0 is real
+    probe_curve.append((0, _probe(spark)))
+
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     failures: dict[str, str] = {}
     t_total = time.perf_counter()
-    for name in QUERIES:
+    for idx, name in enumerate(QUERIES):
+        if idx and idx % PROBE_EVERY == 0:
+            if hygiene:
+                _hygiene(spark)
+            probe_curve.append((idx, _probe(spark)))
         try:
             t0 = time.perf_counter()
             one_pass(name)
@@ -88,6 +153,9 @@ def main() -> None:
             + (f"  FAILED: {failures[name]}" if name in failures else ""),
             flush=True,
         )
+    if hygiene:
+        _hygiene(spark)
+    probe_curve.append((len(cold), _probe(spark)))
     total = round(time.perf_counter() - t_total, 1)
     total_cold = round(sum(cold.values()), 1)
     spark.stop()
@@ -103,6 +171,8 @@ def main() -> None:
         "cold": cold,
         "warm": warm,
         "failures": failures,
+        "hygiene": hygiene,
+        "probe_curve": probe_curve,
     }
     path = os.path.join(REPO_ROOT, "SWEEP_BUDGET.json")
     with open(path, "w") as f:
