@@ -31,22 +31,21 @@ JUSTIFIED_WARM_PINS_S = {
     "x90_adaptive_similarity_join": 25.0,
     # fine-tune session: bounded 4x32-doc prequential loop + 3 scoring
     # passes; constant batch count at every scale by construction.
-    # Fresh-session standalone warm measured 10.6-11.6 s (r13) — well
-    # under the trim line; like x101 below, its in-sweep warm row runs
-    # late in the 182x2-pass session and carries JVM/worker aging
-    # (wandered 12.7/18.1/28.4 s across three r13 sweeps), so the pin
-    # reflects the sweep protocol, not the standalone cost.
-    "x103_finetune_adaptation_audit": 35.0,
+    # Warm measured 12.5-13.0 s under the r14 hygiene-on sweep protocol
+    # (the r13 35 s "late-session aging" pin is GONE — the A/B
+    # measurement in BENCH_NOTES r14 showed the aging was accumulated
+    # in-session state, which the sweep's hygiene step now releases);
+    # pin = ~1.5x measured warm.
+    "x103_finetune_adaptation_audit": 20.0,
     # RAG build replayed in both engines (chunk->embed->kmeans->index)
     "x109_rag_retrieval": 22.0,
     # takedown E2E: 2 curate epochs + delete + surgical rewrite +
-    # re-ingest. Fresh-session standalone warm measured 12.1-14.7 s
-    # (r13, VERDICT r12 #4) — under the 15 s line; the in-sweep warm
-    # row runs AFTER 177 queries x 2 passes and carries late-session
-    # JVM aging (measured 28.5 s r13), so its pin reflects that
-    # protocol, not the standalone cost. Trim inside its own fixture
-    # if the STANDALONE number drifts past 15 s.
-    "x101_takedown_verdict": 35.0,
+    # re-ingest — the registry's most JOB-DENSE query (~60 driver
+    # jobs), which made it the canary for the in-session accumulation
+    # the hygiene step now clears (43.2 s warm without hygiene, 14.6 s
+    # with — BENCH_NOTES r14). Pin = ~1.5x the 14.6 s hygiene-protocol
+    # warm; the r13 35 s aging pin is gone.
+    "x101_takedown_verdict": 22.0,
     # large-star/small-star CC + LSH edge build (rounds measured flat)
     "x52_semantic_dedup_clusters": 18.0,
 }

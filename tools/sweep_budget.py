@@ -30,12 +30,16 @@ Round-14 additions (VERDICT r13 #5 — two budget pins were justified by
    re-measured every PROBE_EVERY rows and recorded as ``probe_curve``
    [(row_index, seconds)] — the session-decay curve itself, so "aging"
    is a measured series, not prose;
- - SWEEP_HYGIENE=1 runs a hygiene step every PROBE_EVERY rows (drop all
-   temp views — memory-sink streaming tables live there —, CLEAR
-   CACHE, python gc + JVM System.gc() so dropped localCheckpoint RDDs
-   actually release their block-manager blocks) BEFORE the probe, to
-   test whether session hygiene flattens the curve. Compare the two
-   probe_curve series across a hygiene-off and a hygiene-on run.
+ - a hygiene step every PROBE_EVERY rows (drop all temp views —
+   memory-sink streaming tables live there —, CLEAR CACHE, python gc +
+   JVM System.gc() so dereferenced localCheckpoint/broadcast blocks
+   actually release) — ON BY DEFAULT after the r14 A/B measurement
+   (BENCH_NOTES r14): the 1-job probe curve is flat either way (the
+   box does NOT decay), but many-job queries late in the session DO —
+   x101 measured 23.9 s cold / 43.2 s warm without hygiene vs 15.4 /
+   14.6 with it, and the hygiene-on sweep has ZERO warm rows over the
+   15 s ceiling, so the r13 "late-session JVM aging" pins are gone.
+   SWEEP_HYGIENE=0 disables (reproduces the accumulation regime).
 """
 
 from __future__ import annotations
@@ -123,7 +127,7 @@ def main() -> None:
         else:
             compare(df, oracle, sf_dir)
 
-    hygiene = os.environ.get("SWEEP_HYGIENE", "") == "1"
+    hygiene = os.environ.get("SWEEP_HYGIENE", "1") != "0"
     probe_curve: list[tuple[int, float]] = []
     _probe(spark)  # probe warm-up (codegen/JIT) so curve point 0 is real
     probe_curve.append((0, _probe(spark)))
