@@ -183,7 +183,12 @@ BENCH_QUERIES = [
     "x109_rag_retrieval",
     # round-13: training-shard export — seeded epoch shuffle + budgeted
     # shard layout + manifest; the range-shuffle + cumsum + agg all grow
-    # with the corpus (real scale signal; x53's packing cousin)
+    # with the corpus (real scale signal; x53's packing cousin).
+    # x118-x122 (leakage-safe split, reshard audits, layout verdict,
+    # epoch composition) stay OFF the bench per the budget policy:
+    # driver-gated audits whose cost is the attestation (both layouts /
+    # both engines / the corruption posture), not the operator — x117
+    # is the family's bench representative.
     "x117_shard_export",
 ]
 

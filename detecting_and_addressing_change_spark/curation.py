@@ -81,6 +81,7 @@ def build_training_shards(
     packs_per_shard: int = 64,
     tokenizer: str = "word",
     n_merges: int = 32,
+    epoch_seed: int | None = None,
 ) -> DataFrame:
     """The full pretraining-data build: curate → fit tokenizer → encode →
     pack → shard, materialized.
@@ -98,8 +99,15 @@ def build_training_shards(
       The fitted artifact (word vocab, or merges + subword ids) is
       written to ``{out_path}/vocab`` / ``{out_path}/merges``.
     - Packing: x53's range-partitioned global cumsum lays the kept token
-      stream end-to-end in doc_id order and cuts fixed ``pack_size``
-      packs; ``packs_per_shard`` packs form one output shard.
+      stream end-to-end and cuts fixed ``pack_size`` packs;
+      ``packs_per_shard`` packs form one output shard. The stream order
+      is doc_id by default; passing ``epoch_seed`` lays it in that
+      seed's epoch-shuffle order instead
+      (:func:`.operators.sharding.epoch_order_col` — the between-epoch
+      layer, so each training epoch can be a fresh materialized layout
+      of the same curated corpus). Cuts are exact int64 ``div``
+      (double FLOOR-division loses exactness past 2^53 cumulative
+      tokens — the ADVICE r13 assign_shards fix applied here too).
     - Write: `{out_path}/shards` partitioned by shard_id, sorted by
       doc_id within files.
 
@@ -171,19 +179,29 @@ def build_training_shards(
     else:
         raise ValueError(f"unknown tokenizer {tokenizer!r}")
 
-    cum = global_cumsum(
-        encoded, [F.asc("doc_id")], "n_tokens", out_col="cum"
-    )
-    strt = F.col("cum") - F.col("n_tokens")
+    if epoch_seed is not None:
+        from .operators.sharding import epoch_order_col
+
+        encoded = encoded.withColumn(
+            "__ek", epoch_order_col("doc_id", int(epoch_seed))
+        )
+        order = [F.asc("__ek"), F.asc("doc_id")]
+    else:
+        order = [F.asc("doc_id")]
+    cum = global_cumsum(encoded, order, "n_tokens", out_col="cum")
     sharded = cum.select(
         "doc_id",
         "token_ids",
         F.col("n_tokens").cast("int").alias("n_tokens"),
-        F.floor(strt / pack_size).cast("int").alias("pack_id"),
-        (strt % pack_size).cast("int").alias("pack_offset"),
+        F.expr(f"(cum - n_tokens) div {int(pack_size)}")
+        .cast("int")
+        .alias("pack_id"),
+        ((F.col("cum") - F.col("n_tokens")) % pack_size)
+        .cast("int")
+        .alias("pack_offset"),
     ).withColumn(
         "shard_id",
-        F.floor(F.col("pack_id") / packs_per_shard).cast("int"),
+        F.expr(f"pack_id div {int(packs_per_shard)}").cast("int"),
     )
     write_partitioned(
         sharded, f"{out_path}/shards", ["shard_id"], sort_cols=["doc_id"]

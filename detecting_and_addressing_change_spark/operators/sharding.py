@@ -142,13 +142,19 @@ def rendezvous_shard_col(
     CONSISTENT layout: shard(id) = argmax over s of mix(id, s). When the
     shard count changes n -> n+1, only the ids whose new shard WINS the
     argmax move (expected n/(n+1) of rows stay put), versus ``id % n``
-    where almost everything moves. Exact int64 mix (same reduction
-    discipline as :func:`epoch_order_col`), ties broken to the HIGHEST
-    shard id via lexicographic (weight, shard) max — identical in Spark
-    (array_max over struct) and SQL (ORDER BY w DESC, s DESC LIMIT 1),
-    so the layout is oracle-checkable. The expression is ONE
-    ``transform(sequence(0, n-1), ...)`` lambda + array_max (the
-    k-means table-route pattern, ``operators/kmeans.py``
+    where almost everything moves. The per-shard weight is the
+    multiply-XOR-multiply round from :func:`epoch_order_col`:
+    ``((mix(id) xor s*A) % 2^20) * B % 2^32``. The r13 weight put s
+    ADDITIVELY inside one multiply — the same structured-family defect
+    as the r13 epoch key, and it showed as real load skew (measured at
+    n=64 on 20k consecutive ids: 34..1119 docs/shard vs 282..372 for
+    the xor form, binomial-consistent; movement fraction 242 vs the
+    ~307 expectation — BENCH_NOTES r14). Exact int64 throughout; ties
+    broken to the HIGHEST shard id via lexicographic (weight, shard)
+    max — identical in Spark (array_max over struct) and SQL (ORDER BY
+    w DESC, s DESC LIMIT 1), so the layout is oracle-checkable. The
+    expression is ONE ``transform(sequence(0, n-1), ...)`` lambda +
+    array_max (the k-means table-route pattern, ``operators/kmeans.py``
     ASSIGN_TABLE_ROUTE_K): a CONSTANT-size expression tree at any shard
     count — n_shards is data inside the sequence, not n unrolled code
     terms, so Catalyst analysis cost does not grow with the shard count
@@ -160,36 +166,47 @@ def rendezvous_shard_col(
     seq = F.sequence(
         F.lit(0).cast("long"), F.lit(n - 1).cast("long")
     )
-    r = (c % _ID_MOD) * 31
+    m = _hrw_base(c, 1, _MIX_A)
 
     def _entry(s: Column) -> Column:
-        w = (
-            ((r + s * _SEED_MIX + 1) % _ID_MOD) * _MIX_A % _HASH_MOD
-        )
-        return F.struct(w.alias("w"), s.alias("s"))
+        return F.struct(_hrw_weight(m, s, _MIX_B).alias("w"), s.alias("s"))
 
     return F.array_max(F.transform(seq, _entry))["s"].cast("long")
+
+
+def _hrw_base(c: Column, salt: int | Column, mult: int) -> Column:
+    """Per-row HRW base: mix the id (and salt) once; the draw index
+    enters later via xor (:func:`_hrw_weight`)."""
+    salt_col = F.lit(salt) if isinstance(salt, int) else salt
+    return (((c % _ID_MOD) * 31 + salt_col) % _ID_MOD) * mult % _HASH_MOD
+
+
+def _hrw_weight(m: Column, s: Column, mult: int) -> Column:
+    """xor the draw index into the mixed base, truncate, multiply —
+    carry-free index injection (the epoch-key lesson), measured
+    binomial-uniform across draws (BENCH_NOTES r14)."""
+    return (
+        (m.bitwiseXOR((s * _MIX_A) % _HASH_MOD) % _ID_MOD)
+        * mult
+        % _HASH_MOD
+    )
 
 
 def _rendezvous_shard_col_unrolled(
     id_col: Column | str, n_shards: int
 ) -> Column:
-    """The r13 UNROLLED form (n_shards separate struct terms) — kept
-    ONLY as the parity oracle for :func:`rendezvous_shard_col`'s table
-    route (tests/test_sharding.py); its expression tree grows with
-    n_shards, the exact analysis-cost shape the table route removes."""
+    """The UNROLLED form (n_shards separate struct terms) — kept ONLY
+    as the parity oracle for :func:`rendezvous_shard_col`'s table route
+    (tests/test_sharding.py); its expression tree grows with n_shards,
+    the exact analysis-cost shape the table route removes."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
+    m = _hrw_base(c, 1, _MIX_A)
     pairs = F.array(
         *[
             F.struct(
-                (
-                    (
-                        ((c % _ID_MOD) * 31 + F.lit(int(s) * _SEED_MIX + 1))
-                        % _ID_MOD
-                    )
-                    * _MIX_A
-                    % _HASH_MOD
-                ).alias("w"),
+                _hrw_weight(m, F.lit(int(s)).cast("long"), _MIX_B).alias(
+                    "w"
+                ),
                 F.lit(int(s)).cast("long").alias("s"),
             )
             for s in range(int(n_shards))
@@ -198,15 +215,123 @@ def _rendezvous_shard_col_unrolled(
     return F.array_max(pairs)["s"].cast("long")
 
 
+def _hrw_weight_sql(m_expr: str, s_expr: str, mult: int) -> str:
+    return (
+        f"(xor({m_expr}, ({s_expr}) * {_MIX_A} % {_HASH_MOD})"
+        f" % {_ID_MOD}) * {mult} % {_HASH_MOD}"
+    )
+
+
+def _hrw_base_sql(id_expr: str, salt_expr: str, mult: int) -> str:
+    return (
+        f"(((({id_expr}) % {_ID_MOD}) * 31 + ({salt_expr}))"
+        f" % {_ID_MOD}) * {mult} % {_HASH_MOD}"
+    )
+
+
 def rendezvous_shard_sql(id_expr: str, n_shards: int) -> str:
-    """The same assignment as SQL text (DuckDB list-lambda argmax)."""
+    """The same assignment as SQL text (DuckDB scalar-subquery argmax)."""
+    m = _hrw_base_sql(id_expr, "1", _MIX_A)
     return (
         f"(SELECT s FROM ("
         f"SELECT UNNEST(range({int(n_shards)})) AS s) "
-        f"ORDER BY (((({id_expr}) % {_ID_MOD}) * 31 + s * {_SEED_MIX}"
-        f" + 1) % {_ID_MOD}) * {_MIX_A} % {_HASH_MOD} DESC, s DESC"
+        f"ORDER BY {_hrw_weight_sql(m, 's', _MIX_B)} DESC, s DESC"
         f" LIMIT 1)"
     )
+
+
+# Salt offsets separating the two-level draws from each other and from
+# the flat draw; the group id folds into the slot weight additively
+# (each group orders its slots by its own deterministic preference).
+_GROUP_SALT = 7
+_SLOT_GROUP_FOLD = _SEED_MIX * _SEED_CO_B  # 1255593
+
+
+def rendezvous_shard_col_two_level(
+    id_col: Column | str, n_groups: int, slots_per_group: int
+) -> Column:
+    """Hierarchical (two-level) rendezvous assignment for LARGE shard
+    counts: ``shard = group * slots_per_group + slot`` where the group
+    is an HRW draw over ``n_groups`` and the slot an HRW draw over the
+    winning group's ``slots_per_group`` slots (the group id folded into
+    the slot weight, so each group ranks its slots independently).
+
+    Why: single-level HRW evaluates O(n_shards) weights PER ROW —
+    measured ~5 s / 200k rows at n=2048 (BENCH_NOTES r14); at the
+    10^4-10^5 shard counts of a full 100 TB layout that per-row cost
+    dominates. Two levels cost O(n_groups + slots_per_group) — pick
+    both ~sqrt(n_shards) and the per-row work drops from n to 2*sqrt(n)
+    — while KEEPING the consistency contracts, now hierarchical
+    (property-tested in tests/test_sharding.py):
+
+    - growing n_groups -> n_groups+1 moves a row iff the NEW group wins
+      its group draw; every move lands inside the new group's slot
+      range (expected fraction 1/(n_groups+1));
+    - growing slots_per_group -> slots_per_group+1 moves a row iff its
+      own group's NEW slot wins; every move stays INSIDE the row's
+      group (expected fraction 1/(slots_per_group+1) — and old groups
+      never exchange rows).
+
+    Same exact int64 multiply-xor-multiply weight as the flat form
+    (load-balance and movement-fraction measurements in BENCH_NOTES
+    r14), engine-portable
+    (:func:`rendezvous_shard_two_level_sql`), constant-size expression
+    tree (two transform-over-sequence lambdas), zero-shuffle narrow
+    map."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    ng, spg = int(n_groups), int(slots_per_group)
+
+    def _draw(seq_hi: int, m: Column, mult: int) -> Column:
+        seq = F.sequence(
+            F.lit(0).cast("long"), F.lit(seq_hi - 1).cast("long")
+        )
+
+        def _entry(s: Column) -> Column:
+            return F.struct(
+                _hrw_weight(m, s, mult).alias("w"), s.alias("s")
+            )
+
+        return F.array_max(F.transform(seq, _entry))["s"]
+
+    g = _draw(ng, _hrw_base(c, _GROUP_SALT, _MIX_B), _MIX_C)
+
+    # BIND g once per row: Catalyst does no common-subexpression
+    # elimination inside higher-order-function lambdas, so referencing
+    # the O(G) group-draw expression from inside the slot lambda would
+    # re-evaluate it per SLOT element — O(G*S) per row, the exact cost
+    # this function exists to avoid (measured: 6.7 s vs the fixed form's
+    # ~1 s at 32x64 on 200k rows, BENCH_NOTES r14). A transform over
+    # the single-element array(g) makes g a lambda VARIABLE; inside,
+    # every reference is O(1).
+    def _with_g(gv: Column) -> Column:
+        m = _hrw_base(c, gv * _SLOT_GROUP_FOLD + F.lit(1), _MIX_A)
+        return gv * spg + _draw(spg, m, _MIX_B)
+
+    return F.transform(F.array(g), _with_g)[0].cast("long")
+
+
+def rendezvous_shard_two_level_sql(
+    id_expr: str, n_groups: int, slots_per_group: int
+) -> str:
+    """The same hierarchical assignment as SQL text (DuckDB). The group
+    subquery is inlined into the slot draw (scalar subqueries are cheap
+    at oracle scale; the Spark side is the production form)."""
+    ng, spg = int(n_groups), int(slots_per_group)
+    mg = _hrw_base_sql(id_expr, str(_GROUP_SALT), _MIX_B)
+    g = (
+        f"(SELECT s FROM (SELECT UNNEST(range({ng})) AS s) "
+        f"ORDER BY {_hrw_weight_sql(mg, 's', _MIX_C)} DESC, s DESC"
+        f" LIMIT 1)"
+    )
+    ms = _hrw_base_sql(
+        id_expr, f"({g}) * {_SLOT_GROUP_FOLD} + 1", _MIX_A
+    )
+    slot = (
+        f"(SELECT s FROM (SELECT UNNEST(range({spg})) AS s) "
+        f"ORDER BY {_hrw_weight_sql(ms, 's', _MIX_B)} DESC, s DESC"
+        f" LIMIT 1)"
+    )
+    return f"(({g}) * {spg} + ({slot}))"
 
 
 def assign_shards(

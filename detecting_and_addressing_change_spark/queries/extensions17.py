@@ -977,3 +977,177 @@ def x121(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_same_shard_id"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# X122 — hierarchical (two-level) rendezvous audit: the LARGE-shard-count
+# consistent layout (operators/sharding.py rendezvous_shard_col_two_level).
+#
+# Single-level HRW evaluates O(n_shards) weights per row — measured ~5 s
+# per 200k rows at n=2048 (BENCH_NOTES r14); at the 10^4-10^5 shard
+# counts of a full 100 TB layout that per-row cost dominates. The
+# two-level form draws a group then a slot (O(G + S) weights, both
+# ~sqrt(n)) and keeps the consistency contract HIERARCHICALLY; this
+# query attests both growth directions on the real corpus:
+#  - GROUP growth (8x4 -> 9x4): every moved doc lands inside the new
+#    group's slot range (old groups never exchange docs);
+#  - SLOT growth (8x4 -> 8x5): no doc changes GROUP, and every moved
+#    doc lands on its own group's new slot.
+# Load-balance extremes of the 8x4 layout ride along (the r13 additive
+# weight family measured a 33x load spread at n=64; the r14
+# multiply-xor-multiply weight is binomial-consistent — the min/max
+# columns pin that on the gate). Every column recomputed exactly by the
+# oracle (same int64 mix, scalar-subquery argmax); raise guards pin the
+# contracts at generation time.
+# Scale shape: one zero-shuffle narrow map per layout + one bounded
+# (n_shards-row) aggregate; nothing shuffles the corpus.
+# --------------------------------------------------------------------------
+_X122_G = 8
+_X122_S = 4
+
+
+def _x122_oracle() -> str:
+    from ..operators.sharding import rendezvous_shard_two_level_sql
+
+    g, s = _X122_G, _X122_S
+    a = rendezvous_shard_two_level_sql("doc_id", g, s)
+    b = rendezvous_shard_two_level_sql("doc_id", g + 1, s)
+    c = rendezvous_shard_two_level_sql("doc_id", g, s + 1)
+    return f"""
+    WITH l AS (
+      SELECT doc_id, ({a}) AS s_base, ({b}) AS s_grp, ({c}) AS s_slot
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             s_base // {s} AS g_base, s_base % {s} AS slot_base,
+             s_grp // {s} AS g_grp,
+             s_slot // {s + 1} AS g_slot, s_slot % {s + 1} AS slot_slot
+      FROM l
+    ),
+    loads AS (
+      SELECT COUNT(*) AS c FROM l GROUP BY s_base
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_docs,
+      CAST((SELECT SUM(CASE WHEN g_grp <> g_base THEN 1 ELSE 0 END)
+            FROM m) AS BIGINT) AS n_moved_group_growth,
+      CAST((SELECT SUM(CASE WHEN g_grp <> g_base AND g_grp = {g}
+                       THEN 1 ELSE 0 END) FROM m) AS BIGINT)
+        AS n_into_new_group,
+      CAST((SELECT SUM(CASE WHEN g_slot <> g_base THEN 1 ELSE 0 END)
+            FROM m) AS BIGINT) AS n_group_changed_on_slot_growth,
+      CAST((SELECT SUM(CASE WHEN slot_slot <> slot_base
+                       THEN 1 ELSE 0 END) FROM m) AS BIGINT)
+        AS n_moved_slot_growth,
+      CAST((SELECT SUM(CASE WHEN slot_slot <> slot_base
+                       AND slot_slot = {s} THEN 1 ELSE 0 END) FROM m)
+           AS BIGINT) AS n_onto_new_slot,
+      CAST((SELECT COUNT(*) FROM loads) AS BIGINT) AS n_shards_used,
+      CAST((SELECT MIN(c) FROM loads) AS BIGINT) AS min_shard_load,
+      CAST((SELECT MAX(c) FROM loads) AS BIGINT) AS max_shard_load
+"""
+
+
+@query("x122_two_level_reshard", oracle=_x122_oracle())
+def x122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical-HRW movement contracts (group growth 8x4 -> 9x4,
+    slot growth 8x4 -> 8x5) + base-layout load extremes, as one
+    driver-hashable row."""
+    from ..operators.sharding import rendezvous_shard_col_two_level
+
+    g, s = _X122_G, _X122_S
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    l = docs.select(
+        "doc_id",
+        rendezvous_shard_col_two_level("doc_id", g, s).alias("s_base"),
+        rendezvous_shard_col_two_level("doc_id", g + 1, s).alias(
+            "s_grp"
+        ),
+        rendezvous_shard_col_two_level("doc_id", g, s + 1).alias(
+            "s_slot"
+        ),
+    ).select(
+        "doc_id",
+        "s_base",
+        F.expr(f"s_base div {s}").alias("g_base"),
+        (F.col("s_base") % s).alias("slot_base"),
+        F.expr(f"s_grp div {s}").alias("g_grp"),
+        F.expr(f"s_slot div {s + 1}").alias("g_slot"),
+        (F.col("s_slot") % (s + 1)).alias("slot_slot"),
+    )
+    row = l.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("g_grp") != F.col("g_base")).cast("long")).alias(
+            "n_moved_group_growth"
+        ),
+        F.sum(
+            (
+                (F.col("g_grp") != F.col("g_base"))
+                & (F.col("g_grp") == g)
+            ).cast("long")
+        ).alias("n_into_new_group"),
+        F.sum((F.col("g_slot") != F.col("g_base")).cast("long")).alias(
+            "n_group_changed_on_slot_growth"
+        ),
+        F.sum(
+            (F.col("slot_slot") != F.col("slot_base")).cast("long")
+        ).alias("n_moved_slot_growth"),
+        F.sum(
+            (
+                (F.col("slot_slot") != F.col("slot_base"))
+                & (F.col("slot_slot") == s)
+            ).cast("long")
+        ).alias("n_onto_new_slot"),
+    ).collect()[0]
+    loads = l.groupBy("s_base").agg(
+        F.count(F.lit(1)).alias("c")
+    ).agg(
+        F.count(F.lit(1)).alias("n_shards_used"),
+        F.min("c").alias("min_shard_load"),
+        F.max("c").alias("max_shard_load"),
+    ).collect()[0]
+
+    n_docs = int(row["n_docs"])
+    mg, ing = int(row["n_moved_group_growth"] or 0), int(
+        row["n_into_new_group"] or 0
+    )
+    gs = int(row["n_group_changed_on_slot_growth"] or 0)
+    ms, ons = int(row["n_moved_slot_growth"] or 0), int(
+        row["n_onto_new_slot"] or 0
+    )
+    if mg == 0 or mg != ing:
+        raise AssertionError(
+            f"x122: group growth moved {mg}, into-new-group {ing} — "
+            "hierarchical HRW must move SOME docs and ONLY into the "
+            "new group"
+        )
+    if gs != 0:
+        raise AssertionError(
+            f"x122: {gs} docs changed GROUP under slot growth — the "
+            "group draw must be untouched by slots_per_group"
+        )
+    if ms == 0 or ms != ons:
+        raise AssertionError(
+            f"x122: slot growth moved {ms}, onto-new-slot {ons} — "
+            "moves must land on the own group's new slot only"
+        )
+    if int(loads["min_shard_load"]) == 0:
+        raise AssertionError("x122: a base shard got zero docs")
+    return spark.range(1).select(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.lit(mg).cast("long").alias("n_moved_group_growth"),
+        F.lit(ing).cast("long").alias("n_into_new_group"),
+        F.lit(gs).cast("long").alias("n_group_changed_on_slot_growth"),
+        F.lit(ms).cast("long").alias("n_moved_slot_growth"),
+        F.lit(ons).cast("long").alias("n_onto_new_slot"),
+        F.lit(int(loads["n_shards_used"])).cast("long").alias(
+            "n_shards_used"
+        ),
+        F.lit(int(loads["min_shard_load"])).cast("long").alias(
+            "min_shard_load"
+        ),
+        F.lit(int(loads["max_shard_load"])).cast("long").alias(
+            "max_shard_load"
+        ),
+    )

@@ -157,3 +157,48 @@ def test_build_training_shards_bpe_tokenizer(spark):
         assert r["pack_id"] == start // 64, d
         assert r["pack_offset"] == start % 64, d
         start += len(expect)
+
+
+def test_build_training_shards_epoch_seed(spark):
+    """The epoch_seed leg: packing follows the seeded EPOCH order (the
+    sharding-module between-epoch layer), verified against a local twin
+    of the epoch key; a different seed yields a different layout of the
+    same kept corpus (same docs, same token streams)."""
+    from detecting_and_addressing_change_spark.curation import (
+        build_training_shards,
+    )
+
+    from .test_sharding import _twin_epoch_key
+
+    docs = load_table(spark, SF, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        s0 = build_training_shards(
+            docs, f"{tmp}/e0", vocab_size=64, pack_size=32,
+            packs_per_shard=4, epoch_seed=3,
+        )
+        rows = {r["doc_id"]: r for r in s0.collect()}
+        s1 = build_training_shards(
+            docs, f"{tmp}/e1", vocab_size=64, pack_size=32,
+            packs_per_shard=4, epoch_seed=4,
+        )
+        rows1 = {r["doc_id"]: r for r in s1.collect()}
+
+    # local twin: lay the kept docs in (epoch_key, doc_id) order and cut
+    order = sorted(rows, key=lambda d: (_twin_epoch_key(d, 3), d))
+    start = 0
+    for d in order:
+        r = rows[d]
+        assert r["pack_id"] == start // 32, d
+        assert r["pack_offset"] == start % 32, d
+        assert r["shard_id"] == (start // 32) // 4, d
+        start += r["n_tokens"]
+
+    # same corpus, same per-doc encodings, different layout
+    assert sorted(rows) == sorted(rows1)
+    assert all(
+        list(rows[d]["token_ids"]) == list(rows1[d]["token_ids"])
+        for d in rows
+    )
+    assert any(
+        rows[d]["pack_id"] != rows1[d]["pack_id"] for d in rows
+    ), "a new epoch seed must re-lay the pack stream"

@@ -37,6 +37,39 @@ def _twin_epoch_key(i: int, seed: int) -> int:
     ) % H
 
 
+def _twin_hrw_base(i: int, salt: int, mult: int) -> int:
+    return (((i % (1 << 20)) * 31 + salt) % (1 << 20)) * mult % (1 << 32)
+
+
+def _twin_hrw_weight(m: int, s: int, mult: int) -> int:
+    return ((m ^ (s * 2654435761 % (1 << 32))) % (1 << 20)) * mult \
+        % (1 << 32)
+
+
+def _twin_flat_shard(i: int, n: int) -> int:
+    """Pure twin of rendezvous_shard_col (multiply-xor-multiply weight
+    — keep in lockstep with operators/sharding.py)."""
+    m = _twin_hrw_base(i, 1, 2654435761)
+    return max(range(n), key=lambda s: (_twin_hrw_weight(m, s, 2246822519), s))
+
+
+def _twin_two_level_group(i: int, n_groups: int) -> int:
+    m = _twin_hrw_base(i, 7, 2246822519)
+    return max(
+        range(n_groups),
+        key=lambda s: (_twin_hrw_weight(m, s, 3266489917), s),
+    )
+
+
+def _twin_two_level_shard(i: int, n_groups: int, spg: int) -> int:
+    g = _twin_two_level_group(i, n_groups)
+    m = _twin_hrw_base(i, g * 1255593 + 1, 2654435761)
+    slot = max(
+        range(spg), key=lambda s: (_twin_hrw_weight(m, s, 2246822519), s)
+    )
+    return g * spg + slot
+
+
 def _toy(spark, n=300, seed_weights=7):
     return spark.range(n).select(
         F.col("id").alias("doc_id"),
@@ -290,6 +323,7 @@ def test_write_shards_empty_input(spark, tmp_path):
 def test_rendezvous_assignment_is_zero_shuffle(spark):
     from detecting_and_addressing_change_spark.operators.sharding import (
         rendezvous_shard_col,
+        rendezvous_shard_col_two_level,
     )
 
     df = spark.range(100).select(F.col("id").alias("doc_id"))
@@ -297,6 +331,42 @@ def test_rendezvous_assignment_is_zero_shuffle(spark):
         df.select(rendezvous_shard_col("doc_id", 9).alias("sid"))
     )
     assert "Exchange" not in s, s
+    s2 = explain_str(
+        df.select(
+            rendezvous_shard_col_two_level("doc_id", 16, 16).alias("sid")
+        )
+    )
+    assert "Exchange" not in s2, s2
+
+
+def test_hrw_load_balance_binomial_band(spark):
+    """The r14 weight fix (multiply-xor-multiply): shard loads on 20k
+    consecutive ids must sit in a binomial-consistent band. The r13
+    additive weight measured 34..1119 docs/shard at n=64 (mean 312) —
+    a 33x spread this test would have caught."""
+    df = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    from detecting_and_addressing_change_spark.operators.sharding import (
+        rendezvous_shard_col,
+        rendezvous_shard_col_two_level,
+    )
+
+    for col, nsh in (
+        (rendezvous_shard_col("doc_id", 64), 64),
+        (rendezvous_shard_col_two_level("doc_id", 16, 16), 256),
+    ):
+        loads = [
+            int(r["n"])
+            for r in df.select(col.alias("s"))
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        mean = 20_000 / nsh
+        assert len(loads) == nsh  # every shard populated
+        # ~6 sigma band around the binomial expectation
+        sigma = (mean * (1 - 1 / nsh)) ** 0.5
+        assert max(loads) < mean + 6 * sigma, max(loads)
+        assert min(loads) > mean - 6 * sigma, min(loads)
 
 
 def test_read_shards_verifies_and_prunes(spark, tmp_path):
@@ -375,13 +445,6 @@ except ImportError:  # pragma: no cover
 
 if _HYP:
 
-    def _hrw_weight(i: int, s: int) -> int:
-        return (((i % (1 << 20)) * 31 + s * 40503 + 1) % (1 << 20)) \
-            * 2654435761 % (1 << 32)
-
-    def _hrw(i: int, n: int) -> int:
-        return max(range(n), key=lambda s: (_hrw_weight(i, s), s))
-
     @settings(max_examples=200, deadline=None)
     @given(
         ids=st.lists(st.integers(min_value=0, max_value=2**62),
@@ -392,10 +455,37 @@ if _HYP:
         """Pure-python twin of rendezvous_shard_col (same arithmetic):
         growing n -> n+1 never moves a row to an OLD shard."""
         for i in ids:
-            a, b = _hrw(i, n), _hrw(i, n + 1)
+            a, b = _twin_flat_shard(i, n), _twin_flat_shard(i, n + 1)
             assert 0 <= a < n and 0 <= b < n + 1
             if a != b:
                 assert b == n  # moves only to the new shard
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        ids=st.lists(st.integers(min_value=0, max_value=2**62),
+                     min_size=1, max_size=40),
+        g=st.integers(min_value=1, max_value=8),
+        spg=st.integers(min_value=1, max_value=8),
+    )
+    def test_two_level_hrw_hierarchical_movement(ids, g, spg):
+        """The hierarchical consistency contracts: growing the GROUP
+        count moves a row only into the new group's slot range; growing
+        SLOTS-per-group moves a row only onto its OWN group's new slot
+        (the group draw is untouched by slot growth)."""
+        for i in ids:
+            grp = _twin_two_level_group(i, g)
+            # group growth
+            grp2 = _twin_two_level_group(i, g + 1)
+            if grp2 != grp:
+                assert grp2 == g  # only the NEW group can win
+            # slot growth: same group, move only onto the new slot
+            a = _twin_two_level_shard(i, g, spg)
+            b = _twin_two_level_shard(i, g, spg + 1)
+            ga, sa = divmod(a, spg)
+            gb, sb = divmod(b, spg + 1)
+            assert ga == gb == grp
+            if sa != sb:
+                assert sb == spg  # only the new slot can win
 
     @settings(max_examples=100, deadline=None)
     @given(
@@ -423,22 +513,23 @@ def test_pure_twins_match_spark_columns(spark):
     df = spark.createDataFrame(
         [(i,) for i in ids], "doc_id long"
     )
+    from detecting_and_addressing_change_spark.operators.sharding import (
+        rendezvous_shard_col_two_level,
+    )
+
     got = {
-        r["doc_id"]: (r["h"], r["rv"])
+        r["doc_id"]: (r["h"], r["rv"], r["rv2"])
         for r in df.select(
             "doc_id",
             epoch_order_col("doc_id", 13).alias("h"),
             rendezvous_shard_col("doc_id", 9).alias("rv"),
+            rendezvous_shard_col_two_level("doc_id", 8, 4).alias("rv2"),
         ).collect()
     }
-
-    def twin_key(i):
-        return _twin_epoch_key(i, 13)
-
-    def twin_w(i, s):
-        return (((i % (1 << 20)) * 31 + s * 40503 + 1) % (1 << 20)) \
-            * 2654435761 % (1 << 32)
-
     for i in ids:
-        rv = max(range(9), key=lambda s: (twin_w(i, s), s))
-        assert got[i] == (twin_key(i), rv), (i, got[i])
+        expect = (
+            _twin_epoch_key(i, 13),
+            _twin_flat_shard(i, 9),
+            _twin_two_level_shard(i, 8, 4),
+        )
+        assert got[i] == expect, (i, got[i], expect)

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from detecting_and_addressing_change_spark.operators.sharding import (  # noqa: E402
     _rendezvous_shard_col_unrolled,
     rendezvous_shard_col,
+    rendezvous_shard_col_two_level,
 )
 from detecting_and_addressing_change_spark.session import get_spark  # noqa: E402
 
@@ -50,6 +51,21 @@ def main() -> None:
             out.agg(F.sum("sid"), F.countDistinct("sid")).collect()
             t_ex = time.perf_counter() - t0
             print(f"{label:>8} {n:>8} {t_an:>9.3f} {t_ex:>7.3f}")
+
+    # two-level HRW at large n: O(G + S) weights/row vs the flat form's
+    # O(n) — the per-ROW cost the table route does NOT remove
+    for gg, ss in ((32, 64), (64, 32), (128, 128)):
+        n = gg * ss
+        t0 = time.perf_counter()
+        out = df.select(
+            rendezvous_shard_col_two_level("doc_id", gg, ss).alias("sid")
+        )
+        out.schema
+        t_an = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out.agg(F.sum("sid"), F.countDistinct("sid")).collect()
+        t_ex = time.perf_counter() - t0
+        print(f"2lvl{gg}x{ss:<4} {n:>7} {t_an:>9.3f} {t_ex:>7.3f}")
     spark.stop()
 
 
