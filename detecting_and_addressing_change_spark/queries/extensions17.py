@@ -1151,3 +1151,165 @@ def x122(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_shard_load"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# X123 — the MATERIALIZED pretraining build end-to-end on the gate:
+# curation.build_training_shards (curate -> fit word vocab -> encode ->
+# epoch-ordered pack -> shard -> PARQUET WRITE), read back from disk and
+# verified per-document against one SQL chain. Until this round the
+# one-shot materialization path had only pytest coverage; x123 puts the
+# whole composition (the x55 verdict ∧ the x24 vocab/encode contract ∧
+# the x53 pack cut ∧ the r14 epoch layer ∧ the partitioned write) on
+# the driver's oracle gate.
+#
+# The oracle recomputes EVERYTHING: the kept set through the same
+# dedup-canonical/benchmark-split/quality-band/decontamination CTEs as
+# x55's oracle; the 64-word vocabulary (count desc, word asc, ids 1..64,
+# OOV=0 — the x24 contract) over the KEPT corpus's nonempty words; each
+# document's token count, order-weighted token-id checksum
+# (SUM (pos+1)*tid — pins the ENCODING ORDER, not just the multiset);
+# and the seed-5 epoch-ordered window cumsum cut into 32-token packs and
+# 4-pack shards. No pins anywhere; the Spark side reads the rows back
+# from the written parquet layout, so a write/read defect fails the
+# compare too.
+# Scale shape: curation is x55's plan (one digest shuffle + broadcast
+# gram join), vocab is one agg -> 64-row broadcast literal, encode is a
+# zero-shuffle narrow map, the pack cut is global_cumsum (range
+# partition + broadcast offsets), the write is one partitioned parquet.
+# --------------------------------------------------------------------------
+_X123_SEED = 5
+_X123_VOCAB = 64
+_X123_PACK = 32
+_X123_PPS = 4
+
+
+def _x123_oracle() -> str:
+    from ..operators.sharding import epoch_order_sql
+
+    # kept-set CTEs: same semantics as x55's oracle / extensions7
+    # curation_verdicts (dedup canonical ∧ not benchmark split ∧ quality
+    # bands ∧ not 4-gram-contaminated)
+    return f"""
+    WITH f AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             length(replace(text, ' ', '')) AS nchars, md5(text) AS dg
+      FROM documents
+    ),
+    keepdup AS (SELECT dg, MIN(doc_id) AS keeper FROM f GROUP BY dg),
+    q AS (
+      SELECT doc_id, len(w) AS nw,
+             CAST(nchars AS DOUBLE) / len(w) AS mwl,
+             CAST(coalesce(list_max(list_transform(
+               list_distinct(w),
+               x -> len(list_filter(w, y -> y = x)))), 0) AS DOUBLE)
+               / len(w) AS topf
+      FROM f
+    ),
+    grams AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               generate_series(1, len(w) - 3),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+             ))) AS g
+      FROM f
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 7),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id
+      FROM grams t JOIN bench b USING (g)
+      WHERE t.doc_id % 10 <> 7
+    ),
+    kept AS (
+      SELECT f.doc_id, f.w
+      FROM f
+      JOIN keepdup kd ON f.dg = kd.dg
+      JOIN q ON q.doc_id = f.doc_id
+      LEFT JOIN contaminated c ON c.doc_id = f.doc_id
+      WHERE kd.keeper = f.doc_id AND f.doc_id % 10 <> 7
+        AND q.nw BETWEEN 10 AND 100000
+        AND q.mwl BETWEEN 2.0 AND 12.0
+        AND q.topf <= 0.2 AND c.doc_id IS NULL
+    ),
+    tok AS (
+      SELECT doc_id, UNNEST(generate_series(1, len(w))) AS gidx, w
+      FROM kept
+    ),
+    tok2 AS (
+      SELECT doc_id, gidx, w[gidx] AS item FROM tok WHERE w[gidx] <> ''
+    ),
+    pos AS (
+      SELECT doc_id, item,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY gidx) - 1
+               AS p
+      FROM tok2
+    ),
+    counts AS (SELECT item, COUNT(*) AS cnt FROM pos GROUP BY item),
+    vocab AS (
+      SELECT item,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, item) AS BIGINT)
+               AS tid
+      FROM counts ORDER BY cnt DESC, item LIMIT {_X123_VOCAB}
+    ),
+    enc AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(COALESCE(v.tid, 0)) AS BIGINT) AS tid_sum,
+             CAST(SUM((t.p + 1) * COALESCE(v.tid, 0)) AS BIGINT)
+               AS tid_weighted
+      FROM pos t LEFT JOIN vocab v USING (item)
+      GROUP BY t.doc_id
+    ),
+    c2 AS (
+      SELECT doc_id, n_tokens, tid_sum, tid_weighted,
+             SUM(n_tokens) OVER (
+               ORDER BY {epoch_order_sql('doc_id', _X123_SEED)}, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS strt
+      FROM enc
+    )
+    SELECT doc_id,
+           n_tokens,
+           CAST(strt // {_X123_PACK} AS BIGINT) AS pack_id,
+           CAST(strt % {_X123_PACK} AS BIGINT) AS pack_offset,
+           CAST((strt // {_X123_PACK}) // {_X123_PPS} AS BIGINT)
+             AS shard_id,
+           tid_sum,
+           tid_weighted
+    FROM c2
+"""
+
+
+@query("x123_training_build_materialized", oracle=_x123_oracle())
+def x123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the real curation.build_training_shards (word tokenizer,
+    seed-5 epoch order) into a scratch dir and report every written
+    document's layout row + order-weighted token checksum, read back
+    from the materialized parquet."""
+    from ..curation import build_training_shards
+    from .extensions10 import _scratch_index_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch_index_dir(spark, "shards123_")
+    shards = build_training_shards(
+        docs,
+        path,
+        vocab_size=_X123_VOCAB,
+        pack_size=_X123_PACK,
+        packs_per_shard=_X123_PPS,
+        epoch_seed=_X123_SEED,
+    )
+    return shards.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("pack_id").cast("long").alias("pack_id"),
+        F.col("pack_offset").cast("long").alias("pack_offset"),
+        F.col("shard_id").cast("long").alias("shard_id"),
+        F.expr(
+            "aggregate(token_ids, 0L, (a, t) -> a + CAST(t AS BIGINT))"
+        ).alias("tid_sum"),
+        F.expr(
+            "aggregate(zip_with(token_ids, sequence(1, size(token_ids)),"
+            " (t, i) -> CAST(i AS BIGINT) * t), 0L, (a, x) -> a + x)"
+        ).alias("tid_weighted"),
+    )
