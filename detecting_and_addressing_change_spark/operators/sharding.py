@@ -54,6 +54,10 @@ int64 arithmetic so the whole layout is DuckDB-oracle-checkable:
 :func:`write_shards` materializes the layout: one hash shuffle on
 shard_id (each shard lands in exactly one task -> one file per shard
 directory), ``partitionBy("shard_id")`` parquet, manifest alongside.
+Consumption is :func:`read_shards` (batch, manifest-verified,
+partition-pruned) or :func:`read_shards_stream` (Structured Streaming,
+one whole shard per micro-batch — the trainer's streaming loader,
+verified at arrival by x124).
 
 Relation to :func:`..curation.build_training_shards`: that is the
 one-shot corpus MATERIALIZATION (curate -> encode -> pack -> write) in
@@ -414,6 +418,31 @@ def write_shards(
         .save(f"{path}/data")
     )
     return manifest
+
+
+def read_shards_stream(
+    spark,
+    path: str,
+    schema: str,
+    data_format: str = "parquet",
+    max_files_per_trigger: int = 1,
+):
+    """The STREAMING loader entry: a Structured Streaming file source
+    over ``{path}/data``. With the layout's one-file-per-shard write
+    contract and the default ``max_files_per_trigger=1``, every
+    micro-batch delivers exactly one whole shard — bounded memory at
+    any corpus size, and the consumer can verify each shard against the
+    manifest AT ARRIVAL (x124 does; a truncated file fails before the
+    next shard is consumed). ``schema`` must name the data columns plus
+    the ``shard_id`` partition column (file streams cannot infer)."""
+    if data_format not in ("parquet", "json"):
+        raise ValueError(f"unsupported shard format {data_format!r}")
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", int(max_files_per_trigger))
+        .format(data_format)
+        .load(f"{path}/data")
+    )
 
 
 def read_shards(

@@ -1313,3 +1313,174 @@ def x123(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (t, i) -> CAST(i AS BIGINT) * t), 0L, (a, x) -> a + x)"
         ).alias("tid_weighted"),
     )
+
+
+# --------------------------------------------------------------------------
+# X124 — streaming shard LOADER verdict: the consumption side of the
+# trainer contract. x117/x120 attest the export and x123 the
+# materialized build; this query attests how a trainer's streaming
+# loader actually ingests a shard directory: a Structured Streaming
+# file source over {path}/data with maxFilesPerTrigger=1, so — the
+# layout's one-file-per-shard contract — EVERY micro-batch delivers
+# exactly one whole shard, and each arriving shard is verified against
+# the manifest BEFORE the next is consumed (foreachBatch recomputes the
+# shard's n_docs/n_tokens/checksum; a truncated or swapped file fails
+# at arrival time, not after training started).
+#
+# Verdicts (raise-guarded at generation time, pinned TRUE by the
+# oracle): one_shard_per_batch (each micro-batch touched exactly one
+# shard_id and n_batches == n_shards), every_shard_manifest_verified
+# (per-shard accumulated stats equal the stored manifest, every shard
+# seen exactly once), drained (awaitTermination within timeout — the
+# ADVICE r12 convention). Beside them, SQL-exact layout fingerprints
+# (n_docs/total_tokens/checksum_total/n_shards from the same
+# window-cumsum arithmetic as x117/x120, on the odd-doc sample).
+# Scale shape: the stream reads one shard file per trigger (bounded
+# memory at any corpus size); per-batch verification is one bounded
+# agg over that shard; the manifest rides driver-side (n_shards rows).
+# --------------------------------------------------------------------------
+_X124_SEED = 17
+_X124_BUDGET = 2048
+
+
+def _x124_oracle() -> str:
+    from ..operators.sharding import epoch_order_sql
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             {epoch_order_sql('doc_id', _X124_SEED)} AS h
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS strt
+      FROM t
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      CAST(SUM(doc_id * n_tokens) AS BIGINT) AS checksum_total,
+      CAST(MAX(strt // {_X124_BUDGET}) + 1 AS BIGINT) AS n_shards,
+      TRUE AS one_shard_per_batch,
+      TRUE AS every_shard_manifest_verified,
+      TRUE AS drained
+    FROM c
+"""
+
+
+@query("x124_shard_stream_loader", oracle=_x124_oracle())
+def x124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-consume a written shard layout one shard per micro-batch
+    with arrival-time manifest verification, as one driver-hashable
+    row."""
+    from ..operators.sharding import (
+        assign_shards,
+        read_shards_stream,
+        write_shards,
+    )
+    from .extensions10 import _scratch_index_dir
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 1)
+        .select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        )
+    )
+    path = _scratch_index_dir(spark, "shard124_")
+    assigned = assign_shards(
+        docs, "doc_id", "n_tokens", budget=_X124_BUDGET, seed=_X124_SEED
+    )
+    manifest = {
+        int(r["shard_id"]): (
+            int(r["n_docs"]),
+            int(r["n_tokens"]),
+            int(r["checksum"]),
+        )
+        for r in write_shards(assigned, path, "doc_id", "n_tokens")
+        .collect()
+    }
+    n_shards = len(manifest)
+
+    seen: dict[int, tuple[int, int, int]] = {}
+    batch_shard_counts: list[int] = []
+    dupes: list[int] = []
+
+    def _verify_batch(bdf, _bid):
+        rows = (
+            bdf.groupBy("shard_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col("n_tokens").cast("long")).alias("tok"),
+                F.sum(
+                    F.col("doc_id").cast("long")
+                    * F.col("n_tokens").cast("long")
+                ).alias("ck"),
+            )
+            .collect()
+        )
+        batch_shard_counts.append(len(rows))
+        for r in rows:
+            sid = int(r["shard_id"])
+            if sid in seen:
+                dupes.append(sid)
+            seen[sid] = (int(r["n_docs"]), int(r["tok"]), int(r["ck"]))
+
+    ckpt = f"{path}/loader_ckpt"
+    stream = read_shards_stream(
+        spark,
+        path,
+        schema="doc_id long, n_tokens int, epoch_key long, shard_id long",
+    )
+    q = (
+        stream.writeStream.foreachBatch(_verify_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise AssertionError(
+            "x124: shard loader stream did not drain within 300 s"
+        )
+
+    if dupes:
+        raise AssertionError(f"x124: shards delivered twice: {dupes}")
+    nonsingle = [n for n in batch_shard_counts if n != 1]
+    if nonsingle or len(batch_shard_counts) != n_shards:
+        raise AssertionError(
+            f"x124: {len(batch_shard_counts)} batches with per-batch "
+            f"shard counts {batch_shard_counts} for {n_shards} shards — "
+            "the one-file-per-shard / maxFilesPerTrigger=1 contract "
+            "must deliver exactly one whole shard per micro-batch"
+        )
+    if seen != manifest:
+        missing = sorted(set(manifest) - set(seen))
+        wrong = {
+            s: (seen[s], manifest[s])
+            for s in seen
+            if s in manifest and seen[s] != manifest[s]
+        }
+        raise AssertionError(
+            f"x124: arrival-time verification failed — missing shards "
+            f"{missing}, mismatched {wrong}"
+        )
+
+    n_docs = sum(v[0] for v in manifest.values())
+    total_tokens = sum(v[1] for v in manifest.values())
+    checksum_total = sum(v[2] for v in manifest.values())
+    return spark.range(1).select(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.lit(total_tokens).cast("long").alias("total_tokens"),
+        F.lit(checksum_total).cast("long").alias("checksum_total"),
+        F.lit(n_shards).cast("long").alias("n_shards"),
+        F.lit(True).alias("one_shard_per_batch"),
+        F.lit(True).alias("every_shard_manifest_verified"),
+        F.lit(True).alias("drained"),
+    )

@@ -533,3 +533,57 @@ def test_pure_twins_match_spark_columns(spark):
             _twin_two_level_shard(i, 8, 4),
         )
         assert got[i] == expect, (i, got[i], expect)
+
+
+def test_read_shards_stream_one_shard_per_batch(spark, tmp_path):
+    """The streaming loader entry: maxFilesPerTrigger=1 over the
+    one-file-per-shard layout delivers exactly one whole shard per
+    micro-batch, and the union of batches is the full corpus."""
+    from detecting_and_addressing_change_spark.operators.sharding import (
+        read_shards_stream,
+    )
+
+    df = _toy(spark, n=250)
+    assigned = assign_shards(df, "doc_id", "n_tokens", budget=BUDGET,
+                             seed=11)
+    path = str(tmp_path / "layout")
+    manifest = {
+        int(r["shard_id"]): int(r["n_docs"])
+        for r in write_shards(assigned, path, "doc_id", "n_tokens")
+        .collect()
+    }
+
+    per_batch: list[dict[int, int]] = []
+
+    def _collect(bdf, _bid):
+        per_batch.append(
+            {
+                int(r["shard_id"]): int(r["n"])
+                for r in bdf.groupBy("shard_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        )
+
+    stream = read_shards_stream(
+        spark, path,
+        schema="doc_id long, n_tokens long, epoch_key long, "
+               "shard_id long",
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.foreachBatch(_collect)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    assert len(per_batch) == len(manifest)
+    assert all(len(b) == 1 for b in per_batch)
+    merged: dict[int, int] = {}
+    for b in per_batch:
+        for sid, n in b.items():
+            assert sid not in merged  # no shard split across batches
+            merged[sid] = n
+    assert merged == manifest
