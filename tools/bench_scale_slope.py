@@ -29,6 +29,9 @@ QUERIES_UNDER_TEST = [
     "x83_ann_recall",            # exact ground truth x IVF probe
     "x84_prefix_jaccard_join",   # prefix candidates + positional filters
     "x76_incremental_dedup",     # persisted-index lifecycle incl. writes
+    # round-14 addition: the shard-export layout arithmetic (epoch-key
+    # range shuffle + global_cumsum + manifest agg)
+    "x117_shard_export",
 ]
 
 
