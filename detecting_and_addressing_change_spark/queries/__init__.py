@@ -26,6 +26,7 @@ from . import extensions14  # noqa: F401,E402
 from . import extensions15  # noqa: F401,E402
 from . import extensions16  # noqa: F401,E402
 from . import extensions17  # noqa: F401,E402
+from . import extensions18  # noqa: F401,E402
 from . import drift  # noqa: F401,E402
 
 # The external driver evaluates at most the first 50 registered queries per
@@ -223,6 +224,18 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     "x100_ddm_stream_verdict", "x104_ph_stream_verdict",
     "x110_watermark_window_verdict", "x111_stream_dedup_horizon_verdict",
     "x112_stream_join_verdict", "x116_mlp_mapping_session",
+    # green rows in CORRECTNESS_r14.json: the whole sharding family
+    # x117-x124 plus q01-q53 re-greens. The relational re-greens were
+    # already listed above; x117-x124 are deliberately NOT folded —
+    # operators/sharding.py's executed expressions change AGAIN in
+    # round 15 (the fourth epoch-key slice round over id bits 60+ and
+    # the folded seed mask — VERDICT r14 #4 / ADVICE r14; the adaptive
+    # two-level route + n_shards>=1 guards inside rendezvous_shard_col
+    # — VERDICT r14 #3 / ADVICE r14; write_shards' max_id+1 write
+    # parallelism — ADVICE r14), x123 additionally moves onto the
+    # shared _x123_layout build fixture, and x124 gains TRUE in-batch
+    # arrival-time verification (ADVICE r14). All eight float forward
+    # for fresh rows, alongside the new x125/x126 trainer-seam queries.
     # green rows in CORRECTNESS_r06.json continue below
     "q59_gradual_drift_experiment", "q61_mapping_experiment",
     "x03_minhash_bands", "x04_minhash_pairs", "x23_dedup_clusters",

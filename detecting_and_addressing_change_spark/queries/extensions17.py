@@ -1184,7 +1184,13 @@ _X123_PACK = 32
 _X123_PPS = 4
 
 
-def _x123_oracle() -> str:
+def _x123_ctes() -> str:
+    """The x123 layout recomputation as a reusable WITH-chain: kept set
+    (x55's curation semantics) -> word positions -> 64-word vocab ->
+    per-doc encoding stats -> the seed-5 epoch-ordered window cumsum
+    (``c2``: doc_id, n_tokens, tid_sum, tid_weighted, strt). x125/x126
+    (extensions18) extend this same chain with NB stats / replay
+    fingerprints, so the three oracles can never drift apart."""
     from ..operators.sharding import epoch_order_sql
 
     # kept-set CTEs: same semantics as x55's oracle / extensions7
@@ -1268,6 +1274,11 @@ def _x123_oracle() -> str:
              ) - n_tokens AS strt
       FROM enc
     )
+"""
+
+
+def _x123_oracle() -> str:
+    return _x123_ctes() + f"""
     SELECT doc_id,
            n_tokens,
            CAST(strt // {_X123_PACK} AS BIGINT) AS pack_id,
@@ -1280,25 +1291,45 @@ def _x123_oracle() -> str:
 """
 
 
+# Build-or-reuse fixture for the x123 layout, per (session, sf_dir):
+# x123 attests the BUILD, x125/x126 (extensions18) attest TRAINING from
+# the same materialized layout — one build feeds all three (the x76/x79
+# shared-fixture precedent under the bench/sweep budget policy). All
+# consumers are read-only; the scratch dir lives until process exit.
+_X123_LAYOUTS: dict[tuple[str, str], str] = {}
+
+
+def _x123_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the materialized x123 training-shard layout (building it
+    on first use in this session): curation.build_training_shards with
+    the x123 parameters (word vocab 64, pack 32, 4 packs/shard, epoch
+    seed 5) over the documents table."""
+    from ..curation import build_training_shards
+    from .extensions10 import _scratch_index_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _X123_LAYOUTS:
+        docs = load_table(spark, sf_dir, "documents")
+        path = _scratch_index_dir(spark, "shards123_")
+        build_training_shards(
+            docs,
+            path,
+            vocab_size=_X123_VOCAB,
+            pack_size=_X123_PACK,
+            packs_per_shard=_X123_PPS,
+            epoch_seed=_X123_SEED,
+        )
+        _X123_LAYOUTS[key] = path
+    return _X123_LAYOUTS[key]
+
+
 @query("x123_training_build_materialized", oracle=_x123_oracle())
 def x123(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the real curation.build_training_shards (word tokenizer,
     seed-5 epoch order) into a scratch dir and report every written
     document's layout row + order-weighted token checksum, read back
     from the materialized parquet."""
-    from ..curation import build_training_shards
-    from .extensions10 import _scratch_index_dir
-
-    docs = load_table(spark, sf_dir, "documents")
-    path = _scratch_index_dir(spark, "shards123_")
-    shards = build_training_shards(
-        docs,
-        path,
-        vocab_size=_X123_VOCAB,
-        pack_size=_X123_PACK,
-        packs_per_shard=_X123_PPS,
-        epoch_seed=_X123_SEED,
-    )
+    shards = spark.read.parquet(f"{_x123_layout(spark, sf_dir)}/shards")
     return shards.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -1430,7 +1461,20 @@ def x124(spark: SparkSession, sf_dir: str) -> DataFrame:
             sid = int(r["shard_id"])
             if sid in seen:
                 dupes.append(sid)
-            seen[sid] = (int(r["n_docs"]), int(r["tok"]), int(r["ck"]))
+            got = (int(r["n_docs"]), int(r["tok"]), int(r["ck"]))
+            seen[sid] = got
+            # TRUE arrival-time verification (ADVICE r14): the shard's
+            # stats are compared against the manifest INSIDE the batch
+            # — a content-corrupted shard aborts the stream HERE, before
+            # the next shard is consumed, not after the drain. The whole
+            # shard is in this batch by the one-file-per-shard contract,
+            # so the per-batch stats are the shard's full stats.
+            exp = manifest.get(sid)
+            if exp is None or got != exp:
+                raise AssertionError(
+                    f"x124: shard {sid} failed manifest verification at "
+                    f"arrival: got {got}, manifest {exp}"
+                )
 
     ckpt = f"{path}/loader_ckpt"
     stream = read_shards_stream(

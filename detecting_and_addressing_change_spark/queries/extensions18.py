@@ -1,0 +1,638 @@
+"""Round-15 extension queries: TRAINING from the materialized shard
+layout — the consumer-side closure of the trainer seam (VERDICT r14
+task #2). x123 attests the build (curate -> vocab/encode -> seeded
+epoch order -> pack -> partitioned write) and x124 the streaming
+loader's arrival-time verification; until this round nothing TRAINED
+off the layout, while the reference's whole point is the training loop
+(``models/wos_train_nb.py:65-114``, ``models/wos_train_lstm.py:83-153``
+consume their corpus loaders batch-by-batch, test-then-train).
+
+Two queries, both consuming the SAME x123 layout (one build per
+session — the ``_x123_layout`` fixture):
+
+- **x125** — the prequential NB session consuming
+  ``read_shards_stream`` over the layout, one shard GROUP per
+  micro-batch. Gaussian-NB sufficient statistics are order-free, so
+  train-from-shards == train-from-corpus is an EXACT, SQL-checkable
+  claim: the integer sufficient statistics accumulated across arriving
+  micro-batches must equal both a batch recompute and the oracle's
+  direct GROUP BY over the recomputed corpus — zero numeric pins.
+- **x126** — the prequential LSTM session replaying the layout in
+  EPOCH ORDER (the layout's pack offsets ARE the seeded epoch order:
+  ``epos = pack_id * pack_size + pack_offset`` equals the doc's start
+  offset in the epoch-ordered token stream). The Adam train steps are
+  the genuinely non-SQL-expressible part (the x108 shape), so the
+  verdicts are raise-guarded in-query and pinned TRUE beside SQL-exact
+  replay fingerprints (doc counts, the epoch-offset sum, truncated
+  token totals, batch count).
+
+Both follow the oracle-hygiene rule: no generated literals, every
+non-boolean column recomputed exactly by the oracle via the SHARED
+``_x123_ctes`` chain (the three oracles cannot drift apart).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extensions17 import (
+    _X123_PACK,
+    _X123_PPS,
+    _x123_ctes,
+    _x123_layout,
+)
+from .registry import query
+
+_LAYOUT_SCHEMA = (
+    "doc_id long, token_ids array<int>, n_tokens int, "
+    "pack_id int, pack_offset int, shard_id int"
+)
+_SHARD_TOKENS = _X123_PACK * _X123_PPS  # tokens per shard (128)
+
+
+# --------------------------------------------------------------------------
+# X125 — prequential NB trained FROM the streamed shard layout.
+#
+# The session runs the REAL loop (streaming/prequential.PrequentialNB —
+# the exact-sufficient-statistics partial_fit cadence of
+# models/wos_train_nb.py:65-114) inside foreachBatch over
+# read_shards_stream(subdir="shards", maxFilesPerTrigger=k): each
+# micro-batch delivers k whole shards (the one-file-per-shard write
+# contract), is scored against the CURRENT model, then merged in. The
+# features are an 8-bin token-id histogram and the label tid_sum % 3 —
+# both INTEGER-exact and derived from token_ids alone, so every model
+# input is recomputable from the oracle's vocab/encode chain.
+#
+# Verdicts (raise-guarded at generation time, pinned TRUE by the
+# oracle):
+#  - stream_stats_equal_batch: the integer (n, sum, sum-of-squares)
+#    sufficient statistics accumulated ACROSS micro-batches equal a
+#    one-pass batch recompute over the read-back layout, per (label,
+#    dim) cell, exactly — train-from-shards == train-from-corpus at
+#    the model-defining level (Gaussian NB IS its sufficient stats);
+#  - shards_grouped_once_each: every shard id arrives exactly once,
+#    in groups of <= k, in ceil(n_shards / k) micro-batches;
+#  - prequential_history_ok: the test-then-train series has exactly
+#    n_batches - 1 rows (the first batch has no model to test) with
+#    every accuracy in [0, 1];
+#  - stream_model_equals_batch_model: nb_predict with the
+#    stream-trained stats and with a from-scratch nb_fit agree on
+#    EVERY document's predicted class (the float merge path vs the
+#    one-pass path — compared at the prediction level, the NB module's
+#    stated contract).
+# Beside them, SQL-exact fingerprints: n_docs / n_shards / n_batches,
+# the weighted integer checksum of the sufficient statistics, and the
+# per-class prediction counts of the final model (the oracle replays
+# sklearn's exact smoothed-Gaussian scoring in SQL — the x103
+# machinery).
+#
+# Scale shape: the stream reads k shard files per trigger (bounded
+# memory at any corpus size); per-batch work is one tiny grouped agg
+# (classes x dims rows) + the NB fit/merge (n_classes x dim state);
+# the final dual-path predict is two zero-shuffle narrow maps. The
+# driver loop is O(n_shards / k) micro-batches — k scales with the
+# layout so the batch count stays fixed.
+# --------------------------------------------------------------------------
+_X125_DIM = 8
+_X125_CLASSES = 3
+_X125_TARGET_BATCHES = 8
+_X125_CK_N = 1_000_003
+_X125_CK_S1 = 1_009
+
+
+def _x125_features() -> Column:
+    """8-bin histogram of token_id % 8 — integer-valued doubles, exact
+    on both engines."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(_X125_DIM - 1)),
+        lambda j: F.size(
+            F.filter(
+                F.col("token_ids"), lambda t: t % _X125_DIM == j
+            )
+        ).cast("double"),
+    )
+
+
+def _x125_label() -> Column:
+    return (
+        F.aggregate(
+            F.col("token_ids"),
+            F.lit(0).cast("long"),
+            lambda a, t: a + t.cast("long"),
+        )
+        % _X125_CLASSES
+    ).cast("int")
+
+
+def _x125_oracle() -> str:
+    return _x123_ctes() + f"""
+    , ns AS (
+      SELECT CAST(MAX(strt // {_SHARD_TOKENS}) + 1 AS BIGINT) AS n_shards
+      FROM c2
+    ),
+    grp AS (
+      SELECT n_shards,
+             (n_shards + {_X125_TARGET_BATCHES - 1})
+               // {_X125_TARGET_BATCHES} AS k
+      FROM ns
+    ),
+    hist AS (
+      SELECT t.doc_id, COALESCE(v.tid, 0) % {_X125_DIM} AS d,
+             COUNT(*) AS c
+      FROM pos t LEFT JOIN vocab v USING (item)
+      GROUP BY t.doc_id, COALESCE(v.tid, 0) % {_X125_DIM}
+    ),
+    dims AS (SELECT UNNEST(generate_series(0, {_X125_DIM - 1})) AS d),
+    hist0 AS (
+      -- zero-count dims must still enter the stats (the Spark feature
+      -- vector carries explicit zeros)
+      SELECT e.doc_id, dm.d, CAST(COALESCE(h.c, 0) AS DOUBLE) AS c
+      FROM enc e CROSS JOIN dims dm
+      LEFT JOIN hist h ON h.doc_id = e.doc_id AND h.d = dm.d
+    ),
+    lab AS (SELECT doc_id, tid_sum % {_X125_CLASSES} AS label FROM enc),
+    nbstats AS (
+      SELECT l.label, h.d, COUNT(*) AS n,
+             CAST(SUM(h.c) AS BIGINT) AS s1,
+             CAST(SUM(h.c * h.c) AS BIGINT) AS s2
+      FROM hist0 h JOIN lab l USING (doc_id)
+      GROUP BY l.label, h.d
+    ),
+    ck AS (
+      SELECT CAST(SUM((label * {_X125_DIM} + d + 1) *
+                      (n * {_X125_CK_N} + s1 * {_X125_CK_S1} + s2))
+                  AS BIGINT) AS stats_checksum
+      FROM nbstats
+    ),
+    mv AS (
+      SELECT MAX(s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n))
+               AS maxvar
+      FROM nbstats
+    ),
+    vv AS (
+      -- sklearn's smoothing: var + 1e-9 * max(var), the nb_predict
+      -- contract (operators/nb.py)
+      SELECT s.label, s.d, s.s1::DOUBLE / s.n AS mean,
+             (s.s2::DOUBLE / s.n
+              - (s.s1::DOUBLE / s.n) * (s.s1::DOUBLE / s.n))
+             + 1e-9 * mv.maxvar AS v
+      FROM nbstats s CROSS JOIN mv
+    ),
+    priors AS (SELECT label, MAX(n) AS cnt FROM nbstats GROUP BY label),
+    tot AS (SELECT SUM(cnt) AS n_total FROM priors),
+    scored AS (
+      SELECT h.doc_id, s.label AS cls,
+             SUM(-0.5 * LN(2 * PI() * s.v)
+                 - (h.c - s.mean) * (h.c - s.mean) / (2 * s.v)) AS ll
+      FROM hist0 h JOIN vv s ON h.d = s.d
+      GROUP BY h.doc_id, s.label
+    ),
+    post AS (
+      SELECT sc.doc_id, sc.cls,
+             sc.ll + LN(pr.cnt::DOUBLE / t.n_total) AS lp
+      FROM scored sc JOIN priors pr ON pr.label = sc.cls CROSS JOIN tot t
+    ),
+    best AS (
+      SELECT doc_id, cls,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY lp DESC, cls
+             ) AS r
+      FROM post
+    ),
+    predc AS (
+      SELECT
+        SUM(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS p0,
+        SUM(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS p1,
+        SUM(CASE WHEN cls = 2 THEN 1 ELSE 0 END) AS p2
+      FROM best WHERE r = 1
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM enc) AS BIGINT) AS n_docs,
+      g.n_shards,
+      CAST((g.n_shards + g.k - 1) // g.k AS BIGINT) AS n_batches,
+      ck.stats_checksum,
+      CAST(predc.p0 AS BIGINT) AS n_pred_c0,
+      CAST(predc.p1 AS BIGINT) AS n_pred_c1,
+      CAST(predc.p2 AS BIGINT) AS n_pred_c2,
+      TRUE AS stream_stats_equal_batch,
+      TRUE AS shards_grouped_once_each,
+      TRUE AS prequential_history_ok,
+      TRUE AS stream_model_equals_batch_model
+    FROM grp g CROSS JOIN ck CROSS JOIN predc
+"""
+
+
+@query("x125_train_from_shards_nb", oracle=_x125_oracle())
+def x125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-consume the x123 shard layout in shard groups and run the
+    prequential NB session over it; report the exact sufficient-stats
+    checksum and the final model's prediction counts as one
+    driver-hashable row."""
+    from ..operators.nb import nb_collect_stats, nb_fit, nb_predict
+    from ..operators.sharding import read_shards_stream
+    from ..streaming.prequential import PrequentialNB
+
+    path = _x123_layout(spark, sf_dir)
+    layout = spark.read.parquet(f"{path}/shards")
+    n_shards = int(
+        layout.agg(F.countDistinct("shard_id").alias("n")).collect()[0][
+            "n"
+        ]
+    )
+    if n_shards < _X125_TARGET_BATCHES:
+        raise AssertionError(
+            f"x125 fixture drift: layout has only {n_shards} shards "
+            f"(need >= {_X125_TARGET_BATCHES} for the grouped stream)"
+        )
+    k = (n_shards + _X125_TARGET_BATCHES - 1) // _X125_TARGET_BATCHES
+    expected_batches = (n_shards + k - 1) // k
+
+    loop = PrequentialNB(
+        features_col="features", label_col="label", id_col="doc_id"
+    )
+    stream_stats: dict[tuple[int, int], list[int]] = {}
+    batch_shards: list[set[int]] = []
+
+    def _consume(bdf, bid: int) -> None:
+        b = bdf.select(
+            "doc_id",
+            _x125_features().alias("features"),
+            _x125_label().alias("label"),
+            "shard_id",
+        ).persist()
+        try:
+            batch_shards.append(
+                {
+                    int(r["shard_id"])
+                    for r in b.select("shard_id").distinct().collect()
+                }
+            )
+            # exact integer sufficient stats for THIS group of shards —
+            # classes x dims rows, accumulated driver-side (order-free)
+            for r in (
+                b.select("label", F.posexplode("features").alias("d", "x"))
+                .groupBy("label", "d")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("x").cast("long").alias("s1"),
+                    F.sum(F.col("x") * F.col("x")).cast("long").alias(
+                        "s2"
+                    ),
+                )
+                .collect()
+            ):
+                acc = stream_stats.setdefault(
+                    (int(r["label"]), int(r["d"])), [0, 0, 0]
+                )
+                acc[0] += int(r["n"])
+                acc[1] += int(r["s1"])
+                acc[2] += int(r["s2"])
+            # the REAL test-then-train loop (partial_fit cadence)
+            loop.process_batch(b.drop("shard_id"), int(bid))
+        finally:
+            b.unpersist()
+
+    from .extensions10 import _scratch_index_dir
+
+    # fresh checkpoint per invocation: a reused file-source checkpoint
+    # would mark every shard already-consumed and deliver ZERO batches
+    ckpt = _scratch_index_dir(spark, "x125ckpt_")
+    q = (
+        read_shards_stream(
+            spark,
+            path,
+            schema=_LAYOUT_SCHEMA,
+            max_files_per_trigger=k,
+            subdir="shards",
+        )
+        .writeStream.foreachBatch(_consume)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise AssertionError("x125: shard stream did not drain in 300 s")
+
+    # ---- shards_grouped_once_each
+    seen: set[int] = set()
+    for group in batch_shards:
+        if not group or len(group) > k or (group & seen):
+            raise AssertionError(
+                f"x125: bad shard grouping {sorted(group)[:5]}... "
+                f"(k={k}, overlap={sorted(group & seen)[:5]})"
+            )
+        seen |= group
+    if len(seen) != n_shards or len(batch_shards) != expected_batches:
+        raise AssertionError(
+            f"x125: saw {len(seen)}/{n_shards} shards in "
+            f"{len(batch_shards)} batches (expected {expected_batches})"
+        )
+
+    # ---- stream_stats_equal_batch (exact integers, per cell)
+    full = layout.select(
+        "doc_id",
+        _x125_features().alias("features"),
+        _x125_label().alias("label"),
+    ).persist()
+    try:
+        batch_stats = {
+            (int(r["label"]), int(r["d"])): [
+                int(r["n"]),
+                int(r["s1"]),
+                int(r["s2"]),
+            ]
+            for r in full.select(
+                "label", F.posexplode("features").alias("d", "x")
+            )
+            .groupBy("label", "d")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("x").cast("long").alias("s1"),
+                F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+            )
+            .collect()
+        }
+        if stream_stats != batch_stats:
+            diff = {
+                cell: (stream_stats.get(cell), batch_stats.get(cell))
+                for cell in set(stream_stats) | set(batch_stats)
+                if stream_stats.get(cell) != batch_stats.get(cell)
+            }
+            raise AssertionError(
+                "x125: stream-accumulated sufficient stats != batch "
+                f"recompute: {dict(list(diff.items())[:3])}"
+            )
+
+        # ---- prequential_history_ok
+        hist = loop.results()
+        if len(hist) != expected_batches - 1 or any(
+            not (0.0 <= acc <= 1.0) for _, acc, _ in hist
+        ):
+            raise AssertionError(
+                f"x125: bad prequential series (len {len(hist)}, "
+                f"expected {expected_batches - 1})"
+            )
+
+        # ---- stream_model_equals_batch_model (prediction level)
+        stream_rows = nb_collect_stats(loop.stats)
+        batch_rows = nb_collect_stats(nb_fit(full))
+        ps = nb_predict(full, stream_rows, id_cols=("doc_id",)).select(
+            "doc_id", F.col("pred").alias("ps")
+        )
+        pb = nb_predict(full, batch_rows, id_cols=("doc_id",)).select(
+            "doc_id", F.col("pred").alias("pb")
+        )
+        joined = ps.join(pb, "doc_id").persist()
+        try:
+            n_disagree = joined.filter(
+                F.col("ps") != F.col("pb")
+            ).count()
+            if n_disagree:
+                raise AssertionError(
+                    f"x125: stream-trained and batch-fit models disagree "
+                    f"on {n_disagree} documents"
+                )
+            pred_counts = {
+                int(r["ps"]): int(r["n"])
+                for r in joined.groupBy("ps")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        finally:
+            joined.unpersist()
+        n_docs = int(full.count())
+    finally:
+        full.unpersist()
+        loop.close()
+
+    checksum = sum(
+        (label * _X125_DIM + d + 1)
+        * (n * _X125_CK_N + s1 * _X125_CK_S1 + s2)
+        for (label, d), (n, s1, s2) in stream_stats.items()
+    )
+    return spark.range(1).select(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.lit(n_shards).cast("long").alias("n_shards"),
+        F.lit(expected_batches).cast("long").alias("n_batches"),
+        F.lit(checksum).cast("long").alias("stats_checksum"),
+        F.lit(pred_counts.get(0, 0)).cast("long").alias("n_pred_c0"),
+        F.lit(pred_counts.get(1, 0)).cast("long").alias("n_pred_c1"),
+        F.lit(pred_counts.get(2, 0)).cast("long").alias("n_pred_c2"),
+        F.lit(True).alias("stream_stats_equal_batch"),
+        F.lit(True).alias("shards_grouped_once_each"),
+        F.lit(True).alias("prequential_history_ok"),
+        F.lit(True).alias("stream_model_equals_batch_model"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X126 — prequential LSTM replaying the shard layout in EPOCH ORDER.
+#
+# The layout's pack coordinates ARE the seeded epoch order:
+# epos = pack_id * pack_size + pack_offset is the doc's start offset in
+# the epoch-ordered token stream (exactly c2.strt in the oracle chain),
+# so consuming shards by ascending shard_id with rows ordered by epos
+# replays the corpus in the epoch-seed order the layout was built for —
+# the reference's ordered training pass (models/wos_train_lstm.py:
+# 83-153), where batch order IS the stream order.
+#
+# The session runs the REAL loop (streaming/prequential.PrequentialLSTM:
+# per-batch collect -> test with current weights -> ONE Adam step) over
+# consecutive shard-range groups read PARTITION-PRUNED from the layout.
+# Inputs are bounded by construction: the doc_id % 7 == 3 subsample,
+# sequences truncated to the first 10 tokens, dim-4 integer-derived
+# token vectors ((tid * (2j+1)) % 7 * 0.5) — all recomputable from
+# token_ids, no RNG.
+#
+# Verdicts (raise-guarded, pinned TRUE): replay_order_is_epoch_order
+# (the per-group [min, max] epos intervals are strictly ascending and
+# disjoint, and groups are consumed ascending — the layout arithmetic
+# checked from DATA, not assumed), one_adam_step_per_batch (adam.t ==
+# number of non-empty groups), history_ok (n_batches - 1 test rows,
+# accuracies in [0, 1]), weights_finite (every weight array finite
+# after the session). Beside them, SQL-exact replay fingerprints from
+# the shared x123 chain: replayed doc count, SUM(strt) (the epoch-
+# offset sum — pins that epos == the oracle's cumsum), truncated-token
+# total, non-empty batch count.
+#
+# Scale shape: each group is one partition-pruned scan of ~n_shards/6
+# shard directories; the driver-side train step touches only the
+# bounded subsample (the reference's own cadence — constant batch
+# size, not a corpus fraction). At 100 TB the same loop walks shard
+# groups with bounded memory; the subsample is the attestation's cost
+# control, not a semantic cap (log-noted in BENCH_NOTES).
+# --------------------------------------------------------------------------
+_X126_MOD = 7
+_X126_RES = 3
+_X126_TRUNC = 10
+_X126_DIM = 4
+_X126_TARGET_BATCHES = 6
+
+
+def _x126_tokens() -> Column:
+    return F.transform(
+        F.slice(F.col("token_ids"), 1, _X126_TRUNC),
+        lambda t: F.transform(
+            F.sequence(F.lit(0), F.lit(_X126_DIM - 1)),
+            lambda j: ((t * (j * 2 + 1)) % 7).cast("double") * 0.5,
+        ),
+    ).cast("array<array<double>>")
+
+
+def _x126_oracle() -> str:
+    return _x123_ctes() + f"""
+    , ns AS (
+      SELECT MAX(strt // {_SHARD_TOKENS}) + 1 AS n_shards FROM c2
+    ),
+    gs AS (
+      SELECT (n_shards + {_X126_TARGET_BATCHES - 1})
+               // {_X126_TARGET_BATCHES} AS gsize
+      FROM ns
+    ),
+    sub AS (
+      SELECT c2.doc_id, c2.n_tokens, c2.strt,
+             (c2.strt // {_SHARD_TOKENS}) // gs.gsize AS grp
+      FROM c2 CROSS JOIN gs
+      WHERE c2.doc_id % {_X126_MOD} = {_X126_RES}
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_docs_replayed,
+      CAST(SUM(strt) AS BIGINT) AS sum_epos,
+      CAST(SUM(LEAST(n_tokens, {_X126_TRUNC})) AS BIGINT)
+        AS sum_trunc_tokens,
+      CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_batches,
+      TRUE AS replay_order_is_epoch_order,
+      TRUE AS one_adam_step_per_batch,
+      TRUE AS history_ok,
+      TRUE AS weights_finite
+    FROM sub
+"""
+
+
+@query("x126_train_from_shards_lstm", oracle=_x126_oracle())
+def x126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the x123 shard layout in epoch order through the
+    prequential LSTM session (one Adam step per shard group); report
+    the SQL-exact replay fingerprints and session verdicts as one
+    driver-hashable row."""
+    import numpy as np
+
+    from ..streaming.prequential import PrequentialLSTM
+
+    path = _x123_layout(spark, sf_dir)
+    layout = spark.read.parquet(f"{path}/shards")
+    n_shards = int(
+        layout.agg(F.countDistinct("shard_id").alias("n")).collect()[0][
+            "n"
+        ]
+    )
+    gsize = (
+        n_shards + _X126_TARGET_BATCHES - 1
+    ) // _X126_TARGET_BATCHES
+
+    epos = (
+        F.col("pack_id").cast("long") * _X123_PACK
+        + F.col("pack_offset").cast("long")
+    ).alias("epos")
+    sub = layout.filter(
+        F.col("doc_id") % _X126_MOD == _X126_RES
+    ).select(
+        epos,
+        _x126_tokens().alias("tokens"),
+        (F.col("n_tokens") % 2).cast("int").alias("label"),
+        F.expr(f"CAST(shard_id AS BIGINT) div {gsize}").alias("grp"),
+        F.least(F.col("n_tokens"), F.lit(_X126_TRUNC))
+        .cast("long")
+        .alias("trunc_tokens"),
+    )
+
+    # one pass for the group inventory + the replay fingerprints; the
+    # per-group epos intervals are the replay-order verdict's evidence
+    groups = sorted(
+        (
+            int(r["grp"]),
+            int(r["n"]),
+            int(r["lo"]),
+            int(r["hi"]),
+            int(r["tt"]),
+        )
+        for r in sub.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("epos").alias("lo"),
+            F.max("epos").alias("hi"),
+            F.sum("trunc_tokens").alias("tt"),
+        )
+        .collect()
+    )
+    if len(groups) < 3:
+        raise AssertionError(
+            f"x126 fixture drift: only {len(groups)} non-empty shard "
+            "groups — the ordered replay needs a real session"
+        )
+    for (g0, _, _, hi0, _), (g1, _, lo1, _, _) in zip(
+        groups, groups[1:]
+    ):
+        if not (g0 < g1 and hi0 < lo1):
+            raise AssertionError(
+                f"x126: shard groups {g0}->{g1} are not disjoint "
+                f"ascending in epoch offset (hi {hi0} vs lo {lo1}) — "
+                "the layout's pack coordinates must BE the epoch order"
+            )
+
+    loop = PrequentialLSTM(
+        n_classes=2,
+        hidden=6,
+        lr=0.01,
+        seed=0,
+        tokens_col="tokens",
+        label_col="label",
+        id_col="epos",
+    )
+    for g, _, _, _, _ in groups:
+        # partition-pruned read: shard_id range -> one shard-group scan
+        loop.process_batch(
+            sub.filter(F.col("grp") == g).select(
+                "epos", "tokens", "label"
+            ),
+            g,
+        )
+
+    if loop.adam is None or int(loop.adam.t) != len(groups):
+        raise AssertionError(
+            f"x126: expected one Adam step per non-empty group "
+            f"({len(groups)}), got "
+            f"{None if loop.adam is None else loop.adam.t}"
+        )
+    hist = loop.results()
+    if len(hist) != len(groups) - 1 or any(
+        not (0.0 <= acc <= 1.0) for _, acc, _ in hist
+    ):
+        raise AssertionError(
+            f"x126: bad prequential series (len {len(hist)}, expected "
+            f"{len(groups) - 1})"
+        )
+    w = loop.weights
+    all_arrays = list(w.w) + list(w.u) + list(w.b) + [w.head_w, w.head_b]
+    if not all(np.isfinite(a).all() for a in all_arrays):
+        raise AssertionError(
+            "x126: non-finite weights after the session"
+        )
+
+    n_docs = sum(n for _, n, _, _, _ in groups)
+    sum_epos = int(
+        sub.agg(F.sum("epos").alias("s")).collect()[0]["s"]
+    )
+    sum_trunc = sum(tt for _, _, _, _, tt in groups)
+    return spark.range(1).select(
+        F.lit(n_docs).cast("long").alias("n_docs_replayed"),
+        F.lit(sum_epos).cast("long").alias("sum_epos"),
+        F.lit(sum_trunc).cast("long").alias("sum_trunc_tokens"),
+        F.lit(len(groups)).cast("long").alias("n_batches"),
+        F.lit(True).alias("replay_order_is_epoch_order"),
+        F.lit(True).alias("one_adam_step_per_batch"),
+        F.lit(True).alias("history_ok"),
+        F.lit(True).alias("weights_finite"),
+    )

@@ -22,18 +22,21 @@ BUDGET = 64
 
 def _twin_epoch_key(i: int, seed: int) -> int:
     """Pure-python twin of epoch_order_col (per 20-bit slice: multiply,
-    seed-XOR, truncate, multiply; rounds summed mod 2^32 — keep in
-    lockstep with operators/sharding.py)."""
+    folded-seed-XOR, truncate, multiply; four rounds summed mod 2^32 —
+    keep in lockstep with operators/sharding.py)."""
     M, H = 1 << 20, 1 << 32
 
     def rnd(v, a, b, co):
-        x = ((v * a) % H) ^ ((seed * co) % H)
+        sm = (seed * co) % H
+        sm = (sm ^ (sm >> 20)) % H  # fold seed high bits (ADVICE r14)
+        x = ((v * a) % H) ^ sm
         return ((x % M) * b) % H
 
     return (
         rnd(i % M, 2654435761, 668265263, 40503)
         + rnd((i >> 20) % M, 2246822519, 374761393, 40503 * 31)
         + rnd((i >> 40) % M, 3266489917, 2654435761, 40503 * 977)
+        + rnd((i >> 60) % M, 668265263, 2246822519, 40503 * 6151)
     ) % H
 
 
@@ -198,6 +201,10 @@ def test_stride_2_20_pairs_decorrelate_across_seeds(spark):
         (123_456, 123_456 + 5 * (1 << 20)),
         (42, 42 + (1 << 40)),
         (999, 999 + (1 << 40) + (1 << 20)),
+        # the VERDICT r14 residue: ids equal below 2^60 but differing
+        # above must decorrelate too (the fourth slice round)
+        (31337, 31337 + (1 << 60)),
+        (5, 5 + 3 * (1 << 60)),
     ]
     for a, b in pairs:
         orders = set()
@@ -220,6 +227,95 @@ def test_stride_2_20_pairs_decorrelate_across_seeds(spark):
         }
         for i in ids:
             assert got[i] == _twin_epoch_key(i, seed), (i, seed)
+
+
+def test_seed_high_bits_change_the_order():
+    """ADVICE r14: the un-folded mask kept only the low 20 bits of
+    seed*co, so seeds s and s + 2^20 produced byte-identical epoch
+    orders. With the fold, high seed bits must change the key."""
+    ids = list(range(200))
+    for s in (0, 7, 123_456):
+        hi = s + (1 << 20)
+        base = [_twin_epoch_key(i, s) for i in ids]
+        folded = [_twin_epoch_key(i, hi) for i in ids]
+        assert base != folded, f"seed {s} vs {hi}: identical keys"
+        # and the two orders differ, not just the raw key values
+        assert sorted(ids, key=lambda i: (base[i], i)) != sorted(
+            ids, key=lambda i: (folded[i], i)
+        )
+
+
+def test_rendezvous_rejects_bad_shard_counts(spark):
+    """ADVICE r14: n_shards=0 built sequence(0,-1) — a silently
+    DESCENDING array — instead of failing. All entry points must raise."""
+    import pytest
+
+    from detecting_and_addressing_change_spark.operators.sharding import (
+        rendezvous_shard_col,
+        rendezvous_shard_col_two_level,
+        rendezvous_shard_sql,
+        rendezvous_shard_two_level_sql,
+    )
+
+    for bad in (0, -3):
+        with pytest.raises(ValueError):
+            rendezvous_shard_col("doc_id", bad)
+        with pytest.raises(ValueError):
+            rendezvous_shard_sql("doc_id", bad)
+        with pytest.raises(ValueError):
+            rendezvous_shard_col_two_level("doc_id", bad, 4)
+        with pytest.raises(ValueError):
+            rendezvous_shard_col_two_level("doc_id", 4, bad)
+        with pytest.raises(ValueError):
+            rendezvous_shard_two_level_sql("doc_id", bad, 4)
+
+
+def test_rendezvous_adaptive_route_seam(spark):
+    """VERDICT r14 #3: at n >= TWO_LEVEL_ROUTE_MIN_N with a near-square
+    factorization, rendezvous_shard_col routes to the two-level draw.
+    Parity across routes is NOT expected (different draws); the pinned
+    CONTRACTS are: ids stay in [0, n), the routed draw equals the
+    explicit two-level call with the derived factorization, the flat
+    draw survives just below the threshold and for near-prime n, and
+    the routed load stays in a binomial-ish band."""
+    from detecting_and_addressing_change_spark.operators.sharding import (
+        TWO_LEVEL_ROUTE_MIN_N,
+        _two_level_factor,
+        rendezvous_shard_col,
+        rendezvous_shard_col_two_level,
+    )
+
+    assert _two_level_factor(1024) == (32, 32)
+    assert _two_level_factor(2048) == (32, 64)
+    assert _two_level_factor(1031) is None  # prime -> stays flat
+    n = TWO_LEVEL_ROUTE_MIN_N
+    df = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    s = df.select(
+        "doc_id",
+        rendezvous_shard_col("doc_id", n).alias("routed"),
+        rendezvous_shard_col_two_level("doc_id", 32, n // 32).alias(
+            "explicit"
+        ),
+        rendezvous_shard_col("doc_id", n - 1).alias("flat_below"),
+    ).toPandas()
+    assert (s["routed"] == s["explicit"]).all()
+    assert s["routed"].between(0, n - 1).all()
+    assert s["flat_below"].between(0, n - 2).all()
+    # just below the threshold the draw is the flat family (twin check
+    # on a sample — the routed and flat draws are different families)
+    sample = s.head(50)
+    for _, r in sample.iterrows():
+        assert int(r["flat_below"]) == _twin_flat_shard(
+            int(r["doc_id"]), n - 1
+        )
+        assert int(r["routed"]) == _twin_two_level_shard(
+            int(r["doc_id"]), 32, n // 32
+        )
+    # load contract: 20k rows over 1024 shards, mean ~19.5; the
+    # deterministic mix must stay in a generous binomial-ish band
+    loads = s.groupby("routed").size()
+    assert loads.max() < 70, loads.max()
+    assert len(loads) > 900, len(loads)
 
 
 def test_no_single_partition_window_in_plan(spark):
