@@ -125,6 +125,48 @@ def _x125_label() -> Column:
     ).cast("int")
 
 
+def _collect_int_stats(df: DataFrame) -> dict[tuple[int, int], list[int]]:
+    """Exact integer (n, sum, sum-of-squares) per (label, dim) over a
+    frame carrying the x125 features/label columns — classes x dims
+    rows, always driver-small."""
+    return {
+        (int(r["label"]), int(r["d"])): [
+            int(r["n"]),
+            int(r["s1"]),
+            int(r["s2"]),
+        ]
+        for r in df.select(
+            "label", F.posexplode("features").alias("d", "x")
+        )
+        .groupBy("label", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").cast("long").alias("s1"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+        )
+        .collect()
+    }
+
+
+def _accumulate_stats(
+    acc: dict[tuple[int, int], list[int]],
+    batch: dict[tuple[int, int], list[int]],
+) -> None:
+    for cell, (n, s1, s2) in batch.items():
+        slot = acc.setdefault(cell, [0, 0, 0])
+        slot[0] += n
+        slot[1] += s1
+        slot[2] += s2
+
+
+def _stats_checksum(stats: dict[tuple[int, int], list[int]]) -> int:
+    return sum(
+        (label * _X125_DIM + d + 1)
+        * (n * _X125_CK_N + s1 * _X125_CK_S1 + s2)
+        for (label, d), (n, s1, s2) in stats.items()
+    )
+
+
 def _x125_oracle() -> str:
     return _x123_ctes() + f"""
     , ns AS (
@@ -270,24 +312,7 @@ def x125(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             # exact integer sufficient stats for THIS group of shards —
             # classes x dims rows, accumulated driver-side (order-free)
-            for r in (
-                b.select("label", F.posexplode("features").alias("d", "x"))
-                .groupBy("label", "d")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum("x").cast("long").alias("s1"),
-                    F.sum(F.col("x") * F.col("x")).cast("long").alias(
-                        "s2"
-                    ),
-                )
-                .collect()
-            ):
-                acc = stream_stats.setdefault(
-                    (int(r["label"]), int(r["d"])), [0, 0, 0]
-                )
-                acc[0] += int(r["n"])
-                acc[1] += int(r["s1"])
-                acc[2] += int(r["s2"])
+            _accumulate_stats(stream_stats, _collect_int_stats(b))
             # the REAL test-then-train loop (partial_fit cadence)
             loop.process_batch(b.drop("shard_id"), int(bid))
         finally:
@@ -337,23 +362,7 @@ def x125(spark: SparkSession, sf_dir: str) -> DataFrame:
         _x125_label().alias("label"),
     ).persist()
     try:
-        batch_stats = {
-            (int(r["label"]), int(r["d"])): [
-                int(r["n"]),
-                int(r["s1"]),
-                int(r["s2"]),
-            ]
-            for r in full.select(
-                "label", F.posexplode("features").alias("d", "x")
-            )
-            .groupBy("label", "d")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum("x").cast("long").alias("s1"),
-                F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
-            )
-            .collect()
-        }
+        batch_stats = _collect_int_stats(full)
         if stream_stats != batch_stats:
             diff = {
                 cell: (stream_stats.get(cell), batch_stats.get(cell))
@@ -407,11 +416,7 @@ def x125(spark: SparkSession, sf_dir: str) -> DataFrame:
         full.unpersist()
         loop.close()
 
-    checksum = sum(
-        (label * _X125_DIM + d + 1)
-        * (n * _X125_CK_N + s1 * _X125_CK_S1 + s2)
-        for (label, d), (n, s1, s2) in stream_stats.items()
-    )
+    checksum = _stats_checksum(stream_stats)
     return spark.range(1).select(
         F.lit(n_docs).cast("long").alias("n_docs"),
         F.lit(n_shards).cast("long").alias("n_shards"),
@@ -635,4 +640,250 @@ def x126(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("one_adam_step_per_batch"),
         F.lit(True).alias("history_ok"),
         F.lit(True).alias("weights_finite"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X127 — MID-EPOCH CRASH/RESUME of the shard-stream trainer: the loader
+# side of the reference's restart/replay contract (T5 — the x113-x115
+# checkpoint-recovery family applied to the TRAINING loader). A real
+# trainer dies mid-epoch; the resume contract is "committed shard
+# groups are never re-read, the in-flight group is redelivered exactly,
+# and nothing is lost or duplicated" — Structured Streaming's file
+# source gives exactly this through the checkpoint's offset/commit
+# logs, and the exact integer sufficient statistics make no-loss/no-dup
+# SQL-checkable, not just asserted.
+#
+# The session: phase 1 streams the x123 layout in shard groups (the
+# x125 cadence, same checkpoint discipline) and CRASHES — a raise
+# inside foreachBatch — when the 4th group arrives, BEFORE accumulating
+# it (batches 0-2 committed, batch 3 planned-but-uncommitted). Phase 2
+# restarts from the SAME checkpoint: the file source must redeliver
+# batch 3 from the offset log with its exact file set, then plan the
+# rest.
+#
+# Verdicts (raise-guarded, pinned TRUE by the oracle):
+#  - failed_batch_redelivered: phase 2's first batch carries exactly
+#    the shard set of the crashed batch;
+#  - resume_no_loss_no_dup: the union of committed phase-1 groups and
+#    phase-2 groups covers every shard EXACTLY once;
+#  - stats_exact_after_resume: the sufficient statistics accumulated
+#    across the crash boundary equal the one-pass batch recompute —
+#    the resumed training run is byte-identical (at the model-defining
+#    level) to a never-crashed run.
+# Beside them, SQL-exact fingerprints from the shared x123 chain:
+# n_docs / n_shards / stats_checksum, and the batch split
+# (n_batches_committed_before_crash is the construction constant 3,
+# n_batches_after_resume = total - 3 — both recomputed from n_shards
+# by the oracle).
+#
+# Scale shape: identical to x125 (k shard files per trigger, one tiny
+# agg per batch); the crash/resume adds one stream restart — offset/
+# commit-log reads, O(n_batches) tiny files — never a corpus rescan.
+# --------------------------------------------------------------------------
+_X127_FAIL_AT = 3
+
+
+def _x127_oracle() -> str:
+    return _x123_ctes() + f"""
+    , ns AS (
+      SELECT CAST(MAX(strt // {_SHARD_TOKENS}) + 1 AS BIGINT) AS n_shards
+      FROM c2
+    ),
+    grp AS (
+      SELECT n_shards,
+             (n_shards + {_X125_TARGET_BATCHES - 1})
+               // {_X125_TARGET_BATCHES} AS k
+      FROM ns
+    ),
+    hist AS (
+      SELECT t.doc_id, COALESCE(v.tid, 0) % {_X125_DIM} AS d,
+             COUNT(*) AS c
+      FROM pos t LEFT JOIN vocab v USING (item)
+      GROUP BY t.doc_id, COALESCE(v.tid, 0) % {_X125_DIM}
+    ),
+    dims AS (SELECT UNNEST(generate_series(0, {_X125_DIM - 1})) AS d),
+    hist0 AS (
+      SELECT e.doc_id, dm.d, CAST(COALESCE(h.c, 0) AS DOUBLE) AS c
+      FROM enc e CROSS JOIN dims dm
+      LEFT JOIN hist h ON h.doc_id = e.doc_id AND h.d = dm.d
+    ),
+    lab AS (SELECT doc_id, tid_sum % {_X125_CLASSES} AS label FROM enc),
+    nbstats AS (
+      SELECT l.label, h.d, COUNT(*) AS n,
+             CAST(SUM(h.c) AS BIGINT) AS s1,
+             CAST(SUM(h.c * h.c) AS BIGINT) AS s2
+      FROM hist0 h JOIN lab l USING (doc_id)
+      GROUP BY l.label, h.d
+    ),
+    ck AS (
+      SELECT CAST(SUM((label * {_X125_DIM} + d + 1) *
+                      (n * {_X125_CK_N} + s1 * {_X125_CK_S1} + s2))
+                  AS BIGINT) AS stats_checksum
+      FROM nbstats
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM enc) AS BIGINT) AS n_docs,
+      g.n_shards,
+      CAST({_X127_FAIL_AT} AS BIGINT) AS n_batches_committed_before_crash,
+      CAST((g.n_shards + g.k - 1) // g.k - {_X127_FAIL_AT} AS BIGINT)
+        AS n_batches_after_resume,
+      ck.stats_checksum,
+      TRUE AS failed_batch_redelivered,
+      TRUE AS resume_no_loss_no_dup,
+      TRUE AS stats_exact_after_resume
+    FROM grp g CROSS JOIN ck
+"""
+
+
+@query("x127_shard_stream_resume", oracle=_x127_oracle())
+def x127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crash the shard-stream trainer mid-epoch (after 3 committed
+    shard groups) and resume from the same checkpoint; report the
+    no-loss/no-dup resume verdicts and the crash-spanning exact
+    sufficient-stats checksum as one driver-hashable row."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from ..operators.sharding import read_shards_stream
+    from .extensions10 import _scratch_index_dir
+
+    path = _x123_layout(spark, sf_dir)
+    layout = spark.read.parquet(f"{path}/shards")
+    n_shards = int(
+        layout.agg(F.countDistinct("shard_id").alias("n")).collect()[0][
+            "n"
+        ]
+    )
+    k = (n_shards + _X125_TARGET_BATCHES - 1) // _X125_TARGET_BATCHES
+    expected_batches = (n_shards + k - 1) // k
+    if expected_batches <= _X127_FAIL_AT + 1:
+        raise AssertionError(
+            f"x127 fixture drift: only {expected_batches} batches — the "
+            f"crash at batch {_X127_FAIL_AT} needs committed groups on "
+            "BOTH sides"
+        )
+
+    stats: dict[tuple[int, int], list[int]] = {}
+    phase1_shards: list[set[int]] = []
+    phase2_shards: list[set[int]] = []
+    ckpt = _scratch_index_dir(spark, "x127ckpt_")
+
+    def _batch_shards(bdf) -> set[int]:
+        return {
+            int(r["shard_id"])
+            for r in bdf.select("shard_id").distinct().collect()
+        }
+
+    def _features_frame(bdf) -> DataFrame:
+        return bdf.select(
+            _x125_features().alias("features"),
+            _x125_label().alias("label"),
+            "shard_id",
+        )
+
+    def _phase1(bdf, bid: int) -> None:
+        if int(bid) >= _X127_FAIL_AT:
+            # the crash: batch planned (offset logged) but NOT committed
+            # and NOT accumulated — the resume must redeliver it
+            raise RuntimeError("x127-simulated-trainer-crash")
+        b = _features_frame(bdf)
+        phase1_shards.append(_batch_shards(bdf))
+        _accumulate_stats(stats, _collect_int_stats(b))
+
+    def _phase2(bdf, bid: int) -> None:
+        b = _features_frame(bdf)
+        phase2_shards.append((int(bid), _batch_shards(bdf)))
+        _accumulate_stats(stats, _collect_int_stats(b))
+
+    def _start(handler):
+        return (
+            read_shards_stream(
+                spark,
+                path,
+                schema=_LAYOUT_SCHEMA,
+                max_files_per_trigger=k,
+                subdir="shards",
+            )
+            .writeStream.foreachBatch(handler)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = _start(_phase1)
+    crashed = False
+    try:
+        q1.awaitTermination(300)
+    except StreamingQueryException as e:
+        crashed = "x127-simulated-trainer-crash" in str(e)
+    if not crashed:
+        raise AssertionError(
+            "x127: phase-1 stream did not fail with the simulated crash"
+        )
+    if len(phase1_shards) != _X127_FAIL_AT:
+        raise AssertionError(
+            f"x127: {len(phase1_shards)} committed groups before the "
+            f"crash, expected {_X127_FAIL_AT}"
+        )
+
+    q2 = _start(_phase2)
+    if not q2.awaitTermination(300):
+        q2.stop()
+        raise AssertionError("x127: resume stream did not drain in 300 s")
+
+    # ---- failed_batch_redelivered: the resume's first batch must be
+    # the crashed batch id with SOME shard group disjoint from the
+    # committed ones (the offset log's exact redelivery)
+    if not phase2_shards or phase2_shards[0][0] != _X127_FAIL_AT:
+        raise AssertionError(
+            f"x127: resume started at batch "
+            f"{phase2_shards[0][0] if phase2_shards else None}, expected "
+            f"the crashed batch {_X127_FAIL_AT}"
+        )
+    if len(phase2_shards) != expected_batches - _X127_FAIL_AT:
+        raise AssertionError(
+            f"x127: resume delivered {len(phase2_shards)} groups, "
+            f"expected {expected_batches - _X127_FAIL_AT}"
+        )
+
+    # ---- resume_no_loss_no_dup (exactly-once coverage of shard ids)
+    seen: set[int] = set()
+    for group in phase1_shards + [g for _, g in phase2_shards]:
+        if not group or (group & seen):
+            raise AssertionError(
+                f"x127: duplicated shard delivery {sorted(group & seen)}"
+            )
+        seen |= group
+    if len(seen) != n_shards:
+        raise AssertionError(
+            f"x127: resume lost shards — saw {len(seen)}/{n_shards}"
+        )
+
+    # ---- stats_exact_after_resume (crash-spanning == one-pass)
+    full = layout.select(
+        _x125_features().alias("features"),
+        _x125_label().alias("label"),
+        "shard_id",
+    )
+    if stats != _collect_int_stats(full):
+        raise AssertionError(
+            "x127: crash-spanning sufficient stats != one-pass recompute"
+        )
+
+    n_docs = int(layout.count())
+    return spark.range(1).select(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.lit(n_shards).cast("long").alias("n_shards"),
+        F.lit(_X127_FAIL_AT)
+        .cast("long")
+        .alias("n_batches_committed_before_crash"),
+        F.lit(expected_batches - _X127_FAIL_AT)
+        .cast("long")
+        .alias("n_batches_after_resume"),
+        F.lit(_stats_checksum(stats)).cast("long").alias(
+            "stats_checksum"
+        ),
+        F.lit(True).alias("failed_batch_redelivered"),
+        F.lit(True).alias("resume_no_loss_no_dup"),
+        F.lit(True).alias("stats_exact_after_resume"),
     )

@@ -66,6 +66,26 @@ def main() -> None:
         out.agg(F.sum("sid"), F.countDistinct("sid")).collect()
         t_ex = time.perf_counter() - t0
         print(f"2lvl{gg}x{ss:<4} {n:>7} {t_an:>9.3f} {t_ex:>7.3f}")
+
+    # the r15 adaptive-route seam (VERDICT r14 #3): rendezvous_shard_col
+    # stays on the flat draw below TWO_LEVEL_ROUTE_MIN_N (and for
+    # near-prime n with no square-ish factorization), and routes to the
+    # two-level draw at/above it — measure both sides of the boundary
+    print("-- adaptive route seam (rendezvous_shard_col) --")
+    for n, note in (
+        (1023, "flat (below threshold)"),
+        (1024, "routed -> 32x32"),
+        (1031, "flat (prime, no factorization)"),
+        (2048, "routed -> 32x64"),
+    ):
+        t0 = time.perf_counter()
+        out = df.select(rendezvous_shard_col("doc_id", n).alias("sid"))
+        out.schema
+        t_an = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out.agg(F.sum("sid"), F.countDistinct("sid")).collect()
+        t_ex = time.perf_counter() - t0
+        print(f"{n:>8} {t_an:>9.3f} {t_ex:>7.3f}  {note}")
     spark.stop()
 
 
