@@ -96,7 +96,11 @@ _SHARD_TOKENS = _X123_PACK * _X123_PPS  # tokens per shard (128)
 # --------------------------------------------------------------------------
 _X125_DIM = 8
 _X125_CLASSES = 3
-_X125_TARGET_BATCHES = 8
+# 5 shard groups: a genuinely multi-batch session (4 test-then-train
+# rows) at ~60% of the 8-group sweep cost — the sweep-budget trim
+# policy; the batch count is a cadence parameter, not coverage (every
+# shard is consumed either way)
+_X125_TARGET_BATCHES = 5
 _X125_CK_N = 1_000_003
 _X125_CK_S1 = 1_009
 
@@ -304,15 +308,35 @@ def x125(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shard_id",
         ).persist()
         try:
-            batch_shards.append(
-                {
-                    int(r["shard_id"])
-                    for r in b.select("shard_id").distinct().collect()
-                }
+            # ONE agg serves both the shard inventory and the exact
+            # integer sufficient stats (shards x classes x dims rows,
+            # always driver-small; stats accumulate order-free)
+            rows = (
+                b.select(
+                    "shard_id",
+                    "label",
+                    F.posexplode("features").alias("d", "x"),
+                )
+                .groupBy("shard_id", "label", "d")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("x").cast("long").alias("s1"),
+                    F.sum(F.col("x") * F.col("x")).cast("long").alias(
+                        "s2"
+                    ),
+                )
+                .collect()
             )
-            # exact integer sufficient stats for THIS group of shards —
-            # classes x dims rows, accumulated driver-side (order-free)
-            _accumulate_stats(stream_stats, _collect_int_stats(b))
+            batch_shards.append({int(r["shard_id"]) for r in rows})
+            per_cell: dict[tuple[int, int], list[int]] = {}
+            for r in rows:
+                slot = per_cell.setdefault(
+                    (int(r["label"]), int(r["d"])), [0, 0, 0]
+                )
+                slot[0] += int(r["n"])
+                slot[1] += int(r["s1"])
+                slot[2] += int(r["s2"])
+            _accumulate_stats(stream_stats, per_cell)
             # the REAL test-then-train loop (partial_fit cadence)
             loop.process_batch(b.drop("shard_id"), int(bid))
         finally:
@@ -886,4 +910,185 @@ def x127(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("failed_batch_redelivered"),
         F.lit(True).alias("resume_no_loss_no_dup"),
         F.lit(True).alias("stats_exact_after_resume"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X128 — BETWEEN-EPOCH RE-SHARD without re-running curation: the
+# sharding module's core promise ("a new seeded permutation per epoch
+# on top of any materialized corpus" — operators/sharding.py module
+# docstring), driver-attested end-to-end for the first time. Epoch 1 is
+# the x123 build (seed 5); epoch 2 is assign_shards(seed 7) applied to
+# the READ-BACK epoch-1 layout — token_ids and all — then write_shards
+# (manifest route) and the manifest-VERIFIED read_shards load. No
+# curation, vocab fit, or encode is re-run: one range shuffle is the
+# whole epoch cost, the floor for a true global re-shuffle.
+#
+# Verdicts (raise-guarded, pinned TRUE by the oracle):
+#  - epoch2_manifest_verified: read_shards' checksum verification
+#    passes on the epoch-2 layout (write -> transfer -> load contract);
+#  - epoch_content_invariant: the per-(label, dim) integer sufficient
+#    statistics of the epoch-2 read-back equal epoch 1's EXACTLY —
+#    re-sharding permutes placement, never content, so a trainer
+#    accumulating across both epochs holds exactly 2x the stats (the
+#    reported checksum is over the two-epoch accumulation).
+# Beside them, FULLY COMPUTED fingerprints (no pins): n_docs, both
+# epochs' shard counts, the count of docs whose shard CHANGED between
+# the seeds (both layouts' window-cumsum arithmetic replayed in SQL —
+# the x121 independence finding, here at the assignment level), and
+# the doubled-stats checksum.
+#
+# Scale shape: epoch 2 costs ONE epoch-key range shuffle
+# (global_cumsum's decomposition) + one partitioned write; the content
+# check is two classes x dims aggs; the movement count is one doc_id
+# join of two narrow columns. Nothing rescans text or refits anything.
+# --------------------------------------------------------------------------
+_X128_SEED2 = 7
+
+
+def _x128_oracle() -> str:
+    from ..operators.sharding import epoch_order_sql
+
+    return _x123_ctes() + f"""
+    , e2 AS (
+      SELECT doc_id, n_tokens, tid_sum,
+             strt // {_SHARD_TOKENS} AS shard1,
+             (SUM(n_tokens) OVER (
+                ORDER BY {epoch_order_sql('doc_id', _X128_SEED2)}, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) - n_tokens) // {_SHARD_TOKENS} AS shard2
+      FROM c2
+    ),
+    hist AS (
+      SELECT t.doc_id, COALESCE(v.tid, 0) % {_X125_DIM} AS d,
+             COUNT(*) AS c
+      FROM pos t LEFT JOIN vocab v USING (item)
+      GROUP BY t.doc_id, COALESCE(v.tid, 0) % {_X125_DIM}
+    ),
+    dims AS (SELECT UNNEST(generate_series(0, {_X125_DIM - 1})) AS d),
+    hist0 AS (
+      SELECT e.doc_id, dm.d, CAST(COALESCE(h.c, 0) AS DOUBLE) AS c
+      FROM enc e CROSS JOIN dims dm
+      LEFT JOIN hist h ON h.doc_id = e.doc_id AND h.d = dm.d
+    ),
+    lab AS (SELECT doc_id, tid_sum % {_X125_CLASSES} AS label FROM enc),
+    nbstats AS (
+      SELECT l.label, h.d, COUNT(*) AS n,
+             CAST(SUM(h.c) AS BIGINT) AS s1,
+             CAST(SUM(h.c * h.c) AS BIGINT) AS s2
+      FROM hist0 h JOIN lab l USING (doc_id)
+      GROUP BY l.label, h.d
+    ),
+    ck2 AS (
+      -- the TWO-EPOCH accumulation: every cell exactly doubled
+      SELECT CAST(SUM((label * {_X125_DIM} + d + 1) *
+                      (2 * n * {_X125_CK_N} + 2 * s1 * {_X125_CK_S1}
+                       + 2 * s2)) AS BIGINT) AS stats_checksum_two_epochs
+      FROM nbstats
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(MAX(shard1) + 1 AS BIGINT) AS n_shards_epoch1,
+      CAST(MAX(shard2) + 1 AS BIGINT) AS n_shards_epoch2,
+      CAST(SUM(CASE WHEN shard1 <> shard2 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_docs_moved_between_epochs,
+      (SELECT stats_checksum_two_epochs FROM ck2)
+        AS stats_checksum_two_epochs,
+      TRUE AS epoch2_manifest_verified,
+      TRUE AS epoch_content_invariant
+    FROM e2
+"""
+
+
+@query("x128_epoch_reshard_training", oracle=_x128_oracle())
+def x128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-shard the materialized x123 layout into a seed-7 epoch-2
+    layout WITHOUT re-running curation (assign_shards -> write_shards ->
+    manifest-verified read_shards), prove content invariance across
+    epochs at the exact sufficient-stats level, and report the
+    cross-epoch movement fingerprints as one driver-hashable row."""
+    from ..operators.sharding import (
+        assign_shards,
+        read_shards,
+        write_shards,
+    )
+    from .extensions10 import _scratch_index_dir
+
+    path = _x123_layout(spark, sf_dir)
+    layout = spark.read.parquet(f"{path}/shards")
+
+    e2path = _scratch_index_dir(spark, "x128epoch2_")
+    assigned = assign_shards(
+        layout.select("doc_id", "token_ids", "n_tokens"),
+        "doc_id",
+        "n_tokens",
+        budget=_SHARD_TOKENS,
+        seed=_X128_SEED2,
+    )
+    manifest = write_shards(assigned, e2path, "doc_id", "n_tokens")
+    n_shards_e2 = int(
+        manifest.agg(F.max("shard_id").alias("m")).collect()[0]["m"]
+    ) + 1
+    # manifest-VERIFIED load — raises on any checksum mismatch
+    back = read_shards(spark, e2path, "doc_id", "n_tokens")
+
+    stats_e1 = _collect_int_stats(
+        layout.select(
+            _x125_features().alias("features"),
+            _x125_label().alias("label"),
+        )
+    )
+    stats_e2 = _collect_int_stats(
+        back.select(
+            _x125_features().alias("features"),
+            _x125_label().alias("label"),
+        )
+    )
+    if stats_e1 != stats_e2:
+        diff = {
+            cell: (stats_e1.get(cell), stats_e2.get(cell))
+            for cell in set(stats_e1) | set(stats_e2)
+            if stats_e1.get(cell) != stats_e2.get(cell)
+        }
+        raise AssertionError(
+            "x128: epoch-2 content differs from epoch 1 — re-sharding "
+            f"must permute placement, never content: "
+            f"{dict(list(diff.items())[:3])}"
+        )
+    two_epoch = {
+        cell: [2 * n, 2 * s1, 2 * s2]
+        for cell, (n, s1, s2) in stats_e1.items()
+    }
+
+    e1 = layout.select("doc_id", F.col("shard_id").alias("s1"))
+    e2 = back.select("doc_id", F.col("shard_id").alias("s2"))
+    row = (
+        e1.join(e2, "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("s1").alias("max1"),
+            F.sum((F.col("s1") != F.col("s2")).cast("long")).alias(
+                "moved"
+            ),
+        )
+        .collect()[0]
+    )
+    n_docs, n_moved = int(row["n_docs"]), int(row["moved"] or 0)
+    if n_moved == 0:
+        raise AssertionError(
+            "x128: no document changed shard between seeds 5 and 7 — "
+            "epoch re-shuffles must actually permute"
+        )
+    return spark.range(1).select(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.lit(int(row["max1"]) + 1).cast("long").alias(
+            "n_shards_epoch1"
+        ),
+        F.lit(n_shards_e2).cast("long").alias("n_shards_epoch2"),
+        F.lit(n_moved).cast("long").alias("n_docs_moved_between_epochs"),
+        F.lit(_stats_checksum(two_epoch)).cast("long").alias(
+            "stats_checksum_two_epochs"
+        ),
+        F.lit(True).alias("epoch2_manifest_verified"),
+        F.lit(True).alias("epoch_content_invariant"),
     )

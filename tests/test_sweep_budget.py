@@ -59,22 +59,37 @@ def budget():
     return json.loads(ARTIFACT.read_text())
 
 
+def _norm(budget) -> float:
+    """Calib normalization factor: the ceilings are defined on the r14
+    reference box (calib_ref = 0.703 — BENCH_NOTES r15 policy), so raw
+    wall is scaled by calib_ref/calib before comparing. Artifacts
+    predating the calib field compare raw (factor 1)."""
+    calib = budget.get("calib_sec")
+    ref = budget.get("calib_ref_sec", 0.703)
+    return (ref / calib) if calib else 1.0
+
+
 def test_no_warm_row_over_ceiling(budget):
     default = budget["per_query_warm_ceiling_sec"]
+    k = _norm(budget)
     over = {
-        n: s for n, s in budget["warm"].items()
-        if s > JUSTIFIED_WARM_PINS_S.get(n, default)
+        n: round(s * k, 2) for n, s in budget["warm"].items()
+        if s * k > JUSTIFIED_WARM_PINS_S.get(n, default)
     }
     assert not over, (
-        f"warm sweep rows over their ceilings — trim inside their own "
-        f"fixtures (BENCH_NOTES policy): {over}"
+        f"warm sweep rows over their ceilings (calib-normalized, "
+        f"factor {k:.3f}) — trim inside their own fixtures "
+        f"(BENCH_NOTES policy): {over}"
     )
 
 
 def test_cold_total_under_gate_ceiling(budget):
-    assert budget["total_cold_sec"] < budget["total_cold_ceiling_sec"], (
-        f"full-registry cold sweep {budget['total_cold_sec']}s exceeds "
-        f"the {budget['total_cold_ceiling_sec']}s gate ceiling — the "
+    k = _norm(budget)
+    normalized = budget["total_cold_sec"] * k
+    assert normalized < budget["total_cold_ceiling_sec"], (
+        f"full-registry cold sweep {budget['total_cold_sec']}s raw = "
+        f"{normalized:.1f}s calib-normalized exceeds the "
+        f"{budget['total_cold_ceiling_sec']}s gate ceiling — the "
         "driver gate is accreting cost faster than the policy allows"
     )
 

@@ -54,8 +54,15 @@ sys.path.insert(0, REPO_ROOT)
 sys.path.insert(0, os.path.join(REPO_ROOT, "tests"))
 
 # Soft ceilings (seconds) — tests/test_sweep_budget.py reads these.
+# Both are defined in CALIB-NORMALIZED seconds on the r14 reference box
+# (calib_ref = 0.703; the bench.py calibration kernel): the artifact
+# records this box's calib_sec and the tests normalize raw wall by
+# (calib_ref / calib) before comparing, so box speed is mechanically
+# factored out of the budget gate (BENCH_NOTES r15 policy — the r15
+# regen measured the same code 22% slower purely from box wander).
 PER_QUERY_WARM_CEILING_S = 15.0
 TOTAL_COLD_CEILING_S = 450.0
+CALIB_REF_S = 0.703
 
 # Session-decay instrumentation (VERDICT r13 #5)
 PROBE_EVERY = 20
@@ -162,6 +169,14 @@ def main() -> None:
     probe_curve.append((len(cold), _probe(spark)))
     total = round(time.perf_counter() - t_total, 1)
     total_cold = round(sum(cold.values()), 1)
+    # the same fixed calibration kernel the bench emits (VERDICT r13
+    # #6): the ceilings below are DEFINED on the r14 reference box
+    # (calib_ref = 0.703), so the tests compare calib-NORMALIZED
+    # seconds — raw wall on a slower/faster box is not a code
+    # regression (BENCH_NOTES r15 policy)
+    from bench import measure_calibration
+
+    calib = measure_calibration(spark)
     spark.stop()
 
     out = {
@@ -170,6 +185,11 @@ def main() -> None:
         "n_failed": len(failures),
         "total_sec": total,
         "total_cold_sec": total_cold,
+        "calib_sec": calib,
+        "calib_ref_sec": CALIB_REF_S,
+        "total_cold_normalized_sec": round(
+            total_cold * CALIB_REF_S / calib, 1
+        ),
         "per_query_warm_ceiling_sec": PER_QUERY_WARM_CEILING_S,
         "total_cold_ceiling_sec": TOTAL_COLD_CEILING_S,
         "cold": cold,
