@@ -48,6 +48,14 @@ JUSTIFIED_WARM_PINS_S = {
     "x101_takedown_verdict": 22.0,
     # large-star/small-star CC + LSH edge build (rounds measured flat)
     "x52_semantic_dedup_clusters": 18.0,
+    # trainer-from-shards streaming session (r15): 5 shard-group
+    # micro-batches, each = stats agg + the PrequentialNB test-then-
+    # train jobs, plus the dual-path final predict — a ~15-job
+    # streaming floor, constant in corpus size by construction (the
+    # batch count is fixed; k files/trigger scales with the layout).
+    # Measured 15.1 s warm at the r15 close (already trimmed 8 -> 5
+    # groups); pin = ~1.3x measured warm.
+    "x125_train_from_shards_nb": 20.0,
 }
 
 
@@ -60,13 +68,15 @@ def budget():
 
 
 def _norm(budget) -> float:
-    """Calib normalization factor: the ceilings are defined on the r14
-    reference box (calib_ref = 0.703 — BENCH_NOTES r15 policy), so raw
-    wall is scaled by calib_ref/calib before comparing. Artifacts
-    predating the calib field compare raw (factor 1)."""
-    calib = budget.get("calib_sec")
-    ref = budget.get("calib_ref_sec", 0.703)
-    return (ref / calib) if calib else 1.0
+    """Probe normalization factor: the ceilings are defined on the r14
+    reference box, and the normalizer is the MEDIAN of the in-sweep
+    probe series (stable across rounds: 0.839 r14 / 0.831 r15 on boxes
+    whose point-sample calib wandered 0.55-0.89 — BENCH_NOTES r15
+    policy), so raw wall is scaled by probe_ref/probe_median before
+    comparing. Artifacts predating the field compare raw (factor 1)."""
+    pm = budget.get("probe_median_sec")
+    ref = budget.get("probe_ref_sec", 0.839)
+    return (ref / pm) if pm else 1.0
 
 
 def test_no_warm_row_over_ceiling(budget):

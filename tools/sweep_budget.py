@@ -54,15 +54,19 @@ sys.path.insert(0, REPO_ROOT)
 sys.path.insert(0, os.path.join(REPO_ROOT, "tests"))
 
 # Soft ceilings (seconds) — tests/test_sweep_budget.py reads these.
-# Both are defined in CALIB-NORMALIZED seconds on the r14 reference box
-# (calib_ref = 0.703; the bench.py calibration kernel): the artifact
-# records this box's calib_sec and the tests normalize raw wall by
-# (calib_ref / calib) before comparing, so box speed is mechanically
-# factored out of the budget gate (BENCH_NOTES r15 policy — the r15
-# regen measured the same code 22% slower purely from box wander).
+# Both are defined in PROBE-NORMALIZED seconds on the r14 reference
+# box: the normalizer is the MEDIAN of the in-sweep probe series (the
+# fixed 2M-row shuffle+agg run every PROBE_EVERY queries), not a
+# point-sample — measured r15, the end-of-sweep bench calibration
+# kernel read 0.546 on the same box that read 0.86 in the bench flow
+# hours apart (JVM warmth position effects), while the probe median
+# held 0.831 vs the r14 artifact's 0.839. calib_sec is still recorded
+# for the BENCH trend table; the budget gate normalizes by
+# probe_ref / probe_median (BENCH_NOTES r15 policy).
 PER_QUERY_WARM_CEILING_S = 15.0
 TOTAL_COLD_CEILING_S = 450.0
 CALIB_REF_S = 0.703
+PROBE_REF_S = 0.839  # r14 artifact probe-curve median (reference box)
 
 # Session-decay instrumentation (VERDICT r13 #5)
 PROBE_EVERY = 20
@@ -169,16 +173,17 @@ def main() -> None:
     probe_curve.append((len(cold), _probe(spark)))
     total = round(time.perf_counter() - t_total, 1)
     total_cold = round(sum(cold.values()), 1)
-    # the same fixed calibration kernel the bench emits (VERDICT r13
-    # #6): the ceilings below are DEFINED on the r14 reference box
-    # (calib_ref = 0.703), so the tests compare calib-NORMALIZED
-    # seconds — raw wall on a slower/faster box is not a code
-    # regression (BENCH_NOTES r15 policy)
+    # the bench calibration kernel is recorded for the cross-round
+    # BENCH trend table; the budget GATE normalizes by the in-sweep
+    # probe median instead (stable across rounds where the point-sample
+    # calib is not — see the constants block above)
     from bench import measure_calibration
+    from statistics import median
 
     calib = measure_calibration(spark)
     spark.stop()
 
+    probe_median = round(median(p[1] for p in probe_curve), 3)
     out = {
         "sf_dir": sf_dir,
         "n_queries": len(cold),
@@ -187,8 +192,10 @@ def main() -> None:
         "total_cold_sec": total_cold,
         "calib_sec": calib,
         "calib_ref_sec": CALIB_REF_S,
+        "probe_median_sec": probe_median,
+        "probe_ref_sec": PROBE_REF_S,
         "total_cold_normalized_sec": round(
-            total_cold * CALIB_REF_S / calib, 1
+            total_cold * PROBE_REF_S / probe_median, 1
         ),
         "per_query_warm_ceiling_sec": PER_QUERY_WARM_CEILING_S,
         "total_cold_ceiling_sec": TOTAL_COLD_CEILING_S,
