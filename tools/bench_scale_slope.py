@@ -32,6 +32,13 @@ QUERIES_UNDER_TEST = [
     # round-14 addition: the shard-export layout arithmetic (epoch-key
     # range shuffle + global_cumsum + manifest agg)
     "x117_shard_export",
+    # round-15 additions: the materialized pretraining build (curate ->
+    # vocab -> encode -> pack -> partitioned write) and the trainer
+    # that streams it in shard GROUPS — the batch count stays FIXED as
+    # the corpus grows (k files/trigger scales with the layout), so the
+    # slope should be the per-batch data cost, not the loop count
+    "x123_training_build_materialized",
+    "x125_train_from_shards_nb",
 ]
 
 
@@ -66,6 +73,38 @@ def main() -> None:
         a = best[(name, "sf0.1")]
         b = best[(name, "sf1eq")]
         print(f"{name:34s} {a:8.2f} {b:10.2f} {b / a:6.2f}")
+
+    # x123's registered query rides the per-session layout fixture (the
+    # warm-up above already built it), so its row measures the
+    # read-back, not the build — measure the RAW build into a fresh
+    # scratch dir per run here instead (the cost a 100 TB corpus pays)
+    import tempfile
+
+    from detecting_and_addressing_change_spark.curation import (
+        build_training_shards,
+    )
+    from detecting_and_addressing_change_spark.sources.tables import (
+        load_table,
+    )
+
+    raw: dict[str, float] = {}
+    for label, d in dirs.items():
+        docs = load_table(spark, d, "documents")
+        t_best = 1e9
+        for _ in range(runs):
+            out = tempfile.mkdtemp(prefix="slope_build_")
+            t0 = time.perf_counter()
+            build_training_shards(
+                docs, out, vocab_size=64, pack_size=32,
+                packs_per_shard=4, epoch_seed=5,
+            )
+            t_best = min(t_best, time.perf_counter() - t0)
+        raw[label] = t_best
+    a, b = raw["sf0.1"], raw["sf1eq"]
+    print(
+        f"{'build_training_shards (raw build)':34s} {a:8.2f} "
+        f"{b:10.2f} {b / a:6.2f}"
+    )
     spark.stop()
 
 
