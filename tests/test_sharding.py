@@ -683,3 +683,69 @@ def test_read_shards_stream_one_shard_per_batch(spark, tmp_path):
             assert sid not in merged  # no shard split across batches
             merged[sid] = n
     assert merged == manifest
+
+
+def test_two_level_factor_properties():
+    """The adaptive route's factorization contract: exact product
+    (ids must cover [0, n) with no spill), n_groups the largest
+    divisor <= sqrt(n), and None exactly when the best divisor is too
+    skinny to pay for two levels."""
+    import math
+
+    from detecting_and_addressing_change_spark.operators.sharding import (
+        _TWO_LEVEL_ROUTE_MIN_GROUPS,
+        _two_level_factor,
+    )
+
+    for n in list(range(1024, 1200)) + [2048, 4096, 10_000, 16_384,
+                                        99_856, 1031 * 1031]:
+        f = _two_level_factor(n)
+        if f is None:
+            # no divisor in [MIN_GROUPS, sqrt(n)] — verify exhaustively
+            assert all(
+                n % d for d in range(
+                    _TWO_LEVEL_ROUTE_MIN_GROUPS, math.isqrt(n) + 1
+                )
+            ), n
+        else:
+            ng, spg = f
+            assert ng * spg == n, (n, f)
+            assert ng <= math.isqrt(n), (n, f)  # groups <= sqrt <= slots
+            assert ng >= _TWO_LEVEL_ROUTE_MIN_GROUPS
+            assert spg >= ng
+            # largest qualifying divisor: nothing between ng and sqrt
+            assert all(
+                n % d for d in range(ng + 1, math.isqrt(n) + 1)
+            ), (n, f)
+
+
+def test_rendezvous_sql_column_parity_in_routed_regime(spark):
+    """Cross-ENGINE parity where the adaptive route is live: the DuckDB
+    text from rendezvous_shard_sql(n >= 1024) must assign the same
+    shard as the executed Spark column (x119 pins the flat regime on
+    the driver gate; this pins the routed regime)."""
+    import duckdb
+
+    from detecting_and_addressing_change_spark.operators.sharding import (
+        rendezvous_shard_col,
+        rendezvous_shard_sql,
+    )
+
+    ids = [0, 1, 7, 97, 12_345, 2**20 + 1, 10**9, 10**15, 2**62]
+    for n in (1024, 2048):
+        got = {
+            r["doc_id"]: int(r["s"])
+            for r in spark.createDataFrame(
+                [(i,) for i in ids], "doc_id long"
+            )
+            .select("doc_id", rendezvous_shard_col("doc_id", n).alias("s"))
+            .collect()
+        }
+        con = duckdb.connect()
+        expr = rendezvous_shard_sql("doc_id", n)
+        for i in ids:
+            want = con.sql(
+                f"SELECT {expr} FROM (SELECT CAST({i} AS BIGINT) "
+                "AS doc_id)"
+            ).fetchone()[0]
+            assert got[i] == int(want), (n, i, got[i], want)
