@@ -749,3 +749,36 @@ def test_rendezvous_sql_column_parity_in_routed_regime(spark):
                 "AS doc_id)"
             ).fetchone()[0]
             assert got[i] == int(want), (n, i, got[i], want)
+
+
+def test_epoch_order_sql_column_parity_cross_engine(spark):
+    """Cross-ENGINE parity for the epoch key itself, including the
+    fourth slice round (ids >= 2^60) and seeds above 2^20 (the folded
+    seed mask): the DuckDB text from epoch_order_sql must equal the
+    executed Spark column. The driver oracles exercise this only for
+    small doc_ids; this pins the full contract range."""
+    import duckdb
+
+    from detecting_and_addressing_change_spark.operators.sharding import (
+        epoch_order_col,
+        epoch_order_sql,
+    )
+
+    ids = [0, 1, 7, 2**20 + 1, 2**40 + 5, 2**60 + 3, 2**62, 10**18]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    con = duckdb.connect()
+    for seed in (0, 13, (1 << 20) + 7, (1 << 31) + 12345):
+        got = {
+            r["doc_id"]: int(r["h"])
+            for r in df.select(
+                "doc_id", epoch_order_col("doc_id", seed).alias("h")
+            ).collect()
+        }
+        expr = epoch_order_sql("doc_id", seed)
+        for i in ids:
+            want = con.sql(
+                f"SELECT {expr} FROM (SELECT CAST({i} AS BIGINT) "
+                "AS doc_id)"
+            ).fetchone()[0]
+            assert got[i] == int(want), (seed, i, got[i], want)
+            assert got[i] == _twin_epoch_key(i, seed), (seed, i)
