@@ -235,7 +235,9 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     # parallelism — ADVICE r14), x123 additionally moves onto the
     # shared _x123_layout build fixture, and x124 gains TRUE in-batch
     # arrival-time verification (ADVICE r14). All eight float forward
-    # for fresh rows, alongside the new x125/x126 trainer-seam queries.
+    # for fresh rows, alongside the four new trainer-seam queries
+    # x125/x126/x127/x128 (ADVICE r15: the earlier form of this note
+    # named only x125/x126; x127/x128 landed in later r15 commits).
     # green rows in CORRECTNESS_r06.json continue below
     "q59_gradual_drift_experiment", "q61_mapping_experiment",
     "x03_minhash_bands", "x04_minhash_pairs", "x23_dedup_clusters",

@@ -174,7 +174,15 @@ def _stats_checksum(stats: dict[tuple[int, int], list[int]]) -> int:
 def _x125_oracle() -> str:
     return _x123_ctes() + f"""
     , ns AS (
-      SELECT CAST(MAX(strt // {_SHARD_TOKENS}) + 1 AS BIGINT) AS n_shards
+      -- POPULATED shard count (ADVICE r15): the streaming batch math is
+      -- driven by the FILE count (= populated shards), which the Spark
+      -- side reads as countDistinct(shard_id). MAX(strt//span)+1 is the
+      -- id SPAN — the two diverge when a document longer than the shard
+      -- span skips an id (the write_shards populated-vs-span
+      -- distinction), and the span form would spuriously redden
+      -- n_shards/k/n_batches on such a corpus.
+      SELECT CAST(COUNT(DISTINCT strt // {_SHARD_TOKENS}) AS BIGINT)
+               AS n_shards
       FROM c2
     ),
     grp AS (
@@ -513,7 +521,8 @@ def _x126_tokens() -> Column:
 def _x126_oracle() -> str:
     return _x123_ctes() + f"""
     , ns AS (
-      SELECT MAX(strt // {_SHARD_TOKENS}) + 1 AS n_shards FROM c2
+      -- populated count, not id span (ADVICE r15 — see _x125_oracle)
+      SELECT COUNT(DISTINCT strt // {_SHARD_TOKENS}) AS n_shards FROM c2
     ),
     gs AS (
       SELECT (n_shards + {_X126_TARGET_BATCHES - 1})
@@ -711,7 +720,9 @@ _X127_FAIL_AT = 3
 def _x127_oracle() -> str:
     return _x123_ctes() + f"""
     , ns AS (
-      SELECT CAST(MAX(strt // {_SHARD_TOKENS}) + 1 AS BIGINT) AS n_shards
+      -- populated count, not id span (ADVICE r15 — see _x125_oracle)
+      SELECT CAST(COUNT(DISTINCT strt // {_SHARD_TOKENS}) AS BIGINT)
+               AS n_shards
       FROM c2
     ),
     grp AS (
@@ -790,6 +801,7 @@ def x127(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats: dict[tuple[int, int], list[int]] = {}
     phase1_shards: list[set[int]] = []
     phase2_shards: list[set[int]] = []
+    crashed_shards: list[set[int]] = []
     ckpt = _scratch_index_dir(spark, "x127ckpt_")
 
     def _batch_shards(bdf) -> set[int]:
@@ -808,7 +820,12 @@ def x127(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _phase1(bdf, bid: int) -> None:
         if int(bid) >= _X127_FAIL_AT:
             # the crash: batch planned (offset logged) but NOT committed
-            # and NOT accumulated — the resume must redeliver it
+            # and NOT accumulated — the resume must redeliver it. Record
+            # its shard set FIRST (ADVICE r15): reading the batch for
+            # verification does not commit it, and the captured set is
+            # what makes failed_batch_redelivered an EXACT-set check
+            # rather than a batch-id-only one.
+            crashed_shards.append(_batch_shards(bdf))
             raise RuntimeError("x127-simulated-trainer-crash")
         b = _features_frame(bdf)
         phase1_shards.append(_batch_shards(bdf))
@@ -856,13 +873,29 @@ def x127(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError("x127: resume stream did not drain in 300 s")
 
     # ---- failed_batch_redelivered: the resume's first batch must be
-    # the crashed batch id with SOME shard group disjoint from the
-    # committed ones (the offset log's exact redelivery)
+    # the crashed batch id carrying EXACTLY the crashed batch's shard
+    # set (captured in _phase1 before the raise — ADVICE r15; the
+    # offset log's redelivery contract is file-set-exact, not just
+    # batch-id-exact)
     if not phase2_shards or phase2_shards[0][0] != _X127_FAIL_AT:
         raise AssertionError(
             f"x127: resume started at batch "
             f"{phase2_shards[0][0] if phase2_shards else None}, expected "
             f"the crashed batch {_X127_FAIL_AT}"
+        )
+    if not crashed_shards or any(
+        g != crashed_shards[0] for g in crashed_shards
+    ):
+        raise AssertionError(
+            f"x127: inconsistent crashed-batch capture {crashed_shards} "
+            "— the failing batch must plan the same shard set on every "
+            "delivery attempt"
+        )
+    if phase2_shards[0][1] != crashed_shards[0]:
+        raise AssertionError(
+            f"x127: resume's first batch carried shards "
+            f"{sorted(phase2_shards[0][1])}, expected the crashed "
+            f"batch's exact set {sorted(crashed_shards[0])}"
         )
     if len(phase2_shards) != expected_batches - _X127_FAIL_AT:
         raise AssertionError(
