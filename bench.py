@@ -43,7 +43,9 @@ BENCH_QUERIES = [
     "x03_minhash_bands",
     "x04_minhash_pairs",
     "x05_simhash",
-    "x07_similarity_topk",
+    # x07 (exact brute-force top-k) de-registered round 16: x83 runs the
+    # same operator as its recall ground truth and is the family's bench
+    # representative alongside x91
     "x10_text_stats",
     "x11_text_quality",
     "x13_rolling_fingerprint",
@@ -126,7 +128,7 @@ BENCH_QUERIES = [
     # prefix-filter similarity join, HLL grouped distinct sketch
     "x83_ann_recall",
     "x84_prefix_jaccard_join",
-    "x85_hll_distinct",
+    # x85 folded into x89 round 16 (one register build serves both)
     "x86_join_size_estimate",
     "x87_quantized_recall",
     # x88 (full-corpus exact recall audit) is DRIVER-GATED but not
@@ -147,7 +149,7 @@ BENCH_QUERIES = [
     # k-row aggregate, not a second build
     "x94_ivf_index_lifecycle",
     "x95_ivf_occupancy_audit",
-    "x96_approx_distinct_audit",
+    # x96 folded into x93 round 16 (one grouped scan serves both audits)
     # round-9: transformer pooling-trap verdict; the streaming twins.
     # x98 (curation-stream replay) is DRIVER-GATED but not benched: its
     # sf0.1 cost (~26 s) is ~10 fixed-overhead Spark jobs per epoch x 4

@@ -71,7 +71,10 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     "q56_array_lambdas", "q57_topk_per_group", "q58_global_rank",
     "x01_dedup_exact", "x02_dedup_fingerprint",
     "x05_simhash", "x06_ngram_jaccard",
-    "x07_similarity_topk", "x08_similarity_ann_lsh",
+    # x07_similarity_topk de-registered round 16 (green r01-r15): its
+    # brute-force exact top-k runs inside x83 as the recall harness's
+    # ground truth — sweep-budget consolidation, VERDICT r15 #2.
+    "x08_similarity_ann_lsh",
     "x10_text_stats", "x11_text_quality", "x12_lang_id",
     "x13_rolling_fingerprint", "x15_similarity_ivf",
     "x16_regex_tokens", "x17_tfidf_topk", "x18_bloom_join_filter",
@@ -132,9 +135,13 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     # it before appending) — executed paths changed, both float forward
     # for fresh rows.
     "x09_embedding_near_dup", "x14_multimodal_features", "x67_zorder_key",
-    "x83_ann_recall", "x85_hll_distinct",
+    "x83_ann_recall",
+    # x85_hll_distinct de-registered round 16 (green r07-r15): its
+    # est/rel_err/zero_regs columns folded into x89, whose direct
+    # estimate is the same p=6 register arithmetic (VERDICT r15 #2).
+    # x89 deliberately NOT listed (round 16): it gains the folded x85
+    # columns — executed path changed, floats forward for a fresh row.
     "x86_join_size_estimate", "x87_quantized_recall",
-    "x89_hll_rollup",
     # green rows in CORRECTNESS_r06.json (hot-bucket-guarded dedup family,
     # r5-refactor re-attests, and the round-6 x77-x82 additions), minus
     # x09/x14/x76/x78/x79 which change again in round 7 (see policy note)
@@ -149,7 +156,11 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     # executed forward, pooling and rounding are byte-identical).
     "x78_png_features", "x88_minhash_recall_audit",
     "x91_sampled_recall_audit", "x92_transformer_embed",
-    "x93_winsorize_approx_audit", "x96_approx_distinct_audit",
+    # x96_approx_distinct_audit de-registered round 16 (green r08-r15):
+    # its exact_distinct/within_rsd_bound columns folded into x93's
+    # grouped scan (VERDICT r15 #2). x93 deliberately NOT listed
+    # (round 16): it gains the folded x96 columns — executed path
+    # changed, floats forward for a fresh row.
     # green rows in CORRECTNESS_r09.json (the r9 re-attests + the x97-x102
     # streaming/verdict additions; the 38 filler rows in that window were
     # already listed above), minus the queries whose executed paths change

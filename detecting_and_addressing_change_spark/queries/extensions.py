@@ -284,47 +284,15 @@ def x06(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# X7 — brute-force cosine top-k similarity search (exact baseline)
+# X7 (de-registered round 16): the brute-force cosine top-k exact
+# baseline (operators/similarity.brute_force_topk over queries 0-9) was
+# a standalone oracle row through r15 (green rows r01-r15). x83's ANN
+# recall harness RUNS the same operator as its ground truth — exact
+# top-5 over queries 100-109 against the full corpus — so the operator
+# stays on the oracle gate through x83 and the sweep no longer pays a
+# second brute-force pass (VERDICT r15 #2 consolidation plan).
+# tests/test_similarity.py keeps the operator's direct pytest coverage.
 # --------------------------------------------------------------------------
-@query(
-    "x07_similarity_topk",
-    oracle="""
-    WITH e AS (
-      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-    ),
-    ex AS (
-      SELECT vec_id, UNNEST(emb) AS v, GENERATE_SUBSCRIPTS(emb, 1) AS d
-      FROM e
-    ),
-    norms AS (SELECT vec_id, SQRT(SUM(v*v)) AS nrm FROM ex GROUP BY vec_id),
-    q AS (SELECT * FROM ex WHERE vec_id < 10),
-    dots AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, SUM(q.v * c.v) AS dot
-      FROM q JOIN ex c ON q.d = c.d AND q.vec_id <> c.vec_id
-      GROUP BY q.vec_id, c.vec_id
-    ),
-    scored AS (
-      SELECT query_id, cand_id, dot / (nq.nrm * nc.nrm) AS cos_raw
-      FROM dots
-      JOIN norms nq ON query_id = nq.vec_id
-      JOIN norms nc ON cand_id = nc.vec_id
-    ),
-    ranked AS (
-      SELECT query_id, cand_id, cos_raw,
-             ROW_NUMBER() OVER (
-               PARTITION BY query_id ORDER BY cos_raw DESC, cand_id) AS rnk
-      FROM scored
-    )
-    SELECT query_id, cand_id, FLOOR((cos_raw) * 10000.0 + 0.5) / 10000.0 AS cosine, CAST(rnk AS INT) AS rnk
-    FROM ranked WHERE rnk <= 5
-    """,
-)
-def x07(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import brute_force_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return brute_force_topk(emb, queries, k=5)
 
 
 # --------------------------------------------------------------------------

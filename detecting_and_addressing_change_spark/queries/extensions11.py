@@ -207,63 +207,14 @@ def x84(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# X85 — HyperLogLog grouped distinct-count sketch with exact-count error
-# report. Registers merge with MAX, so the groupBy partial-aggregates
-# map-side: m = 64 longs per group cross the shuffle, vs the full
-# distinct-key stream of the exact path it is scored against.
+# X85 (folded into x89, round 16): the grouped-HLL estimate-vs-exact
+# report (est_distinct / rel_err / zero_regs over the same p=6 register
+# table at the same grouping) was a standalone query through r15 (green
+# rows r07-r15); its columns now ride x89's register machinery — the
+# direct estimate there IS x85's estimate, so the sweep pays one
+# register build instead of two (VERDICT r15 #2 consolidation plan).
 # --------------------------------------------------------------------------
 _X85_P = 6
-
-
-def _x85_oracle() -> str:
-    from ..operators.hll import hll_oracle_sql
-
-    return f"""
-    WITH {hll_oracle_sql("lineitem", "l_orderkey", "l_returnflag", _X85_P)},
-    ex AS (
-      SELECT l_returnflag AS grp,
-             COUNT(DISTINCT l_orderkey) AS exact_distinct
-      FROM lineitem GROUP BY l_returnflag
-    )
-    SELECT h.grp AS l_returnflag,
-           FLOOR(h.est * 10000.0 + 0.5) / 10000.0 AS est_distinct,
-           CAST(ex.exact_distinct AS INT) AS exact_distinct,
-           FLOOR((h.est - ex.exact_distinct) / ex.exact_distinct
-                 * 10000.0 + 0.5) / 10000.0 AS rel_err,
-           h.zero_regs
-    FROM hest h JOIN ex ON ex.grp = h.grp
-    """
-
-
-@query("x85_hll_distinct", oracle=_x85_oracle())
-def x85(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped HyperLogLog distinct estimate (operators/hll.py: md5-prefix
-    hash, exact int64 harmonic sum — an APPROXIMATE estimator that is
-    still bit-reproducible across engines), scored against the exact
-    count. m=64 registers -> ~13% relative error; the estimate's value at
-    100 TB is the shuffle shape (64 longs per group, map-side combined),
-    not precision — raise p for tighter bounds. Raw-regime estimator by
-    design (no ln-based small-range correction; see the module
-    docstring); distinct l_orderkey per flag is deep in the valid range
-    at every tested sf."""
-    from ..operators.hll import hll_distinct
-
-    li = load_table(spark, sf_dir, "lineitem")
-    est = hll_distinct(li, "l_orderkey", ["l_returnflag"], p=_X85_P)
-    exact = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").cast("int").alias("exact_distinct")
-    )
-    return est.join(exact, "l_returnflag").select(
-        "l_returnflag",
-        portable_round(F.col("est"), 4).alias("est_distinct"),
-        "exact_distinct",
-        portable_round(
-            (F.col("est") - F.col("exact_distinct"))
-            / F.col("exact_distinct"),
-            4,
-        ).alias("rel_err"),
-        "zero_regs",
-    )
 
 
 # --------------------------------------------------------------------------
@@ -647,7 +598,8 @@ def _x89_oracle() -> str:
     diest AS (
       SELECT flag,
              {num!r} / CAST(s_nz + ({m} - nz) * (1::BIGINT << {s_shift})
-                            AS DOUBLE) AS est
+                            AS DOUBLE) AS est,
+             CAST({m} - nz AS INT) AS zero_regs
       FROM diagg
     ),
     exq AS (
@@ -658,7 +610,10 @@ def _x89_oracle() -> str:
     SELECT r.flag AS l_returnflag,
            FLOOR(r.est * 10000.0 + 0.5) / 10000.0 AS est_rollup,
            FLOOR(d.est * 10000.0 + 0.5) / 10000.0 AS est_direct,
-           CAST(e.exact_distinct AS INT) AS exact_distinct
+           CAST(e.exact_distinct AS INT) AS exact_distinct,
+           FLOOR((d.est - e.exact_distinct) / e.exact_distinct
+                 * 10000.0 + 0.5) / 10000.0 AS rel_err,
+           d.zero_regs
     FROM rollest r
     JOIN diest d ON d.flag = r.flag
     JOIN exq e ON e.flag = r.flag
@@ -675,7 +630,14 @@ def x89(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist registers per (source, day) once and answer ANY coarser
     distinct question by merging m longs per cell, no raw-data pass.
     Exact per-cell COUNT(DISTINCT)s cannot do this (overlap across cells
-    is lost at aggregation time)."""
+    is lost at aggregation time).
+
+    Carries the former x85_hll_distinct verdict columns since round 16
+    (rel_err of the direct estimate vs the exact count, and the direct
+    register table's zero_regs): the direct estimate here IS x85's
+    estimate — same p=6 register arithmetic, same grouping — so the
+    consolidated row attests both contracts off ONE register build
+    (VERDICT r15 #2; x85 green history r07-r15)."""
     from ..operators.hll import hll_distinct, hll_estimate, hll_registers
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -691,7 +653,10 @@ def x89(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_dir = hll_distinct(
         li, "l_orderkey", ["l_returnflag"], p=_X85_P
     ).select(
-        "l_returnflag", portable_round(F.col("est"), 4).alias("est_direct")
+        "l_returnflag",
+        portable_round(F.col("est"), 4).alias("est_direct"),
+        F.col("est").alias("est_raw"),
+        "zero_regs",
     )
     exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").cast("int").alias("exact_distinct")
@@ -700,6 +665,15 @@ def x89(spark: SparkSession, sf_dir: str) -> DataFrame:
         est_roll.join(est_dir, "l_returnflag")
         .join(exact, "l_returnflag")
         .select(
-            "l_returnflag", "est_rollup", "est_direct", "exact_distinct"
+            "l_returnflag",
+            "est_rollup",
+            "est_direct",
+            "exact_distinct",
+            portable_round(
+                (F.col("est_raw") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+            "zero_regs",
         )
     )

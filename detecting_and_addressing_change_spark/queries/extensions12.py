@@ -276,6 +276,7 @@ def x92(spark: SparkSession, sf_dir: str) -> DataFrame:
 # values, are partition-invariant).
 # --------------------------------------------------------------------------
 _X93_ACC = 10_000
+_X93_RSD = 0.05  # the folded x96 approx_count_distinct audit's rsd
 
 _X93_ORACLE = f"""
     WITH b AS (
@@ -285,7 +286,7 @@ _X93_ORACLE = f"""
       FROM lineitem GROUP BY l_returnflag
     ),
     w AS (
-      SELECT l.l_returnflag,
+      SELECT l.l_returnflag, l.l_orderkey,
              LEAST(GREATEST(l.l_extendedprice::DOUBLE, b.p1), b.p99) AS v
       FROM lineitem l JOIN b USING (l_returnflag)
     )
@@ -296,7 +297,9 @@ _X93_ORACLE = f"""
            {portable_round_sql('SUM(w.v) / COUNT(*)', 4)} AS w_mean,
            TRUE AS p1_in_envelope,
            TRUE AS p99_in_envelope,
-           TRUE AS w_mean_dev_ok
+           TRUE AS w_mean_dev_ok,
+           CAST(COUNT(DISTINCT w.l_orderkey) AS BIGINT) AS exact_distinct,
+           TRUE AS within_rsd_bound
     FROM w JOIN b ON b.l_returnflag = w.l_returnflag
     GROUP BY w.l_returnflag
 """
@@ -310,7 +313,15 @@ def x93(spark: SparkSession, sf_dir: str) -> DataFrame:
     target rank within rank_tol = n/accuracy + 2, and the approx-clamped
     mean against the derived deviation bound — all computed in-engine,
     reported as partition-invariant verdicts alongside the exact
-    stats."""
+    stats.
+
+    Carries the former x96_approx_distinct_audit columns since round 16
+    (exact_distinct and the within_rsd_bound verdict — per-group
+    approx_count_distinct(rsd=0.05) within 4 standard errors of the
+    exact count): both audits certify a built-in approximate aggregate
+    against its documented bound over the SAME grouped lineitem scan,
+    so the consolidated row attests both off one query (VERDICT r15 #2;
+    x96 green history r08-r15)."""
     from .extensions7 import winsorized_stats
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -329,6 +340,8 @@ def x93(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ps")[1].cast("double").alias("p99a"),
     )
     x = F.col("l_extendedprice").cast("double")
+    # the folded x96 distinct-audit aggregates ride the SAME grouped
+    # scan as the rank counts — one pass serves both audits
     ranks = (
         li.join(F.broadcast(appx), "l_returnflag")
         .groupBy("l_returnflag")
@@ -338,6 +351,12 @@ def x93(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((x <= F.col("p1a")).cast("long")).alias("le1"),
             F.sum((x < F.col("p99a")).cast("long")).alias("lt99"),
             F.sum((x <= F.col("p99a")).cast("long")).alias("le99"),
+            F.countDistinct("l_orderkey")
+            .cast("long")
+            .alias("exact_distinct"),
+            F.expr(f"approx_count_distinct(l_orderkey, {_X93_RSD!r})")
+            .cast("long")
+            .alias("apx"),
         )
     )
     we = winsorized_stats(li, approx=False).select(
@@ -384,6 +403,11 @@ def x93(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("wm_a") - F.col("wm_e")) <= dev_bound).alias(
             "w_mean_dev_ok"
         ),
+        "exact_distinct",
+        (
+            F.abs(F.col("apx") - F.col("exact_distinct"))
+            <= F.lit(4.0 * _X93_RSD) * F.col("exact_distinct")
+        ).alias("within_rsd_bound"),
     )
 
 
@@ -575,44 +599,11 @@ def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# X96 — approx_count_distinct accuracy attestation: x85/x89 attest the
-# engine's OWN bit-reproducible HLL; this attests the BUILT-IN HLL++ a
-# Spark user reaches for first (the q13 swap-in at 100 TB). Its register
-# values are engine-internal, but its merge is MAX — deterministic and
-# partition-invariant — so the documented-rsd verdict is stable and the
-# oracle pins it TRUE next to the exact counts: a hash match certifies
-# the configured rsd held on this data under any partitioning.
+# X96 (folded into x93, round 16): the built-in HLL++
+# approx_count_distinct(rsd=0.05) audit — exact_distinct plus the
+# |approx - exact| <= 4*rsd*exact partition-invariant verdict — was a
+# standalone query through r15 (green rows r08-r15); its columns now
+# ride x93's grouped lineitem scan (one pass serves the rank counts AND
+# the distinct audit — VERDICT r15 #2 consolidation plan).
 # --------------------------------------------------------------------------
-_X96_RSD = 0.05
-
-_X96_ORACLE = """
-    SELECT l_returnflag,
-           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
-           TRUE AS within_rsd_bound
-    FROM lineitem GROUP BY l_returnflag
-"""
-
-
-@query("x96_approx_distinct_audit", oracle=_X96_ORACLE)
-def x96(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group approx_count_distinct(rsd=0.05) scored against the exact
-    count, reported as the partition-invariant verdict
-    |approx - exact| <= 4 * rsd * exact (4 standard errors of the
-    documented relative standard deviation — the bound a planner relies
-    on when it substitutes the sketch for an exact distinct at scale)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    g = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").cast("long").alias("exact_distinct"),
-        F.expr(
-            f"approx_count_distinct(l_orderkey, {_X96_RSD!r})"
-        ).cast("long").alias("apx"),
-    )
-    return g.select(
-        "l_returnflag",
-        "exact_distinct",
-        (
-            F.abs(F.col("apx") - F.col("exact_distinct"))
-            <= F.lit(4.0 * _X96_RSD) * F.col("exact_distinct")
-        ).alias("within_rsd_bound"),
-    )
 

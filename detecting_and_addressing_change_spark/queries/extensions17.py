@@ -561,102 +561,14 @@ def x118(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# X119 — consistent resharding audit: rendezvous (HRW) vs modulo layout
-# under a shard-count change.
-#
-# When a shard layout grows n -> n+1 (capacity add, hot-shard split),
-# the mod layout (id % n) moves ~n/(n+1) of ALL rows — at 100 TB that
-# is a full-corpus rewrite for one added shard. Rendezvous hashing
-# (operators/sharding.py rendezvous_shard_col) moves ONLY the rows the
-# new shard wins: expected 1/(n+1). This query computes both layouts at
-# n=8 and n=9 over the documents table and reports the measured moved
-# fractions — every column recomputed exactly by the oracle (the mix is
-# the same exact-int64 arithmetic on both engines; no pinned verdicts).
-# A raise guard pins the structural fact the operator exists for:
-# rendezvous movement must be a strict subset-sized fraction of mod
-# movement AND every rendezvous move must land ON the new shard
-# (HRW's defining property — old shards never exchange rows with each
-# other when one is added).
-# --------------------------------------------------------------------------
+# X119 (folded into x122, round 16): the FLAT-regime HRW movement audit
+# (rendezvous vs modulo under 8 -> 9 shard growth, with the
+# moves-land-only-on-the-new-shard and strictly-less-than-mod raise
+# guards) was a standalone query through r15 (green rows r13-r15); its
+# columns and guards now ride x122's single documents scan, so the
+# consolidated row attests BOTH rendezvous regimes — flat and two-level
+# — off one query (VERDICT r15 #2 consolidation plan).
 _X119_N = 8
-
-
-def _x119_oracle() -> str:
-    from ..operators.sharding import rendezvous_shard_sql
-
-    r8 = rendezvous_shard_sql("doc_id", _X119_N)
-    r9 = rendezvous_shard_sql("doc_id", _X119_N + 1)
-    return f"""
-    WITH s AS (
-      SELECT doc_id,
-             ({r8}) AS rv8, ({r9}) AS rv9,
-             doc_id % {_X119_N} AS md8,
-             doc_id % {_X119_N + 1} AS md9
-      FROM documents
-    )
-    SELECT
-      CAST(COUNT(*) AS BIGINT) AS n_docs,
-      CAST(SUM(CASE WHEN rv8 <> rv9 THEN 1 ELSE 0 END) AS BIGINT)
-        AS n_moved_rendezvous,
-      CAST(SUM(CASE WHEN md8 <> md9 THEN 1 ELSE 0 END) AS BIGINT)
-        AS n_moved_mod,
-      CAST(SUM(CASE WHEN rv8 <> rv9 AND rv9 = {_X119_N}
-                    THEN 1 ELSE 0 END) AS BIGINT)
-        AS n_moved_to_new_shard
-    FROM s
-"""
-
-
-@query("x119_consistent_reshard", oracle=_x119_oracle())
-def x119(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Moved-row counts under rendezvous vs modulo when the layout grows
-    8 -> 9 shards, as one driver-hashable row."""
-    from ..operators.sharding import rendezvous_shard_col
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    s = docs.select(
-        "doc_id",
-        rendezvous_shard_col("doc_id", _X119_N).alias("rv8"),
-        rendezvous_shard_col("doc_id", _X119_N + 1).alias("rv9"),
-        (F.col("doc_id") % _X119_N).alias("md8"),
-        (F.col("doc_id") % (_X119_N + 1)).alias("md9"),
-    )
-    row = s.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum((F.col("rv8") != F.col("rv9")).cast("long")).alias(
-            "n_moved_rendezvous"
-        ),
-        F.sum((F.col("md8") != F.col("md9")).cast("long")).alias(
-            "n_moved_mod"
-        ),
-        F.sum(
-            (
-                (F.col("rv8") != F.col("rv9"))
-                & (F.col("rv9") == F.lit(_X119_N))
-            ).cast("long")
-        ).alias("n_moved_to_new_shard"),
-    ).collect()[0]
-    n_docs = int(row["n_docs"])
-    n_rv = int(row["n_moved_rendezvous"] or 0)
-    n_md = int(row["n_moved_mod"] or 0)
-    n_new = int(row["n_moved_to_new_shard"] or 0)
-    # HRW's defining properties, raise-guarded at generation time:
-    if n_new != n_rv:
-        raise AssertionError(
-            f"x119: {n_rv - n_new} rendezvous moves did NOT land on the "
-            "new shard — old shards exchanged rows, violating HRW"
-        )
-    if not (0 < n_rv < n_md):
-        raise AssertionError(
-            f"x119: rendezvous moved {n_rv} vs mod {n_md} of {n_docs} — "
-            "consistent layout must move strictly less (and some rows)"
-        )
-    return spark.range(1).select(
-        F.lit(n_docs).cast("long").alias("n_docs"),
-        F.lit(n_rv).cast("long").alias("n_moved_rendezvous"),
-        F.lit(n_md).cast("long").alias("n_moved_mod"),
-        F.lit(n_new).cast("long").alias("n_moved_to_new_shard"),
-    )
 
 
 # --------------------------------------------------------------------------
@@ -992,7 +904,12 @@ def x121(spark: SparkSession, sf_dir: str) -> DataFrame:
 #  - GROUP growth (8x4 -> 9x4): every moved doc lands inside the new
 #    group's slot range (old groups never exchange docs);
 #  - SLOT growth (8x4 -> 8x5): no doc changes GROUP, and every moved
-#    doc lands on its own group's new slot.
+#    doc lands on its own group's new slot;
+#  - FLAT-regime growth (the folded x119 columns, round 16): the flat
+#    rendezvous_shard_col at n=8 -> 9 vs the modulo layout — rendezvous
+#    must move strictly fewer docs than mod, and every rendezvous move
+#    must land ON the new shard (HRW's defining property; a mod layout
+#    moves ~n/(n+1) of ALL rows — a full-corpus rewrite at 100 TB).
 # Load-balance extremes of the 8x4 layout ride along (the r13 additive
 # weight family measured a 33x load spread at n=64; the r14
 # multiply-xor-multiply weight is binomial-consistent — the min/max
@@ -1007,22 +924,31 @@ _X122_S = 4
 
 
 def _x122_oracle() -> str:
-    from ..operators.sharding import rendezvous_shard_two_level_sql
+    from ..operators.sharding import (
+        rendezvous_shard_sql,
+        rendezvous_shard_two_level_sql,
+    )
 
     g, s = _X122_G, _X122_S
     a = rendezvous_shard_two_level_sql("doc_id", g, s)
     b = rendezvous_shard_two_level_sql("doc_id", g + 1, s)
     c = rendezvous_shard_two_level_sql("doc_id", g, s + 1)
+    r8 = rendezvous_shard_sql("doc_id", _X119_N)
+    r9 = rendezvous_shard_sql("doc_id", _X119_N + 1)
     return f"""
     WITH l AS (
-      SELECT doc_id, ({a}) AS s_base, ({b}) AS s_grp, ({c}) AS s_slot
+      SELECT doc_id, ({a}) AS s_base, ({b}) AS s_grp, ({c}) AS s_slot,
+             ({r8}) AS rv8, ({r9}) AS rv9,
+             doc_id % {_X119_N} AS md8,
+             doc_id % {_X119_N + 1} AS md9
       FROM documents
     ),
     m AS (
       SELECT doc_id,
              s_base // {s} AS g_base, s_base % {s} AS slot_base,
              s_grp // {s} AS g_grp,
-             s_slot // {s + 1} AS g_slot, s_slot % {s + 1} AS slot_slot
+             s_slot // {s + 1} AS g_slot, s_slot % {s + 1} AS slot_slot,
+             rv8, rv9, md8, md9
       FROM l
     ),
     loads AS (
@@ -1045,16 +971,28 @@ def _x122_oracle() -> str:
            AS BIGINT) AS n_onto_new_slot,
       CAST((SELECT COUNT(*) FROM loads) AS BIGINT) AS n_shards_used,
       CAST((SELECT MIN(c) FROM loads) AS BIGINT) AS min_shard_load,
-      CAST((SELECT MAX(c) FROM loads) AS BIGINT) AS max_shard_load
+      CAST((SELECT MAX(c) FROM loads) AS BIGINT) AS max_shard_load,
+      CAST((SELECT SUM(CASE WHEN rv8 <> rv9 THEN 1 ELSE 0 END) FROM m)
+           AS BIGINT) AS n_moved_rendezvous,
+      CAST((SELECT SUM(CASE WHEN md8 <> md9 THEN 1 ELSE 0 END) FROM m)
+           AS BIGINT) AS n_moved_mod,
+      CAST((SELECT SUM(CASE WHEN rv8 <> rv9 AND rv9 = {_X119_N}
+                       THEN 1 ELSE 0 END) FROM m) AS BIGINT)
+        AS n_moved_to_new_shard
 """
 
 
 @query("x122_two_level_reshard", oracle=_x122_oracle())
 def x122(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical-HRW movement contracts (group growth 8x4 -> 9x4,
-    slot growth 8x4 -> 8x5) + base-layout load extremes, as one
-    driver-hashable row."""
-    from ..operators.sharding import rendezvous_shard_col_two_level
+    slot growth 8x4 -> 8x5) + base-layout load extremes + the folded
+    x119 flat-regime contracts (rendezvous vs modulo under 8 -> 9
+    growth — x119's green history r13-r15; folded round 16 under the
+    sweep-budget consolidation plan), as one driver-hashable row."""
+    from ..operators.sharding import (
+        rendezvous_shard_col,
+        rendezvous_shard_col_two_level,
+    )
 
     g, s = _X122_G, _X122_S
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -1067,6 +1005,10 @@ def x122(spark: SparkSession, sf_dir: str) -> DataFrame:
         rendezvous_shard_col_two_level("doc_id", g, s + 1).alias(
             "s_slot"
         ),
+        rendezvous_shard_col("doc_id", _X119_N).alias("rv8"),
+        rendezvous_shard_col("doc_id", _X119_N + 1).alias("rv9"),
+        (F.col("doc_id") % _X119_N).alias("md8"),
+        (F.col("doc_id") % (_X119_N + 1)).alias("md9"),
     ).select(
         "doc_id",
         "s_base",
@@ -1075,6 +1017,7 @@ def x122(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"s_grp div {s}").alias("g_grp"),
         F.expr(f"s_slot div {s + 1}").alias("g_slot"),
         (F.col("s_slot") % (s + 1)).alias("slot_slot"),
+        "rv8", "rv9", "md8", "md9",
     )
     row = l.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1099,6 +1042,18 @@ def x122(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("slot_slot") == s)
             ).cast("long")
         ).alias("n_onto_new_slot"),
+        F.sum((F.col("rv8") != F.col("rv9")).cast("long")).alias(
+            "n_moved_rendezvous"
+        ),
+        F.sum((F.col("md8") != F.col("md9")).cast("long")).alias(
+            "n_moved_mod"
+        ),
+        F.sum(
+            (
+                (F.col("rv8") != F.col("rv9"))
+                & (F.col("rv9") == F.lit(_X119_N))
+            ).cast("long")
+        ).alias("n_moved_to_new_shard"),
     ).collect()[0]
     loads = l.groupBy("s_base").agg(
         F.count(F.lit(1)).alias("c")
@@ -1134,6 +1089,21 @@ def x122(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     if int(loads["min_shard_load"]) == 0:
         raise AssertionError("x122: a base shard got zero docs")
+    # the folded x119 flat-regime guards (HRW's defining properties)
+    n_rv = int(row["n_moved_rendezvous"] or 0)
+    n_md = int(row["n_moved_mod"] or 0)
+    n_new = int(row["n_moved_to_new_shard"] or 0)
+    if n_new != n_rv:
+        raise AssertionError(
+            f"x122: {n_rv - n_new} flat rendezvous moves did NOT land "
+            "on the new shard — old shards exchanged rows, violating HRW"
+        )
+    if not (0 < n_rv < n_md):
+        raise AssertionError(
+            f"x122: flat rendezvous moved {n_rv} vs mod {n_md} of "
+            f"{n_docs} — consistent layout must move strictly less "
+            "(and some rows)"
+        )
     return spark.range(1).select(
         F.lit(n_docs).cast("long").alias("n_docs"),
         F.lit(mg).cast("long").alias("n_moved_group_growth"),
@@ -1150,6 +1120,9 @@ def x122(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(int(loads["max_shard_load"])).cast("long").alias(
             "max_shard_load"
         ),
+        F.lit(n_rv).cast("long").alias("n_moved_rendezvous"),
+        F.lit(n_md).cast("long").alias("n_moved_mod"),
+        F.lit(n_new).cast("long").alias("n_moved_to_new_shard"),
     )
 
 

@@ -23,7 +23,8 @@ REPRESENTATIVE = [
     # exact similarity join (its candidate pruning must not leak
     # partitioning into results)
     "x84_prefix_jaccard_join",
-    "x85_hll_distinct",
+    # (x85 folded into x89 round 16 — the register estimator's
+    # determinism rides the x89 row below)
     "x86_join_size_estimate",
     "x89_hll_rollup",
     # round-8 families: the routing decision + both routes' pair-set

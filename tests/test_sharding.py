@@ -722,8 +722,9 @@ def test_two_level_factor_properties():
 def test_rendezvous_sql_column_parity_in_routed_regime(spark):
     """Cross-ENGINE parity where the adaptive route is live: the DuckDB
     text from rendezvous_shard_sql(n >= 1024) must assign the same
-    shard as the executed Spark column (x119 pins the flat regime on
-    the driver gate; this pins the routed regime)."""
+    shard as the executed Spark column (x122 carries the flat-regime
+    pin on the driver gate since the round-16 x119 fold; this pins the
+    routed regime)."""
     import duckdb
 
     from detecting_and_addressing_change_spark.operators.sharding import (
