@@ -73,15 +73,67 @@ def _map_literal(vocab: list[tuple[str, int]]) -> str:
     )
 
 
+# Parquet stores token ids as 4-byte ints; the pre-compression estimate
+# target_shard_bytes sizing divides by. Compression shrinks files below
+# the target (never above), which is the safe direction for the
+# small-files defense this parameter exists for.
+_TOKEN_BYTES = 4
+
+
+def _derive_packs_per_shard(
+    encoded: DataFrame,
+    pack_size: int,
+    target_shard_bytes: int | None,
+    max_shards: int | None,
+) -> int:
+    """Size the shard cut from measured corpus stats (ONE aggregation —
+    sum of encoded token counts) instead of a fixed pack count:
+
+    - ``target_shard_bytes``: packs_per_shard such that one shard holds
+      ~that many bytes of token ids (bytes // (4 * pack_size)) — pure
+      arithmetic, no agg; the WebDataset-style "size your shards in
+      hundreds of MB" rule.
+    - ``max_shards``: hard cap on the file count — packs_per_shard =
+      ceil(n_packs / max_shards).
+    - neither: sqrt sizing — packs_per_shard = isqrt(n_packs), so BOTH
+      the shard size and the shard count grow as sqrt(corpus). File
+      count is sub-linear in corpus size by default (the r15 slope
+      table measured the fixed-packs_per_shard=4 layout's read-back at
+      8.46x per 10x rows purely from directory-count overhead — the
+      classic small-files failure this default removes).
+    """
+    import math
+
+    if target_shard_bytes is not None:
+        if int(target_shard_bytes) < 1:
+            raise ValueError(
+                f"target_shard_bytes must be >= 1, got {target_shard_bytes}"
+            )
+        return max(
+            1, int(target_shard_bytes) // (_TOKEN_BYTES * int(pack_size))
+        )
+    total = int(
+        encoded.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"] or 0
+    )
+    n_packs = max(1, -(-total // int(pack_size)))
+    if max_shards is not None:
+        if int(max_shards) < 1:
+            raise ValueError(f"max_shards must be >= 1, got {max_shards}")
+        return max(1, -(-n_packs // int(max_shards)))
+    return max(1, math.isqrt(n_packs))
+
+
 def build_training_shards(
     docs: DataFrame,
     out_path: str,
     vocab_size: int = 512,
     pack_size: int = 256,
-    packs_per_shard: int = 64,
+    packs_per_shard: int | None = None,
     tokenizer: str = "word",
     n_merges: int = 32,
     epoch_seed: int | None = None,
+    target_shard_bytes: int | None = None,
+    max_shards: int | None = None,
 ) -> DataFrame:
     """The full pretraining-data build: curate → fit tokenizer → encode →
     pack → shard, materialized.
@@ -100,7 +152,16 @@ def build_training_shards(
       written to ``{out_path}/vocab`` / ``{out_path}/merges``.
     - Packing: x53's range-partitioned global cumsum lays the kept token
       stream end-to-end and cuts fixed ``pack_size`` packs;
-      ``packs_per_shard`` packs form one output shard. The stream order
+      ``packs_per_shard`` packs form one output shard. The shard cut is
+      SIZED, not fixed (VERDICT r15 #3 — a fixed pack count makes file
+      count linear in corpus size, the classic small-files failure):
+      pass ``packs_per_shard`` explicitly, or ``target_shard_bytes``
+      (bytes-per-shard target, 4 bytes/token-id pre-compression), or
+      ``max_shards`` (hard file-count cap, one measuring agg), or
+      nothing — the default derives ``packs_per_shard = isqrt(n_packs)``
+      from one corpus agg so shard size AND shard count both grow as
+      sqrt(corpus). At most one of the three sizing parameters may be
+      given. The stream order
       is doc_id by default; passing ``epoch_seed`` lays it in that
       seed's epoch-shuffle order instead
       (:func:`.operators.sharding.epoch_order_col` — the between-epoch
@@ -178,6 +239,20 @@ def build_training_shards(
         )
     else:
         raise ValueError(f"unknown tokenizer {tokenizer!r}")
+
+    n_sizing = sum(
+        x is not None
+        for x in (packs_per_shard, target_shard_bytes, max_shards)
+    )
+    if n_sizing > 1:
+        raise ValueError(
+            "pass at most one of packs_per_shard, target_shard_bytes, "
+            "max_shards"
+        )
+    if packs_per_shard is None:
+        packs_per_shard = _derive_packs_per_shard(
+            encoded, pack_size, target_shard_bytes, max_shards
+        )
 
     if epoch_seed is not None:
         from .operators.sharding import epoch_order_col

@@ -202,3 +202,100 @@ def test_build_training_shards_epoch_seed(spark):
     assert any(
         rows[d]["pack_id"] != rows1[d]["pack_id"] for d in rows
     ), "a new epoch seed must re-lay the pack stream"
+
+
+def test_build_training_shards_sized_cut(spark):
+    """The sized shard cut (VERDICT r15 #3): packs_per_shard derived
+    from target_shard_bytes (pure arithmetic), max_shards (one
+    measuring agg, hard file-count cap), or the sqrt default — each
+    checked against an independent local recompute of the same rule,
+    and the sizing parameters are mutually exclusive."""
+    import math
+
+    import pytest
+
+    from detecting_and_addressing_change_spark.curation import (
+        _TOKEN_BYTES,
+        build_training_shards,
+    )
+
+    docs = load_table(spark, SF, "documents")
+
+    def layout_stats(shards):
+        row = shards.agg(
+            F.sum("n_tokens").alias("tok"),
+            F.max("pack_id").alias("maxp"),
+            F.countDistinct("shard_id").alias("n_shards"),
+            F.max(
+                F.expr("pack_id div greatest(shard_id, 1)")
+            ).alias("_unused"),
+        ).collect()[0]
+        return int(row["tok"]), int(row["maxp"]) + 1, int(row["n_shards"])
+
+    pack = 32
+
+    # target_shard_bytes: pps = bytes // (4 * pack_size), every row obeys
+    # shard_id == pack_id div pps
+    tgt = 1024  # -> pps = 1024 // (4*32) = 8
+    with tempfile.TemporaryDirectory() as tmp:
+        shards = build_training_shards(
+            docs, f"{tmp}/run", vocab_size=64, pack_size=pack,
+            target_shard_bytes=tgt,
+        )
+        pps = tgt // (_TOKEN_BYTES * pack)
+        assert pps == 8
+        bad = shards.filter(
+            F.col("shard_id") != F.expr(f"pack_id div {pps}")
+        ).count()
+        assert bad == 0
+
+    # max_shards: the file count is capped, and the cut matches the
+    # ceil(n_packs / max_shards) rule recomputed locally
+    cap = 5
+    with tempfile.TemporaryDirectory() as tmp:
+        shards = build_training_shards(
+            docs, f"{tmp}/run", vocab_size=64, pack_size=pack,
+            max_shards=cap,
+        )
+        tok, n_packs, n_shards = layout_stats(shards)
+        assert n_shards <= cap
+        pps = max(1, -(-n_packs // cap))
+        bad = shards.filter(
+            F.col("shard_id") != F.expr(f"pack_id div {pps}")
+        ).count()
+        assert bad == 0
+
+    # default: sqrt sizing — pps = isqrt(ceil(total_tokens / pack)), so
+    # the shard count grows sub-linearly with the corpus. (max pack_id
+    # + 1 can sit one below the token-count rule when the last document
+    # STARTS in the penultimate pack and straddles into the last — the
+    # derivation is defined on total tokens, which the oracle-side rule
+    # can always recompute.)
+    with tempfile.TemporaryDirectory() as tmp:
+        shards = build_training_shards(
+            docs, f"{tmp}/run", vocab_size=64, pack_size=pack,
+        )
+        tok, n_packs_written, n_shards = layout_stats(shards)
+        n_packs = max(1, -(-tok // pack))
+        assert n_packs_written <= n_packs
+        pps = max(1, math.isqrt(n_packs))
+        bad = shards.filter(
+            F.col("shard_id") != F.expr(f"pack_id div {pps}")
+        ).count()
+        assert bad == 0
+        # sub-linear file count: ~sqrt(n_packs) shards, never more than
+        # the rule's ceiling
+        assert 0 < n_shards <= -(-n_packs // pps)
+
+    # sizing parameters are mutually exclusive
+    with tempfile.TemporaryDirectory() as tmp:
+        with pytest.raises(ValueError, match="at most one"):
+            build_training_shards(
+                docs, f"{tmp}/run", vocab_size=64, pack_size=pack,
+                packs_per_shard=4, max_shards=5,
+            )
+        with pytest.raises(ValueError, match="at most one"):
+            build_training_shards(
+                docs, f"{tmp}/run", vocab_size=64, pack_size=pack,
+                target_shard_bytes=1024, max_shards=5,
+            )

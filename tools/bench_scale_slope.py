@@ -105,6 +105,40 @@ def main() -> None:
         f"{'build_training_shards (raw build)':34s} {a:8.2f} "
         f"{b:10.2f} {b / a:6.2f}"
     )
+
+    # the SIZED default (r16): packs_per_shard = isqrt(n_packs), so the
+    # directory count grows as sqrt(corpus) — the small-files defense;
+    # measure build AND read-back at this budget
+    from pyspark.sql import functions as F
+
+    sized_build: dict[str, float] = {}
+    sized_rb: dict[str, float] = {}
+    for label, d in dirs.items():
+        docs = load_table(spark, d, "documents")
+        t_best, path = 1e9, None
+        for _ in range(runs):
+            out = tempfile.mkdtemp(prefix="slope_sized_")
+            t0 = time.perf_counter()
+            build_training_shards(
+                docs, out, vocab_size=64, pack_size=32, epoch_seed=5,
+            )
+            t_best, path = min(t_best, time.perf_counter() - t0), out
+        sized_build[label] = t_best
+        t_best = 1e9
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            spark.read.parquet(f"{path}/shards").agg(
+                F.count(F.lit(1)),
+                F.sum("n_tokens"),
+            ).collect()
+            t_best = min(t_best, time.perf_counter() - t0)
+        sized_rb[label] = t_best
+    for name, row in (
+        ("build_training_shards (sized)", sized_build),
+        ("sized layout read-back", sized_rb),
+    ):
+        a, b = row["sf0.1"], row["sf1eq"]
+        print(f"{name:34s} {a:8.2f} {b:10.2f} {b / a:6.2f}")
     spark.stop()
 
 
