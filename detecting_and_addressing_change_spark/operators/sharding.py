@@ -249,15 +249,7 @@ def rendezvous_shard_col(
         factored = _two_level_factor(n)
         if factored is not None:
             return rendezvous_shard_col_two_level(c, *factored)
-    seq = F.sequence(
-        F.lit(0).cast("long"), F.lit(n - 1).cast("long")
-    )
-    m = _hrw_base(c, 1, _MIX_A)
-
-    def _entry(s: Column) -> Column:
-        return F.struct(_hrw_weight(m, s, _MIX_B).alias("w"), s.alias("s"))
-
-    return F.array_max(F.transform(seq, _entry))["s"].cast("long")
+    return _flat_shard_col(c, n)
 
 
 def _hrw_base(c: Column, salt: int | Column, mult: int) -> Column:
@@ -440,6 +432,230 @@ def rendezvous_shard_two_level_sql(
         f" LIMIT 1)"
     )
     return f"(({g}) * {spg} + ({slot}))"
+
+
+def shard_route_family(
+    n_shards: int,
+) -> tuple[str, tuple[int, int] | None]:
+    """Which draw family :func:`rendezvous_shard_col` routes ``n_shards``
+    to: ``("flat", None)`` or ``("two_level", (n_groups,
+    slots_per_group))`` — the documented helper for callers planning
+    growth (ADVICE r15): the adaptive route makes shard assignment
+    DISCONTINUOUS in n_shards (growing 1024 -> 1025, a near-prime,
+    silently flips two-level back to flat — a full reshuffle), so a
+    caller can consult this BEFORE growing and route around flips with
+    :func:`plan_shard_growth`."""
+    n = int(n_shards)
+    if n < 1:
+        raise ValueError(f"shard_route_family: n_shards must be >= 1, got {n}")
+    if n >= TWO_LEVEL_ROUTE_MIN_N:
+        factored = _two_level_factor(n)
+        if factored is not None:
+            return ("two_level", factored)
+    return ("flat", None)
+
+
+def _flat_shard_col(id_col: Column | str, n_shards: int) -> Column:
+    """The flat HRW draw WITHOUT the adaptive two-level route — growth
+    plans hold the family fixed along a path, so the endpoints must not
+    silently re-route."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    n = int(n_shards)
+    if n < 1:
+        raise ValueError(f"_flat_shard_col: n_shards must be >= 1, got {n}")
+    seq = F.sequence(F.lit(0).cast("long"), F.lit(n - 1).cast("long"))
+    m = _hrw_base(c, 1, _MIX_A)
+
+    def _entry(s: Column) -> Column:
+        return F.struct(_hrw_weight(m, s, _MIX_B).alias("w"), s.alias("s"))
+
+    return F.array_max(F.transform(seq, _entry))["s"].cast("long")
+
+
+def plan_shard_growth(n_old: int, n_new: int) -> list[dict]:
+    """Movement-minimal growth path from ``n_old`` to ``n_new`` shards
+    under the rendezvous families (VERDICT r15 #5). Returns a list of
+    step dicts::
+
+        {"kind": "flat_grow" | "group_grow" | "slot_grow"
+                 | "full_reshuffle",
+         "config_from": ("flat", n) | ("two_level", (g, s)),
+         "config_to":   ...,
+         "n_from": int, "n_to": int,
+         "expected_moved_fraction": float}
+
+    Planning rules (each step's movement contract is the family's own,
+    property-tested in tests/test_sharding.py):
+
+    - flat -> flat: ONE ``flat_grow`` step — flat HRW growing n -> m
+      moves a row iff a NEW shard wins the argmax, expected (m-n)/m,
+      and every move lands on a new shard id.
+    - two-level -> two-level: grow one level at a time. Same groups ->
+      ``slot_grow`` (moves stay INSIDE the row's group, expected
+      (s2-s1)/s2); same slots -> ``group_grow`` (moves land inside the
+      new groups' ranges, expected (g2-g1)/g2); both changed -> a
+      ``group_grow`` through the intermediate (g2, s1) then a
+      ``slot_grow`` to (g2, s2). The intermediate config is deliberately
+      NOT what the adaptive route would pick for g2*s1 (the route
+      re-factors from scratch); consumers of a plan must build columns
+      with :func:`rendezvous_shard_col_two_level` at each step's
+      explicit dims — :func:`measure_shard_growth` does exactly this.
+    - family flip (including crossing TWO_LEVEL_ROUTE_MIN_N, or a
+      near-prime n_new falling back to flat): ONE ``full_reshuffle``
+      step, expected_moved_fraction ~ 1 - 1/n_new (independent draws
+      agree only by chance) — flagged, never silent, so a caller can
+      choose to stay on the old family instead (both endpoint configs
+      are in the step).
+
+    Shrinking (n_new < n_old) reverses the corresponding grow step's
+    contract and is planned the same way; n_old == n_new returns []."""
+    n0, n1 = int(n_old), int(n_new)
+    if n0 < 1 or n1 < 1:
+        raise ValueError(
+            f"plan_shard_growth: shard counts must be >= 1, got ({n0}, {n1})"
+        )
+    if n0 == n1:
+        return []
+    f0, f1 = shard_route_family(n0), shard_route_family(n1)
+
+    def _step(kind, cfg_from, cfg_to, nf, nt, frac):
+        return {
+            "kind": kind,
+            "config_from": cfg_from,
+            "config_to": cfg_to,
+            "n_from": nf,
+            "n_to": nt,
+            "expected_moved_fraction": frac,
+        }
+
+    if f0[0] == "flat" and f1[0] == "flat":
+        return [
+            _step(
+                "flat_grow",
+                ("flat", n0),
+                ("flat", n1),
+                n0,
+                n1,
+                abs(n1 - n0) / max(n0, n1),
+            )
+        ]
+    if f0[0] == "two_level" and f1[0] == "two_level":
+        (g0, s0), (g1, s1) = f0[1], f1[1]
+        steps: list[dict] = []
+        if g0 != g1:
+            steps.append(
+                _step(
+                    "group_grow",
+                    ("two_level", (g0, s0)),
+                    ("two_level", (g1, s0)),
+                    g0 * s0,
+                    g1 * s0,
+                    abs(g1 - g0) / max(g0, g1),
+                )
+            )
+        if s0 != s1:
+            steps.append(
+                _step(
+                    "slot_grow",
+                    ("two_level", (g1, s0)),
+                    ("two_level", (g1, s1)),
+                    g1 * s0,
+                    g1 * s1,
+                    abs(s1 - s0) / max(s0, s1),
+                )
+            )
+        return steps
+    # family flip — a one-time full reshuffle, flagged loudly
+    return [
+        _step(
+            "full_reshuffle",
+            (f0[0], f0[1] if f0[1] is not None else n0),
+            (f1[0], f1[1] if f1[1] is not None else n1),
+            n0,
+            n1,
+            1.0 - 1.0 / max(n0, n1),
+        )
+    ]
+
+
+def _config_col(id_col: Column | str, config) -> Column:
+    kind, dims = config
+    if kind == "flat":
+        return _flat_shard_col(id_col, int(dims))
+    return rendezvous_shard_col_two_level(id_col, *dims)
+
+
+def _placement_struct(shard: Column, config) -> Column:
+    """A step endpoint's PLACEMENT coordinates as a (group, slot)
+    struct. Movement is defined on placement, not on the flat shard
+    label: growing slots_per_group re-labels every flat id in groups
+    g > 0 (``g*spg + slot`` shifts with spg) while the row's physical
+    home — its (group, slot) directory in the hierarchical layout —
+    is unchanged; counting the relabeling as movement would report
+    ~100% for a step that moves 1/(s+1) of rows (measured, r16). Flat
+    configs place by the shard id itself (group = shard, slot = 0)."""
+    kind, dims = config
+    if kind == "flat":
+        return F.struct(
+            shard.alias("g"), F.lit(0).cast("long").alias("s")
+        )
+    _, spg = dims
+    # group INDEX (shard div spg) + slot; shard counts sit far below
+    # 2^53 so the floor-divide is exact
+    return F.struct(
+        F.floor(shard / spg).cast("long").alias("g"),
+        (shard % spg).alias("s"),
+    )
+
+
+def measure_shard_growth(
+    df: DataFrame, id_col: str, n_old: int, n_new: int
+) -> list[dict]:
+    """Execute :func:`plan_shard_growth`'s steps against real ids and
+    MEASURE each step's movement: returns the plan's steps with
+    ``n_rows``, ``n_moved`` and ``moved_fraction`` filled in. Movement
+    is counted in PLACEMENT coordinates (:func:`_placement_struct`) —
+    a row moved iff its (group, slot) home changed, which is what a
+    physical re-layout pays; the flat shard LABEL shifting with
+    slots_per_group is metadata. Each step costs one zero-shuffle
+    narrow map pair + one aggregate — nothing shuffles the corpus; the
+    number this function exists to put in front of the operator BEFORE
+    a 100 TB re-layout is ``moved_fraction``. (For a ``full_reshuffle``
+    step the two endpoints' coordinate systems differ and essentially
+    every row moves — the fraction reported is the chance-coincidence
+    complement.)"""
+    steps = plan_shard_growth(n_old, n_new)
+    out: list[dict] = []
+    for step in steps:
+        a = _config_col(id_col, step["config_from"])
+        b = _config_col(id_col, step["config_to"])
+        pos = df.select(a.alias("__a"), b.alias("__b")).select(
+            _placement_struct(F.col("__a"), step["config_from"]).alias(
+                "__pa"
+            ),
+            _placement_struct(F.col("__b"), step["config_to"]).alias(
+                "__pb"
+            ),
+        )
+        row = pos.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    (F.col("__pa")["g"] != F.col("__pb")["g"])
+                    | (F.col("__pa")["s"] != F.col("__pb")["s"])
+                ).cast("long")
+            ).alias("m"),
+        ).collect()[0]
+        n, m = int(row["n"]), int(row["m"] or 0)
+        out.append(
+            {
+                **step,
+                "n_rows": n,
+                "n_moved": m,
+                "moved_fraction": (m / n) if n else 0.0,
+            }
+        )
+    return out
 
 
 def assign_shards(

@@ -783,3 +783,138 @@ def test_epoch_order_sql_column_parity_cross_engine(spark):
             ).fetchone()[0]
             assert got[i] == int(want), (seed, i, got[i], want)
             assert got[i] == _twin_epoch_key(i, seed), (seed, i)
+
+
+def test_shard_route_family_reports_the_route():
+    """The documented growth-planning helper (ADVICE r15): family(n)
+    must be exactly what rendezvous_shard_col routes n to — flat below
+    the threshold, two-level where an exact near-square factorization
+    exists, flat again for skinny/near-prime n above it."""
+    import pytest
+
+    from detecting_and_addressing_change_spark.operators.sharding import (
+        _two_level_factor,
+        shard_route_family,
+    )
+
+    assert shard_route_family(8) == ("flat", None)
+    assert shard_route_family(1023) == ("flat", None)
+    assert shard_route_family(1024) == ("two_level", (32, 32))
+    # 1025 = 5^2 * 41: largest divisor <= isqrt is 25 < 32 groups -> flat
+    assert _two_level_factor(1025) is None
+    assert shard_route_family(1025) == ("flat", None)
+    assert shard_route_family(2048) == ("two_level", _two_level_factor(2048))
+    with pytest.raises(ValueError):
+        shard_route_family(0)
+
+
+def test_plan_shard_growth_step_shapes():
+    """Planner contracts (VERDICT r15 #5): flat growth is one step;
+    two-level growth decomposes one level at a time through the
+    EXPLICIT intermediate config; family flips — including the
+    1024 -> 1025 near-prime cliff and crossing the route threshold —
+    are flagged as full_reshuffle, never silent."""
+    from detecting_and_addressing_change_spark.operators.sharding import (
+        plan_shard_growth,
+    )
+
+    assert plan_shard_growth(8, 8) == []
+
+    (s,) = plan_shard_growth(8, 9)
+    assert s["kind"] == "flat_grow"
+    assert s["config_from"] == ("flat", 8)
+    assert s["config_to"] == ("flat", 9)
+    assert abs(s["expected_moved_fraction"] - 1 / 9) < 1e-12
+
+    steps = plan_shard_growth(1024, 1089)  # (32,32) -> (33,33)
+    assert [st["kind"] for st in steps] == ["group_grow", "slot_grow"]
+    assert steps[0]["config_from"] == ("two_level", (32, 32))
+    assert steps[0]["config_to"] == ("two_level", (33, 32))
+    assert steps[1]["config_from"] == ("two_level", (33, 32))
+    assert steps[1]["config_to"] == ("two_level", (33, 33))
+    assert abs(steps[0]["expected_moved_fraction"] - 1 / 33) < 1e-12
+    assert abs(steps[1]["expected_moved_fraction"] - 1 / 33) < 1e-12
+
+    for n0, n1 in ((1024, 1025), (1023, 1024)):
+        (s,) = plan_shard_growth(n0, n1)
+        assert s["kind"] == "full_reshuffle", (n0, n1)
+        assert s["expected_moved_fraction"] > 0.99
+
+
+def test_measure_shard_growth_movement_contracts(spark):
+    """Measured movement per plan step on real ids: the flat step's
+    moves all land ON the new shard and the fraction sits in the
+    binomial band of 1/(n+1); the two-level steps obey the hierarchical
+    contracts (group moves land in the new group's slot range; slot
+    moves never change group) and each measured fraction is a small
+    multiple of its expectation — the planner's number is trustworthy
+    BEFORE a 100 TB re-layout."""
+    from detecting_and_addressing_change_spark.operators.sharding import (
+        _flat_shard_col,
+        measure_shard_growth,
+        rendezvous_shard_col_two_level,
+    )
+
+    n_rows = 20_000
+    df = spark.range(n_rows).select(F.col("id").alias("doc_id"))
+
+    # flat 8 -> 9
+    (step,) = measure_shard_growth(df, "doc_id", 8, 9)
+    assert step["n_rows"] == n_rows
+    p = 1 / 9
+    mean, sd = n_rows * p, (n_rows * p * (1 - p)) ** 0.5
+    assert abs(step["n_moved"] - mean) < 6 * sd, step
+    bad = df.select(
+        _flat_shard_col("doc_id", 8).alias("a"),
+        _flat_shard_col("doc_id", 9).alias("b"),
+    ).filter((F.col("a") != F.col("b")) & (F.col("b") != 8)).count()
+    assert bad == 0  # every flat move lands on the NEW shard
+
+    # two-level 1024 -> 1089 through the explicit intermediate (33, 32)
+    small = spark.range(4_000).select(F.col("id").alias("doc_id"))
+    steps = measure_shard_growth(small, "doc_id", 1024, 1089)
+    assert [st["kind"] for st in steps] == ["group_grow", "slot_grow"]
+    for st in steps:
+        assert 0 < st["moved_fraction"] < 4 * st["expected_moved_fraction"]
+    l = small.select(
+        rendezvous_shard_col_two_level("doc_id", 32, 32).alias("a"),
+        rendezvous_shard_col_two_level("doc_id", 33, 32).alias("m"),
+        rendezvous_shard_col_two_level("doc_id", 33, 33).alias("b"),
+    )
+    # group step: every move lands inside the NEW group's slot range
+    bad_g = l.filter(
+        (F.col("a") != F.col("m"))
+        & ~F.col("m").between(32 * 32, 33 * 32 - 1)
+    ).count()
+    assert bad_g == 0
+    # slot step, in PLACEMENT coordinates (the flat label shifts with
+    # slots_per_group for every g > 0 — that relabeling is metadata,
+    # not movement): no placement move changes GROUP, and every moved
+    # row lands on its own group's NEW slot
+    pair = l.select(
+        F.expr("m div 32").alias("gm"),
+        (F.col("m") % 32).alias("sm"),
+        F.expr("b div 33").alias("gb"),
+        (F.col("b") % 33).alias("sb"),
+    )
+    assert pair.filter(F.col("gm") != F.col("gb")).count() == 0
+    bad_s = pair.filter(
+        (F.col("sm") != F.col("sb")) & (F.col("sb") != 32)
+    ).count()
+    assert bad_s == 0
+
+
+def test_rendezvous_flat_branch_unchanged_by_refactor(spark):
+    """rendezvous_shard_col's sub-threshold branch now delegates to
+    _flat_shard_col; the executed expression must be identical (the
+    x122 oracle mirrors this draw in SQL)."""
+    from detecting_and_addressing_change_spark.operators.sharding import (
+        _flat_shard_col,
+        rendezvous_shard_col,
+    )
+
+    df = spark.range(5_000).select(F.col("id").alias("doc_id"))
+    n_diff = df.filter(
+        rendezvous_shard_col("doc_id", 17) != _flat_shard_col("doc_id", 17)
+    ).count()
+    assert n_diff == 0
