@@ -250,6 +250,31 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     # for fresh rows, alongside the four new trainer-seam queries
     # x125/x126/x127/x128 (ADVICE r15: the earlier form of this note
     # named only x125/x126; x127/x128 landed in later r15 commits).
+    # green rows in CORRECTNESS_r15.json: the whole x117-x128 family
+    # plus q01-q44 re-greens (the relational re-greens were already
+    # listed above). Folded: x117/x118/x120/x121/x124 — their executed
+    # paths are untouched by the r16 diff (sharding.py's r16 changes are
+    # additive planner functions plus the rendezvous flat-branch
+    # extraction, which only x122 executes among these; assign_shards /
+    # write_shards / read_shards* / epoch_order_col are byte-identical).
+    # Deliberately NOT folded, floating forward for fresh r16 rows:
+    #  - x122: gains the folded x119 flat-regime columns AND executes
+    #    rendezvous_shard_col, whose flat branch now delegates to the
+    #    extracted _flat_shard_col (expression identical, parity-tested,
+    #    but the executed path changed);
+    #  - x123: curation.build_training_shards gains the sized shard cut
+    #    (packs_per_shard None-default + the sizing-parameter check runs
+    #    in its call path — behavior identical for its explicit
+    #    parameters, executed path changed);
+    #  - x125/x126/x127: their oracles move to the populated shard
+    #    count and x127 gains the exact-set redelivery capture (ADVICE
+    #    r15); x125/x127 also consume the extracted _nb_stats_ctes;
+    #  - x128: the epoch-2 build moves onto the shared
+    #    _x128_epoch2_layout fixture (consumed by the new x129);
+    #  - x129: new this round (the multi-epoch training session).
+    "x117_shard_export", "x118_leakage_safe_split",
+    "x120_shard_layout_verdict", "x121_epoch_composition",
+    "x124_shard_stream_loader",
     # green rows in CORRECTNESS_r06.json continue below
     "q59_gradual_drift_experiment", "q61_mapping_experiment",
     "x03_minhash_bands", "x04_minhash_pairs", "x23_dedup_clusters",
