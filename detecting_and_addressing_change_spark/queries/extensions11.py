@@ -1,7 +1,8 @@
 """Round-7 extension queries: ANN quality harness (x83), exact
-prefix-filter similarity join (x84), HLL distinct sketch (x85), CMS
-join-size estimation (x86), quantized-recall (x87), MinHash recall
-audit (x88), HLL register rollup (x89).
+prefix-filter similarity join (x84), CMS join-size estimation (x86),
+quantized-recall (x87), MinHash recall audit (x88), HLL register rollup
+(x89 — which since round 16 also carries the folded x85 distinct-sketch
+verdict columns; x85's standalone row is de-registered).
 
 Reference parity note: the reference has none of these (no ANN, no
 similarity join, exact single-node counting only); they are

@@ -56,6 +56,13 @@ JUSTIFIED_WARM_PINS_S = {
     # Measured 15.1 s warm at the r15 close (already trimmed 8 -> 5
     # groups); pin = ~1.3x measured warm.
     "x125_train_from_shards_nb": 20.0,
+    # curation-stream replay: 2 streaming epochs + a mid-stream
+    # redelivery, ~20 fixed driver jobs (decomposed BENCH_NOTES r9) —
+    # constant in corpus size. Measured 12.1 s warm r15 / 16.0 s
+    # STANDALONE r16 (the r16 box runs job-dense queries 10-30% hotter
+    # — BENCH_NOTES r16 receipts); pin = ~1.4x the r16 standalone,
+    # consistent with its x101/x103 siblings.
+    "x98_curation_stream_verdict": 22.0,
 }
 
 
