@@ -918,3 +918,52 @@ def test_rendezvous_flat_branch_unchanged_by_refactor(spark):
         rendezvous_shard_col("doc_id", 17) != _flat_shard_col("doc_id", 17)
     ).count()
     assert n_diff == 0
+
+
+def test_plan_shard_growth_properties():
+    """Property contracts for the growth planner over arbitrary shard
+    counts: every step's configs multiply out to its endpoints' shard
+    counts, expected fractions sit in (0, 1], step kinds are from the
+    closed set, consecutive steps chain (step i's config_to == step
+    i+1's config_from), and the path's endpoints match the request."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from detecting_and_addressing_change_spark.operators.sharding import (
+        plan_shard_growth,
+        shard_route_family,
+    )
+
+    def total(config):
+        kind, dims = config
+        return int(dims) if kind == "flat" else dims[0] * dims[1]
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        n0=st.integers(min_value=1, max_value=5000),
+        n1=st.integers(min_value=1, max_value=5000),
+    )
+    def check(n0, n1):
+        steps = plan_shard_growth(n0, n1)
+        if n0 == n1:
+            assert steps == []
+            return
+        assert steps
+        kinds = {
+            "flat_grow", "group_grow", "slot_grow", "full_reshuffle"
+        }
+        for st_ in steps:
+            assert st_["kind"] in kinds
+            assert 0 < st_["expected_moved_fraction"] <= 1.0
+            assert total(st_["config_from"]) == st_["n_from"]
+            assert total(st_["config_to"]) == st_["n_to"]
+        for a, b in zip(steps, steps[1:]):
+            assert a["config_to"] == b["config_from"]
+        assert steps[0]["n_from"] == n0
+        assert steps[-1]["n_to"] == n1
+        # a family flip is NEVER silent: if the endpoints' route
+        # families differ, some step must be a full_reshuffle
+        if shard_route_family(n0)[0] != shard_route_family(n1)[0]:
+            assert any(s["kind"] == "full_reshuffle" for s in steps)
+
+    check()
