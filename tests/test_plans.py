@@ -497,3 +497,25 @@ def test_winsorize_audit_broadcasts_bounds(spark):
     s = explain_str(QUERIES["x93_winsorize_approx_audit"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in s
     assert "CartesianProduct" not in s
+
+
+def test_multi_epoch_group_read_partition_pruned(spark):
+    """x129's per-group scans filter on grp = shard_id div gsize — an
+    expression of the layout's PARTITION column, so the predicate must
+    reach PartitionFilters (the scan lists only the group's shard
+    directories, not the corpus). A regression to a post-scan filter
+    would silently turn the epoch walk into n_groups full scans."""
+    from pyspark.sql import functions as F
+
+    from detecting_and_addressing_change_spark.queries.extensions17 import (
+        _x123_layout,
+    )
+
+    layout = spark.read.parquet(f"{_x123_layout(spark, SF_SMOKE)}/shards")
+    df = layout.withColumn(
+        "grp", F.expr("CAST(shard_id AS BIGINT) div 3")
+    ).filter(F.col("grp") == 1)
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in s
+    tail = s.split("PartitionFilters", 1)[1][:200]
+    assert "shard_id" in tail and "div 3" in tail, tail
