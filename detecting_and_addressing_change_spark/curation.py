@@ -250,6 +250,14 @@ def build_training_shards(
             "max_shards"
         )
     if packs_per_shard is None:
+        if target_shard_bytes is None:
+            # max_shards / sqrt sizing runs an eager agg over `encoded`;
+            # without this the curate->tokenize->encode lineage (the
+            # most expensive stage of the build) would run twice — once
+            # for the sizing agg and again under the cumsum/write
+            # (ADVICE r16). target_shard_bytes is pure arithmetic and
+            # skips the agg, so it skips the checkpoint too.
+            encoded = encoded.localCheckpoint(eager=True)
         packs_per_shard = _derive_packs_per_shard(
             encoded, pack_size, target_shard_bytes, max_shards
         )

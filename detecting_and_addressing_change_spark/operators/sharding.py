@@ -502,10 +502,11 @@ def plan_shard_growth(n_old: int, n_new: int) -> list[dict]:
       explicit dims — :func:`measure_shard_growth` does exactly this.
     - family flip (including crossing TWO_LEVEL_ROUTE_MIN_N, or a
       near-prime n_new falling back to flat): ONE ``full_reshuffle``
-      step, expected_moved_fraction ~ 1 - 1/n_new (independent draws
-      agree only by chance) — flagged, never silent, so a caller can
-      choose to stay on the old family instead (both endpoint configs
-      are in the step).
+      step, expected_moved_fraction ~ 1 - 1/max(n_old, n_new)
+      (independent draws agree only by chance, and a flip that shrinks
+      to a tiny n_new still moves ~1 - 1/n_old of rows) — flagged,
+      never silent, so a caller can choose to stay on the old family
+      instead (both endpoint configs are in the step).
 
     Shrinking (n_new < n_old) reverses the corresponding grow step's
     contract and is planned the same way; n_old == n_new returns []."""
@@ -573,6 +574,13 @@ def plan_shard_growth(n_old: int, n_new: int) -> list[dict]:
             (f1[0], f1[1] if f1[1] is not None else n1),
             n0,
             n1,
+            # independent draws coincide on a placement cell with
+            # probability |common cells| / (n0 * n1) <= 1/max(n0, n1),
+            # so expected movement ~ 1 - 1/max(endpoints). NOT
+            # 1 - 1/n_new: a flip that SHRINKS to a tiny n_new (e.g.
+            # two-level 1024 -> flat 1) still moves ~1 - 1/n_old of
+            # rows, which max() reports and 1/n_new would not
+            # (ADVICE r16 — docstring aligned to this contract).
             1.0 - 1.0 / max(n0, n1),
         )
     ]

@@ -11,6 +11,7 @@ Usage: python3 tools/bench_scale_slope.py [runs]
 
 from __future__ import annotations
 
+import shutil
 import sys
 import time
 
@@ -99,6 +100,7 @@ def main() -> None:
                 packs_per_shard=4, epoch_seed=5,
             )
             t_best = min(t_best, time.perf_counter() - t0)
+            shutil.rmtree(out, ignore_errors=True)
         raw[label] = t_best
     a, b = raw["sf0.1"], raw["sf1eq"]
     print(
@@ -122,7 +124,10 @@ def main() -> None:
             build_training_shards(
                 docs, out, vocab_size=64, pack_size=32, epoch_seed=5,
             )
-            t_best, path = min(t_best, time.perf_counter() - t0), out
+            t_best = min(t_best, time.perf_counter() - t0)
+            if path is not None:  # the read-back below only needs the
+                shutil.rmtree(path, ignore_errors=True)  # last layout
+            path = out
         sized_build[label] = t_best
         t_best = 1e9
         for _ in range(runs):
@@ -132,6 +137,7 @@ def main() -> None:
                 F.sum("n_tokens"),
             ).collect()
             t_best = min(t_best, time.perf_counter() - t0)
+        shutil.rmtree(path, ignore_errors=True)
         sized_rb[label] = t_best
     for name, row in (
         ("build_training_shards (sized)", sized_build),

@@ -195,13 +195,19 @@ def main() -> None:
         if hygiene:
             _hygiene(spark)
         best = w
-        for _ in range(2):
-            t0 = time.perf_counter()
-            one_pass(name)
-            best = min(best, round(time.perf_counter() - t0, 2))
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                one_pass(name)
+                best = min(best, round(time.perf_counter() - t0, 2))
+        except Exception as exc:  # a retry flake must not abort the
+            # sweep and lose the whole artifact (ADVICE r16); keep the
+            # first-pass warm number and any completed retry's min
+            failures[name] = f"retry: {type(exc).__name__}: {exc}"[:300]
         warm_first[name] = w
         warm[name] = best
-        print(f"retry {name}: first {w:.2f}s -> min {best:.2f}s",
+        print(f"retry {name}: first {w:.2f}s -> min {best:.2f}s"
+              + (f"  FAILED: {failures[name]}" if name in failures else ""),
               flush=True)
 
     total = round(time.perf_counter() - t_total, 1)
