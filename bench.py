@@ -158,7 +158,7 @@ BENCH_QUERIES = [
     # and x100 are the streaming surface's bench representatives
     "x97_transformer_semantic_shift",
     "x99_upsert_stream_verdict",
-    "x100_ddm_stream_verdict",
+    "x100_detector_stream_verdicts",
     # round-10: x103 (fine-tune session), x105 (IVF compaction verdict)
     # and x106 (t-SNE projection) are DRIVER-GATED but not benched per
     # the budget policy: x103/x105 are bounded lifecycle/session
@@ -166,16 +166,18 @@ BENCH_QUERIES = [
     # (x98/x102 precedent — x103's loop is 4 batches of 32 docs at EVERY
     # scale by construction), and x106 is a clamped-sample driver-side
     # solve with no distributed scale signal.
-    # round-11: x104 (the Page-Hinkley streaming twin) moves OFF the
-    # bench under the same budget policy (VERDICT r10 #6): its ~7.4 s is
-    # the SAME data-independent startup + state-store floor x100 already
-    # represents on the bench — two copies of one floor carry no
+    # round-11: x104 (the Page-Hinkley streaming twin) moved OFF the
+    # bench under the same budget policy (VERDICT r10 #6): its ~7.4 s
+    # was the SAME data-independent startup + state-store floor x100
+    # already represents on the bench — two copies of one floor carry no
     # additional scale signal (the detector kernels' data-proportional
-    # costs are benched via q25/x57). x104 stays on the correctness
-    # gate, and both twins now share one staged replay layout
-    # (extensions13._error_series_staging). x108 (LSTM fine-tune
-    # session) is driver-gated, not benched — bounded session machinery,
-    # the x103 precedent.
+    # costs are benched via q25/x57). Round 17 folded x104 INTO x100
+    # (VERDICT r16 #2): x100_detector_stream_verdicts drains both keyed
+    # detectors concurrently off the one staged layout, so the benched
+    # row is one drain window — the PH pass overlaps the floor it would
+    # otherwise duplicate. x108 (LSTM fine-tune session) is
+    # driver-gated, not benched — bounded session machinery, the x103
+    # precedent.
     # mp4/ISO-BMFF container metadata E2E — a narrow scan->encode->parse
     # codec pipeline like x78 (real per-byte work, real scale signal)
     "x107_mp4_metadata",

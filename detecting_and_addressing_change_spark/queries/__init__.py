@@ -217,8 +217,17 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     # functions they execute (stage_replay_files / read_replay_stream /
     # scoped_state_partitions) are byte-identical this round (replay.py
     # only gained a module-level comment ABOVE the scoping helper).
-    "x109_rag_retrieval", "x113_checkpoint_recovery_verdict",
-    "x114_join_recovery_verdict", "x115_dedup_recovery_verdict",
+    "x109_rag_retrieval",
+    # x114_join_recovery_verdict / x115_dedup_recovery_verdict
+    # de-registered round 17 (green r12-r16 each): their synthesis,
+    # preconditions, raise-guards and oracle emission arithmetic moved
+    # verbatim into x113_checkpoint_recovery_verdict, which now kills
+    # and resumes all three built-in state shapes with each phase's
+    # incarnations drained CONCURRENTLY — six sequential streaming
+    # drains became two drain windows (VERDICT r16 #2 sweep
+    # consolidation). x113 deliberately NOT listed: its executed path
+    # (the merged suite, new fingerprint-row output) changed this
+    # round, so it floats forward for a fresh r17 row.
     # green rows in CORRECTNESS_r13.json (the r13 re-attests of the
     # five timeout-hardened streaming verdicts and the seven
     # kmeans-route rows, plus the new x116-x120), minus the queries
@@ -233,7 +242,12 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     # changed. The new x121 two-epoch composition audit (VERDICT r13
     # #4) starts unattested. x116 stays: operators/mapping.py and its
     # query body are untouched this round.
-    "x100_ddm_stream_verdict", "x104_ph_stream_verdict",
+    # x100_ddm_stream_verdict / x104_ph_stream_verdict de-registered
+    # round 17 (green r09-r16 each): both detectors now verdict off ONE
+    # staged replay as x100_detector_stream_verdicts — concurrent
+    # availableNow drains of the DDM and PH keyed operators over the
+    # shared layout (VERDICT r16 #2 sweep consolidation). The merged
+    # name starts unattested and leads the r17 window.
     "x110_watermark_window_verdict", "x111_stream_dedup_horizon_verdict",
     "x112_stream_join_verdict", "x116_mlp_mapping_session",
     # green rows in CORRECTNESS_r14.json: the whole sharding family

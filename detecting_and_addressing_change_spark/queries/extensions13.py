@@ -376,18 +376,27 @@ def x99(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# X100 — DDM-stream verdict (VERDICT r8 #4, third row): unlike x98/x99
-# (which drive the foreachBatch bodies directly), this runs an ACTUAL
-# Structured Streaming query — ordered file replay of the q25 per-batch
-# error series -> applyInPandasWithState DDM -> availableNow memory sink
-# — and verdicts the streamed flag series against the batch operator
-# in-query. The oracle is q25's bit-exact recursive-CTE DDM scan,
-# aggregated to the same fingerprint row, with the equality verdict
-# pinned TRUE: a driver hash match certifies the STREAMING path's flags
-# (count, warn/drift totals, drift-position sum), not just the batch
-# twin's. Scale shape: state is one tuple per detector key, each
-# micro-batch processes its rows in seq order within the key — the
-# standard keyed-stateful-operator shape at any scale.
+# X100 — detector-stream verdicts (VERDICT r8 #4 third row; merged form
+# VERDICT r16 #2): unlike x98/x99 (which drive the foreachBatch bodies
+# directly), this runs ACTUAL Structured Streaming queries — ordered
+# file replay of the q25 per-batch error series ->
+# applyInPandasWithState -> availableNow memory sinks — and verdicts
+# the streamed flag series against the batch operators in-query, for
+# BOTH T1 detectors (DDM and Page-Hinkley) off ONE staged replay.
+# Through r16 these were two registry rows (x100_ddm_stream_verdict
+# green r09-r16, x104_ph_stream_verdict green r09-r16) paying two
+# sequential streaming drains over the same staged bytes; the merged
+# query starts both keyed stateful operators CONCURRENTLY (separate
+# checkpoints + sinks over the read-only layout, so neither can affect
+# the other) and pays one drain window. The oracle is the bit-exact
+# recursive-CTE DDM scan x the Page-Hinkley scan, aggregated to one
+# fingerprint row with both equality verdicts pinned TRUE: a driver
+# hash match certifies BOTH streaming paths' flags (count, warn/drift
+# totals, drift-position sums), not just the batch twins'. Scale shape:
+# state is one tuple per detector key, each micro-batch processes its
+# rows in seq order within the key — the standard
+# keyed-stateful-operator shape at any scale; a detector FLEET
+# parallelizes across keys.
 # --------------------------------------------------------------------------
 # the real events series never trips DDM at the driver's scales (flags
 # all 'N'), which would make the flag fingerprint vacuous — so the query
@@ -400,16 +409,18 @@ _X100_TAIL_SEQ0 = 10_000_000
 _X100_TAIL_N = 40
 _X100_TAIL_ERR = 0.9
 
-# The two streaming detector twins (x100 DDM here, x104 PH in
-# extensions14) replay the IDENTICAL input: the q25 per-batch error
-# series plus the same elevated tail, staged into the same ~4-file
-# ordered layout. Until round 11 each query re-built and re-staged it
-# (~2 s of duplicated fixed cost per sweep/bench run — VERDICT r10 #6);
-# they now share one build-or-reuse staging per (session, sf_dir), the
-# x94/x95 fixture pattern. Each query keeps its OWN streaming run,
+# The two streaming detector kernels replay the IDENTICAL input: the
+# q25 per-batch error series plus the same elevated tail, staged into
+# the same ~4-file ordered layout. Until round 11 each of the (then
+# separate) twin queries re-built and re-staged it (~2 s of duplicated
+# fixed cost per sweep/bench run — VERDICT r10 #6); the build-or-reuse
+# staging per (session, sf_dir) — the x94/x95 fixture pattern — is kept
+# even now that both detectors live in one registry row, because the
+# merged query may run more than once per session (sweep cold+warm,
+# bench min-of-n). Each detector keeps its OWN streaming run,
 # checkpoint dir, sink and batch twin — the staged input is static and
-# read-only, so two independent streaming queries consuming it cannot
-# interact, and run order cannot change either result.
+# read-only, so two concurrent streaming queries consuming it cannot
+# interact, and drain order cannot change either result.
 _ERROR_SERIES_STAGING: dict = {}
 
 
@@ -467,7 +478,7 @@ def _error_series_staging(spark: SparkSession, sf_dir: str):
 
 
 def _x100_oracle() -> str:
-    from .drift import ddm_scan_oracle
+    from .drift import ddm_scan_oracle, ph_scan_oracle
 
     body = f"""
     SELECT CAST(FLOOR(event_id / 32) AS BIGINT) AS bucket,
@@ -479,27 +490,47 @@ def _x100_oracle() -> str:
     FROM generate_series(0, {_X100_TAIL_N - 1}) AS t(i)
 """
     return f"""
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_batches,
-           CAST(SUM(CASE WHEN flag = 'W' THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_warn,
-           CAST(SUM(CASE WHEN flag = 'D' THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_drift,
-           CAST(COALESCE(SUM(CASE WHEN flag = 'D' THEN seq_id END), 0)
-                AS BIGINT) AS drift_seq_sum,
-           TRUE AS streamed_equals_batch
-    FROM ({ddm_scan_oracle(body)}) t
+    SELECT d.n_batches, d.n_warn, d.n_drift, d.drift_seq_sum,
+           p.ph_n_drift, p.ph_drift_seq_sum,
+           TRUE AS ddm_streamed_equals_batch,
+           TRUE AS ph_streamed_equals_batch
+    FROM (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_batches,
+             CAST(SUM(CASE WHEN flag = 'W' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_warn,
+             CAST(SUM(CASE WHEN flag = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_drift,
+             CAST(COALESCE(SUM(CASE WHEN flag = 'D' THEN seq_id END), 0)
+                  AS BIGINT) AS drift_seq_sum
+      FROM ({ddm_scan_oracle(body)}) t
+    ) d CROSS JOIN (
+      SELECT CAST(SUM(CASE WHEN flag = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+               AS ph_n_drift,
+             CAST(COALESCE(SUM(CASE WHEN flag = 'D' THEN seq_id END), 0)
+                  AS BIGINT) AS ph_drift_seq_sum
+      FROM ({ph_scan_oracle(body)}) t
+    ) p
 """
 
 
-@query("x100_ddm_stream_verdict", oracle=_x100_oracle())
+@query("x100_detector_stream_verdicts", oracle=_x100_oracle())
 def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q25's error series replayed through the real streaming stack
-    (read_replay_stream -> detect_drift_stream -> availableNow), then
-    the streamed flag-series fingerprint + the streamed==batch verdict."""
+    """q25's error series replayed through the real streaming stack for
+    BOTH T1 detectors off ONE staged replay (VERDICT r16 #2 — formerly
+    the separate x100_ddm_stream_verdict / x104_ph_stream_verdict rows,
+    green r09-r16 / r09-r16): the two keyed stateful operators
+    (streaming/ddm_stream.py, streaming/ph_stream.py) run as CONCURRENT
+    availableNow queries over the same read-only staged layout — each
+    keeps its own checkpoint and memory sink, so neither result can
+    depend on the other, and the wall-clock is one drain window instead
+    of two streaming startups. Returns one fingerprint row carrying both
+    flag series plus both streamed==batch verdicts."""
     import os
 
     from ..operators.ddm import detect_drift
+    from ..operators.ph import detect_drift_ph
     from ..streaming.ddm_stream import detect_drift_stream
+    from ..streaming.ph_stream import detect_drift_ph_stream
     from ..streaming.replay import (
         read_replay_stream,
         scoped_state_partitions,
@@ -507,36 +538,51 @@ def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions10 import _scratch_index_dir
 
     staged, per_batch = _error_series_staging(spark, sf_dir)
-    tmp = _scratch_index_dir(spark, "ddm100_")
-    stream = read_replay_stream(
-        spark, staged, "detector_id string, seq_id long, error double"
-    )
-    sink = f"x100_{os.path.basename(tmp)}"  # unique per invocation
+    tmp = _scratch_index_dir(spark, "det100_")
+    schema = "detector_id string, seq_id long, error double"
+    base = os.path.basename(tmp)  # unique per invocation
+    sinks = {"ddm": f"x100d_{base}", "ph": f"x100p_{base}"}
+    ops = {"ddm": detect_drift_stream, "ph": detect_drift_ph_stream}
     # scoped state partitions (streaming/replay.py): ONE detector key
     # through 32 state-store commits per batch was pure overhead
     with scoped_state_partitions(spark):
-        q = (
-            detect_drift_stream(stream)
-            .writeStream.format("memory")
-            .queryName(sink)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise AssertionError("x100 replay did not drain in 300s")
-        if q.exception() is not None:
-            raise q.exception()
+        queries = {}
+        for kind, op in ops.items():
+            # each streaming query needs its own source DataFrame; the
+            # staged files are static so the two reads are identical
+            stream = read_replay_stream(spark, staged, schema)
+            queries[kind] = (
+                op(stream)
+                .writeStream.format("memory")
+                .queryName(sinks[kind])
+                .option("checkpointLocation", f"{tmp}/ckpt_{kind}")
+                .trigger(availableNow=True)
+                .start()
+            )
+        for kind, q in queries.items():
+            if not q.awaitTermination(300):
+                for qq in queries.values():
+                    qq.stop()
+                raise AssertionError(
+                    f"x100 {kind} replay did not drain in 300s"
+                )
+            if q.exception() is not None:
+                raise q.exception()
 
-    streamed = spark.table(sink).select("seq_id", "error", "flag")
-    batch = detect_drift(per_batch).select("seq_id", "error", "flag")
-    n_mismatch = int(
-        streamed.exceptAll(batch)
-        .unionByName(batch.exceptAll(streamed))
-        .count()
-    )
-    return streamed.agg(
+    fps = {}
+    for kind, batch_fn in (("ddm", detect_drift), ("ph", detect_drift_ph)):
+        streamed = spark.table(sinks[kind]).select("seq_id", "error", "flag")
+        batch = batch_fn(per_batch).select("seq_id", "error", "flag")
+        n_mismatch = int(
+            streamed.exceptAll(batch)
+            .unionByName(batch.exceptAll(streamed))
+            .count()
+        )
+        fps[kind] = (streamed, n_mismatch)
+
+    ddm_s, ddm_mis = fps["ddm"]
+    ph_s, ph_mis = fps["ph"]
+    ddm_row = ddm_s.agg(
         F.count("*").cast("long").alias("n_batches"),
         F.sum((F.col("flag") == "W").cast("long")).alias("n_warn"),
         F.sum((F.col("flag") == "D").cast("long")).alias("n_drift"),
@@ -544,8 +590,17 @@ def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("flag") == "D", F.col("seq_id"))),
             F.lit(0),
         ).cast("long").alias("drift_seq_sum"),
-        F.lit(n_mismatch == 0).alias("streamed_equals_batch"),
+        F.lit(ddm_mis == 0).alias("ddm_streamed_equals_batch"),
     )
+    ph_row = ph_s.agg(
+        F.sum((F.col("flag") == "D").cast("long")).alias("ph_n_drift"),
+        F.coalesce(
+            F.sum(F.when(F.col("flag") == "D", F.col("seq_id"))),
+            F.lit(0),
+        ).cast("long").alias("ph_drift_seq_sum"),
+        F.lit(ph_mis == 0).alias("ph_streamed_equals_batch"),
+    )
+    return ddm_row.crossJoin(ph_row)
 
 
 # --------------------------------------------------------------------------

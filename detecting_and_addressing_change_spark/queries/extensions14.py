@@ -1,17 +1,18 @@
 """Round-10 extension queries: driver attestation for the fine-tune
 adaptation session (x103 — U8, the last reference experiment shape
-without a driver row), the Page-Hinkley streaming twin (x104), the
-IVF-index compaction verdict (x105), the t-SNE visualization projection
-(x106 — U10, previously the one declared-out-of-scope reference
-capability with no engine data product), and mp4 container metadata
-E2E (x107 — narrowing the multimodal capability gate to exactly SAMPLE
-decode).
+without a driver row), the Page-Hinkley streaming twin (x104 — folded
+into x100_detector_stream_verdicts in round 17, see its former site
+below), the IVF-index compaction verdict (x105), the t-SNE
+visualization projection (x106 — U10, previously the one
+declared-out-of-scope reference capability with no engine data
+product), and mp4 container metadata E2E (x107 — narrowing the
+multimodal capability gate to exactly SAMPLE decode).
 
 VERDICT r9 asked for x103/x104/x105 (#2, #4, #7). All five follow the
 round's oracle-hygiene rule (#8): x103 and x107 carry NO pinned verdict
 at all — every column is recomputed exactly by the SQL oracle — and
-x104/x105/x106 carry SQL-recomputable fingerprint columns beside their
-pinned (and raise-guarded) property verdicts.
+x104/x105/x106 carried SQL-recomputable fingerprint columns beside
+their pinned (and raise-guarded) property verdicts.
 """
 
 from __future__ import annotations
@@ -272,126 +273,20 @@ def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# X104 — Page-Hinkley stream verdict (VERDICT r9 #4): x100 proved the
-# streaming-detector attestation pattern for DDM; this is the SAME real
-# Structured Streaming stack (ordered file replay ->
-# applyInPandasWithState -> availableNow -> unique-named memory sink)
-# through the OTHER T1 detector, streaming/ph_stream.py — until now
-# pytest-only. The x100 deterministic elevated-error tail is reused so
-# the attested flag series carries actual Drift firings (PH's cum-min
-# gap crosses threshold=1.0 within a few 0.9-error batches) and a
-# post-reset re-fire, not just 'N's. The oracle is the bit-exact
-# recursive-CTE Page-Hinkley scan (drift.ph_scan_oracle — the x57/x72
-# machinery) aggregated to the same fingerprint row; the
-# streamed==batch verdict is pinned TRUE beside the batch-recomputable
-# fingerprints (n_batches, drift count/position-sum — VERDICT r9 #8's
-# required shape). Scale shape: identical to x100 — state is one 4-field
-# tuple per detector key; micro-batch cost is rows-in-batch, and a
-# detector FLEET parallelizes across keys.
+# X104 (folded into x100, round 17): the Page-Hinkley stream verdict
+# (VERDICT r9 #4 — ordered file replay -> applyInPandasWithState PH ->
+# availableNow sink, verdicted against operators/ph.py's batch twin and
+# the bit-exact recursive-CTE Page-Hinkley oracle) was a standalone
+# registry row through r16 (green r09-r16). It replayed the IDENTICAL
+# staged input as x100 and paid its own full streaming drain — the same
+# data-independent startup + state-store floor twice per sweep. Its
+# flag-series fingerprint (ph_n_drift, ph_drift_seq_sum) and
+# streamed==batch verdict now ride x100_detector_stream_verdicts, which
+# starts BOTH keyed detectors as concurrent availableNow queries over
+# the one staged layout (VERDICT r16 #2 consolidation plan). The PH
+# streaming operator itself (streaming/ph_stream.py) keeps its pytest
+# coverage in tests/test_ph.py and tests/test_streaming.py.
 # --------------------------------------------------------------------------
-_X104_TAIL_SEQ0 = 10_000_000
-_X104_TAIL_N = 40
-_X104_TAIL_ERR = 0.9
-
-# staging/oracle coherence: the shared staged replay (extensions13's
-# _error_series_staging, VERDICT r10 #6) is built from the x100
-# constants; x104's oracle describes the same bytes, so the two constant
-# sets must be identical — asserted at import, not assumed
-from .extensions13 import (  # noqa: E402
-    _X100_TAIL_ERR,
-    _X100_TAIL_N,
-    _X100_TAIL_SEQ0,
-)
-
-assert (_X104_TAIL_SEQ0, _X104_TAIL_N, _X104_TAIL_ERR) == (
-    _X100_TAIL_SEQ0,
-    _X100_TAIL_N,
-    _X100_TAIL_ERR,
-), "x104 oracle constants diverged from the shared staged replay input"
-
-
-def _x104_oracle() -> str:
-    from .drift import ph_scan_oracle
-
-    body = f"""
-    SELECT CAST(FLOOR(event_id / 32) AS BIGINT) AS bucket,
-           AVG(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END) AS error
-    FROM events
-    GROUP BY bucket
-    UNION ALL
-    SELECT {_X104_TAIL_SEQ0} + i AS bucket, {_X104_TAIL_ERR} AS error
-    FROM generate_series(0, {_X104_TAIL_N - 1}) AS t(i)
-"""
-    return f"""
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_batches,
-           CAST(SUM(CASE WHEN flag = 'D' THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_drift,
-           CAST(COALESCE(SUM(CASE WHEN flag = 'D' THEN seq_id END), 0)
-                AS BIGINT) AS drift_seq_sum,
-           TRUE AS streamed_equals_batch
-    FROM ({ph_scan_oracle(body)}) t
-"""
-
-
-@query("x104_ph_stream_verdict", oracle=_x104_oracle())
-def x104(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The q25/x57 per-batch error series (plus the deterministic
-    elevated-error tail) replayed through the real streaming stack with
-    the keyed Page-Hinkley operator, then the streamed flag-series
-    fingerprint + the streamed==batch verdict."""
-    import os
-
-    from ..operators.ph import detect_drift_ph
-    from ..streaming.ph_stream import detect_drift_ph_stream
-    from ..streaming.replay import (
-        read_replay_stream,
-        scoped_state_partitions,
-    )
-    from .extensions10 import _scratch_index_dir
-    from .extensions13 import _error_series_staging
-
-    # the same staged input as x100 — the shared build-or-reuse layout
-    # (VERDICT r10 #6); the tail constants above stay the oracle's
-    # source of truth and are asserted equal to the staging's in tests
-    staged, per_batch = _error_series_staging(spark, sf_dir)
-    tmp = _scratch_index_dir(spark, "ph104_")
-    stream = read_replay_stream(
-        spark, staged, "detector_id string, seq_id long, error double"
-    )
-    sink = f"x104_{os.path.basename(tmp)}"  # unique per invocation
-    # scoped state partitions (streaming/replay.py): ONE detector key
-    # through 32 state-store commits per batch was pure overhead
-    with scoped_state_partitions(spark):
-        q = (
-            detect_drift_ph_stream(stream)
-            .writeStream.format("memory")
-            .queryName(sink)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise AssertionError("x104 replay did not drain in 300s")
-        if q.exception() is not None:
-            raise q.exception()
-
-    streamed = spark.table(sink).select("seq_id", "error", "flag")
-    batch = detect_drift_ph(per_batch).select("seq_id", "error", "flag")
-    n_mismatch = int(
-        streamed.exceptAll(batch)
-        .unionByName(batch.exceptAll(streamed))
-        .count()
-    )
-    return streamed.agg(
-        F.count("*").cast("long").alias("n_batches"),
-        F.sum((F.col("flag") == "D").cast("long")).alias("n_drift"),
-        F.coalesce(
-            F.sum(F.when(F.col("flag") == "D", F.col("seq_id"))),
-            F.lit(0),
-        ).cast("long").alias("drift_seq_sum"),
-        F.lit(n_mismatch == 0).alias("streamed_equals_batch"),
-    )
 
 
 # --------------------------------------------------------------------------

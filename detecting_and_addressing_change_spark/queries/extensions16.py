@@ -2,18 +2,37 @@
 stateful streaming surface — VERDICT r11 #2 (x113, the watermarked
 window aggregation) plus its siblings for the other two built-in state
 shapes (x114, the stream-stream join's buffered state; x115, the
-bounded-state dedup's seen-keys map — see their block comments).
+bounded-state dedup's seen-keys map).
+
+Round-17 consolidation (VERDICT r16 #2): the three recovery queries
+were separate registry rows through r16 (x113 green r12-r16, x114/x115
+green r12-r16) and paid SIX sequential streaming drains per sweep pass
+(two incarnations x three shapes, ~25 s cold combined — each drain
+mostly data-independent startup + state-store floor). They are now ONE
+registry row, x113_checkpoint_recovery_verdict, that kills and resumes
+all three state shapes with the incarnations of a phase started
+CONCURRENTLY: each shape keeps its own staged layout, checkpoint and
+parquet file sink (the three queries share nothing but the wall
+clock), run 1 of every shape drains in one window, then run 2 of every
+shape resumes from its own checkpoint in a second window. Every
+synthesis, precondition and raise-guarded verdict of the three
+original queries is preserved verbatim below; only the returned row
+shape changed — one FINGERPRINT row per state shape (the x100/x104
+pattern: count + key/value sums the oracle recomputes from scratch,
+verdict booleans raise-guarded in-query then pinned TRUE).
 
 x99 attested restart-safety for the foreachBatch/CDC upsert path, but
 the built-in stateful operators the r11 round closed (x110 watermarked
 window aggregation, x111 bounded-state dedup, x112 stream-stream join)
 had only ever run UNINTERRUPTED availableNow replays: the one streaming
-posture never driver-attested was killing such a query mid-replay and
-resuming it from its ``checkpointLocation``. x113 runs the exact x110
-stack (same synthesized event-time replay, same watermark/window
-arithmetic — constants imported from extensions15, construction cited
-there) split across TWO streaming query incarnations sharing one
-checkpoint and one parquet FILE sink:
+posture never driver-attested before r12 was killing such a query
+mid-replay and resuming it from its ``checkpointLocation``.
+
+Shape 1 — window_agg (the original x113): the exact x110 stack (same
+synthesized event-time replay, same watermark/window arithmetic —
+constants imported from extensions15, construction cited there) split
+across TWO streaming query incarnations sharing one checkpoint and one
+parquet FILE sink:
 
   run 1: batches 0-2 staged -> availableNow drains them -> graceful stop.
          The checkpoint now holds the seen-file log, the open-window
@@ -26,25 +45,44 @@ checkpoint and one parquet FILE sink:
          state store, and the final no-data batch (watermark 2140)
          closes everything through [2040, 2100).
 
-The verdict is that the resumed run's final sink equals the
-uninterrupted run's emission set — which the oracle recomputes from
-scratch (the x110 arithmetic: the split point only changes WHEN windows
-close, never WHICH close or with what counts). NO pinned row values;
-the three booleans are raise-guarded non-vacuousness verdicts (x99
-shape):
+  Verdicts (raise-guarded): watermark_restored — total emitted rows
+  match the late-drop arithmetic at watermark 940; window_state
+  restored — the [960, 1020) window's count equals its run-1 rows PLUS
+  the run-2 accepted straggler; exactly-once — no (win_start,
+  event_type) key appears twice across the two incarnations (the
+  parquet sink's ``_spark_metadata`` commit log read back through the
+  production consumer path).
 
- - watermark_restored: total emitted rows match the late-drop
-   arithmetic at watermark 940 — a checkpoint that lost the watermark
-   would accept the below-900 stragglers and re-emit already-closed
-   windows;
- - window_state_restored: the [960, 1020) window's count equals its
-   run-1 rows PLUS the run-2 accepted straggler — state-store loss
-   would leave only the straggler;
- - exactly_once_resume: no (win_start, event_type) key appears twice
-   across the two incarnations — the parquet sink's ``_spark_metadata``
-   commit log is what makes a mid-replay kill recoverable without
-   duplicates, and reading the sink through it is the production
-   consumer path.
+Shape 2 — join_buffer (the original x114): the x112 two-sided-watermark
+stream-stream inner join split after batch 0 of BOTH sources: run 1
+emits the same-batch pairs and leaves the cross-batch pair's LEFT row
+(key m100 == 83, t = 830) sitting in the join buffer when the query
+stops; its RIGHT partner (t = 860) arrives only in the resumed
+incarnation, so the pair can ONLY be emitted by matching against the
+RESTORED buffer — run-1-snapshot-checked in-query. The late left leg
+replays after the resume too, so its drop attests the restored
+two-sided watermark. Same margins as x112 (the buffered row's eviction
+bound 890 sits above any possible restored watermark 680/710; the late
+leg's times <= 970 sit far below the 1740 its batch sees), and the
+final sink must equal the uninterrupted x112 emission set, recomputed
+from scratch by the oracle.
+
+Shape 3 — dedup_map (the original x115): x111's
+`dropDuplicatesWithinWatermark` seen-keys map killed and resumed. The
+replay splits after batch 0 (the originals): run 1 emits every first
+occurrence and stops with the whole key map in state at watermark 690;
+run 2 resumes and replays the WITHIN-HORIZON redelivery first — its
+dedup can only come from the RESTORED key map (first-seen t = 930,
+expiry >= 1230 under any eviction rule, far above the restored 690),
+so a checkpoint that lost the map re-emits it and fails both the
+raise-guard and the oracle. The jump/spacer batches then advance the
+watermark to 1740 and the BEYOND-HORIZON redelivery re-emits —
+eviction executed by the resumed incarnation over restored state.
+Final sink must equal x111's uninterrupted emission set, recomputed in
+closed form (zero pins).
+
+Together the three shapes complete checkpoint-recovery attestation for
+every built-in state shape the engine uses.
 
 Reference parity: the reference's detector loops restart from persisted
 model state (``streams/stream_data.py:79-203`` restart + the checkpoint
@@ -52,11 +90,13 @@ sinks SURVEY §2.1 S6/S7 cover); this query attests the Spark-native
 equivalent for the engine's built-in stateful operators. Driver-gated,
 NOT benched (streaming floor, the documented bench budget policy).
 
-Scale shape: one narrow synthesis pass, two staged replay writes, and
-the standard windowed-aggregation state-store query — checkpoint
-recovery cost is O(state), independent of corpus size; at 100 TB the
-same checkpointLocation mechanics carry a 1000-executor query across
-executor loss, driver restart, and code redeploy.
+Scale shape: three narrow synthesis passes, staged replay writes, and
+the standard stateful-operator queries — checkpoint recovery cost is
+O(state), independent of corpus size; at 100 TB the same
+checkpointLocation mechanics carry a 1000-executor query across
+executor loss, driver restart, and code redeploy. The in-process
+concurrency here is attestation-budget engineering, not the production
+posture — a real cluster runs each recovery independently.
 """
 
 from __future__ import annotations
@@ -70,146 +110,361 @@ from .registry import query
 
 
 # --------------------------------------------------------------------------
-# X114 — join-buffer recovery verdict: the checkpoint-recovery sibling
-# of x113 for the HEAVIEST built-in state shape, the two-sided-watermark
-# stream-stream inner join (x112's stack). The replay splits after batch
-# 0 of BOTH sources: run 1 emits the same-batch pairs and leaves the
-# cross-batch pair's LEFT row (key m100 == 83, t = 830) sitting in the
-# join buffer when the query stops; its RIGHT partner (t = 860) arrives
-# only in the resumed incarnation, so the pair can ONLY be emitted by
-# matching against the RESTORED buffer — run-1-snapshot-checked
-# in-query. The late left leg replays after the resume too, so its drop
-# attests the restored two-sided watermark. Same margins as x112 (the
-# buffered row's eviction bound 890 sits above any possible restored
-# watermark 680/710; the late leg's times <= 970 sit far below the 1740
-# its batch sees), and the final sink must equal the uninterrupted
-# x112 emission set, recomputed from scratch by the oracle. Parquet
-# file sink read through _spark_metadata (the x113 exactly-once
-# mechanics). Driver-gated, not benched (streaming floor policy).
+# X114 (folded into x113, round 17): the join-buffer recovery verdict —
+# see "Shape 2" in the module docstring. Standalone registry row green
+# r12-r16; its synthesis, preconditions, raise-guards and oracle
+# emission arithmetic moved verbatim into
+# x113_checkpoint_recovery_verdict (VERDICT r16 #2 sweep
+# consolidation: the trio shared one staged-layout PATTERN but paid
+# three separate streaming drains per incarnation phase).
 # --------------------------------------------------------------------------
-_X114_ORACLE = """
-    WITH e AS (
+
+# --------------------------------------------------------------------------
+# X115 (folded into x113, round 17): the dedup-state recovery verdict —
+# see "Shape 3" in the module docstring. Standalone registry row green
+# r12-r16; folded on the same grounds as x114 above.
+# --------------------------------------------------------------------------
+
+
+def _x113_oracle() -> str:
+    b, w = _X110_BASE, _X110_WIN
+    return f"""
+    WITH w_rows AS (
+      SELECT event_id, event_type,
+             {_X110_CASE_T} AS t,
+             CASE WHEN event_id % 20 = 9 THEN 1
+                  WHEN event_id % 20 = 19 THEN 4
+                  WHEN event_id % 100 = 11 THEN 2
+                  WHEN event_id % 100 = 31 THEN 5
+                  WHEN event_id % 10 = 7 THEN 3
+                  ELSE 0 END AS batch
+      FROM events
+    ),
+    -- window_agg shape: identical emission arithmetic to x110's oracle;
+    -- the late batch is filtered at watermark 1240 - {_X110_DELAY} = 940
+    -- (RESTORED from the checkpoint rather than carried in memory), and
+    -- the final watermark 2440 - {_X110_DELAY} = 2140 emits windows with
+    -- start <= 2080
+    w_accepted AS (
+      SELECT * FROM w_rows WHERE batch <> 3 OR t >= 900
+    ),
+    w_emitted AS (
+      SELECT CAST({b} + FLOOR(t / {w}) * {w} AS BIGINT) AS win_start,
+             event_type
+      FROM w_accepted
+      WHERE FLOOR(t / {w}) * {w} <= 2080
+    ),
+    w_grouped AS (
+      SELECT win_start, event_type, COUNT(*) AS n
+      FROM w_emitted GROUP BY win_start, event_type
+    ),
+    -- join_buffer shape: the uninterrupted x112 emission set (in-batch
+    -- pairs + the cross-restart pair served from the restored buffer)
+    j_e AS (
       SELECT event_id AS k, event_id % 100 AS m100,
              event_id % 20 AS m20, event_id % 10 AS m10
       FROM events
     ),
-    pairs AS (
-      SELECT k, m100 * 10 AS lt, m100 * 10 + 30 AS rt FROM e
+    j_pairs AS (
+      SELECT k, m100 * 10 AS lt, m100 * 10 + 30 AS rt FROM j_e
       WHERE m20 NOT IN (9, 19) AND m10 <> 7
         AND m100 NOT IN (11, 31, 51, 83)
       UNION ALL
-      SELECT k, 830, 860 FROM e WHERE m100 = 83
+      SELECT k, 830, 860 FROM j_e WHERE m100 = 83
+    ),
+    -- dedup_map shape: every key's FIRST occurrence plus the
+    -- beyond-horizon redeliveries the evicted state cannot remember
+    d_e AS (
+      SELECT event_id AS k, event_id % 100 AS m100, event_id % 20 AS m20
+      FROM events
+    ),
+    d_emitted AS (
+      SELECT k, CASE WHEN m20 = 9 THEN 2000 + (k % 5) * 10
+                     WHEN m100 = 11 THEN 2040
+                     ELSE m100 * 10 END AS t
+      FROM d_e
+      UNION ALL
+      SELECT k, 1900 FROM d_e WHERE m100 = 43
+    ),
+    fp AS (
+      SELECT 'window_agg' AS state_shape,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(win_start) AS BIGINT) AS fp_key_sum,
+             CAST(SUM(n) AS BIGINT) AS fp_val_sum
+      FROM w_grouped
+      UNION ALL
+      SELECT 'join_buffer',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(k) AS BIGINT),
+             CAST(SUM(lt) + SUM(rt) AS BIGINT)
+      FROM j_pairs
+      UNION ALL
+      SELECT 'dedup_map',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(k) AS BIGINT),
+             CAST(SUM(t) AS BIGINT)
+      FROM d_emitted
     )
-    SELECT k, CAST(lt AS BIGINT) AS lt, CAST(rt AS BIGINT) AS rt,
-           TRUE AS buffer_restored,
-           TRUE AS late_leg_dropped_after_resume,
+    SELECT state_shape, n_rows, fp_key_sum, fp_val_sum,
+           TRUE AS state_restored,
+           TRUE AS late_discipline_ok,
            TRUE AS exactly_once_resume
-    FROM pairs
+    FROM fp
 """
 
 
-@query("x114_join_recovery_verdict", oracle=_X114_ORACLE)
-def x114(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The x112 stream-stream join stopped after batch 0 of both sources
-    and RESUMED from its checkpointLocation: the cross-batch pair must be
-    served from the RESTORED join buffer (its left row buffered before
-    the stop, its partner arriving after the resume), the late left leg
-    must still drop, and the final sink must equal the uninterrupted
-    run's emission set — recomputed by the oracle."""
+def _await_all(started: dict, phase: str) -> None:
+    """Drain a phase's concurrently-started availableNow queries; a
+    timeout or error in any of them stops the rest and raises."""
+    for shape, q in started.items():
+        if not q.awaitTermination(300):
+            for qq in started.values():
+                qq.stop()
+            raise AssertionError(
+                f"x113 {shape} incarnation ({phase}) did not drain in 300s"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+
+
+@query("x113_checkpoint_recovery_verdict", oracle=_x113_oracle())
+def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three built-in state shapes (watermarked window aggregation,
+    stream-stream join buffer, bounded-state dedup key map) killed
+    mid-replay and RESUMED from their checkpointLocations, the
+    incarnations of each phase drained concurrently; the recovered
+    final sinks (real parquet file sinks read through their
+    _spark_metadata commit logs) must equal the uninterrupted runs'
+    emission sets, which the oracle recomputes — returned as one
+    fingerprint row per shape."""
     from ..streaming.replay import (
         read_replay_stream,
         scoped_state_partitions,
         stage_replay_files,
     )
     from .extensions10 import _scratch_index_dir
-    from .extensions15 import _X112_BASE, _X112_DELAY
+    from .extensions15 import (
+        _X111_BASE,
+        _X111_DELAY,
+        _X112_BASE,
+        _X112_DELAY,
+    )
 
-    ev = load_table(spark, sf_dir, "events").select("event_id")
+    # ---------------- shape 1: window_agg synthesis (x110's, verbatim —
+    # kept inline rather than factored so x110's attested executed path
+    # is untouched) ----------------
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
     e = F.col("event_id")
+    t = (
+        F.when(e % 20 == 9, F.lit(1200) + (e % 5) * 10)
+        .when(e % 20 == 19, F.lit(2400) + (e % 5) * 10)
+        .when(e % 100 == 11, F.lit(1240))
+        .when(e % 100 == 31, F.lit(2440))
+        .otherwise((e % 100) * 10)
+    ).cast("long")
+    batch = (
+        F.when(e % 20 == 9, 1)
+        .when(e % 20 == 19, 4)
+        .when(e % 100 == 11, 2)
+        .when(e % 100 == 31, 5)
+        .when(e % 10 == 7, 3)
+        .otherwise(0)
+    ).cast("long")
+    w_rows = ev.select(
+        batch.alias("replay_batch"),
+        F.timestamp_seconds(F.lit(_X110_BASE) + t).alias("ts"),
+        "event_type",
+        t.alias("__t"),
+    ).localCheckpoint(eager=True)
+
+    # non-vacuousness preconditions (x110's, asserted BEFORE streaming)
+    w_legs = {
+        int(r["replay_batch"]): int(r["n"])
+        for r in w_rows.groupBy("replay_batch")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    n_dropped_late = w_rows.filter(
+        (F.col("replay_batch") == 3) & (F.col("__t") < 900)
+    ).count()
+    n_accepted_late = w_legs.get(3, 0) - n_dropped_late
+    if not all(w_legs.get(i, 0) for i in (0, 1, 2, 4, 5)):
+        raise AssertionError(
+            f"x113 fixture drift: empty window-agg replay leg {w_legs}"
+        )
+    if not (n_dropped_late > 0 and n_accepted_late > 0):
+        raise AssertionError(
+            f"x113 fixture drift: late split dropped={n_dropped_late} "
+            f"accepted={n_accepted_late} — a leg is vacuous"
+        )
+
+    # ---------------- shape 2: join_buffer synthesis (x112's, verbatim)
+    ev_k = load_table(spark, sf_dir, "events").select("event_id")
     m100, m20, m10 = e % 100, e % 20, e % 10
-    # the x112 synthesis verbatim (extensions15.py x112 — kept inline so
-    # x112's attested executed path is untouched)
     is_a = ~m20.isin(9, 19) & (m10 != 7) & ~m100.isin(11, 31, 51, 83)
 
-    def leg(cond, b, t_expr):
-        return ev.filter(cond).select(
+    def leg(cond, b, t_expr, base):
+        return ev_k.filter(cond).select(
             F.lit(b).cast("long").alias("replay_batch"),
             e.alias("k"),
             F.timestamp_seconds(
-                F.lit(_X112_BASE) + t_expr.cast("long")
+                F.lit(base) + t_expr.cast("long")
             ).alias("ts"),
         )
 
-    left = (
-        leg(is_a | (m100 == 83), 0, m100 * 10)
-        .unionByName(leg(m20 == 9, 1, F.lit(2000) + (e % 5) * 10))
-        .unionByName(leg(m100 == 11, 2, F.lit(2040)))
-        .unionByName(leg(m10 == 7, 3, m100 * 10))  # the LATE leg
+    j_left = (
+        leg(is_a | (m100 == 83), 0, m100 * 10, _X112_BASE)
+        .unionByName(
+            leg(m20 == 9, 1, F.lit(2000) + (e % 5) * 10, _X112_BASE)
+        )
+        .unionByName(leg(m100 == 11, 2, F.lit(2040), _X112_BASE))
+        .unionByName(leg(m10 == 7, 3, m100 * 10, _X112_BASE))  # LATE leg
         .localCheckpoint(eager=True)
     )
-    right = (
-        leg(is_a | (m10 == 7), 0, m100 * 10 + 30)
+    j_right = (
+        leg(is_a | (m10 == 7), 0, m100 * 10 + 30, _X112_BASE)
         .unionByName(
-            leg(m20 == 19, 1, F.lit(2000) + (e % 5) * 10).unionByName(
-                leg(m100 == 83, 1, F.lit(860))  # cross-RESTART partner
+            leg(
+                m20 == 19, 1, F.lit(2000) + (e % 5) * 10, _X112_BASE
+            ).unionByName(
+                # cross-RESTART partner
+                leg(m100 == 83, 1, F.lit(860), _X112_BASE)
             )
         )
-        .unionByName(leg(m100 == 31, 2, F.lit(2040)))
-        .unionByName(leg(m100 == 51, 3, F.lit(2040)))
+        .unionByName(leg(m100 == 31, 2, F.lit(2040), _X112_BASE))
+        .unionByName(leg(m100 == 51, 3, F.lit(2040), _X112_BASE))
         .localCheckpoint(eager=True)
     )
 
     # non-vacuousness preconditions (x112's, asserted BEFORE streaming)
-    n_cross = left.filter(F.col("k") % 100 == 83).count()
-    n_late = left.filter(F.col("replay_batch") == 3).count()
-    n_a = left.filter(F.col("replay_batch") == 0).count() - n_cross
+    n_cross = j_left.filter(F.col("k") % 100 == 83).count()
+    n_late = j_left.filter(F.col("replay_batch") == 3).count()
+    n_a = j_left.filter(F.col("replay_batch") == 0).count() - n_cross
     if not (n_cross > 0 and n_late > 0 and n_a > 0):
         raise AssertionError(
-            f"x114 fixture drift: cross leg {n_cross}, late leg "
+            f"x113 fixture drift: join cross leg {n_cross}, late leg "
             f"{n_late}, in-batch leg {n_a} — a verdict would be vacuous"
         )
-    for side, nm in ((left, "left"), (right, "right")):
-        legs = {
+    for side, nm in ((j_left, "left"), (j_right, "right")):
+        side_legs = {
             int(r["replay_batch"]): 1
             for r in side.select("replay_batch").distinct().collect()
         }
-        if sorted(legs) != [0, 1, 2, 3]:
+        if sorted(side_legs) != [0, 1, 2, 3]:
             raise AssertionError(
-                f"x114 fixture drift: {nm} legs {sorted(legs)} != 4 files"
+                f"x113 fixture drift: join {nm} legs "
+                f"{sorted(side_legs)} != 4 files"
             )
 
-    tmp = _scratch_index_dir(spark, "ckpt114_")
-    l_staged, r_staged = f"{tmp}/left", f"{tmp}/right"
-    sink_dir, ckpt = f"{tmp}/sink", f"{tmp}/ckpt"
-    schema = "replay_batch long, k long, ts timestamp"
+    # ---------------- shape 3: dedup_map synthesis (x111's, verbatim)
+    originals = ev_k.filter((m20 != 9) & (m100 != 11)).select(
+        F.lit(0).alias("replay_batch"), e.alias("k"), (m100 * 10).alias("t")
+    )
+    dup_a = ev_k.filter(m100 == 93).select(
+        F.lit(1).alias("replay_batch"), e.alias("k"), F.lit(980).alias("t")
+    )
+    jump = ev_k.filter(m20 == 9).select(
+        F.lit(2).alias("replay_batch"),
+        e.alias("k"),
+        (F.lit(2000) + (e % 5) * 10).alias("t"),
+    )
+    spacer = ev_k.filter(m100 == 11).select(
+        F.lit(3).alias("replay_batch"), e.alias("k"), F.lit(2040).alias("t")
+    )
+    dup_b = ev_k.filter(m100 == 43).select(
+        F.lit(4).alias("replay_batch"), e.alias("k"), F.lit(1900).alias("t")
+    )
+    d_rows = (
+        originals.unionByName(dup_a)
+        .unionByName(jump)
+        .unionByName(spacer)
+        .unionByName(dup_b)
+        .select(
+            F.col("replay_batch").cast("long").alias("replay_batch"),
+            "k",
+            F.timestamp_seconds(
+                F.lit(_X111_BASE) + F.col("t")
+            ).alias("ts"),
+        )
+        .localCheckpoint(eager=True)
+    )
 
-    def run_incarnation(lo: int, hi: int, start_index: int) -> None:
-        """Stage batches [lo, hi] on BOTH sources, then drain a query
-        incarnation on the shared checkpoint + sink (both sources stage
-        equal file counts per phase, so triggers pair deterministically
-        across the restart exactly as in x112's single run)."""
-        for side, d in ((left, l_staged), (right, r_staged)):
-            stage_replay_files(
-                side.filter(
-                    (F.col("replay_batch") >= lo)
-                    & (F.col("replay_batch") <= hi)
-                ),
-                "replay_batch",
-                d,
-                batch_size=1,
-                start_index=start_index,
+    # non-vacuousness preconditions (x111's)
+    d_legs = {
+        int(r["replay_batch"]): int(r["n"])
+        for r in d_rows.groupBy("replay_batch")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    if not all(d_legs.get(i, 0) for i in range(5)):
+        raise AssertionError(
+            f"x113 fixture drift: empty dedup replay leg {d_legs}"
+        )
+
+    # ---------------- staging dirs, sinks, checkpoints (per shape)
+    tmp = _scratch_index_dir(spark, "ckpt113_")
+    w_staged, w_sink, w_ckpt = f"{tmp}/w/staged", f"{tmp}/w/sink", f"{tmp}/w/ckpt"
+    l_staged, r_staged = f"{tmp}/j/left", f"{tmp}/j/right"
+    j_sink, j_ckpt = f"{tmp}/j/sink", f"{tmp}/j/ckpt"
+    d_staged, d_sink, d_ckpt = f"{tmp}/d/staged", f"{tmp}/d/sink", f"{tmp}/d/ckpt"
+    w_schema = "replay_batch long, ts timestamp, event_type string"
+    j_schema = "replay_batch long, k long, ts timestamp"
+    d_schema = "replay_batch long, k long, ts timestamp"
+
+    def _stage(df, dest, lo, hi, start_index):
+        stage_replay_files(
+            df.filter(
+                (F.col("replay_batch") >= lo)
+                & (F.col("replay_batch") <= hi)
+            ),
+            "replay_batch",
+            dest,
+            batch_size=1,
+            start_index=start_index,
+        )
+
+    def start_window(lo: int, hi: int, start_index: int):
+        """Stage window-agg batches [lo, hi], then start an incarnation
+        on the SHARED checkpoint + sink (NOT awaited here)."""
+        _stage(w_rows.drop("__t"), w_staged, lo, hi, start_index)
+        return (
+            read_replay_stream(spark, w_staged, w_schema)
+            .withWatermark("ts", f"{_X110_DELAY} seconds")
+            .groupBy(F.window("ts", f"{_X110_WIN} seconds"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.col("window.start").cast("long").alias("win_start"),
+                "event_type",
+                F.col("n").cast("long").alias("n"),
             )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", w_sink)
+            .option("checkpointLocation", w_ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def start_join(lo: int, hi: int, start_index: int):
+        """Stage join batches [lo, hi] on BOTH sources (equal file
+        counts per phase, so triggers pair deterministically across the
+        restart exactly as in x112's single run), then start an
+        incarnation."""
+        _stage(j_left, l_staged, lo, hi, start_index)
+        _stage(j_right, r_staged, lo, hi, start_index)
         ls = (
-            read_replay_stream(spark, l_staged, schema)
+            read_replay_stream(spark, l_staged, j_schema)
             .withWatermark("ts", f"{_X112_DELAY} seconds")
             .select(F.col("k").alias("lk"), F.col("ts").alias("lts"))
         )
         rs = (
-            read_replay_stream(spark, r_staged, schema)
+            read_replay_stream(spark, r_staged, j_schema)
             .withWatermark("ts", f"{_X112_DELAY} seconds")
             .select(F.col("k").alias("rk"), F.col("ts").alias("rts"))
         )
-        q = (
+        return (
             ls.join(
                 rs,
                 (F.col("lk") == F.col("rk"))
@@ -227,208 +482,17 @@ def x114(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .writeStream.outputMode("append")
             .format("parquet")
-            .option("path", sink_dir)
-            .option("checkpointLocation", ckpt)
+            .option("path", j_sink)
+            .option("checkpointLocation", j_ckpt)
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise AssertionError(
-                f"x114 incarnation [{lo},{hi}] did not drain in 300s"
-            )
-        if q.exception() is not None:
-            raise q.exception()
 
-    # Scoped state partitions (see streaming/replay.py — join state is
-    # committed PER SIDE per batch, the heaviest case of the commit
-    # overhead the helper documents; measured here 25 s -> 10 s warm).
-    with scoped_state_partitions(spark):
-        # RUN 1: batch 0 of both sources — emits the in-batch pairs,
-        # leaves the cross pair's left row in the join buffer, stops.
-        run_incarnation(0, 0, 0)
-        run1 = spark.read.parquet(sink_dir).localCheckpoint(eager=True)
-        n_run1 = run1.count()
-        cross_in_run1 = run1.filter(F.col("k") % 100 == 83).count()
-
-        # RUN 2: batches 1-3 on the SAME checkpoint — the partner
-        # arrives, the spacers pin the watermark, the late leg replays.
-        run_incarnation(1, 3, 1)
-        streamed = spark.read.parquet(sink_dir).localCheckpoint(eager=True)
-        n_final = streamed.count()
-
-    # raise-guarded verdicts over the recovered sink (then pinned TRUE)
-    if cross_in_run1 != 0:
-        raise AssertionError(
-            f"x114 split vacuous: {cross_in_run1} cross pairs emitted "
-            f"BEFORE the stop — the partner leaked into run 1"
-        )
-    if not 0 < n_run1 < n_final:
-        raise AssertionError(
-            f"x114 split vacuous: run1 emitted {n_run1} of {n_final}"
-        )
-    got_cross = streamed.filter(
-        (F.col("k") % 100 == 83)
-        & (F.col("lt") == 830)
-        & (F.col("rt") == 860)
-    ).count()
-    if got_cross != n_cross:
-        raise AssertionError(
-            f"x114 buffer-recovery regression: {got_cross}/{n_cross} "
-            f"cross-restart pairs emitted — the join buffer did not "
-            f"survive the restart"
-        )
-    got_late = streamed.filter(F.col("k") % 10 == 7).count()
-    if got_late != 0:
-        raise AssertionError(
-            f"x114 watermark-recovery regression: {got_late} late-leg "
-            f"pairs emitted after the resume"
-        )
-    n_keys = streamed.select("k", "lt", "rt").distinct().count()
-    if n_keys != n_final:
-        raise AssertionError(
-            f"x114 exactly-once regression: {n_final} sink rows over "
-            f"{n_keys} distinct (k, lt, rt) triples — a pair was "
-            f"re-emitted across the restart"
-        )
-    if n_final != n_a + n_cross:
-        raise AssertionError(
-            f"x114 emission regression: {n_final} pairs, expected "
-            f"{n_a} in-batch + {n_cross} cross-restart"
-        )
-    verdicts = spark.range(1).select(
-        F.lit(True).alias("buffer_restored"),
-        F.lit(True).alias("late_leg_dropped_after_resume"),
-        F.lit(True).alias("exactly_once_resume"),
-    )
-    return streamed.crossJoin(F.broadcast(verdicts))
-
-
-# --------------------------------------------------------------------------
-# X115 — dedup-state recovery verdict: the third built-in state shape,
-# `dropDuplicatesWithinWatermark`'s seen-keys map (x111's stack), killed
-# and resumed from its checkpoint. The replay splits after batch 0 (the
-# originals): run 1 emits every first occurrence and stops with the
-# whole key map in state at watermark 690; run 2 resumes and replays
-# the WITHIN-HORIZON redelivery first — its dedup can only come from
-# the RESTORED key map (first-seen t = 930, expiry >= 1230 under any
-# eviction rule, far above the restored 690), so a checkpoint that lost
-# the map re-emits it and fails both the raise-guard and the oracle.
-# The jump/spacer batches then advance the watermark to 1740 and the
-# BEYOND-HORIZON redelivery re-emits — eviction executed by the resumed
-# incarnation over restored state. Final sink must equal x111's
-# uninterrupted emission set, recomputed in closed form (zero pins).
-# With x113 (window-agg state + watermark) and x114 (join buffer) this
-# completes checkpoint-recovery attestation for every built-in state
-# shape the engine uses. Driver-gated, not benched (streaming floor).
-# --------------------------------------------------------------------------
-_X115_ORACLE = """
-    WITH e AS (
-      SELECT event_id AS k, event_id % 100 AS m100, event_id % 20 AS m20
-      FROM events
-    ),
-    emitted AS (
-      -- every key's FIRST occurrence (originals, jump, spacer) ...
-      SELECT k, CASE WHEN m20 = 9 THEN 2000 + (k % 5) * 10
-                     WHEN m100 = 11 THEN 2040
-                     ELSE m100 * 10 END AS t
-      FROM e
-      UNION ALL
-      -- ... plus the beyond-horizon redeliveries the evicted state
-      -- cannot remember
-      SELECT k, 1900 FROM e WHERE m100 = 43
-    )
-    SELECT k, CAST(t AS BIGINT) AS t,
-           TRUE AS dedup_state_restored,
-           TRUE AS horizon_eviction_after_resume,
-           TRUE AS exactly_once_resume
-    FROM emitted
-"""
-
-
-@query("x115_dedup_recovery_verdict", oracle=_X115_ORACLE)
-def x115(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The x111 bounded-state streaming dedup stopped after the
-    originals batch and RESUMED from its checkpointLocation: the
-    within-horizon redelivery must be deduped by the RESTORED key map,
-    the beyond-horizon one must re-emit after the resumed incarnation's
-    own eviction, and the final sink must equal the uninterrupted run's
-    emission set — recomputed in closed form by the oracle."""
-    from ..streaming.replay import (
-        read_replay_stream,
-        scoped_state_partitions,
-        stage_replay_files,
-    )
-    from .extensions10 import _scratch_index_dir
-    from .extensions15 import _X111_BASE, _X111_DELAY
-
-    ev = load_table(spark, sf_dir, "events").select("event_id")
-    e = F.col("event_id")
-    m100, m20 = e % 100, e % 20
-    # the x111 synthesis verbatim (extensions15.py x111 — kept inline so
-    # x111's attested executed path is untouched)
-    originals = ev.filter((m20 != 9) & (m100 != 11)).select(
-        F.lit(0).alias("replay_batch"), e.alias("k"), (m100 * 10).alias("t")
-    )
-    dup_a = ev.filter(m100 == 93).select(
-        F.lit(1).alias("replay_batch"), e.alias("k"), F.lit(980).alias("t")
-    )
-    jump = ev.filter(m20 == 9).select(
-        F.lit(2).alias("replay_batch"),
-        e.alias("k"),
-        (F.lit(2000) + (e % 5) * 10).alias("t"),
-    )
-    spacer = ev.filter(m100 == 11).select(
-        F.lit(3).alias("replay_batch"), e.alias("k"), F.lit(2040).alias("t")
-    )
-    dup_b = ev.filter(m100 == 43).select(
-        F.lit(4).alias("replay_batch"), e.alias("k"), F.lit(1900).alias("t")
-    )
-    rows = (
-        originals.unionByName(dup_a)
-        .unionByName(jump)
-        .unionByName(spacer)
-        .unionByName(dup_b)
-        .select(
-            F.col("replay_batch").cast("long").alias("replay_batch"),
-            "k",
-            F.timestamp_seconds(
-                F.lit(_X111_BASE) + F.col("t")
-            ).alias("ts"),
-        )
-        .localCheckpoint(eager=True)
-    )
-
-    # non-vacuousness preconditions (x111's)
-    legs = {
-        int(r["replay_batch"]): int(r["n"])
-        for r in rows.groupBy("replay_batch")
-        .count()
-        .withColumnRenamed("count", "n")
-        .collect()
-    }
-    if not all(legs.get(i, 0) for i in range(5)):
-        raise AssertionError(f"x115 fixture drift: empty replay leg {legs}")
-
-    tmp = _scratch_index_dir(spark, "ckpt115_")
-    staged = f"{tmp}/staged"
-    sink_dir, ckpt = f"{tmp}/sink", f"{tmp}/ckpt"
-
-    def run_incarnation(lo: int, hi: int, start_index: int) -> None:
-        stage_replay_files(
-            rows.filter(
-                (F.col("replay_batch") >= lo)
-                & (F.col("replay_batch") <= hi)
-            ),
-            "replay_batch",
-            staged,
-            batch_size=1,
-            start_index=start_index,
-        )
-        q = (
-            read_replay_stream(
-                spark, staged, "replay_batch long, k long, ts timestamp"
-            )
+    def start_dedup(lo: int, hi: int, start_index: int):
+        """Stage dedup batches [lo, hi], then start an incarnation."""
+        _stage(d_rows, d_staged, lo, hi, start_index)
+        return (
+            read_replay_stream(spark, d_staged, d_schema)
             .withWatermark("ts", f"{_X111_DELAY} seconds")
             .dropDuplicatesWithinWatermark(["k"])
             .select(
@@ -436,248 +500,73 @@ def x115(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .writeStream.outputMode("append")
             .format("parquet")
-            .option("path", sink_dir)
-            .option("checkpointLocation", ckpt)
+            .option("path", d_sink)
+            .option("checkpointLocation", d_ckpt)
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise AssertionError(
-                f"x115 incarnation [{lo},{hi}] did not drain in 300s"
-            )
-        if q.exception() is not None:
-            raise q.exception()
 
-    # scoped state partitions (see streaming/replay.py)
+    # Scoped state partitions (see streaming/replay.py — join state is
+    # committed PER SIDE per batch, the heaviest case of the commit
+    # overhead the helper documents). One scope covers all six
+    # incarnations; each checkpoint pins its count at first start and
+    # Spark restores it on resume.
     with scoped_state_partitions(spark):
-        # RUN 1: the originals only — every key enters the dedup map,
-        # every row emits once, then the query stops at watermark 690.
-        run_incarnation(0, 0, 0)
-        n_run1 = spark.read.parquet(sink_dir).count()
+        # PHASE 1 (concurrent): window batches 0-2 (normal + jump1 +
+        # spacer1 — checkpoint persists watermark 940 and open-window
+        # state), join batch 0 of both sources (leaves the cross pair's
+        # left row in the buffer), dedup batch 0 (the originals — whole
+        # key map enters state at watermark 690). Graceful stops.
+        _await_all(
+            {
+                "window_agg": start_window(0, 2, 0),
+                "join_buffer": start_join(0, 0, 0),
+                "dedup_map": start_dedup(0, 0, 0),
+            },
+            "run 1",
+        )
+        w_n_run1 = spark.read.parquet(w_sink).count()
+        j_run1 = spark.read.parquet(j_sink).localCheckpoint(eager=True)
+        j_n_run1 = j_run1.count()
+        cross_in_run1 = j_run1.filter(F.col("k") % 100 == 83).count()
+        d_n_run1 = spark.read.parquet(d_sink).count()
 
-        # RUN 2: within-horizon redelivery, jump, spacer, beyond-horizon
-        # redelivery — all against the restored checkpoint.
-        run_incarnation(1, 4, 1)
-        streamed = spark.read.parquet(sink_dir).localCheckpoint(eager=True)
-        n_final = streamed.count()
+        # PHASE 2 (concurrent): the remaining batches of every shape on
+        # the SAME checkpoints (start_index keeps the new staged buckets
+        # behind the already-consumed ones in both name and mtime
+        # order) — watermark/buffer/key-map recovery happens here.
+        _await_all(
+            {
+                "window_agg": start_window(3, 5, 3),
+                "join_buffer": start_join(1, 3, 1),
+                "dedup_map": start_dedup(1, 4, 1),
+            },
+            "run 2",
+        )
+        w_final = spark.read.parquet(w_sink).localCheckpoint(eager=True)
+        j_final = spark.read.parquet(j_sink).localCheckpoint(eager=True)
+        d_final = spark.read.parquet(d_sink).localCheckpoint(eager=True)
 
-    # raise-guarded verdicts over the recovered sink (then pinned TRUE)
-    if n_run1 != legs[0]:
+    # ---------------- raise-guarded verdicts, shape 1 (x113's originals)
+    w_n_final = w_final.count()
+    if not 0 < w_n_run1 < w_n_final:
         raise AssertionError(
-            f"x115 split vacuous: run1 emitted {n_run1}, expected the "
-            f"{legs[0]} originals exactly"
+            f"x113 window split vacuous: run1 emitted {w_n_run1} of "
+            f"{w_n_final} — the kill point did not land mid-emission"
         )
-    a_keys = streamed.filter(
-        (F.col("k") % 100 == 93) & (F.col("t") == 980)
-    ).count()
-    if a_keys != 0:
+    n_keys = w_final.select("win_start", "event_type").distinct().count()
+    if n_keys != w_n_final:
         raise AssertionError(
-            f"x115 state-recovery regression: {a_keys} within-horizon "
-            f"redeliveries re-emitted — the dedup key map did not "
-            f"survive the restart"
+            f"x113 window exactly-once regression: {w_n_final} sink rows "
+            f"over {n_keys} distinct (win_start, event_type) keys — a "
+            f"window was re-emitted across the restart"
         )
-    b_got = streamed.filter(
-        (F.col("k") % 100 == 43) & (F.col("t") == 1900)
-    ).count()
-    if b_got != legs[4]:
-        raise AssertionError(
-            f"x115 horizon regression: {b_got}/{legs[4]} beyond-horizon "
-            f"redeliveries re-emitted after the resume"
-        )
-    n_keys = streamed.select("k", "t").distinct().count()
-    expected_total = legs[0] + legs[2] + legs[3] + legs[4]
-    if not (n_keys == n_final == expected_total):
-        raise AssertionError(
-            f"x115 exactly-once regression: {n_final} rows, {n_keys} "
-            f"distinct (k, t), expected {expected_total}"
-        )
-    verdicts = spark.range(1).select(
-        F.lit(True).alias("dedup_state_restored"),
-        F.lit(True).alias("horizon_eviction_after_resume"),
-        F.lit(True).alias("exactly_once_resume"),
-    )
-    return streamed.select(
-        "k", F.col("t").cast("long").alias("t")
-    ).crossJoin(F.broadcast(verdicts))
-
-
-def _x113_oracle() -> str:
-    b, w = _X110_BASE, _X110_WIN
-    return f"""
-    WITH rows_ AS (
-      SELECT event_id, event_type,
-             {_X110_CASE_T} AS t,
-             CASE WHEN event_id % 20 = 9 THEN 1
-                  WHEN event_id % 20 = 19 THEN 4
-                  WHEN event_id % 100 = 11 THEN 2
-                  WHEN event_id % 100 = 31 THEN 5
-                  WHEN event_id % 10 = 7 THEN 3
-                  ELSE 0 END AS batch
-      FROM events
-    ),
-    -- identical emission arithmetic to x110's oracle: the late batch is
-    -- filtered at watermark 1240 - {_X110_DELAY} = 940 (in x113 that
-    -- watermark is RESTORED from the checkpoint rather than carried in
-    -- memory), and the final watermark 2440 - {_X110_DELAY} = 2140
-    -- emits windows with start <= 2080
-    accepted AS (
-      SELECT * FROM rows_ WHERE batch <> 3 OR t >= 900
-    ),
-    emitted AS (
-      SELECT CAST({b} + FLOOR(t / {w}) * {w} AS BIGINT) AS win_start,
-             event_type
-      FROM accepted
-      WHERE FLOOR(t / {w}) * {w} <= 2080
-    )
-    SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS n,
-           TRUE AS watermark_restored,
-           TRUE AS window_state_restored,
-           TRUE AS exactly_once_resume
-    FROM emitted GROUP BY win_start, event_type
-"""
-
-
-@query("x113_checkpoint_recovery_verdict", oracle=_x113_oracle())
-def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The x110 watermarked window aggregation stopped after three
-    staged batches and RESUMED from its checkpointLocation over the
-    remaining three: the recovered final sink (a real parquet file sink
-    read through its _spark_metadata commit log) must equal the
-    uninterrupted run's emission set, which the oracle recomputes."""
-    from ..streaming.replay import (
-        read_replay_stream,
-        scoped_state_partitions,
-        stage_replay_files,
-    )
-    from .extensions10 import _scratch_index_dir
-
-    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
-    e = F.col("event_id")
-    # the x110 synthesis verbatim (extensions15.py x110 — kept inline
-    # rather than factored so x110's attested executed path is untouched)
-    t = (
-        F.when(e % 20 == 9, F.lit(1200) + (e % 5) * 10)
-        .when(e % 20 == 19, F.lit(2400) + (e % 5) * 10)
-        .when(e % 100 == 11, F.lit(1240))
-        .when(e % 100 == 31, F.lit(2440))
-        .otherwise((e % 100) * 10)
-    ).cast("long")
-    batch = (
-        F.when(e % 20 == 9, 1)
-        .when(e % 20 == 19, 4)
-        .when(e % 100 == 11, 2)
-        .when(e % 100 == 31, 5)
-        .when(e % 10 == 7, 3)
-        .otherwise(0)
-    ).cast("long")
-    rows = ev.select(
-        batch.alias("replay_batch"),
-        F.timestamp_seconds(F.lit(_X110_BASE) + t).alias("ts"),
-        "event_type",
-        t.alias("__t"),
-    ).localCheckpoint(eager=True)
-
-    # non-vacuousness preconditions (x110's, asserted BEFORE streaming)
-    legs = {
-        int(r["replay_batch"]): int(r["n"])
-        for r in rows.groupBy("replay_batch")
-        .count()
-        .withColumnRenamed("count", "n")
-        .collect()
-    }
-    n_dropped_late = rows.filter(
-        (F.col("replay_batch") == 3) & (F.col("__t") < 900)
-    ).count()
-    n_accepted_late = legs.get(3, 0) - n_dropped_late
-    if not all(legs.get(i, 0) for i in (0, 1, 2, 4, 5)):
-        raise AssertionError(f"x113 fixture drift: empty replay leg {legs}")
-    if not (n_dropped_late > 0 and n_accepted_late > 0):
-        raise AssertionError(
-            f"x113 fixture drift: late split dropped={n_dropped_late} "
-            f"accepted={n_accepted_late} — a leg is vacuous"
-        )
-
-    tmp = _scratch_index_dir(spark, "ckpt113_")
-    staged = f"{tmp}/staged"
-    sink_dir = f"{tmp}/sink"
-    ckpt = f"{tmp}/ckpt"
-
-    def run_incarnation(lo: int, hi: int, start_index: int) -> None:
-        """Stage batches [lo, hi], then start a query incarnation on the
-        SHARED checkpoint + sink and drain it (availableNow)."""
-        stage_replay_files(
-            rows.drop("__t").filter(
-                (F.col("replay_batch") >= lo) & (F.col("replay_batch") <= hi)
-            ),
-            "replay_batch",
-            staged,
-            batch_size=1,
-            start_index=start_index,
-        )
-        q = (
-            read_replay_stream(
-                spark,
-                staged,
-                "replay_batch long, ts timestamp, event_type string",
-            )
-            .withWatermark("ts", f"{_X110_DELAY} seconds")
-            .groupBy(F.window("ts", f"{_X110_WIN} seconds"), "event_type")
-            .agg(F.count("*").alias("n"))
-            .select(
-                F.col("window.start").cast("long").alias("win_start"),
-                "event_type",
-                F.col("n").cast("long").alias("n"),
-            )
-            .writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", sink_dir)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise AssertionError(
-                f"x113 incarnation [{lo},{hi}] did not drain in 300s"
-            )
-        if q.exception() is not None:
-            raise q.exception()
-
-    # Scoped state partitions (see streaming/replay.py — the checkpoint
-    # pins the count at first start; Spark restores it on resume).
-    with scoped_state_partitions(spark):
-        # RUN 1: normal + jump1 + spacer1, then a graceful stop — the
-        # checkpoint persists watermark 940 and the open-window state.
-        run_incarnation(0, 2, 0)
-        n_run1 = spark.read.parquet(sink_dir).count()
-
-        # RUN 2: the remaining batches on the SAME checkpoint
-        # (start_index keeps the new staged buckets behind the
-        # already-consumed ones in both name and mtime order).
-        run_incarnation(3, 5, 3)
-        streamed = spark.read.parquet(sink_dir).localCheckpoint(eager=True)
-        n_final = streamed.count()
-
-    # raise-guarded verdicts over the recovered sink (then pinned TRUE)
-    if not 0 < n_run1 < n_final:
-        raise AssertionError(
-            f"x113 split vacuous: run1 emitted {n_run1} of {n_final} — "
-            f"the kill point did not land mid-emission"
-        )
-    n_keys = streamed.select("win_start", "event_type").distinct().count()
-    if n_keys != n_final:
-        raise AssertionError(
-            f"x113 exactly-once regression: {n_final} sink rows over "
-            f"{n_keys} distinct (win_start, event_type) keys — a window "
-            f"was re-emitted across the restart"
-        )
-    expected_emitted = rows.filter(
+    expected_emitted = w_rows.filter(
         ((F.col("replay_batch") != 3) | (F.col("__t") >= 900))
         & (F.floor(F.col("__t") / _X110_WIN) * _X110_WIN <= 2080)
     ).count()
     total = int(
-        streamed.agg(F.coalesce(F.sum("n"), F.lit(0))).collect()[0][0]
+        w_final.agg(F.coalesce(F.sum("n"), F.lit(0))).collect()[0][0]
     )
     if total != int(expected_emitted):
         raise AssertionError(
@@ -686,7 +575,7 @@ def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"did not filter the late batch at 940"
         )
     expected_straggler = (
-        rows.filter(
+        w_rows.filter(
             (F.col("replay_batch") == 0)
             & (F.col("__t") >= 960)
             & (F.col("__t") < 1020)
@@ -694,7 +583,7 @@ def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
         + n_accepted_late
     )
     got_straggler = int(
-        streamed.filter(F.col("win_start") == _X110_BASE + 960)
+        w_final.filter(F.col("win_start") == _X110_BASE + 960)
         .agg(F.coalesce(F.sum("n"), F.lit(0)))
         .collect()[0][0]
     )
@@ -705,9 +594,105 @@ def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"+ {n_accepted_late} accepted late) — the window state did "
             f"not survive the restart"
         )
-    verdicts = spark.range(1).select(
-        F.lit(True).alias("watermark_restored"),
-        F.lit(True).alias("window_state_restored"),
-        F.lit(True).alias("exactly_once_resume"),
-    )
-    return streamed.crossJoin(F.broadcast(verdicts))
+
+    # ---------------- raise-guarded verdicts, shape 2 (x114's originals)
+    j_n_final = j_final.count()
+    if cross_in_run1 != 0:
+        raise AssertionError(
+            f"x113 join split vacuous: {cross_in_run1} cross pairs "
+            f"emitted BEFORE the stop — the partner leaked into run 1"
+        )
+    if not 0 < j_n_run1 < j_n_final:
+        raise AssertionError(
+            f"x113 join split vacuous: run1 emitted {j_n_run1} of "
+            f"{j_n_final}"
+        )
+    got_cross = j_final.filter(
+        (F.col("k") % 100 == 83)
+        & (F.col("lt") == 830)
+        & (F.col("rt") == 860)
+    ).count()
+    if got_cross != n_cross:
+        raise AssertionError(
+            f"x113 buffer-recovery regression: {got_cross}/{n_cross} "
+            f"cross-restart pairs emitted — the join buffer did not "
+            f"survive the restart"
+        )
+    got_late = j_final.filter(F.col("k") % 10 == 7).count()
+    if got_late != 0:
+        raise AssertionError(
+            f"x113 watermark-recovery regression: {got_late} late-leg "
+            f"pairs emitted after the resume"
+        )
+    j_n_keys = j_final.select("k", "lt", "rt").distinct().count()
+    if j_n_keys != j_n_final:
+        raise AssertionError(
+            f"x113 join exactly-once regression: {j_n_final} sink rows "
+            f"over {j_n_keys} distinct (k, lt, rt) triples — a pair was "
+            f"re-emitted across the restart"
+        )
+    if j_n_final != n_a + n_cross:
+        raise AssertionError(
+            f"x113 join emission regression: {j_n_final} pairs, expected "
+            f"{n_a} in-batch + {n_cross} cross-restart"
+        )
+
+    # ---------------- raise-guarded verdicts, shape 3 (x115's originals)
+    d_n_final = d_final.count()
+    if d_n_run1 != d_legs[0]:
+        raise AssertionError(
+            f"x113 dedup split vacuous: run1 emitted {d_n_run1}, "
+            f"expected the {d_legs[0]} originals exactly"
+        )
+    a_keys = d_final.filter(
+        (F.col("k") % 100 == 93) & (F.col("t") == 980)
+    ).count()
+    if a_keys != 0:
+        raise AssertionError(
+            f"x113 state-recovery regression: {a_keys} within-horizon "
+            f"redeliveries re-emitted — the dedup key map did not "
+            f"survive the restart"
+        )
+    b_got = d_final.filter(
+        (F.col("k") % 100 == 43) & (F.col("t") == 1900)
+    ).count()
+    if b_got != d_legs[4]:
+        raise AssertionError(
+            f"x113 horizon regression: {b_got}/{d_legs[4]} beyond-horizon"
+            f" redeliveries re-emitted after the resume"
+        )
+    d_n_keys = d_final.select("k", "t").distinct().count()
+    d_expected_total = d_legs[0] + d_legs[2] + d_legs[3] + d_legs[4]
+    if not (d_n_keys == d_n_final == d_expected_total):
+        raise AssertionError(
+            f"x113 dedup exactly-once regression: {d_n_final} rows, "
+            f"{d_n_keys} distinct (k, t), expected {d_expected_total}"
+        )
+
+    # ---------------- fingerprint rows (one per shape; every count and
+    # sum recomputed by the oracle from scratch, booleans raise-guarded
+    # above then pinned TRUE — the x100/x104 consolidation shape)
+    def _verdicts(row: DataFrame) -> DataFrame:
+        return row.select(
+            "*",
+            F.lit(True).alias("state_restored"),
+            F.lit(True).alias("late_discipline_ok"),
+            F.lit(True).alias("exactly_once_resume"),
+        )
+
+    w_fp = w_final.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("win_start").cast("long").alias("fp_key_sum"),
+        F.sum("n").cast("long").alias("fp_val_sum"),
+    ).select(F.lit("window_agg").alias("state_shape"), "*")
+    j_fp = j_final.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("k").cast("long").alias("fp_key_sum"),
+        (F.sum("lt") + F.sum("rt")).cast("long").alias("fp_val_sum"),
+    ).select(F.lit("join_buffer").alias("state_shape"), "*")
+    d_fp = d_final.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("k").cast("long").alias("fp_key_sum"),
+        F.sum("t").cast("long").alias("fp_val_sum"),
+    ).select(F.lit("dedup_map").alias("state_shape"), "*")
+    return _verdicts(w_fp.unionByName(j_fp).unionByName(d_fp))

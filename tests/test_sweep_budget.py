@@ -63,6 +63,14 @@ JUSTIFIED_WARM_PINS_S = {
     # — BENCH_NOTES r16 receipts); pin = ~1.4x the r16 standalone,
     # consistent with its x101/x103 siblings.
     "x98_curation_stream_verdict": 22.0,
+    # checkpoint-recovery suite (r17 fold of the x113/x114/x115 trio,
+    # VERDICT r16 #2): all three built-in state shapes killed + resumed
+    # from their checkpoints, each phase's three incarnations drained
+    # CONCURRENTLY — still 15 micro-batch triggers with per-batch state
+    # commits (the batch boundaries ARE the attestation), constant in
+    # corpus size. Warm measured 19.7 s standalone at the fold vs
+    # 27.6 s summed for the three pre-fold rows; pin = ~1.4x measured.
+    "x113_checkpoint_recovery_verdict": 28.0,
 }
 
 
