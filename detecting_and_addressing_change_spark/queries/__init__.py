@@ -28,6 +28,7 @@ from . import extensions16  # noqa: F401,E402
 from . import extensions17  # noqa: F401,E402
 from . import extensions18  # noqa: F401,E402
 from . import extensions19  # noqa: F401,E402
+from . import extensions20  # noqa: F401,E402
 from . import drift  # noqa: F401,E402
 
 # The external driver evaluates at most the first 50 registered queries per
