@@ -290,6 +290,28 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     "x117_shard_export", "x118_leakage_safe_split",
     "x120_shard_layout_verdict", "x121_epoch_composition",
     "x124_shard_stream_loader",
+    # green rows in CORRECTNESS_r16.json: the nine r16-window names
+    # (x89/x93/x122/x123/x125-x129) plus 41 relational re-greens (the
+    # relational names were already listed above). All nine fold — none
+    # of their executed paths change in round 17:
+    #  - x89/x93: untouched by the r17 diff;
+    #  - x122: sharding.py's r17 changes are plan_shard_growth's
+    #    full_reshuffle fraction comment/docstring (x122 does not call
+    #    the planner) — rendezvous_shard_col/_flat_shard_col are
+    #    byte-identical;
+    #  - x123: curation.py's r17 change (the ADVICE r16 localCheckpoint
+    #    before the sizing agg) lives inside the packs_per_shard-None
+    #    branch, which x123's explicit packs_per_shard=4 never enters —
+    #    its executed statements are byte-identical (the x92 r9
+    #    precedent); the sized default is driver-attested by the NEW
+    #    x131, which rides the same layout fixture;
+    #  - x125-x129: extensions18/19 untouched (the new x132 imports
+    #    their fixtures read-only).
+    "x89_hll_rollup", "x93_winsorize_approx_audit",
+    "x122_two_level_reshard", "x123_training_build_materialized",
+    "x125_train_from_shards_nb", "x126_train_from_shards_lstm",
+    "x127_shard_stream_resume", "x128_epoch_reshard_training",
+    "x129_multi_epoch_training",
     # green rows in CORRECTNESS_r06.json continue below
     "q59_gradual_drift_experiment", "q61_mapping_experiment",
     "x03_minhash_bands", "x04_minhash_pairs", "x23_dedup_clusters",
