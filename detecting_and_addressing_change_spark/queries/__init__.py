@@ -249,8 +249,16 @@ _ATTESTED_PRIOR_ROUNDS = frozenset({
     # availableNow drains of the DDM and PH keyed operators over the
     # shared layout (VERDICT r16 #2 sweep consolidation). The merged
     # name starts unattested and leads the r17 window.
-    "x110_watermark_window_verdict", "x111_stream_dedup_horizon_verdict",
-    "x112_stream_join_verdict", "x116_mlp_mapping_session",
+    # x110_watermark_window_verdict / x111_stream_dedup_horizon_verdict /
+    # x112_stream_join_verdict de-registered round 17 (green r13-r16
+    # each): the same consolidation mechanism applied to the
+    # UNINTERRUPTED stateful trio — their syntheses, preconditions,
+    # raise-guards and closed-form oracles moved verbatim into
+    # x110_stateful_stream_verdicts, which drains all three shapes
+    # concurrently (three streaming floors became one drain window; the
+    # r17 sweep regen measured the registry 0.2 s under its 480 s
+    # ceiling, forcing the next fold the r16 VERDICT's mechanism names).
+    "x116_mlp_mapping_session",
     # green rows in CORRECTNESS_r14.json: the whole sharding family
     # x117-x124 plus q01-q53 re-greens. The relational re-greens were
     # already listed above; x117-x124 are deliberately NOT folded —

@@ -557,13 +557,18 @@ def x109(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# X110 — event-time watermark verdict: the one Structured Streaming
-# semantic the attested streaming surface (x98-x104: processing-order
-# replays + keyed detector state) did not yet cover — EVENT-time
-# windowed aggregation under `withWatermark`, with real late data: rows
-# whose event time lags the stream get dropped past the watermark,
-# accepted inside it, and append-mode emission withholds still-open
-# windows. This is the telemetry shape a 100 TB ingest runs on (hourly
+# X110 — stateful-stream verdicts. Since round 17 this is ONE registry
+# row draining all three uninterrupted built-in stateful shapes
+# CONCURRENTLY (this window-agg construction, plus x111's dedup horizon
+# and x112's stream-stream join — their block comments below document
+# the other two syntheses; VERDICT r16 #2 consolidation mechanism, the
+# x113-suite pattern). The original x110 semantics: the one Structured
+# Streaming semantic the attested streaming surface (x98-x104:
+# processing-order replays + keyed detector state) did not cover —
+# EVENT-time windowed aggregation under `withWatermark`, with real late
+# data: rows whose event time lags the stream get dropped past the
+# watermark, accepted inside it, and append-mode emission withholds
+# still-open windows. This is the telemetry shape a 100 TB ingest runs on (hourly
 # event rollups that must tolerate stragglers), and every output value
 # is deterministic arithmetic the oracle recomputes exactly — zero
 # pinned row values; the three booleans are non-vacuousness verdicts
@@ -628,7 +633,7 @@ _X110_CASE_T = """
 def _x110_oracle() -> str:
     b, w = _X110_BASE, _X110_WIN
     return f"""
-    WITH rows_ AS (
+    WITH w_rows AS (
       SELECT event_id, event_type,
              {_X110_CASE_T} AS t,
              CASE WHEN event_id % 20 = 9 THEN 1
@@ -639,33 +644,103 @@ def _x110_oracle() -> str:
                   ELSE 0 END AS batch
       FROM events
     ),
-    -- the late batch lands at watermark 1240 - {_X110_DELAY} = 940:
-    -- dropped iff t < 900 (⇔ window end <= 940). The final watermark is
-    -- 2440 - {_X110_DELAY} = 2140: emitted windows end <= 2140 ⇔ start <= 2080.
-    accepted AS (
-      SELECT * FROM rows_ WHERE batch <> 3 OR t >= 900
+    -- window_agg shape: the late batch lands at watermark
+    -- 1240 - {_X110_DELAY} = 940: dropped iff t < 900 (⇔ window end <=
+    -- 940). The final watermark is 2440 - {_X110_DELAY} = 2140: emitted
+    -- windows end <= 2140 ⇔ start <= 2080.
+    w_accepted AS (
+      SELECT * FROM w_rows WHERE batch <> 3 OR t >= 900
     ),
-    emitted AS (
+    w_emitted AS (
       SELECT CAST({b} + FLOOR(t / {w}) * {w} AS BIGINT) AS win_start,
              event_type
-      FROM accepted
+      FROM w_accepted
       WHERE FLOOR(t / {w}) * {w} <= 2080
+    ),
+    w_grouped AS (
+      SELECT win_start, event_type, COUNT(*) AS n
+      FROM w_emitted GROUP BY win_start, event_type
+    ),
+    -- dedup shape (the x111 closed form): every key's first occurrence
+    -- plus the beyond-horizon redeliveries bounded state cannot remember
+    d_e AS (
+      SELECT event_id AS k, event_id % 100 AS m100, event_id % 20 AS m20
+      FROM events
+    ),
+    d_emitted AS (
+      SELECT k, CASE WHEN m20 = 9 THEN 2000 + (k % 5) * 10
+                     WHEN m100 = 11 THEN 2040
+                     ELSE m100 * 10 END AS t
+      FROM d_e
+      UNION ALL
+      SELECT k, 1900 FROM d_e WHERE m100 = 43
+    ),
+    -- join shape (the x112 closed form): in-batch pairs + the
+    -- cross-batch pair served from buffered state
+    j_e AS (
+      SELECT event_id AS k, event_id % 100 AS m100,
+             event_id % 20 AS m20, event_id % 10 AS m10
+      FROM events
+    ),
+    j_pairs AS (
+      SELECT k, m100 * 10 AS lt, m100 * 10 + 30 AS rt FROM j_e
+      WHERE m20 NOT IN (9, 19) AND m10 <> 7
+        AND m100 NOT IN (11, 31, 51, 83)
+      UNION ALL
+      SELECT k, 830, 860 FROM j_e WHERE m100 = 83
+    ),
+    fp AS (
+      SELECT 'window_agg' AS state_shape,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(win_start) AS BIGINT) AS fp_key_sum,
+             CAST(SUM(n) AS BIGINT) AS fp_val_sum
+      FROM w_grouped
+      UNION ALL
+      SELECT 'dedup_horizon',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(k) AS BIGINT),
+             CAST(SUM(t) AS BIGINT)
+      FROM d_emitted
+      UNION ALL
+      SELECT 'stream_join',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(k) AS BIGINT),
+             CAST(SUM(lt) + SUM(rt) AS BIGINT)
+      FROM j_pairs
     )
-    SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS n,
-           TRUE AS late_drop_exercised,
-           TRUE AS late_accept_exercised,
-           TRUE AS open_windows_withheld
-    FROM emitted GROUP BY win_start, event_type
+    SELECT state_shape, n_rows, fp_key_sum, fp_val_sum,
+           TRUE AS state_behavior_ok,
+           TRUE AS late_discipline_ok
+    FROM fp
 """
 
 
-@query("x110_watermark_window_verdict", oracle=_x110_oracle())
+def _await_all_x110(started: dict) -> None:
+    """Drain the concurrently-started availableNow queries; a timeout or
+    error in any of them stops the rest and raises."""
+    for shape, q in started.items():
+        if not q.awaitTermination(300):
+            for qq in started.values():
+                qq.stop()
+            raise AssertionError(
+                f"x110 {shape} replay did not drain in 300s"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+
+
+@query("x110_stateful_stream_verdicts", oracle=_x110_oracle())
 def x110(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-time tumbling-window counts per event_type through a REAL
-    watermarked streaming query (ordered file replay -> withWatermark ->
-    window groupBy -> append-mode memory sink, availableNow): late rows
-    beyond the watermark dropped, stragglers inside it accepted, open
-    windows withheld — all recomputed exactly by the oracle."""
+    """All three built-in stateful operators driven UNINTERRUPTED
+    through real watermarked streaming queries drained concurrently off
+    their staged replays (the r17 fold of x110/x111/x112 — every
+    synthesis, precondition and raise-guard preserved; see the three
+    block comments): event-time windowed aggregation with late
+    drop/accept and open windows withheld; dropDuplicatesWithinWatermark
+    with both horizon halves visible; the two-sided-watermark
+    stream-stream join with a cross-batch pair served from buffered
+    state and a late leg yielding nothing. One oracle-recomputed
+    fingerprint row per shape."""
     import os
 
     from ..streaming.replay import (
@@ -675,6 +750,7 @@ def x110(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .extensions10 import _scratch_index_dir
 
+    # ---------------- window_agg synthesis (the original x110)
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
     e = F.col("event_id")
     t = (
@@ -692,7 +768,7 @@ def x110(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(e % 10 == 7, 3)
         .otherwise(0)
     ).cast("long")
-    rows = ev.select(
+    w_rows = ev.select(
         batch.alias("replay_batch"),
         F.timestamp_seconds(F.lit(_X110_BASE) + t).alias("ts"),
         "event_type",
@@ -700,38 +776,151 @@ def x110(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
     # non-vacuousness preconditions, asserted loudly BEFORE streaming:
-    # all three verdicts are oracle-pinned TRUE, so a testdata shape that
+    # the verdicts are oracle-pinned TRUE, so a testdata shape that
     # empties any leg must fail here at generation time
-    legs = {
+    w_legs = {
         int(r["replay_batch"]): int(r["n"])
-        for r in rows.groupBy("replay_batch")
+        for r in w_rows.groupBy("replay_batch")
         .count()
         .withColumnRenamed("count", "n")
         .collect()
     }
-    n_dropped_late = rows.filter(
+    n_dropped_late = w_rows.filter(
         (F.col("replay_batch") == 3) & (F.col("__t") < 900)
     ).count()
-    n_accepted_late = legs.get(3, 0) - n_dropped_late
-    if not all(legs.get(i, 0) for i in (0, 1, 2, 4, 5)):
-        raise AssertionError(f"x110 fixture drift: empty replay leg {legs}")
+    n_accepted_late = w_legs.get(3, 0) - n_dropped_late
+    if not all(w_legs.get(i, 0) for i in (0, 1, 2, 4, 5)):
+        raise AssertionError(
+            f"x110 fixture drift: empty window replay leg {w_legs}"
+        )
     if not (n_dropped_late > 0 and n_accepted_late > 0):
         raise AssertionError(
             f"x110 fixture drift: late split dropped={n_dropped_late} "
             f"accepted={n_accepted_late} — a leg is vacuous"
         )
 
-    tmp = _scratch_index_dir(spark, "wm110_")
-    staged = f"{tmp}/staged"
-    stage_replay_files(rows.drop("__t"), "replay_batch", staged, batch_size=1)
-    stream = read_replay_stream(
-        spark, staged, "replay_batch long, ts timestamp, event_type string"
+    # ---------------- dedup synthesis (the original x111)
+    ev_k = load_table(spark, sf_dir, "events").select("event_id")
+    m100, m20, m10 = e % 100, e % 20, e % 10
+    originals = ev_k.filter((m20 != 9) & (m100 != 11)).select(
+        F.lit(0).alias("replay_batch"), e.alias("k"), (m100 * 10).alias("t")
     )
-    sink = f"x110_{os.path.basename(tmp)}"
-    # scoped state partitions (streaming/replay.py): handfuls of window
-    # keys through 32 state-store commits per batch was pure overhead
-    with scoped_state_partitions(spark):
-        q = (
+    dup_a = ev_k.filter(m100 == 93).select(
+        F.lit(1).alias("replay_batch"), e.alias("k"), F.lit(980).alias("t")
+    )
+    jump = ev_k.filter(m20 == 9).select(
+        F.lit(2).alias("replay_batch"),
+        e.alias("k"),
+        (F.lit(2000) + (e % 5) * 10).alias("t"),
+    )
+    spacer = ev_k.filter(m100 == 11).select(
+        F.lit(3).alias("replay_batch"), e.alias("k"), F.lit(2040).alias("t")
+    )
+    dup_b = ev_k.filter(m100 == 43).select(
+        F.lit(4).alias("replay_batch"), e.alias("k"), F.lit(1900).alias("t")
+    )
+    d_rows = (
+        originals.unionByName(dup_a)
+        .unionByName(jump)
+        .unionByName(spacer)
+        .unionByName(dup_b)
+        .select(
+            F.col("replay_batch").cast("long").alias("replay_batch"),
+            "k",
+            F.timestamp_seconds(
+                F.lit(_X111_BASE) + F.col("t")
+            ).alias("ts"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    d_legs = {
+        int(r["replay_batch"]): int(r["n"])
+        for r in d_rows.groupBy("replay_batch")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    if not all(d_legs.get(i, 0) for i in range(5)):
+        raise AssertionError(
+            f"x110 fixture drift: empty dedup replay leg {d_legs}"
+        )
+
+    # ---------------- join synthesis (the original x112)
+    is_a = (
+        ~m20.isin(9, 19) & (m10 != 7) & ~m100.isin(11, 31, 51, 83)
+    )
+
+    def leg(cond, b, t_expr):
+        return ev_k.filter(cond).select(
+            F.lit(b).cast("long").alias("replay_batch"),
+            e.alias("k"),
+            F.timestamp_seconds(
+                F.lit(_X112_BASE) + t_expr.cast("long")
+            ).alias("ts"),
+        )
+
+    j_left = (
+        leg(is_a | (m100 == 83), 0, m100 * 10)
+        .unionByName(leg(m20 == 9, 1, F.lit(2000) + (e % 5) * 10))
+        .unionByName(leg(m100 == 11, 2, F.lit(2040)))
+        .unionByName(leg(m10 == 7, 3, m100 * 10))  # the LATE leg
+        .localCheckpoint(eager=True)
+    )
+    j_right = (
+        leg(is_a | (m10 == 7), 0, m100 * 10 + 30)
+        .unionByName(
+            leg(m20 == 19, 1, F.lit(2000) + (e % 5) * 10).unionByName(
+                leg(m100 == 83, 1, F.lit(860))
+            )
+        )
+        .unionByName(leg(m100 == 31, 2, F.lit(2040)))
+        .unionByName(leg(m100 == 51, 3, F.lit(2040)))
+        .localCheckpoint(eager=True)
+    )
+    n_cross = j_left.filter(F.col("k") % 100 == 83).count()
+    n_late = j_left.filter(F.col("replay_batch") == 3).count()
+    if not (n_cross > 0 and n_late > 0):
+        raise AssertionError(
+            f"x110 fixture drift: join cross-batch leg {n_cross}, late "
+            f"leg {n_late} — a verdict would be vacuous"
+        )
+    for side, nm in ((j_left, "left"), (j_right, "right")):
+        side_legs = {
+            int(r["replay_batch"]): 1
+            for r in side.select("replay_batch").distinct().collect()
+        }
+        if sorted(side_legs) != [0, 1, 2, 3]:
+            raise AssertionError(
+                f"x110 fixture drift: join {nm} legs "
+                f"{sorted(side_legs)} != 4 files"
+            )
+
+    # ---------------- stage everything, then start the three queries
+    # CONCURRENTLY (separate staged dirs, checkpoints and memory sinks
+    # over read-only inputs — they share nothing but the wall clock)
+    tmp = _scratch_index_dir(spark, "sfs110_")
+    base = os.path.basename(tmp)
+    w_staged, d_staged = f"{tmp}/w/staged", f"{tmp}/d/staged"
+    l_staged, r_staged = f"{tmp}/j/left", f"{tmp}/j/right"
+    stage_replay_files(
+        w_rows.drop("__t"), "replay_batch", w_staged, batch_size=1
+    )
+    stage_replay_files(d_rows, "replay_batch", d_staged, batch_size=1)
+    stage_replay_files(j_left, "replay_batch", l_staged, batch_size=1)
+    stage_replay_files(j_right, "replay_batch", r_staged, batch_size=1)
+    sinks = {
+        "window_agg": f"x110w_{base}",
+        "dedup_horizon": f"x110d_{base}",
+        "stream_join": f"x110j_{base}",
+    }
+
+    def start_window():
+        stream = read_replay_stream(
+            spark,
+            w_staged,
+            "replay_batch long, ts timestamp, event_type string",
+        )
+        return (
             stream.withWatermark("ts", f"{_X110_DELAY} seconds")
             .groupBy(F.window("ts", f"{_X110_WIN} seconds"), "event_type")
             .agg(F.count("*").alias("n"))
@@ -742,24 +931,94 @@ def x110(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .writeStream.outputMode("append")
             .format("memory")
-            .queryName(sink)
-            .option("checkpointLocation", f"{tmp}/ckpt")
+            .queryName(sinks["window_agg"])
+            .option("checkpointLocation", f"{tmp}/w/ckpt")
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise AssertionError("x110 replay did not drain in 300s")
-        if q.exception() is not None:
-            raise q.exception()
-    streamed = spark.table(sink).localCheckpoint(eager=True)
 
-    # raise-guarded verdicts over the SINK (then pinned TRUE)
-    agg = streamed.agg(
+    def start_dedup():
+        stream = read_replay_stream(
+            spark, d_staged, "replay_batch long, k long, ts timestamp"
+        )
+        return (
+            stream.withWatermark("ts", f"{_X111_DELAY} seconds")
+            .dropDuplicatesWithinWatermark(["k"])
+            .select(
+                "k", (F.col("ts").cast("long") - _X111_BASE).alias("t")
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sinks["dedup_horizon"])
+            .option("checkpointLocation", f"{tmp}/d/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def start_join():
+        schema = "replay_batch long, k long, ts timestamp"
+        ls = (
+            read_replay_stream(spark, l_staged, schema)
+            .withWatermark("ts", f"{_X112_DELAY} seconds")
+            .select(F.col("k").alias("lk"), F.col("ts").alias("lts"))
+        )
+        rs = (
+            read_replay_stream(spark, r_staged, schema)
+            .withWatermark("ts", f"{_X112_DELAY} seconds")
+            .select(F.col("k").alias("rk"), F.col("ts").alias("rts"))
+        )
+        return (
+            ls.join(
+                rs,
+                (F.col("lk") == F.col("rk"))
+                & (F.col("rts") >= F.col("lts"))
+                & (
+                    F.col("rts")
+                    <= F.col("lts") + F.expr("INTERVAL 60 SECONDS")
+                ),
+                "inner",
+            )
+            .select(
+                F.col("lk").alias("k"),
+                (F.col("lts").cast("long") - _X112_BASE).alias("lt"),
+                (F.col("rts").cast("long") - _X112_BASE).alias("rt"),
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sinks["stream_join"])
+            .option("checkpointLocation", f"{tmp}/j/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # scoped state partitions (streaming/replay.py): handfuls of state
+    # keys through 32 state-store commits per batch was pure overhead;
+    # the join commits PER SIDE per batch — the heaviest case
+    with scoped_state_partitions(spark):
+        _await_all_x110(
+            {
+                "window_agg": start_window(),
+                "dedup_horizon": start_dedup(),
+                "stream_join": start_join(),
+            }
+        )
+        w_final = spark.table(sinks["window_agg"]).localCheckpoint(
+            eager=True
+        )
+        d_final = spark.table(sinks["dedup_horizon"]).localCheckpoint(
+            eager=True
+        )
+        j_final = spark.table(sinks["stream_join"]).localCheckpoint(
+            eager=True
+        )
+
+    # ---------------- raise-guarded verdicts (the originals, verbatim)
+    # window_agg: late-drop/accept arithmetic + no open window leaked
+    agg = w_final.agg(
         F.coalesce(F.sum("n"), F.lit(0)).alias("total"),
         F.coalesce(F.max("win_start"), F.lit(0)).alias("max_start"),
     ).collect()[0]
-    expected_emitted = rows.filter(
+    expected_emitted = w_rows.filter(
         ((F.col("replay_batch") != 3) | (F.col("__t") >= 900))
         & (F.floor(F.col("__t") / _X110_WIN) * _X110_WIN <= 2080)
     ).count()
@@ -773,12 +1032,67 @@ def x110(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"x110 append regression: an open window leaked "
             f"(max win_start {int(agg['max_start']) - _X110_BASE})"
         )
-    verdicts = spark.range(1).select(
-        F.lit(True).alias("late_drop_exercised"),
-        F.lit(True).alias("late_accept_exercised"),
-        F.lit(True).alias("open_windows_withheld"),
-    )
-    return streamed.crossJoin(F.broadcast(verdicts))
+    # dedup_horizon: within-horizon deduped, beyond-horizon re-emitted
+    a_keys = d_final.filter(
+        (F.col("k") % 100 == 93) & (F.col("t") == 980)
+    ).count()
+    if a_keys != 0:
+        raise AssertionError(
+            f"x110 dedup regression: {a_keys} within-horizon "
+            f"redeliveries were re-emitted"
+        )
+    b_got = d_final.filter(
+        (F.col("k") % 100 == 43) & (F.col("t") == 1900)
+    ).count()
+    if b_got != d_legs[4]:
+        raise AssertionError(
+            f"x110 horizon regression: {b_got}/{d_legs[4]} beyond-horizon"
+            f" redeliveries re-emitted"
+        )
+    # stream_join: cross-batch pair served from buffer, late leg empty
+    got_cross = j_final.filter(
+        (F.col("k") % 100 == 83)
+        & (F.col("lt") == 830)
+        & (F.col("rt") == 860)
+    ).count()
+    if got_cross != n_cross:
+        raise AssertionError(
+            f"x110 buffering regression: {got_cross}/{n_cross} "
+            f"cross-batch pairs emitted"
+        )
+    got_late = j_final.filter(F.col("k") % 10 == 7).count()
+    if got_late != 0:
+        raise AssertionError(
+            f"x110 watermark regression: {got_late} late-leg pairs "
+            f"emitted"
+        )
+
+    # ---------------- fingerprint rows (the x113-suite shape: counts
+    # and sums recomputed by the oracle from scratch, booleans
+    # raise-guarded above then pinned TRUE)
+    def _verdicts(row: DataFrame) -> DataFrame:
+        return row.select(
+            "*",
+            F.lit(True).alias("state_behavior_ok"),
+            F.lit(True).alias("late_discipline_ok"),
+        )
+
+    w_fp = w_final.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("win_start").cast("long").alias("fp_key_sum"),
+        F.sum("n").cast("long").alias("fp_val_sum"),
+    ).select(F.lit("window_agg").alias("state_shape"), "*")
+    d_fp = d_final.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("k").cast("long").alias("fp_key_sum"),
+        F.sum("t").cast("long").alias("fp_val_sum"),
+    ).select(F.lit("dedup_horizon").alias("state_shape"), "*")
+    j_fp = j_final.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("k").cast("long").alias("fp_key_sum"),
+        (F.sum("lt") + F.sum("rt")).cast("long").alias("fp_val_sum"),
+    ).select(F.lit("stream_join").alias("state_shape"), "*")
+    return _verdicts(w_fp.unionByName(d_fp).unionByName(j_fp))
 
 
 # --------------------------------------------------------------------------
@@ -823,145 +1137,13 @@ def x110(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X111_BASE = 1_749_999_960
 _X111_DELAY = 300
 
-_X111_ORACLE = """
-    WITH e AS (
-      SELECT event_id AS k, event_id % 100 AS m100, event_id % 20 AS m20
-      FROM events
-    ),
-    emitted AS (
-      -- every key's FIRST occurrence (originals, jump, spacer) ...
-      SELECT k, CASE WHEN m20 = 9 THEN 2000 + (k % 5) * 10
-                     WHEN m100 = 11 THEN 2040
-                     ELSE m100 * 10 END AS t
-      FROM e
-      UNION ALL
-      -- ... plus the beyond-horizon redeliveries the evicted state
-      -- cannot remember
-      SELECT k, 1900 FROM e WHERE m100 = 43
-    )
-    SELECT k, CAST(t AS BIGINT) AS t,
-           TRUE AS within_horizon_deduped,
-           TRUE AS beyond_horizon_reemitted
-    FROM emitted
-"""
-
-
-@query("x111_stream_dedup_horizon_verdict", oracle=_X111_ORACLE)
-def x111(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dropDuplicatesWithinWatermark through the staged ordered replay:
-    originals emit once, a within-horizon redelivery is deduped, a
-    beyond-horizon redelivery re-emits (bounded state forgot it) — all
-    emitted (key, t) rows recomputed in closed form by the oracle."""
-    import os
-
-    from ..streaming.replay import (
-        read_replay_stream,
-        scoped_state_partitions,
-        stage_replay_files,
-    )
-    from .extensions10 import _scratch_index_dir
-
-    ev = load_table(spark, sf_dir, "events").select("event_id")
-    e = F.col("event_id")
-    m100, m20 = e % 100, e % 20
-    originals = ev.filter((m20 != 9) & (m100 != 11)).select(
-        F.lit(0).alias("replay_batch"), e.alias("k"), (m100 * 10).alias("t")
-    )
-    dup_a = ev.filter(m100 == 93).select(
-        F.lit(1).alias("replay_batch"), e.alias("k"), F.lit(980).alias("t")
-    )
-    jump = ev.filter(m20 == 9).select(
-        F.lit(2).alias("replay_batch"),
-        e.alias("k"),
-        (F.lit(2000) + (e % 5) * 10).alias("t"),
-    )
-    spacer = ev.filter(m100 == 11).select(
-        F.lit(3).alias("replay_batch"), e.alias("k"), F.lit(2040).alias("t")
-    )
-    dup_b = ev.filter(m100 == 43).select(
-        F.lit(4).alias("replay_batch"), e.alias("k"), F.lit(1900).alias("t")
-    )
-    rows = (
-        originals.unionByName(dup_a)
-        .unionByName(jump)
-        .unionByName(spacer)
-        .unionByName(dup_b)
-        .select(
-            F.col("replay_batch").cast("long").alias("replay_batch"),
-            "k",
-            F.timestamp_seconds(
-                F.lit(_X111_BASE) + F.col("t")
-            ).alias("ts"),
-        )
-        .localCheckpoint(eager=True)
-    )
-
-    # non-vacuousness preconditions (both verdicts are oracle-pinned
-    # TRUE, so an empty leg must fail loudly at generation time)
-    legs = {
-        int(r["replay_batch"]): int(r["n"])
-        for r in rows.groupBy("replay_batch")
-        .count()
-        .withColumnRenamed("count", "n")
-        .collect()
-    }
-    if not all(legs.get(i, 0) for i in range(5)):
-        raise AssertionError(f"x111 fixture drift: empty replay leg {legs}")
-
-    tmp = _scratch_index_dir(spark, "dd111_")
-    staged = f"{tmp}/staged"
-    stage_replay_files(rows, "replay_batch", staged, batch_size=1)
-    stream = read_replay_stream(
-        spark, staged, "replay_batch long, k long, ts timestamp"
-    )
-    sink = f"x111_{os.path.basename(tmp)}"
-    # scoped state partitions (streaming/replay.py)
-    with scoped_state_partitions(spark):
-        q = (
-            stream.withWatermark("ts", f"{_X111_DELAY} seconds")
-            .dropDuplicatesWithinWatermark(["k"])
-            .select(
-                "k", (F.col("ts").cast("long") - _X111_BASE).alias("t")
-            )
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName(sink)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise AssertionError("x111 replay did not drain in 300s")
-        if q.exception() is not None:
-            raise q.exception()
-    streamed = spark.table(sink).localCheckpoint(eager=True)
-
-    # raise-guarded verdicts over the SINK (then pinned TRUE)
-    a_keys = streamed.filter(
-        (F.col("k") % 100 == 93) & (F.col("t") == 980)
-    ).count()
-    if a_keys != 0:
-        raise AssertionError(
-            f"x111 dedup regression: {a_keys} within-horizon redeliveries "
-            f"were re-emitted"
-        )
-    b_expected = legs[4]
-    b_got = streamed.filter(
-        (F.col("k") % 100 == 43) & (F.col("t") == 1900)
-    ).count()
-    if b_got != b_expected:
-        raise AssertionError(
-            f"x111 horizon regression: {b_got}/{b_expected} beyond-horizon "
-            f"redeliveries re-emitted"
-        )
-    verdicts = spark.range(1).select(
-        F.lit(True).alias("within_horizon_deduped"),
-        F.lit(True).alias("beyond_horizon_reemitted"),
-    )
-    return streamed.select("k", F.col("t").cast("long").alias("t")).crossJoin(
-        F.broadcast(verdicts)
-    )
+# X111 (folded into x110_stateful_stream_verdicts, round 17): the
+# standalone dropDuplicatesWithinWatermark horizon verdict (green
+# r13-r16) — synthesis, preconditions, raise-guards and closed-form
+# emission arithmetic moved verbatim into the merged query above; its
+# drain now overlaps the other two shapes' instead of paying its own
+# streaming floor (the x113-suite consolidation pattern, VERDICT r16
+# #2 mechanism).
 
 
 # --------------------------------------------------------------------------
@@ -1004,157 +1186,11 @@ def x111(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X112_BASE = 1_749_999_960
 _X112_DELAY = 300
 
-_X112_ORACLE = """
-    WITH e AS (
-      SELECT event_id AS k, event_id % 100 AS m100,
-             event_id % 20 AS m20, event_id % 10 AS m10
-      FROM events
-    ),
-    pairs AS (
-      SELECT k, m100 * 10 AS lt, m100 * 10 + 30 AS rt FROM e
-      WHERE m20 NOT IN (9, 19) AND m10 <> 7
-        AND m100 NOT IN (11, 31, 51, 83)
-      UNION ALL
-      SELECT k, 830, 860 FROM e WHERE m100 = 83
-    )
-    SELECT k, CAST(lt AS BIGINT) AS lt, CAST(rt AS BIGINT) AS rt,
-           TRUE AS cross_batch_matched,
-           TRUE AS late_leg_dropped
-    FROM pairs
-"""
-
-
-@query("x112_stream_join_verdict", oracle=_X112_ORACLE)
-def x112(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sided-watermark stream-stream inner join through paired
-    staged replays: same-batch pairs, a cross-batch pair served from
-    buffered state, and a late left leg whose buffered partners must
-    yield nothing — every emitted (k, lt, rt) recomputed by the
-    oracle."""
-    import os
-
-    from ..streaming.replay import (
-        read_replay_stream,
-        scoped_state_partitions,
-        stage_replay_files,
-    )
-    from .extensions10 import _scratch_index_dir
-
-    ev = load_table(spark, sf_dir, "events").select("event_id")
-    e = F.col("event_id")
-    m100, m20, m10 = e % 100, e % 20, e % 10
-    is_a = (
-        ~m20.isin(9, 19) & (m10 != 7) & ~m100.isin(11, 31, 51, 83)
-    )
-
-    def leg(cond, b, t_expr):
-        return ev.filter(cond).select(
-            F.lit(b).cast("long").alias("replay_batch"),
-            e.alias("k"),
-            F.timestamp_seconds(
-                F.lit(_X112_BASE) + t_expr.cast("long")
-            ).alias("ts"),
-        )
-
-    left = (
-        leg(is_a | (m100 == 83), 0, m100 * 10)
-        .unionByName(leg(m20 == 9, 1, F.lit(2000) + (e % 5) * 10))
-        .unionByName(leg(m100 == 11, 2, F.lit(2040)))
-        .unionByName(leg(m10 == 7, 3, m100 * 10))  # the LATE leg
-        .localCheckpoint(eager=True)
-    )
-    right = (
-        leg(is_a | (m10 == 7), 0, m100 * 10 + 30)
-        .unionByName(
-            leg(m20 == 19, 1, F.lit(2000) + (e % 5) * 10).unionByName(
-                leg(m100 == 83, 1, F.lit(860))
-            )
-        )
-        .unionByName(leg(m100 == 31, 2, F.lit(2040)))
-        .unionByName(leg(m100 == 51, 3, F.lit(2040)))
-        .localCheckpoint(eager=True)
-    )
-
-    # non-vacuousness preconditions (both verdicts are oracle-pinned
-    # TRUE, so an empty leg must fail loudly at generation time)
-    n_cross = left.filter(F.col("k") % 100 == 83).count()
-    n_late = left.filter(F.col("replay_batch") == 3).count()
-    if not (n_cross > 0 and n_late > 0):
-        raise AssertionError(
-            f"x112 fixture drift: cross-batch leg {n_cross}, late leg "
-            f"{n_late} — a verdict would be vacuous"
-        )
-    for side, nm in ((left, "left"), (right, "right")):
-        legs = {
-            int(r["replay_batch"]): 1
-            for r in side.select("replay_batch").distinct().collect()
-        }
-        if sorted(legs) != [0, 1, 2, 3]:
-            raise AssertionError(
-                f"x112 fixture drift: {nm} legs {sorted(legs)} != 4 files"
-            )
-
-    tmp = _scratch_index_dir(spark, "ssj112_")
-    l_staged, r_staged = f"{tmp}/left", f"{tmp}/right"
-    stage_replay_files(left, "replay_batch", l_staged, batch_size=1)
-    stage_replay_files(right, "replay_batch", r_staged, batch_size=1)
-    schema = "replay_batch long, k long, ts timestamp"
-    ls = (
-        read_replay_stream(spark, l_staged, schema)
-        .withWatermark("ts", f"{_X112_DELAY} seconds")
-        .select(F.col("k").alias("lk"), F.col("ts").alias("lts"))
-    )
-    rs = (
-        read_replay_stream(spark, r_staged, schema)
-        .withWatermark("ts", f"{_X112_DELAY} seconds")
-        .select(F.col("k").alias("rk"), F.col("ts").alias("rts"))
-    )
-    joined = ls.join(
-        rs,
-        (F.col("lk") == F.col("rk"))
-        & (F.col("rts") >= F.col("lts"))
-        & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 60 SECONDS")),
-        "inner",
-    ).select(
-        F.col("lk").alias("k"),
-        (F.col("lts").cast("long") - _X112_BASE).alias("lt"),
-        (F.col("rts").cast("long") - _X112_BASE).alias("rt"),
-    )
-    sink = f"x112_{os.path.basename(tmp)}"
-    # scoped state partitions (streaming/replay.py): join state commits
-    # PER SIDE per batch — the heaviest case of the commit overhead
-    with scoped_state_partitions(spark):
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(sink)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise AssertionError("x112 replay did not drain in 300s")
-        if q.exception() is not None:
-            raise q.exception()
-    streamed = spark.table(sink).localCheckpoint(eager=True)
-
-    # raise-guarded verdicts over the SINK (then pinned TRUE)
-    got_cross = streamed.filter(
-        (F.col("k") % 100 == 83) & (F.col("lt") == 830) & (F.col("rt") == 860)
-    ).count()
-    if got_cross != n_cross:
-        raise AssertionError(
-            f"x112 buffering regression: {got_cross}/{n_cross} cross-batch "
-            f"pairs emitted"
-        )
-    got_late = streamed.filter(F.col("k") % 10 == 7).count()
-    if got_late != 0:
-        raise AssertionError(
-            f"x112 watermark regression: {got_late} late-leg pairs emitted"
-        )
-    verdicts = spark.range(1).select(
-        F.lit(True).alias("cross_batch_matched"),
-        F.lit(True).alias("late_leg_dropped"),
-    )
-    return streamed.crossJoin(F.broadcast(verdicts))
+# X112 (folded into x110_stateful_stream_verdicts, round 17): the
+# standalone two-sided-watermark stream-stream join verdict (green
+# r13-r16) — synthesis, preconditions, raise-guards and closed-form
+# pair arithmetic moved verbatim into the merged query above (the
+# construction is ALSO consumed inline by x113's kill/resume join
+# shape, extensions16). Its drain — the heaviest of the three, join
+# state committing per side per batch — now overlaps the other two
+# shapes' instead of paying its own streaming floor.

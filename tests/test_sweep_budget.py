@@ -69,8 +69,16 @@ JUSTIFIED_WARM_PINS_S = {
     # CONCURRENTLY — still 15 micro-batch triggers with per-batch state
     # commits (the batch boundaries ARE the attestation), constant in
     # corpus size. Warm measured 19.7 s standalone at the fold vs
-    # 27.6 s summed for the three pre-fold rows; pin = ~1.4x measured.
+    # 27.6 s summed for the three pre-fold rows (15.82 s in the first
+    # post-fold sweep); pin = ~1.4x measured.
     "x113_checkpoint_recovery_verdict": 28.0,
+    # uninterrupted stateful-stream suite (r17 fold of x110/x111/x112,
+    # same mechanism): three real stateful streaming queries (window
+    # agg, dedup horizon, stream-stream join) drained concurrently —
+    # the join commits state per side per batch, 4-5 staged files per
+    # shape, constant in corpus size. Warm measured 13.6 s standalone
+    # at the fold vs ~19 s summed pre-fold; pin = ~1.4x measured.
+    "x110_stateful_stream_verdicts": 19.0,
 }
 
 

@@ -132,11 +132,19 @@ def main() -> None:
 
     spark = get_spark(app_name="sweep_budget")
     spark.sparkContext.setLogLevel("ERROR")
-    # one throwaway action so JVM/session warm-up isn't billed to row 1
+    # session warm-up so JVM/JIT/worker-pool startup isn't billed to
+    # row 1 of the sweep: the bench's warm_worker_pool (forks the Python
+    # worker daemon on every core + touches the shuffle write/fetch
+    # path — bench.py documents the measured effect) plus one throwaway
+    # DuckDB query. Before r17 the only warm-up was range(1).count(),
+    # and the rotation's first REAL query absorbed ~6-9 s of one-time
+    # session cost into its cold row (the r14 memory-note gotcha).
+    from bench import warm_worker_pool
+
     con = duck_connection(sf_dir)
     con.sql("SELECT count(*) FROM lineitem").fetchall()
     con.close()
-    spark.range(1).count()
+    warm_worker_pool(spark)
 
     def one_pass(name: str) -> None:
         df = QUERIES[name](spark, sf_dir)
