@@ -98,6 +98,34 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signatures_from_tokens(
+    toks: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signatures computed from an ALREADY-TOKENIZED shingle
+    table DataFrame[id, w] instead of raw text — bit-identical to
+    :func:`minhash_signatures` over the same documents (MIN over a doc's
+    distinct shingle set equals MIN over all occurrences, and the hash
+    formula — one md5 per shingle, Kirsch-Mitzenmacher
+    h_j = (hx + j*hy) mod 2^32 — is the same), but callers that have
+    already materialized the shingle table (the SSJoin family, the
+    recall audits) skip a second corpus scan, the exact-dup collapse
+    window re-run, and the re-explode (guide §1.2 step 1 — don't
+    recompute what a sibling branch already produced; the x90-fallback
+    precedent, extended to x88/x91 in r17)."""
+    from ..functions.hashing import M32, km_hash_pair_cols
+
+    hx, hy = km_hash_pair_cols(F.col("w"))
+    hashed = toks.select(F.col(id_col), hx.alias("hx"), hy.alias("hy"))
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.min((F.col("hx") + F.lit(j) * F.col("hy")) % F.lit(M32)).alias(
+                f"h{j}"
+            )
+            for j in range(num_hashes)
+        ]
+    )
+
+
 def minhash_bands(
     signatures: DataFrame,
     id_col: str = "doc_id",

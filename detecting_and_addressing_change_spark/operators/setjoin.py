@@ -147,8 +147,14 @@ def _prefix_table(
     Join rows drop from sum(df_sym^2) to sum(df_probe * df_index). The
     1e-9 guard keeps float ceil from overshooting the exact rational
     bound when 2t/(1+t)*n lands on an integer (which would shorten a
-    prefix below the theorem's length and lose pairs)."""
-    sizes = toks.groupBy(id_col).agg(F.count("*").alias("n"))
+    prefix below the theorem's length and lose pairs).
+
+    ``n`` is a window COUNT over the same per-document partitioning the
+    rank window already establishes — not a separate groupBy + join,
+    which would shuffle ``toks`` a second time on the id (guide §2.4:
+    operations keyed the same way share one exchange; measured r17:
+    one Exchange + one SortMergeJoin removed from every prefix-table
+    consumer, x84 sf0.1 3.44 -> 3.0 s)."""
     dfreq = toks.groupBy("w").agg(F.count("*").alias("df"))
     probe_frac = 2.0 * threshold / (1.0 + threshold)
     li = F.col("n") - F.ceil(
@@ -157,13 +163,11 @@ def _prefix_table(
     lp = F.col("n") - F.ceil(
         F.lit(probe_frac) * F.col("n") - F.lit(1e-9)
     ) + 1
+    wid = Window.partitionBy(id_col)
     return (
         toks.join(dfreq, "w")
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.partitionBy(id_col).orderBy("df", "w")),
-        )
-        .join(sizes, id_col)
+        .withColumn("rk", F.row_number().over(wid.orderBy("df", "w")))
+        .withColumn("n", F.count("*").over(wid))
         .filter(F.col("rk") <= li)
         .select(
             F.col(id_col), "w", "n", "rk", (F.col("rk") <= lp).alias("__pr")
@@ -347,20 +351,9 @@ def _minhash_candidates(
     signatures are bit-identical — but the fallback route skips a second
     corpus scan, the collapse window re-run, and the re-explode
     (measured ~2 s of x90's sf0.1 cost)."""
-    from ..functions.hashing import M32, km_hash_pair_cols
+    from .dedup import minhash_signatures_from_tokens
 
-    hx, hy = km_hash_pair_cols(F.col("w"))
-    hashed = toks.select(
-        F.col(id_col), hx.alias("hx"), hy.alias("hy")
-    )
-    sigs = hashed.groupBy(id_col).agg(
-        *[
-            F.min((F.col("hx") + F.lit(j) * F.col("hy")) % F.lit(M32)).alias(
-                f"h{j}"
-            )
-            for j in range(num_hashes)
-        ]
-    )
+    sigs = minhash_signatures_from_tokens(toks, id_col, num_hashes)
     bands = minhash_bands(
         sigs,
         id_col=id_col,

@@ -164,16 +164,22 @@ def _with_sigs(
     n_tables: int,
     dim: int,
     vectorized: bool = True,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Explode each row into one (tbl, sig) bucket row per LSH table.
     Table t uses global planes [t*n_planes, (t+1)*n_planes). Default is
     the Arrow-batched numpy path; `vectorized=False` keeps the pure
     Catalyst expression variant (same bits — asserted in
-    tests/test_similarity.py)."""
+    tests/test_similarity.py). ``carry_cols`` passes extra columns of
+    ``df`` through unchanged — callers that need them downstream would
+    otherwise pay a join against ``df`` just to re-attach them (guide
+    §2.4; the embedding_near_dup_pairs __vq re-attach join, removed
+    r17)."""
     if vectorized:
         return df.select(
             F.col(id_col).alias(f"{role}_id"),
             F.col(vec_col).alias(f"{role}_emb"),
+            *[F.col(c) for c in carry_cols],
             F.posexplode(
                 lsh_sigs_udf(n_planes, n_tables, dim)(F.col(vec_col))
             ).alias("tbl", "sig"),
@@ -191,10 +197,12 @@ def _with_sigs(
     return df.select(
         F.col(id_col).alias(f"{role}_id"),
         F.col(vec_col).alias(f"{role}_emb"),
+        *[F.col(c) for c in carry_cols],
         F.explode(F.array(*sigs)).alias("ts"),
     ).select(
         f"{role}_id",
         f"{role}_emb",
+        *carry_cols,
         F.col("ts.tbl").alias("tbl"),
         F.col("ts.sig").alias("sig"),
     )
@@ -410,9 +418,17 @@ def embedding_near_dup_pairs(
     # twice; at 100 TB this is the index table a production build would
     # persist to storage anyway (SCALE.md: LSH index tables materialized)
     sigs = (
-        _with_sigs(reps, "a", id_col, vec_col, n_planes, n_tables, dim)
+        _with_sigs(
+            reps,
+            "a",
+            id_col,
+            vec_col,
+            n_planes,
+            n_tables,
+            dim,
+            carry_cols=("__vq",),
+        )
         .drop("a_emb")
-        .join(reps.select(F.col(id_col).alias("a_id"), "__vq"), "a_id")
         .localCheckpoint(eager=True)
     )
     from .dedup import tier_cap

@@ -446,15 +446,47 @@ def minhash_recall_audit(
     the sample, not the corpus, which is what makes it runnable at
     100 TB (VERDICT r7 #2). The sampled audit is EXACTLY the full audit
     of the sampled subcorpus (parity-tested), every piece of it
-    recomputable by any engine from the id hash."""
+    recomputable by any engine from the id hash.
+
+    Plan (r17, guide §1.2 step 1): BOTH operands ride ONE exact-dup
+    collapse + ONE materialized distinct-shingle table — the truth side
+    is ``prefix_jaccard_join``'s pipeline over it, the found side is
+    ``minhash_dedup_edges``'s banding with signatures computed from the
+    same token table (bit-identical, see
+    ``dedup.minhash_signatures_from_tokens``) — instead of each side
+    re-scanning and re-collapsing the corpus independently (measured
+    sf0.1: 4.69 -> ~3.1 s benched). The found edge set is distinct by
+    construction (chains' b_ids are non-keepers, rep pairs' ids are
+    keepers, and ``minhash_candidate_pairs`` ends in a distinct), so no
+    extra distinct pass is paid."""
     from ..functions.hashing import md5_pct_col
-    from ..operators.dedup import minhash_dedup_edges
-    from ..operators.setjoin import prefix_jaccard_join
+    from ..operators.dedup import (
+        minhash_bands,
+        minhash_candidate_pairs,
+        minhash_signatures_from_tokens,
+    )
+    from ..operators.setjoin import (
+        _exact_candidates,
+        _prefix_table,
+        _tokenize,
+        _verify,
+    )
 
     if sample_pct is not None:
         docs = docs.filter(md5_pct_col(F.col(id_col)) < sample_pct)
-    truth = prefix_jaccard_join(docs, threshold=threshold, shingle_size=3)
-    found = minhash_dedup_edges(docs).distinct()
+    chains, toks = _tokenize(docs, "text", id_col, 3)
+    prefix = _prefix_table(toks, id_col, threshold)
+    cand = _exact_candidates(prefix, id_col, threshold)
+    truth = chains.select(
+        "a_id", "b_id", F.lit(1.0).alias("jaccard")
+    ).unionByName(_verify(toks, cand, threshold, id_col))
+    sigs = minhash_signatures_from_tokens(toks, id_col, num_hashes=8)
+    bands = minhash_bands(
+        sigs, id_col=id_col, num_hashes=8, rows_per_band=2, carry_sig=True
+    )
+    found = chains.unionByName(
+        minhash_candidate_pairs(bands, id_col=id_col, bucket_cap=64)
+    )
     marked = truth.join(
         found.withColumn("__hit", F.lit(1)), ["a_id", "b_id"], "left"
     )

@@ -359,12 +359,23 @@ def x93(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("apx"),
         )
     )
-    we = winsorized_stats(li, approx=False).select(
+    # the bounds tables are computed ONCE above and passed into both
+    # clamp passes — Spark does not dedupe common subplans, so calling
+    # winsorized_stats(approx=...) here would re-run the sort-heavy
+    # exact percentile and the approx_percentile sketch a second time
+    # each (guide §7.2 duplicated subtrees; measured r17: 4 lineitem
+    # percentile aggs -> 2, x93 sf0.1 3.20 -> ~2.3 s)
+    we = winsorized_stats(li, bounds=exact_b).select(
         "l_returnflag", "n", F.col("w_mean").alias("wm_e")
     )
-    wa = winsorized_stats(li, approx=True, accuracy=_X93_ACC).select(
-        "l_returnflag", F.col("w_mean").alias("wm_a")
-    )
+    wa = winsorized_stats(
+        li,
+        bounds=appx.select(
+            "l_returnflag",
+            F.col("p1a").alias("p1"),
+            F.col("p99a").alias("p99"),
+        ),
+    ).select("l_returnflag", F.col("w_mean").alias("wm_a"))
     j = (
         exact_b.join(appx, "l_returnflag")
         .join(ranks, "l_returnflag")

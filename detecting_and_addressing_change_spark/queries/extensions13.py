@@ -544,8 +544,14 @@ def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
     sinks = {"ddm": f"x100d_{base}", "ph": f"x100p_{base}"}
     ops = {"ddm": detect_drift_stream, "ph": detect_drift_ph_stream}
     # scoped state partitions (streaming/replay.py): ONE detector key
-    # through 32 state-store commits per batch was pure overhead
-    with scoped_state_partitions(spark):
+    # through 32 state-store commits per batch was pure overhead.
+    # n=1, not the helper's 8: this query has exactly one state key
+    # (detector_id='events') at ANY corpus scale, so every partition
+    # beyond 1 commits an empty state store per micro-batch per query —
+    # with two concurrent drains that was 2x4x7 wasted commits
+    # (measured r17: 4.98 -> 3.82 s min-of-3 at n=1; a detector FLEET
+    # sizes n to its key count, per the helper's documented contract)
+    with scoped_state_partitions(spark, n=1):
         queries = {}
         for kind, op in ops.items():
             # each streaming query needs its own source DataFrame; the

@@ -817,7 +817,10 @@ def x56(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def winsorized_stats(
-    li: DataFrame, approx: bool = False, accuracy: int = 10000
+    li: DataFrame,
+    approx: bool = False,
+    accuracy: int = 10000,
+    bounds: DataFrame | None = None,
 ) -> DataFrame:
     """Per-group winsorized stats over lineitem.l_extendedprice.
 
@@ -826,8 +829,17 @@ def winsorized_stats(
     ``approx_percentile`` with the given accuracy — a mergeable
     constant-size sketch, the 100 TB path. Both produce the SAME two-pass
     plan: bounds agg (|groups| rows) broadcast back onto the fact scan,
-    then one partial-agg shuffle for the clamped stats."""
-    if approx:
+    then one partial-agg shuffle for the clamped stats.
+
+    ``bounds`` lets a caller that has ALREADY computed the percentile
+    bounds table (DataFrame[l_returnflag, p1, p99]) pass it in instead of
+    paying the percentile aggregate a second time — Spark does not dedupe
+    common subplans, so an audit that reports the bounds AND the clamped
+    mean would otherwise run the sort-heavy percentile scan twice
+    (guide §7.2 "duplicated subtrees"; x93 r17)."""
+    if bounds is not None:
+        pass
+    elif approx:
         pctl = (
             f"approx_percentile(l_extendedprice, array(0.01, 0.99), "
             f"{accuracy})"
@@ -844,7 +856,8 @@ def winsorized_stats(
             F.expr("percentile(l_extendedprice, 0.01)").alias("p1"),
             F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
         )
-    j = li.join(F.broadcast(bounds), "l_returnflag")
+    j = li.join(F.broadcast(bounds.select("l_returnflag", "p1", "p99")),
+                "l_returnflag")
     x = F.col("l_extendedprice").cast("double")
     v = F.least(F.greatest(x, F.col("p1")), F.col("p99"))
     return (
