@@ -262,9 +262,45 @@ def minhash_candidate_pairs(
         bands = tier_cap(
             bands, ["band", "bucket"], hx, bucket_cap, id_col
         ).select(id_col, "band", "bucket", "__tier")
-        keys = ["band", "bucket", "__tier"]
-    else:
-        keys = ["band", "bucket"]
+        # capped buckets hold <= bucket_cap ids, so the within-bucket
+        # pairs come from ONE grouped collect + local array expansion
+        # instead of a bucket-keyed self-join (r17, guide §2.4 remove
+        # shuffles / §7.2 duplicated subtrees): the a/b self-join
+        # aliased the id column differently per side, so ReuseExchange
+        # could not unify them and the WHOLE upstream pipeline — corpus
+        # scan, collapse window, shingle explode, signature agg, band
+        # generate, tier windows — executed twice (verified in
+        # plans/r17/x04_minhash_pairs_before.txt: operators 8-32 and
+        # 33-57 are the same subtree, zero ReusedExchange), then paid
+        # TWO join exchanges. The grouped form evaluates the pipeline
+        # once and shuffles the (keys, id) rows once; collect_list is
+        # bounded by the cap, so no task holds more than
+        # bucket_cap longs per bucket. sort_array gives a_id < b_id.
+        ids = bands.groupBy("band", "bucket", "__tier").agg(
+            F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
+        )
+        return (
+            ids.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, (a, i) -> transform("
+                        "slice(ids, i + 2, size(ids)),"
+                        " b -> named_struct('a_id', a, 'b_id', b))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.a_id", "p.b_id")
+            .distinct()
+        )
+    # UNCAPPED path (bounded inputs only — production callers all cap):
+    # bucket width is unbounded, so a grouped collect could hold an
+    # arbitrarily wide bucket in one task; keep the spilling self-join,
+    # but materialize the band table ONCE so the upstream pipeline does
+    # not execute per side (guide §7.2; the a/b aliasing defeats
+    # ReuseExchange). The table is (id, band, bucket) — n_bands rows per
+    # doc, no text.
+    keys = ["band", "bucket"]
+    bands = bands.select(id_col, *keys).localCheckpoint(eager=True)
     a = bands.select(*keys, F.col(id_col).alias("a_id"))
     b = bands.select(*keys, F.col(id_col).alias("b_id"))
     return (
@@ -485,23 +521,35 @@ def simhash_dedup_edges(
     d = tier_cap(d, ["rot", "blk"], hx, block_cap, id_col).select(
         id_col, "sh", "rot", "blk", "__tier"
     )
-    a = d.select(
-        "rot", "blk", "__tier",
-        F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"),
-    )
-    b = d.select(
-        "rot", "blk", "__tier",
-        F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"),
+    # capped blocks hold <= block_cap members, so within-block pairs
+    # come from ONE grouped collect + local array expansion instead of a
+    # block-keyed self-join (r17, guide §2.4/§7.2 — same rewrite as
+    # minhash_candidate_pairs: the a/b aliasing defeated ReuseExchange,
+    # so the collapse window + simhash signature stage + tier windows
+    # executed once per side and the join paid two more exchanges; the
+    # grouped form evaluates the pipeline once and shuffles the block
+    # index once). sort_array on (id, sh) structs orders by the unique
+    # id, giving a_id < b_id; the Hamming cut applies per local pair.
+    cells = d.groupBy("rot", "blk", "__tier").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("i"), F.col("sh").alias("s"))
+            )
+        ).alias("ms")
     )
     rep_pairs = (
-        a.join(b, ["rot", "blk", "__tier"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).cast("int"),
+        cells.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (a, i) -> transform("
+                    "slice(ms, i + 2, size(ms)), b -> named_struct("
+                    "'a_id', a.i, 'b_id', b.i,"
+                    " 'hamming', cast(bit_count(a.s ^ b.s) as int)))))"
+                )
+            ).alias("p")
         )
+        .select("p.a_id", "p.b_id", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
-        .select("a_id", "b_id", "hamming")
         .distinct()
     )
     return chains.unionByName(rep_pairs)
@@ -535,7 +583,19 @@ def ngram_jaccard_pairs(
             F.array_distinct(F.split(F.col(text_col), " "))
         ).alias("w"),
     )
-    n_vocab = words.select("w").distinct().count()
+    # ONE scan+split+explode serves every consumer (r17, guide §7.2
+    # duplicated subtrees): the strategy gate's vocab count, the
+    # singleton filter, the per-doc sizes, and BOTH inverted-index
+    # self-join sides each re-evaluated this subtree — five executions
+    # of the most expensive stage. The materialized table is the
+    # operator's own input, the distinct (doc_id, word) posting list.
+    words = words.localCheckpoint(eager=True)
+    # one word-frequency aggregate serves both the strategy gate
+    # (n_vocab = |dfreq| rows) and the singleton pruning — the former
+    # separate distinct().count() paid an extra vocab-wide shuffle with
+    # identical grouping (guide §1.2 step 1)
+    dfreq = words.groupBy("w").agg(F.count("*").alias("__df"))
+    n_vocab = dfreq.count()
     if n_vocab <= 62:
         return _jaccard_dense_vocab(words, id_col, top_n)
     sizes = words.groupBy(id_col).agg(F.count("*").alias("n"))
@@ -544,12 +604,7 @@ def ngram_jaccard_pairs(
     # the vocabulary, so this shrinks the self-join input (and its skew)
     # substantially while leaving every (inter, na, nb) unchanged (sizes
     # are computed from the UNfiltered word sets above).
-    shared = (
-        words.groupBy("w")
-        .agg(F.count("*").alias("__df"))
-        .filter(F.col("__df") >= 2)
-        .select("w")
-    )
+    shared = dfreq.filter(F.col("__df") >= 2).select("w")
     wj = words.join(shared, "w")
     a = wj.select(F.col(id_col).alias("a_id"), "w")
     b = wj.select(F.col(id_col).alias("b_id"), "w")

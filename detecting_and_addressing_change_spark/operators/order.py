@@ -30,15 +30,16 @@ def _staged_range_partitions(
     df: DataFrame,
     order: list[Column],
     num_partitions: int | None,
-    part_agg: Column,
-) -> tuple[DataFrame, dict[int, int]]:
+    part_aggs: list[Column],
+) -> tuple[DataFrame, dict[int, list[int]]]:
     """Shared scaffolding for the global-order operators: range-partition +
     in-partition sort, materialized ONCE (the per-partition agg job and
     the enumeration job must see the exact same partitioning — range
     bounds come from sampling, so recomputing the plan per job would make
     the offsets a race), plus the cumulative per-partition offsets of
-    ``part_agg`` (one tiny row per partition, driver-trivial at any data
-    scale). Returns ``(parts_with___pid, offsets_by_pid)``."""
+    each ``part_aggs`` entry (one tiny row per partition, driver-trivial
+    at any data scale). Returns ``(parts_with___pid, offsets_by_pid)``
+    with one exclusive-prefix total PER AGG in each pid's list."""
     n_parts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
@@ -48,22 +49,25 @@ def _staged_range_partitions(
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
+    agg_rows = parts.groupBy("__pid").agg(
+        *[a.alias(f"v{i}") for i in range(len(part_aggs)) for a in [part_aggs[i]]]
+    ).collect()
     vals = {
-        r["__pid"]: r["v"]
-        for r in parts.groupBy("__pid").agg(part_agg.alias("v")).collect()
+        r["__pid"]: [r[f"v{i}"] for i in range(len(part_aggs))]
+        for r in agg_rows
     }
-    offsets: dict[int, int] = {}
-    acc = 0
+    offsets: dict[int, list[int]] = {}
+    acc = [0] * len(part_aggs)
     for pid in sorted(vals):
-        offsets[pid] = acc
-        acc += vals[pid]
+        offsets[pid] = list(acc)
+        acc = [a + v for a, v in zip(acc, vals[pid])]
     return parts, offsets
 
 
-def _with_long_col(parts: DataFrame, out_col: str) -> T.StructType:
+def _with_long_cols(parts: DataFrame, out_cols: list[str]) -> T.StructType:
     return T.StructType(
         parts.drop("__pid").schema.fields
-        + [T.StructField(out_col, T.LongType())]
+        + [T.StructField(c, T.LongType()) for c in out_cols]
     )
 
 
@@ -78,9 +82,9 @@ def global_rank(
     ``order``: sort expressions (e.g. ``[F.desc('price'), F.asc('id')]``)
     that must define a TOTAL order (include a unique key)."""
     parts, offsets = _staged_range_partitions(
-        df, order, num_partitions, F.count("*")
+        df, order, num_partitions, [F.count("*")]
     )
-    out_schema = _with_long_col(parts, rank_col)
+    out_schema = _with_long_cols(parts, [rank_col])
 
     def enumerate_partition(
         batches: Iterator[pd.DataFrame],
@@ -91,7 +95,7 @@ def global_rank(
             if len(pdf) == 0:
                 continue
             if base is None:
-                base = offsets[int(pdf["__pid"].iloc[0])]
+                base = offsets[int(pdf["__pid"].iloc[0])][0]
             pdf = pdf.drop(columns=["__pid"])
             pdf[rank_col] = range(
                 base + seen + 1, base + seen + 1 + len(pdf)
@@ -105,8 +109,8 @@ def global_rank(
 def global_cumsum(
     df: DataFrame,
     order: list[Column],
-    value_col: str,
-    out_col: str = "cumsum",
+    value_col: str | list[str],
+    out_col: str | list[str] = "cumsum",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Append the INCLUSIVE running sum of ``value_col`` under a total
@@ -117,25 +121,34 @@ def global_cumsum(
 
     ``order`` must define a TOTAL order (include a unique key);
     ``value_col`` must be integral and non-null (token counts, byte
-    sizes — the pipeline-packing use cases)."""
+    sizes — the pipeline-packing use cases). ``value_col``/``out_col``
+    may be LISTS of equal length: all running sums then ride ONE range
+    repartition + materialization + offsets collect instead of one full
+    pass per column (r17 — x65 chained two calls, paying the whole
+    staging twice for two sums over the same ordering)."""
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(value_cols) != len(out_cols):
+        raise ValueError("global_cumsum: value_col/out_col length mismatch")
     parts, offsets = _staged_range_partitions(
-        df, order, num_partitions, F.sum(value_col)
+        df, order, num_partitions, [F.sum(c) for c in value_cols]
     )
-    out_schema = _with_long_col(parts, out_col)
+    out_schema = _with_long_cols(parts, out_cols)
 
     def cumsum_partition(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
-        running = None
+        running: list[int] | None = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             if running is None:
-                running = offsets[int(pdf["__pid"].iloc[0])]
+                running = list(offsets[int(pdf["__pid"].iloc[0])])
             pdf = pdf.drop(columns=["__pid"])
-            csum = pdf[value_col].astype("int64").cumsum() + running
-            running = int(csum.iloc[-1])
-            pdf[out_col] = csum
+            for j, (vc, oc) in enumerate(zip(value_cols, out_cols)):
+                csum = pdf[vc].astype("int64").cumsum() + running[j]
+                running[j] = int(csum.iloc[-1])
+                pdf[oc] = csum
             yield pdf
 
     return parts.mapInPandas(cumsum_partition, out_schema)

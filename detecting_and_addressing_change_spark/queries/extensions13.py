@@ -354,12 +354,21 @@ def x99(spark: SparkSession, sf_dir: str) -> DataFrame:
     restart_resumed = snap2.epoch == 2
     snap2.process_batch(v3, 2)
 
+    # both comparison operands are materialized ONCE (r17): the
+    # two-direction exceptAll references each side twice, and `streamed`
+    # is consumed a third time by the returned fingerprint agg — without
+    # the checkpoint each reference re-ran the snapshot read / the
+    # 3-version changelog fold from scratch (guide §7.2 duplicated
+    # subtrees). Both tables are bounded by the LIVE KEY COUNT (2 cols),
+    # the same driver-safe size the snapshot sink already maintains.
     streamed = snap2.snapshot().select(
         "k", F.floor(F.col("p") * 100.0 + F.lit(0.5)).alias("pc")
-    )
+    ).localCheckpoint(eager=True)
     batch = apply_changelog(
         v1.unionByName(v2).unionByName(v3), ["k"]
-    ).select("k", F.floor(F.col("p") * 100.0 + F.lit(0.5)).alias("pc"))
+    ).select(
+        "k", F.floor(F.col("p") * 100.0 + F.lit(0.5)).alias("pc")
+    ).localCheckpoint(eager=True)
     n_mismatch = int(
         streamed.exceptAll(batch)
         .unionByName(batch.exceptAll(streamed))

@@ -617,7 +617,11 @@ def x54(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_rank(
         scored, [F.asc("lp"), F.asc("vec_id")], rank_col="r"
     )
-    n = scored.agg(F.count("*").alias("n_total"))
+    # count over the RANKED table, not `scored` (r17): global_rank
+    # materializes its range-partitioned input, so this count reads the
+    # checkpoint; counting `scored` re-ran the scan + NB predict pass a
+    # second time (guide §7.2 duplicated subtrees). Same rows either way.
+    n = ranked.agg(F.count("*").alias("n_total"))
     return (
         ranked.join(F.broadcast(n))
         .select(

@@ -290,16 +290,31 @@ def crossdoc_ngram_flags(
     sh = w.select(
         "doc_id", F.explode(_word_grams(F.col("ws"), 5)).alias("shingle")
     )
-    docs_per = sh.groupBy("shingle").agg(
-        F.countDistinct("doc_id").alias("nd")
+    # ONE scan+explode serves both sides (r17): `sh` used to feed the
+    # count agg AND the verdict join as separate evaluations of the whole
+    # scan -> split -> explode subtree (guide §7.2 — Spark does not dedupe
+    # common subplans). Aggregating to per-(doc, shingle) occurrence
+    # counts first shrinks the exploded stream to its distinct pairs —
+    # map-side combinable, strictly smaller than `sh` — and that bounded
+    # table is materialized once; the per-shingle doc count is then a
+    # plain count over it (rows are distinct per doc, so count(*) ==
+    # countDistinct(doc_id)), and the per-doc verdict re-weights by the
+    # occurrence count (sum(c*dup)/sum(c) == the occurrence-level
+    # sum(dup)/count(*) — identical integers, identical division).
+    g = (
+        sh.groupBy("doc_id", "shingle")
+        .agg(F.count("*").alias("__c"))
+        .localCheckpoint(eager=True)
     )
+    docs_per = g.groupBy("shingle").agg(F.count("*").alias("nd"))
     dup = F.when(F.col("nd") >= 2, F.lit(1)).otherwise(F.lit(0))
-    frac = F.sum(dup) * F.lit(1.0) / F.count("*")
+    n_occ = F.sum("__c")
+    frac = F.sum(F.col("__c") * dup) * F.lit(1.0) / n_occ
     return (
-        sh.join(hint(docs_per), "shingle")
+        g.join(hint(docs_per), "shingle")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("int").alias("n_shingles"),
+            n_occ.cast("int").alias("n_shingles"),
             portable_round(frac, 4).alias("dup_frac"),
             (frac >= 0.5).alias("flag"),
         )
@@ -451,11 +466,32 @@ def x64(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y",
         )
     )
-    p0 = pairs.filter(F.col("idx") == 0).select(
-        "qid", F.col("x").alias("x1"), F.col("y").alias("y1")
-    )
-    p1 = pairs.filter(F.col("idx") == 1).select(
-        "qid", F.col("x").alias("x2"), F.col("y").alias("y2")
+    # ONE groupBy(qid) pivots each quadruple's two rows side by side.
+    # The former filter(idx==0) JOIN filter(idx==1) shape computed the
+    # whole `pairs` subtree — both global ranks plus the rk join — once
+    # per side (guide §7.2 duplicated subtrees: Spark does not dedupe
+    # common subplans), then paid a second two-sided shuffle on qid; the
+    # agg pays one qid shuffle over one `pairs` evaluation. first() with
+    # ignorenulls is deterministic here: each group holds at most one
+    # idx=0 and one idx=1 row by construction (rk -> (qid, idx) is a
+    # bijection).
+    def side(idx: int, col: str, out: str) -> Column:
+        return F.first(
+            F.when(F.col("idx") == idx, F.col(col)), ignorenulls=True
+        ).alias(out)
+
+    quads = (
+        pairs.groupBy("qid")
+        .agg(
+            side(0, "x", "x1"),
+            side(0, "y", "y1"),
+            side(1, "x", "x2"),
+            side(1, "y", "y2"),
+        )
+        # ranks are contiguous from 1, so idx=1 (rk=2*qid+2) implies
+        # idx=0 (rk=2*qid+1) exists; only a trailing half-quadruple can
+        # be incomplete, and the former inner join dropped it too
+        .filter(F.col("x2").isNotNull())
     )
 
     def sqd(a: str, b: str) -> Column:
@@ -468,12 +504,9 @@ def x64(spark: SparkSession, sf_dir: str) -> DataFrame:
     def k(a: str, b: str) -> Column:
         return F.exp(-sqd(a, b) / F.lit(16.0))
 
-    h = (
-        p0.join(p1, "qid")
-        .select(
-            (k("x1", "x2") + k("y1", "y2") - k("x1", "y2") - k("x2", "y1"))
-            .alias("h")
-        )
+    h = quads.select(
+        (k("x1", "x2") + k("y1", "y2") - k("x1", "y2") - k("x2", "y1"))
+        .alias("h")
     )
     mmd2 = portable_round(F.avg("h"), 4)
     return h.agg(
@@ -546,11 +579,20 @@ def x65(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("label") == 1).cast("long")).alias("n_c"),
         )
     )
-    tot = cnt.agg(
-        F.sum("n_r").alias("nr"), F.sum("n_c").alias("nc")
+    # BOTH running counts ride one global_cumsum staging (r17): the
+    # former chained single-column calls paid the range repartition +
+    # materialization + offsets collect twice for the same ordering, and
+    # `tot` as an agg over the UNmaterialized `cnt` re-ran the scan +
+    # groupBy a third time (guide §7.2). The totals are the final
+    # cumulative counts, so max(cum) over the materialized table — counts
+    # are non-negative, the inclusive cumsum is monotone — is the same
+    # exact integer with no extra base-table pass.
+    cum = global_cumsum(
+        cnt, [F.asc("v")], ["n_r", "n_c"], out_col=["cum_r", "cum_c"]
     )
-    cum = global_cumsum(cnt, [F.asc("v")], "n_r", out_col="cum_r")
-    cum = global_cumsum(cum, [F.asc("v")], "n_c", out_col="cum_c")
+    tot = cum.agg(
+        F.max("cum_r").alias("nr"), F.max("cum_c").alias("nc")
+    )
     d = (
         cum.join(F.broadcast(tot))
         .agg(

@@ -34,3 +34,46 @@ def test_rank_is_contiguous(spark):
     got = global_rank(df, [F.desc("v"), F.asc("k")], num_partitions=8)
     ranks = sorted(r["rank"] for r in got.select("rank").collect())
     assert ranks == list(range(1, 501))
+
+
+def test_cumsum_multi_column_matches_chained_and_window(spark):
+    """r17: the multi-column global_cumsum (one staging pass for N
+    running sums) must be row-identical to both the chained
+    single-column calls it replaces and the one-window SUM OVER."""
+    from detecting_and_addressing_change_spark.operators.order import (
+        global_cumsum,
+    )
+
+    df = spark.range(800).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5 + 1).alias("a"),
+        (F.col("id") % 3).alias("b"),
+    )
+    multi = global_cumsum(
+        df, [F.asc("k")], ["a", "b"], out_col=["ca", "cb"],
+        num_partitions=7,
+    )
+    chained = global_cumsum(
+        global_cumsum(df, [F.asc("k")], "a", out_col="ca",
+                      num_partitions=7),
+        [F.asc("k")], "b", out_col="cb", num_partitions=7,
+    )
+    w = Window.orderBy(F.asc("k")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.withColumn("ca", F.sum("a").over(w)).withColumn(
+        "cb", F.sum("b").over(w)
+    )
+    got = sorted(map(tuple, multi.collect()))
+    assert got == sorted(map(tuple, chained.collect()))
+    assert got == sorted(map(tuple, want.collect()))
+
+
+def test_cumsum_multi_column_length_mismatch_raises(spark):
+    from detecting_and_addressing_change_spark.operators.order import (
+        global_cumsum,
+    )
+
+    df = spark.range(10).select(F.col("id").alias("k"), F.lit(1).alias("a"))
+    with pytest.raises(ValueError, match="length mismatch"):
+        global_cumsum(df, [F.asc("k")], ["a"], out_col=["x", "y"])
