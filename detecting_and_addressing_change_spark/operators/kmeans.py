@@ -203,9 +203,6 @@ def kmeans_fit(
     k*(dim+1) partial sums; the seed is the first n_centroids vectors by
     id. Bit-deterministic (see module docstring); the numpy twin in
     tests/test_kmeans.py pins every iteration."""
-    dim_row = corpus.select(F.size(F.col(vec_col))).first()
-    dim = int(dim_row[0])
-
     # seed = the n_centroids SMALLEST ids (not `id < n_centroids`, which
     # silently under-seeds any corpus whose ids are not contiguous from 0
     # — e.g. a curated subset or retrieval's composite chunk ids); cell
@@ -223,6 +220,7 @@ def kmeans_fit(
     )
     if not seed_rows:
         raise ValueError("kmeans_fit: empty corpus")
+    dim = len(seed_rows[0][1])
     seed_rows = [(i, vec) for i, (_, vec) in enumerate(seed_rows)]
     centroids = [
         (
