@@ -135,35 +135,62 @@ def minhash_bands(
 ) -> DataFrame:
     """LSH banding: DataFrame[id, band, bucket]. bucket = md5 of the
     concatenated in-band min-hashes; docs sharing any (band, bucket) are
-    candidate pairs. ``carry_sig=True`` additionally carries ``sig`` — the
-    '|'-joined FULL signature string — so downstream skew guards can
-    tier-bucket oversized buckets by full-signature equality (near-identical
-    docs share the full signature and stay co-bucketed)."""
+    candidate pairs. ``carry_sig=True`` additionally carries ``sig_h`` —
+    the tier hash of the '|'-joined FULL signature string (first 8 md5
+    hex chars as int64) — so downstream skew guards can tier-bucket
+    oversized buckets by full-signature equality (near-identical docs
+    share the full signature, hence the hash, and stay co-bucketed).
+    The hash is computed ONCE per document BEFORE the band explode: the
+    banded table is n_bands rows per doc and feeds an Exchange on
+    (band, bucket), so carrying the ~(9*num_hashes)-char string itself
+    multiplied the dominant shuffle's bytes ~10x for a value only ever
+    consumed as this exact hash (guide §2.3 shuffle fewer bytes;
+    measured r17: x90's tier Exchange 1.4 GB -> ~0.1 GB at sf0.1). The
+    value is unchanged — same md5 over the same string — so every
+    tier-semantics oracle mirror holds verbatim."""
     assert num_hashes % rows_per_band == 0
     n_bands = num_hashes // rows_per_band
-    bands = []
-    for b in range(n_bands):
-        cols = [
-            F.col(f"h{j}")
-            for j in range(b * rows_per_band, (b + 1) * rows_per_band)
-        ]
-        bands.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
-            )
-        )
-    out_cols = [F.col(id_col), F.explode(F.array(*bands)).alias("bb")]
-    keep = [id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")]
-    if carry_sig:
-        out_cols.insert(
-            1,
+    # bucket is computed AFTER the band explode from a slice of the
+    # signature array — ONE md5/concat per output row — instead of a
+    # single projection holding n_bands md5-of-concat struct expressions.
+    # The wide expression tree evaluated ~2.7x slower (measured r17 at
+    # sf0.1: bands noop 2.5 s -> 0.9 s; guide §1.2 find the dominant
+    # cost). Values are bit-identical: slice(hs, b*r+1, r) is exactly
+    # h_{b*r}..h_{b*r+r-1}, and concat_ws stringifies array elements the
+    # same way it does column arguments (parity-asserted in
+    # tests/test_dedup.py::test_minhash_bands_slice_form_parity).
+    pre = [
+        F.col(id_col),
+        F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias(
+            "__hs"
+        ),
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ]
+    keep = [
+        F.col(id_col),
+        F.col("band"),
+        F.md5(
             F.concat_ws(
-                "|", *[F.col(f"h{j}") for j in range(num_hashes)]
-            ).alias("sig"),
+                "|",
+                F.expr(
+                    f"slice(__hs, band * {rows_per_band} + 1,"
+                    f" {rows_per_band})"
+                ),
+            )
+        ).alias("bucket"),
+    ]
+    if carry_sig:
+        sig_str = F.concat_ws(
+            "|", *[F.col(f"h{j}") for j in range(num_hashes)]
         )
-        keep.append(F.col("sig"))
-    return signatures.select(*out_cols).select(*keep)
+        pre.insert(
+            1,
+            F.conv(F.substring(F.md5(sig_str), 1, 8), 16, 10)
+            .cast("long")
+            .alias("sig_h"),
+        )
+        keep.append(F.col("sig_h"))
+    return signatures.select(*pre).select(*keep)
 
 
 def collapse_exact(
@@ -244,9 +271,10 @@ def minhash_candidate_pairs(
 
     1. buckets wider than ``bucket_cap`` are refined into
        ``ceil(width / cap)`` tier-buckets keyed by md5 of the FULL
-       signature string (requires ``minhash_bands(..., carry_sig=True)``) —
-       docs with identical signatures (the mass-duplicate case) stay
-       together, distinct-signature docs scatter;
+       signature string — carried pre-hashed as ``sig_h`` (requires
+       ``minhash_bands(..., carry_sig=True)``) — docs with identical
+       signatures (the mass-duplicate case) stay together,
+       distinct-signature docs scatter;
     2. within each (band, bucket, tier) the first ``bucket_cap`` rows by id
        are kept (ROW_NUMBER, deterministic).
 
@@ -256,9 +284,7 @@ def minhash_candidate_pairs(
     collapsed before banding (``minhash_dedup_edges`` does both).
     """
     if bucket_cap is not None:
-        hx = F.conv(F.substring(F.md5(F.col("sig")), 1, 8), 16, 10).cast(
-            "long"
-        )
+        hx = F.col("sig_h")
         bands = tier_cap(
             bands, ["band", "bucket"], hx, bucket_cap, id_col
         ).select(id_col, "band", "bucket", "__tier")

@@ -460,6 +460,24 @@ def adaptive_jaccard_join(
     }
 
 
+def _fingerprint_agg(pairs: DataFrame, route: str, volume: int, budget: int) -> DataFrame:
+    """One-row exact fingerprint of a pair set: DataFrame[route,
+    candidate_volume, budget_rows, n_pairs, sum_jac_q]. ``sum_jac_q`` is
+    the int64 sum of jaccard*1e6 over returned pairs (jaccard is already
+    quantized to 1e-6 by portable_round), so the row is hash-comparable
+    across engines."""
+    return pairs.agg(
+        F.lit(route).alias("route"),
+        F.lit(volume).cast("long").alias("candidate_volume"),
+        F.lit(budget).cast("long").alias("budget_rows"),
+        F.count("*").cast("long").alias("n_pairs"),
+        F.coalesce(
+            F.sum(F.floor(F.col("jaccard") * 1e6 + F.lit(0.5)).cast("long")),
+            F.lit(0).cast("long"),
+        ).alias("sum_jac_q"),
+    )
+
+
 def ssjoin_routing_audit(
     df: DataFrame,
     text_col: str = "text",
@@ -471,11 +489,8 @@ def ssjoin_routing_audit(
     **minhash_kwargs,
 ) -> DataFrame:
     """One-row audit of an adaptive join run: DataFrame[route,
-    candidate_volume, budget_rows, n_pairs, sum_jac_q]. ``sum_jac_q`` is
-    the int64 sum of jaccard*1e6 over returned pairs — an exact
-    fingerprint of the returned pair SET (jaccard is already quantized to
-    1e-6 by portable_round), so the audit row is hash-comparable across
-    engines."""
+    candidate_volume, budget_rows, n_pairs, sum_jac_q] — see
+    :func:`_fingerprint_agg`."""
     pairs, info = adaptive_jaccard_join(
         df,
         text_col=text_col,
@@ -486,15 +501,72 @@ def ssjoin_routing_audit(
         route=route,
         **minhash_kwargs,
     )
-    return pairs.agg(
-        F.lit(info["route"]).alias("route"),
-        F.lit(info["candidate_volume"]).cast("long").alias(
-            "candidate_volume"
-        ),
-        F.lit(info["budget_rows"]).cast("long").alias("budget_rows"),
-        F.count("*").cast("long").alias("n_pairs"),
-        F.coalesce(
-            F.sum(F.floor(F.col("jaccard") * 1e6 + F.lit(0.5)).cast("long")),
-            F.lit(0).cast("long"),
-        ).alias("sum_jac_q"),
+    return _fingerprint_agg(
+        pairs, info["route"], info["candidate_volume"], info["budget_rows"]
     )
+
+
+def ssjoin_routing_audit_modes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_size: int = 3,
+    budget_rows: int | None = None,
+    num_hashes: int = 64,
+    rows_per_band: int = 2,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Two-row audit — mode 'auto' plus mode 'forced_minhash' — sharing
+    ONE tokenize/prefix/volume pass (r17, guide §1.2/§7.2): the previous
+    x90 shape called :func:`ssjoin_routing_audit` twice when auto routed
+    'exact', so the collapse window, shingle checkpoint, prefix windows
+    and volume aggregate all executed twice for rows that by definition
+    describe the SAME corpus. Semantics are unchanged: each row is
+    exactly :func:`ssjoin_routing_audit`'s row for that mode, and when
+    auto routes 'minhash' the forced row remains a literal copy of the
+    auto row (the two modes are the same deterministic computation
+    then — the pipeline still runs ONCE, as before)."""
+    if budget_rows is None:
+        budget_rows = default_budget_rows(df.sparkSession)
+    budget_rows = int(budget_rows)
+    chains, toks = _tokenize(df, text_col, id_col, shingle_size)
+    prefix = _prefix_table(toks, id_col, threshold)
+    volume = int(
+        ssjoin_candidate_volume(prefix, id_col).collect()[0][
+            "candidate_volume"
+        ]
+    )
+    star = chains.select("a_id", "b_id", F.lit(1.0).alias("jaccard"))
+
+    def pairs_for(chosen: str) -> DataFrame:
+        if chosen == "exact":
+            cand = _exact_candidates(prefix, id_col, threshold)
+        else:
+            cand = _minhash_candidates(
+                toks, id_col, num_hashes, rows_per_band, bucket_cap
+            )
+        return star.unionByName(_verify(toks, cand, threshold, id_col))
+
+    spark = df.sparkSession
+    schema = (
+        "mode string, route string, candidate_volume long, "
+        "budget_rows long, n_pairs long, sum_jac_q long"
+    )
+    if volume > budget_rows:
+        # auto routes minhash == the forced computation; run once, copy
+        row = _fingerprint_agg(
+            pairs_for("minhash"), "minhash", volume, budget_rows
+        ).collect()[0]
+        return spark.createDataFrame(
+            [("auto", *row), ("forced_minhash", *row)], schema
+        )
+    # auto routes exact: both mode rows in ONE union/action, the heavy
+    # subtrees (checkpointed toks, star edges) shared across branches
+    auto = _fingerprint_agg(
+        pairs_for("exact"), "exact", volume, budget_rows
+    ).select(F.lit("auto").alias("mode"), "*")
+    forced = _fingerprint_agg(
+        pairs_for("minhash"), "minhash", volume, budget_rows
+    ).select(F.lit("forced_minhash").alias("mode"), "*")
+    return auto.unionByName(forced)

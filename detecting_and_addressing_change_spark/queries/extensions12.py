@@ -135,30 +135,18 @@ def x90(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair set. The oracle recomputes the volume from the mirrored prefix
     construction and the pair set from the filterless inverted-index
     join, so the hash match attests the estimate, the routing decision,
-    AND both routes' outputs in one row set."""
-    from ..operators.setjoin import ssjoin_routing_audit
+    AND both routes' outputs in one row set.
+
+    Both mode rows come from ONE shared tokenize/prefix/volume pass
+    (ssjoin_routing_audit_modes, r17): the under-budget case previously
+    ran the full pipeline twice — once per mode — for rows describing
+    the same corpus; the over-budget case keeps its literal row copy
+    (auto and forced are the same deterministic computation then)."""
+    from ..operators.setjoin import ssjoin_routing_audit_modes
 
     docs = load_table(spark, sf_dir, "documents")
-    auto = ssjoin_routing_audit(
-        docs, threshold=_X90_T, budget_rows=_X90_BUDGET, route="auto"
-    ).collect()[0]
-    if auto["route"] == "minhash":
-        # auto already ran the minhash route; the forced row is the same
-        # deterministic computation — reuse it instead of re-executing the
-        # full signing+banding+verify pipeline (halves the over-budget
-        # case's cost; the oracle is indifferent to how the row was made)
-        forced = auto
-    else:
-        forced = ssjoin_routing_audit(
-            docs, threshold=_X90_T, budget_rows=_X90_BUDGET, route="minhash"
-        ).collect()[0]
-    return spark.createDataFrame(
-        [
-            ("auto", *auto),
-            ("forced_minhash", *forced),
-        ],
-        "mode string, route string, candidate_volume long, "
-        "budget_rows long, n_pairs long, sum_jac_q long",
+    return ssjoin_routing_audit_modes(
+        docs, threshold=_X90_T, budget_rows=_X90_BUDGET
     )
 
 

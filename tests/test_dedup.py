@@ -193,15 +193,66 @@ def test_hot_bucket_tier_cap_bounds_pairs_linearly(spark):
     # merge. Guarded pair count is <= ceil(w/cap) * C(cap, 2) — linear in
     # width — instead of C(10k, 2) ~ 50M.
     n, cap = 10_000, 64
+    # sig_h mirrors minhash_bands' carry_sig construction: the tier hash
+    # of the full signature string, pre-computed per doc (r17 — the
+    # banded table shuffles n_bands rows/doc, so it carries the 8-byte
+    # hash, never the string)
+    sig_str = F.concat(F.lit("sig"), F.col("id"))
     bands = spark.range(n).select(
         F.col("id").alias("doc_id"),
         F.lit(0).alias("band"),
         F.lit("deadbeef").alias("bucket"),
-        F.concat(F.lit("sig"), F.col("id")).alias("sig"),
+        F.conv(F.substring(F.md5(sig_str), 1, 8), 16, 10)
+        .cast("long")
+        .alias("sig_h"),
     )
     cnt = minhash_candidate_pairs(bands, bucket_cap=cap).count()
     bound = math.ceil(n / cap) * cap * (cap - 1) // 2
     assert 0 < cnt <= bound  # 316,512 max vs 49,995,000 unguarded
+
+
+def test_minhash_bands_slice_form_parity(spark, docs):
+    # r17: minhash_bands computes the bucket md5 AFTER the band explode
+    # from slice(__hs, b*r+1, r). This must stay bit-identical to the
+    # defining per-band formula md5(concat_ws('|', h_{b*r}..h_{b*r+r-1}))
+    # evaluated directly on the signature columns — the form every
+    # banding oracle mirrors — including sig_h (the tier hash of the
+    # full '|'-joined signature string).
+    num_hashes, rpb = 8, 2
+    sigs = minhash_signatures(docs, num_hashes=num_hashes)
+    got = {
+        tuple(r)
+        for r in minhash_bands(
+            sigs, "doc_id", num_hashes, rpb, carry_sig=True
+        ).collect()
+    }
+    sig_str = F.concat_ws(
+        "|", *[F.col(f"h{j}") for j in range(num_hashes)]
+    )
+    rows = []
+    for b in range(num_hashes // rpb):
+        rows.append(
+            sigs.select(
+                F.col("doc_id"),
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"h{j}")
+                            for j in range(b * rpb, (b + 1) * rpb)
+                        ],
+                    )
+                ).alias("bucket"),
+                F.conv(F.substring(F.md5(sig_str), 1, 8), 16, 10)
+                .cast("long")
+                .alias("sig_h"),
+            )
+        )
+    want = set()
+    for d in rows:
+        want |= {tuple(r) for r in d.collect()}
+    assert got == want and len(got) == docs.count() * num_hashes // rpb
 
 
 def test_guarded_edges_preserve_components(spark, docs):
