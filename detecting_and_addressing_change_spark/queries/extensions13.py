@@ -584,16 +584,22 @@ def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
             if q.exception() is not None:
                 raise q.exception()
 
+    # the streamed==batch mismatch counts stay IN-PLAN (1-row aggs
+    # cross-joined into the verdict row) instead of two eager .count()
+    # jobs before the final agg — the drains are the floor here, so the
+    # remaining lever is action count (r17, guide §1.2): four blocking
+    # jobs after the drain become one. Values are unchanged — the same
+    # two-direction exceptAll cardinality, compared to 0 in-plan.
     fps = {}
     for kind, batch_fn in (("ddm", detect_drift), ("ph", detect_drift_ph)):
         streamed = spark.table(sinks[kind]).select("seq_id", "error", "flag")
         batch = batch_fn(per_batch).select("seq_id", "error", "flag")
-        n_mismatch = int(
+        mis_row = (
             streamed.exceptAll(batch)
             .unionByName(batch.exceptAll(streamed))
-            .count()
+            .agg(F.count("*").alias(f"__mis_{kind}"))
         )
-        fps[kind] = (streamed, n_mismatch)
+        fps[kind] = (streamed, mis_row)
 
     ddm_s, ddm_mis = fps["ddm"]
     ph_s, ph_mis = fps["ph"]
@@ -605,7 +611,6 @@ def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("flag") == "D", F.col("seq_id"))),
             F.lit(0),
         ).cast("long").alias("drift_seq_sum"),
-        F.lit(ddm_mis == 0).alias("ddm_streamed_equals_batch"),
     )
     ph_row = ph_s.agg(
         F.sum((F.col("flag") == "D").cast("long")).alias("ph_n_drift"),
@@ -613,9 +618,22 @@ def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("flag") == "D", F.col("seq_id"))),
             F.lit(0),
         ).cast("long").alias("ph_drift_seq_sum"),
-        F.lit(ph_mis == 0).alias("ph_streamed_equals_batch"),
     )
-    return ddm_row.crossJoin(ph_row)
+    return (
+        ddm_row.crossJoin(ph_row)
+        .crossJoin(ddm_mis)
+        .crossJoin(ph_mis)
+        .select(
+            "n_batches",
+            "n_warn",
+            "n_drift",
+            "drift_seq_sum",
+            (F.col("__mis_ddm") == 0).alias("ddm_streamed_equals_batch"),
+            "ph_n_drift",
+            "ph_drift_seq_sum",
+            (F.col("__mis_ph") == 0).alias("ph_streamed_equals_batch"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------

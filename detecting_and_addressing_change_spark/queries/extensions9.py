@@ -1030,9 +1030,11 @@ def x71(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is bit-identical across engines and partitionings (the x58
     determinism discipline; a double-arithmetic PageRank would depend on
     float summation order, which neither engine guarantees). Scale shape
-    matches the k-means/CC family: edge list materialized once, each
-    iteration one join + one groupBy co-partitioned on the word key over
-    the |vocab|-row rank table, lineage truncated per round."""
+    matches the k-means/CC family: edge list and contribution table
+    materialized once, each iteration one join + one groupBy over the
+    |vocab|-row rank table — the 3-round recurrence itself stays lazy
+    in one action (per-round truncation returns only for deep
+    iteration counts)."""
     docs = load_table(spark, sf_dir, "documents")
     ws = F.split("text", " ")
     pairs = docs.select(
@@ -1050,10 +1052,22 @@ def x71(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .localCheckpoint(eager=True)
     )
-    nodes = edges.select(F.col("a").alias("v")).distinct()
+    # materialize the loop INVARIANTS once — nodes and the edge+degree
+    # contribution table — and keep the 3-iteration rank recurrence LAZY
+    # (r17, guide §1.2/§5): at _TR_ITER=3 the per-iteration eager
+    # localCheckpoint bought nothing (lineage is 3 joins deep, not 50)
+    # and cost one blocking driver job per round; one final action now
+    # runs the whole recurrence, with the repeated nodes/contrib scans
+    # deduped by ReuseExchange against the checkpointed tables. Measured
+    # at sf0.1: 3.68 -> 1.78 s, output bit-identical (exact int64
+    # fixed-point — no float order to disturb). A many-iteration variant
+    # would reinstate periodic truncation; 3 is the declared contract.
+    nodes = edges.select(F.col("a").alias("v")).distinct().localCheckpoint(
+        eager=True
+    )
     n = nodes.count()  # scalar — the |vocab| normalizer
     wdeg = edges.groupBy("a").agg(F.sum("w").alias("wd"))
-    contrib_base = edges.join(wdeg, "a")
+    contrib_base = edges.join(wdeg, "a").localCheckpoint(eager=True)
     # exact int64 fixed-point (scale 1e12, damping 17/20): DIV and
     # order-free integer sums make the iterative result bit-identical
     # across engines and partitionings — no float summation order to trust
@@ -1079,7 +1093,6 @@ def x71(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr("(17 * coalesce(s, 0L)) DIV 20")
                 ).cast("long").alias("r"),
             )
-            .localCheckpoint(eager=True)
         )
     return (
         ranks.orderBy(F.desc("r"), F.asc("v"))
