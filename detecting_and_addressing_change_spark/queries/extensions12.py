@@ -313,9 +313,17 @@ def x93(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions7 import winsorized_stats
 
     li = load_table(spark, sf_dir, "lineitem")
+    # array-form percentile: one value buffer for both quantiles (the
+    # x56 r17 change — two scalar percentile aggs buffered the group
+    # twice)
     exact_b = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.01)").alias("p1"),
-        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        F.expr("percentile(l_extendedprice, array(0.01, 0.99))").alias(
+            "ps"
+        )
+    ).select(
+        "l_returnflag",
+        F.col("ps")[0].alias("p1"),
+        F.col("ps")[1].alias("p99"),
     )
     appx = li.groupBy("l_returnflag").agg(
         F.expr(

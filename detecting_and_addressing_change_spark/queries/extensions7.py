@@ -856,9 +856,20 @@ def winsorized_stats(
             F.col("ps")[1].cast("double").alias("p99"),
         )
     else:
+        # ONE array-form percentile, not two scalar aggs: each scalar
+        # percentile buffers the whole group's values in its own
+        # ObjectHashAggregate buffer, so asking for both quantiles
+        # separately paid the buffering/sort twice (r17, guide §1.2;
+        # measured 2.09 -> 0.96 s at sf0.1, bit-identical, same
+        # one-agg plan shape)
         bounds = li.groupBy("l_returnflag").agg(
-            F.expr("percentile(l_extendedprice, 0.01)").alias("p1"),
-            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.01, 0.99))"
+            ).alias("ps")
+        ).select(
+            "l_returnflag",
+            F.col("ps")[0].alias("p1"),
+            F.col("ps")[1].alias("p99"),
         )
     j = li.join(F.broadcast(bounds.select("l_returnflag", "p1", "p99")),
                 "l_returnflag")

@@ -82,13 +82,16 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # one array-form percentile: two scalar percentile aggs each buffer
+    # the whole group's values separately (the x56 r17 finding)
     return li.groupBy("l_returnflag").agg(
-        portable_round(
-            F.percentile(F.col("l_extendedprice"), F.lit(0.5)), 4
-        ).alias("p50"),
-        portable_round(
-            F.percentile(F.col("l_extendedprice"), F.lit(0.9)), 4
-        ).alias("p90"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.5, 0.9))"
+        ).alias("ps")
+    ).select(
+        "l_returnflag",
+        portable_round(F.col("ps")[0], 4).alias("p50"),
+        portable_round(F.col("ps")[1], 4).alias("p90"),
     )
 
 
