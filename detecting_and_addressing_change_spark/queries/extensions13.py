@@ -260,20 +260,30 @@ def x98(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality") >= F.lit(_X98_MIN_Q))
         .select("doc_id", "quality")
     )
-    n_mismatch = int(
+    # mismatch cardinality in-plan (the x100 r17 pattern): one final
+    # action instead of an eager .count() job plus the agg job. The
+    # extra `kept` reference is a lazy re-read of the committed parquet.
+    mis = (
         kept.exceptAll(batch_kept)
         .unionByName(batch_kept.exceptAll(kept))
-        .count()
+        .agg(F.count("*").alias("__mis"))
     )
-
-    return kept.agg(
-        F.count("*").cast("long").alias("n_kept"),
-        F.sum("doc_id").cast("long").alias("sum_doc_id"),
-        F.sum(F.floor(F.col("quality") * 10000.0 + F.lit(0.5)))
-        .cast("long")
-        .alias("q_sum_q"),
-        F.lit(n_mismatch == 0).alias("streamed_equals_batch"),
-        F.lit(bool(redelivery_ok)).alias("redelivery_idempotent"),
+    return (
+        kept.agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.sum(F.floor(F.col("quality") * 10000.0 + F.lit(0.5)))
+            .cast("long")
+            .alias("q_sum_q"),
+        )
+        .crossJoin(mis)
+        .select(
+            "n_kept",
+            "sum_doc_id",
+            "q_sum_q",
+            (F.col("__mis") == 0).alias("streamed_equals_batch"),
+            F.lit(bool(redelivery_ok)).alias("redelivery_idempotent"),
+        )
     )
 
 
@@ -369,18 +379,30 @@ def x99(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "k", F.floor(F.col("p") * 100.0 + F.lit(0.5)).alias("pc")
     ).localCheckpoint(eager=True)
-    n_mismatch = int(
+    # the mismatch cardinality stays IN-PLAN (1-row agg cross-joined
+    # into the fingerprint row, the x100 r17 pattern) instead of an
+    # eager .count() job before the final agg — both operands are
+    # already checkpointed, so the fold costs nothing extra and one
+    # blocking job disappears. Values unchanged.
+    mis = (
         streamed.exceptAll(batch)
         .unionByName(batch.exceptAll(streamed))
-        .count()
+        .agg(F.count("*").alias("__mis"))
     )
-
-    return streamed.agg(
-        F.count("*").cast("long").alias("n_keys"),
-        F.sum("k").cast("long").alias("sum_k"),
-        F.sum("pc").cast("long").alias("price_sum_c"),
-        F.lit(bool(restart_resumed)).alias("restart_resumed"),
-        F.lit(n_mismatch == 0).alias("snapshot_equals_batch"),
+    return (
+        streamed.agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.sum("pc").cast("long").alias("price_sum_c"),
+        )
+        .crossJoin(mis)
+        .select(
+            "n_keys",
+            "sum_k",
+            "price_sum_c",
+            F.lit(bool(restart_resumed)).alias("restart_resumed"),
+            (F.col("__mis") == 0).alias("snapshot_equals_batch"),
+        )
     )
 
 
