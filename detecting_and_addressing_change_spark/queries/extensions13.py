@@ -784,20 +784,29 @@ def x101(spark: SparkSession, sf_dir: str) -> DataFrame:
     curate_batch(
         sample.filter(F.col("doc_id") == int(reingest_id)), 99, index, out
     )
-    n2 = curated_corpus(spark, out).filter(
-        F.col("doc_id") == int(reingest_id)
-    ).count()
-    recommits = n2 == 1
-
-    return spark.range(1).select(
-        F.lit(n_before).cast("long").alias("n_kept_before"),
-        F.lit(n_after).cast("long").alias("n_kept_after"),
-        F.lit(sum_after).cast("long").alias("sum_id_after"),
-        F.lit(n_td_left == 0).alias("takedown_ids_absent"),
-        F.lit(n_mismatch == 0).alias(
-            "corpus_equals_batch_minus_takedown"
-        ),
-        F.lit(bool(recommits)).alias("reingest_recommits"),
+    # the post-re-ingest count folds into the returned plan (the x100
+    # r17 pattern; no further mutation follows, so lazy evaluation sees
+    # the same committed corpus). The earlier collects CANNOT fold: they
+    # snapshot the corpus between mutations, and a lazy re-read after
+    # the re-ingest would see the re-added doc.
+    n2_agg = (
+        curated_corpus(spark, out)
+        .filter(F.col("doc_id") == int(reingest_id))
+        .agg(F.count("*").alias("__n2"))
+    )
+    return (
+        spark.range(1)
+        .crossJoin(n2_agg)
+        .select(
+            F.lit(n_before).cast("long").alias("n_kept_before"),
+            F.lit(n_after).cast("long").alias("n_kept_after"),
+            F.lit(sum_after).cast("long").alias("sum_id_after"),
+            F.lit(n_td_left == 0).alias("takedown_ids_absent"),
+            F.lit(n_mismatch == 0).alias(
+                "corpus_equals_batch_minus_takedown"
+            ),
+            (F.col("__n2") == 1).alias("reingest_recommits"),
+        )
     )
 
 
@@ -873,14 +882,26 @@ def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact_minhash_index(spark, path, target_partitions=1)
     files_after = n_files()
     after = minhash_index_edges(spark, path)
-    n_mismatch = int(
-        before.exceptAll(after).unionByName(after.exceptAll(before)).count()
+    # mismatch cardinality in-plan (the x100 r17 pattern): compaction is
+    # the last mutation, so lazy evaluation compares the same committed
+    # index — one final action instead of two
+    mis = (
+        before.exceptAll(after)
+        .unionByName(after.exceptAll(before))
+        .agg(F.count("*").alias("__mis"))
     )
-    return after.agg(
-        F.count("*").cast("long").alias("n_edges"),
-        F.coalesce(F.sum(F.col("a_id") + F.col("b_id")), F.lit(0))
-        .cast("long")
-        .alias("edge_id_sum"),
-        F.lit(n_mismatch == 0).alias("edges_unchanged_by_compaction"),
-        F.lit(files_after < files_before).alias("files_compacted"),
+    return (
+        after.agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.coalesce(F.sum(F.col("a_id") + F.col("b_id")), F.lit(0))
+            .cast("long")
+            .alias("edge_id_sum"),
+        )
+        .crossJoin(mis)
+        .select(
+            "n_edges",
+            "edge_id_sum",
+            (F.col("__mis") == 0).alias("edges_unchanged_by_compaction"),
+            F.lit(files_after < files_before).alias("files_compacted"),
+        )
     )

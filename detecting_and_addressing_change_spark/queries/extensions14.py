@@ -416,21 +416,37 @@ def x105(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact_ivf_index(spark, path, max_files_per_cell=1)
     files_after = n_files()
     after = ivf_index_search(spark, path, qs, k=3, nprobe=2, centroids=cents)
-    n_mismatch = int(
-        before.exceptAll(after).unionByName(after.exceptAll(before)).count()
+    # mismatch cardinality in-plan (the x100 r17 pattern): compaction is
+    # the last mutation, so the lazy comparison sees the same index the
+    # eager .count() did — one final action instead of two
+    mis = (
+        before.exceptAll(after)
+        .unionByName(after.exceptAll(before))
+        .agg(F.count("*").alias("__mis"))
     )
-    return after.agg(
-        F.count("*").cast("long").alias("n_results"),
-        F.coalesce(F.sum(F.col("query_id") + F.col("cand_id")), F.lit(0))
-        .cast("long")
-        .alias("result_id_sum"),
-        F.coalesce(
-            F.sum(F.floor(F.col("cosine") * 10000.0 + F.lit(0.5))), F.lit(0)
+    return (
+        after.agg(
+            F.count("*").cast("long").alias("n_results"),
+            F.coalesce(
+                F.sum(F.col("query_id") + F.col("cand_id")), F.lit(0)
+            )
+            .cast("long")
+            .alias("result_id_sum"),
+            F.coalesce(
+                F.sum(F.floor(F.col("cosine") * 10000.0 + F.lit(0.5))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("cos_sum_q"),
         )
-        .cast("long")
-        .alias("cos_sum_q"),
-        F.lit(n_mismatch == 0).alias("results_unchanged_by_compaction"),
-        F.lit(files_after < files_before).alias("files_compacted"),
+        .crossJoin(mis)
+        .select(
+            "n_results",
+            "result_id_sum",
+            "cos_sum_q",
+            (F.col("__mis") == 0).alias("results_unchanged_by_compaction"),
+            F.lit(files_after < files_before).alias("files_compacted"),
+        )
     )
 
 
