@@ -532,11 +532,6 @@ def ssjoin_routing_audit_modes(
     budget_rows = int(budget_rows)
     chains, toks = _tokenize(df, text_col, id_col, shingle_size)
     prefix = _prefix_table(toks, id_col, threshold)
-    volume = int(
-        ssjoin_candidate_volume(prefix, id_col).collect()[0][
-            "candidate_volume"
-        ]
-    )
     star = chains.select("a_id", "b_id", F.lit(1.0).alias("jaccard"))
 
     def pairs_for(chosen: str) -> DataFrame:
@@ -548,25 +543,54 @@ def ssjoin_routing_audit_modes(
             )
         return star.unionByName(_verify(toks, cand, threshold, id_col))
 
+    # the forced_minhash row runs the MinHash pipeline whatever the
+    # volume says, so the volume aggregate need not be its own blocking
+    # job before the route decision: its 1-row result cross-joins into
+    # the MinHash fingerprint plan and BOTH independent stage chains run
+    # concurrently inside one job off the shared toks checkpoint (r17,
+    # guide §1.2/§2.6 — the volume phase alone measured ~2.0 s at sf0.1
+    # as a standalone job). The auto-route DECISION still happens on the
+    # driver from the collected volume, exactly as before.
+    mh_combined = (
+        pairs_for("minhash")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.coalesce(
+                F.sum(
+                    F.floor(F.col("jaccard") * 1e6 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ).alias("sum_jac_q"),
+        )
+        .crossJoin(ssjoin_candidate_volume(prefix, id_col))
+        .collect()[0]
+    )
+    volume = int(mh_combined["candidate_volume"])
+    forced_row = (
+        "forced_minhash",
+        "minhash",
+        volume,
+        budget_rows,
+        int(mh_combined["n_pairs"]),
+        int(mh_combined["sum_jac_q"]),
+    )
     spark = df.sparkSession
     schema = (
         "mode string, route string, candidate_volume long, "
         "budget_rows long, n_pairs long, sum_jac_q long"
     )
     if volume > budget_rows:
-        # auto routes minhash == the forced computation; run once, copy
-        row = _fingerprint_agg(
-            pairs_for("minhash"), "minhash", volume, budget_rows
-        ).collect()[0]
+        # auto routes minhash == the forced computation; one pipeline
+        # run serves both rows (unchanged semantics from the start)
         return spark.createDataFrame(
-            [("auto", *row), ("forced_minhash", *row)], schema
+            [("auto",) + forced_row[1:], forced_row], schema
         )
-    # auto routes exact: both mode rows in ONE union/action, the heavy
-    # subtrees (checkpointed toks, star edges) shared across branches
+    # auto routes exact: the exact fingerprint stays lazy (the caller's
+    # one action computes it), unioned with the already-computed forced
+    # row
     auto = _fingerprint_agg(
         pairs_for("exact"), "exact", volume, budget_rows
     ).select(F.lit("auto").alias("mode"), "*")
-    forced = _fingerprint_agg(
-        pairs_for("minhash"), "minhash", volume, budget_rows
-    ).select(F.lit("forced_minhash").alias("mode"), "*")
-    return auto.unionByName(forced)
+    return auto.unionByName(spark.createDataFrame([forced_row], schema))
