@@ -181,6 +181,39 @@ def test_adaptive_auto_routes_by_budget(spark, corpus_rows):
     assert got_m == want
 
 
+def test_routing_audit_modes_matches_per_mode_audits(spark, corpus_rows):
+    """r17: x90's ssjoin_routing_audit_modes shares one tokenize/prefix/
+    volume pass (and, over budget, one pipeline run) across its two mode
+    rows — the rows must stay exactly what two independent
+    ssjoin_routing_audit calls produce, in both budget regimes."""
+    from detecting_and_addressing_change_spark.operators.setjoin import (
+        ssjoin_routing_audit,
+        ssjoin_routing_audit_modes,
+    )
+
+    df = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    for budget in (10**12, 0):  # exact route / forced-minhash regime
+        got = {
+            r["mode"]: tuple(r)[1:]
+            for r in ssjoin_routing_audit_modes(
+                df, threshold=0.5, budget_rows=budget
+            ).collect()
+        }
+        assert sorted(got) == ["auto", "forced_minhash"]
+        want_auto = tuple(
+            ssjoin_routing_audit(
+                df, threshold=0.5, budget_rows=budget, route="auto"
+            ).collect()[0]
+        )
+        want_forced = tuple(
+            ssjoin_routing_audit(
+                df, threshold=0.5, budget_rows=budget, route="minhash"
+            ).collect()[0]
+        )
+        assert got["auto"] == want_auto
+        assert got["forced_minhash"] == want_forced
+
+
 def test_adaptive_forced_route_overrides_budget(spark, corpus_rows):
     df = spark.createDataFrame(corpus_rows, "doc_id long, text string")
     _, info = adaptive_jaccard_join(df, budget_rows=0, route="exact")
