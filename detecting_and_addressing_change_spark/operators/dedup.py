@@ -282,6 +282,13 @@ def minhash_candidate_pairs(
     linear in bucket width. The documented cost: candidates beyond the cap
     inside one tier are dropped, so byte-identical mass duplicates MUST be
     collapsed before banding (``minhash_dedup_edges`` does both).
+
+    Laziness contract (ADVICE r17): the UNCAPPED path (``bucket_cap=None``)
+    eagerly materializes the band table via ``localCheckpoint(eager=True)``
+    at plan-construction time — building the returned DataFrame fires a
+    Spark job even if the caller never evaluates it, and the materialized
+    blocks stay pinned for the session. The capped path (every production
+    caller) stays side-effect-free.
     """
     if bucket_cap is not None:
         hx = F.col("sig_h")

@@ -526,7 +526,14 @@ def ssjoin_routing_audit_modes(
     exactly :func:`ssjoin_routing_audit`'s row for that mode, and when
     auto routes 'minhash' the forced row remains a literal copy of the
     auto row (the two modes are the same deterministic computation
-    then — the pipeline still runs ONCE, as before)."""
+    then — the pipeline still runs ONCE, as before).
+
+    EAGER EXECUTION (ADVICE r17): constructing the returned DataFrame
+    already runs the full forced-minhash pipeline driver-side (the
+    ``collect`` below feeds the route decision AND the forced row), in
+    BOTH budget regimes — callers that only want the plan (e.g.
+    tools/capture_plans.py) still pay the whole minhash run at build
+    time; only the auto='exact' fingerprint stays lazy."""
     if budget_rows is None:
         budget_rows = default_budget_rows(df.sparkSession)
     budget_rows = int(budget_rows)

@@ -134,6 +134,14 @@ def x83(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (exact_top LEFT JOIN ivf_top .. GROUP BY e.query_id): every exact
     # query id yields a row, count() skips the nulls of misses, and the
     # IVF side still evaluates once.
+    # PRECONDITION (ADVICE r17): count("__hit") equals the semi-join
+    # cardinality only because BOTH top-k inputs are unique on
+    # (query_id, cand_id) — brute_force_topk and kmeans_ivf_topk
+    # tie-break with row_number, so each side emits each pair at most
+    # once. A rank()-based top-k or a multi-probe union without dedup
+    # on the approximate side would overcount n_hit (recall > 1) where
+    # the old semi-join could not; keep row_number/distinct semantics
+    # on both sides if either operator changes.
     n_hit = F.col("n_hit")
     return (
         exact.select("query_id", "cand_id")
