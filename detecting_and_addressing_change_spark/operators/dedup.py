@@ -691,6 +691,16 @@ def _jaccard_dense_vocab(
         .groupBy(id_col)
         .agg(F.sum(F.expr("shiftleft(1L, CAST(wid AS INT))")).alias("mask"))
     )
+    # materialize the distinct-mask table ONCE (r18, guide §7.2
+    # duplicated subtrees): `groups` feeds FIVE references — ga, gb and
+    # `same` below (differently aliased, so ReuseExchange cannot unify
+    # them), each consumed twice more via `pairs` (the cutoff histogram
+    # collect AND the final kept/expand plan). Without this checkpoint
+    # the vocab-window + mask-agg + group-agg chain executed up to six
+    # times per run (verified in plans/r18/x06_ngram_jaccard_before.txt:
+    # three copies of the same subtree, zero ReusedExchange). The table
+    # is distinct masks only — cnt + a top_n+1 member slice per mask,
+    # driver-trivial by the dense-vocab bound.
     groups = (
         masks.groupBy("mask")
         .agg(
@@ -699,6 +709,7 @@ def _jaccard_dense_vocab(
                 F.array_sort(F.collect_list(F.col(id_col))), 1, top_n + 1
             ).alias("members"),
         )
+        .localCheckpoint(eager=True)
     )
     ga = groups.select(
         F.col("mask").alias("ma"),

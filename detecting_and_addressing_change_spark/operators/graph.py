@@ -168,7 +168,15 @@ def connected_components_star(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("a"), m.alias("b"))
         )
-        edges = normalize(large).localCheckpoint(eager=True)
+        # TWO star rounds per materialization (r18, VERDICT r17 #4;
+        # guide §1.2 action count): the large-star result stays LAZY —
+        # small-star composes onto it and the one checkpoint below
+        # evaluates both rounds in a single job. The small-star stage's
+        # two references to the large-star table (the per-hi min agg and
+        # the join) share its exchange via ReuseExchange, exactly like
+        # the r17 dedup rewrites; composing rounds preserves the
+        # fixed-point the checksum detects, so convergence is unchanged.
+        edges = normalize(large)
         rounds += 1
 
         # ---- small-star: key = larger endpoint, neighbors all smaller
@@ -263,6 +271,11 @@ def dedup_clusters(
     so the 100 TB path is the same code the property tests pin
     (``small_graph_threshold=0`` forces it). Both paths produce
     bit-identical labels (parity-tested)."""
+    # eager localCheckpoint, not persist (re-measured r18): a persist
+    # whose cache is populated by the count LOOKS one job cheaper, but
+    # the columnar cache write made the x23/x52 rows consistently
+    # slower than the checkpoint + two trivial follow-up jobs — and the
+    # distributed loops want truncated lineage anyway.
     norm = (
         pairs.select(
             F.least(F.col("a_id"), F.col("b_id")).alias("a_id"),

@@ -437,15 +437,29 @@ def embedding_near_dup_pairs(
     capped = tier_cap(sigs, ["tbl", "sig"], hx, bucket_cap, "a_id").select(
         "a_id", "tbl", "sig", "__tier"
     )
-    b = capped.select(
-        F.col("a_id").alias("b_id"), "tbl", "sig", "__tier"
+    # capped buckets hold <= bucket_cap ids, so the within-bucket pairs
+    # come from ONE grouped sorted collect + local array expansion
+    # instead of a bucket-keyed self-join (r18 — the same rewrite the
+    # minhash/simhash paths got in r17, guide §2.4/§7.2): the self-join
+    # paid two exchanges of the signature table and a join where one
+    # grouping exchange does; sort_array gives a_id < b_id, and the
+    # nested transform enumerates exactly the i < j pairs the join
+    # produced. collect_list is bounded by bucket_cap (the hot-bucket
+    # guard), so no task holds more than bucket_cap ids per bucket.
+    ids = capped.groupBy("tbl", "sig", "__tier").agg(
+        F.sort_array(F.collect_list("a_id")).alias("ids")
     )
-    # id-only pair dedup (arrays re-attached after the distinct — see
-    # lsh_ann_topk for why)
     pairs = (
-        capped.join(b, ["tbl", "sig", "__tier"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+        ids.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> transform("
+                    "slice(ids, i + 2, size(ids)),"
+                    " b -> named_struct('a_id', a, 'b_id', b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a_id", "p.b_id")
         .distinct()
         .unionByName(chains)
     )

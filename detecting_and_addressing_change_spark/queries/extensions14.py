@@ -201,7 +201,9 @@ def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
         # at the prediction level, same posture as every NB oracle here)
         loop = PrequentialNB(id_col="doc_id")
         loop.stats = stats_a_df.persist()
-        loop.stats.count()
+        # no eager .count() materialize job (r18, VERDICT r17 #6): the
+        # collect on the next line populates the persist cache in the
+        # same job that computes the stats
         stats_a = nb_collect_stats(stats_a_df)  # while still cached
         fine_tune_nb(
             loop,

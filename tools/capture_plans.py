@@ -59,7 +59,7 @@ def main() -> None:
 
     spark = get_spark(app_name="capture-plans")
     spark.sparkContext.setLogLevel("ERROR")
-    out_dir = os.path.join(REPO_ROOT, "plans", "r17")
+    out_dir = os.path.join(REPO_ROOT, "plans", os.environ.get("PLANS_ROUND", "r18"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         spark.sparkContext.setJobDescription(f"plan-capture {name}")
