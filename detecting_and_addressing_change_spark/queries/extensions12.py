@@ -310,36 +310,41 @@ def x93(spark: SparkSession, sf_dir: str) -> DataFrame:
     against its documented bound over the SAME grouped lineitem scan,
     so the consolidated row attests both off one query (VERDICT r15 #2;
     x96 green history r08-r15)."""
-    from .extensions7 import winsorized_stats
-
     li = load_table(spark, sf_dir, "lineitem")
-    # array-form percentile: one value buffer for both quantiles (the
-    # x56 r17 change — two scalar percentile aggs buffered the group
-    # twice)
-    exact_b = li.groupBy("l_returnflag").agg(
+    # BOTH bounds in ONE grouped agg over ONE scan (r18; extends the r17
+    # array-form fold): the exact percentile buffer and the
+    # approx_percentile sketch accumulate side by side per group, so the
+    # sort-heavy value buffering is paid once and the lineitem scan that
+    # fed two separate bounds aggs is paid once. Values are unchanged —
+    # the same two aggregate functions over the same groups.
+    bounds = li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, array(0.01, 0.99))").alias(
-            "ps"
-        )
-    ).select(
-        "l_returnflag",
-        F.col("ps")[0].alias("p1"),
-        F.col("ps")[1].alias("p99"),
-    )
-    appx = li.groupBy("l_returnflag").agg(
+            "pse"
+        ),
         F.expr(
             f"approx_percentile(l_extendedprice, array(0.01, 0.99), "
             f"{_X93_ACC})"
-        ).alias("ps")
+        ).alias("psa"),
     ).select(
         "l_returnflag",
-        F.col("ps")[0].cast("double").alias("p1a"),
-        F.col("ps")[1].cast("double").alias("p99a"),
+        F.col("pse")[0].alias("p1"),
+        F.col("pse")[1].alias("p99"),
+        F.col("psa")[0].cast("double").alias("p1a"),
+        F.col("psa")[1].cast("double").alias("p99a"),
     )
     x = F.col("l_extendedprice").cast("double")
-    # the folded x96 distinct-audit aggregates ride the SAME grouped
-    # scan as the rank counts — one pass serves both audits
-    ranks = (
-        li.join(F.broadcast(appx), "l_returnflag")
+    # ONE broadcast-bounds fact pass serves ALL downstream audits (r18,
+    # guide §7.2/§1.2 — was THREE separate lineitem passes: the rank
+    # counts + x96 fold, the exact-bounds winsorized_stats, and the
+    # approx-bounds winsorized_stats; 5 lineitem aggregation passes are
+    # now 2). The clamped means replicate winsorized_stats' arithmetic
+    # verbatim (least/greatest clamp, portable_round(sum/count, 4)) over
+    # the same rows with the same grouping, so every reported value and
+    # verdict is unchanged.
+    ve = F.least(F.greatest(x, F.col("p1")), F.col("p99"))
+    va = F.least(F.greatest(x, F.col("p1a")), F.col("p99a"))
+    stats = (
+        li.join(F.broadcast(bounds), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("nn"),
@@ -353,31 +358,12 @@ def x93(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"approx_count_distinct(l_orderkey, {_X93_RSD!r})")
             .cast("long")
             .alias("apx"),
+            portable_round(F.sum(ve) / F.count("*"), 4).alias("wm_e"),
+            portable_round(F.sum(va) / F.count("*"), 4).alias("wm_a"),
         )
+        .withColumn("n", F.col("nn").cast("int"))
     )
-    # the bounds tables are computed ONCE above and passed into both
-    # clamp passes — Spark does not dedupe common subplans, so calling
-    # winsorized_stats(approx=...) here would re-run the sort-heavy
-    # exact percentile and the approx_percentile sketch a second time
-    # each (guide §7.2 duplicated subtrees; measured r17: 4 lineitem
-    # percentile aggs -> 2, x93 sf0.1 3.20 -> ~2.3 s)
-    we = winsorized_stats(li, bounds=exact_b).select(
-        "l_returnflag", "n", F.col("w_mean").alias("wm_e")
-    )
-    wa = winsorized_stats(
-        li,
-        bounds=appx.select(
-            "l_returnflag",
-            F.col("p1a").alias("p1"),
-            F.col("p99a").alias("p99"),
-        ),
-    ).select("l_returnflag", F.col("w_mean").alias("wm_a"))
-    j = (
-        exact_b.join(appx, "l_returnflag")
-        .join(ranks, "l_returnflag")
-        .join(we, "l_returnflag")
-        .join(wa, "l_returnflag")
-    )
+    j = bounds.join(stats, "l_returnflag")
     rank_tol = F.col("nn") / _X93_ACC + F.lit(2.0)
 
     def rank_ok(lt, le, p):

@@ -777,17 +777,18 @@ def x110(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # non-vacuousness preconditions, asserted loudly BEFORE streaming:
     # the verdicts are oracle-pinned TRUE, so a testdata shape that
-    # empties any leg must fail here at generation time
-    w_legs = {
-        int(r["replay_batch"]): int(r["n"])
-        for r in w_rows.groupBy("replay_batch")
-        .count()
-        .withColumnRenamed("count", "n")
-        .collect()
-    }
-    n_dropped_late = w_rows.filter(
-        (F.col("replay_batch") == 3) & (F.col("__t") < 900)
-    ).count()
+    # empties any leg must fail here at generation time. ONE grouped
+    # agg serves the leg census AND the late split (r18, guide §1.2 —
+    # was a groupBy collect plus a separate filter count over the same
+    # checkpointed rows).
+    w_pre = w_rows.groupBy("replay_batch").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("__t") < 900).cast("long")).alias("n_lt900"),
+    ).collect()
+    w_legs = {int(r["replay_batch"]): int(r["n"]) for r in w_pre}
+    n_dropped_late = sum(
+        int(r["n_lt900"]) for r in w_pre if int(r["replay_batch"]) == 3
+    )
     n_accepted_late = w_legs.get(3, 0) - n_dropped_late
     if not all(w_legs.get(i, 0) for i in (0, 1, 2, 4, 5)):
         raise AssertionError(
@@ -877,22 +878,29 @@ def x110(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leg(m100 == 51, 3, F.lit(2040)))
         .localCheckpoint(eager=True)
     )
-    n_cross = j_left.filter(F.col("k") % 100 == 83).count()
-    n_late = j_left.filter(F.col("replay_batch") == 3).count()
+    # ONE grouped agg per side serves the leg census and the cross/late
+    # counts (r18, guide §1.2 — was four separate jobs: two filter
+    # counts plus two distinct collects over the checkpointed legs)
+    l_pre = j_left.groupBy("replay_batch").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("k") % 100 == 83).cast("long")).alias("n83"),
+    ).collect()
+    n_cross = sum(int(r["n83"]) for r in l_pre)
+    n_late = sum(
+        int(r["n"]) for r in l_pre if int(r["replay_batch"]) == 3
+    )
     if not (n_cross > 0 and n_late > 0):
         raise AssertionError(
             f"x110 fixture drift: join cross-batch leg {n_cross}, late "
             f"leg {n_late} — a verdict would be vacuous"
         )
-    for side, nm in ((j_left, "left"), (j_right, "right")):
-        side_legs = {
-            int(r["replay_batch"]): 1
-            for r in side.select("replay_batch").distinct().collect()
-        }
-        if sorted(side_legs) != [0, 1, 2, 3]:
+    r_pre = j_right.groupBy("replay_batch").count().collect()
+    for rows, nm in ((l_pre, "left"), (r_pre, "right")):
+        side_legs = sorted(int(r["replay_batch"]) for r in rows)
+        if side_legs != [0, 1, 2, 3]:
             raise AssertionError(
                 f"x110 fixture drift: join {nm} legs "
-                f"{sorted(side_legs)} != 4 files"
+                f"{side_legs} != 4 files"
             )
 
     # ---------------- stage everything, then start the three queries
@@ -1012,55 +1020,85 @@ def x110(spark: SparkSession, sf_dir: str) -> DataFrame:
             eager=True
         )
 
-    # ---------------- raise-guarded verdicts (the originals, verbatim)
-    # window_agg: late-drop/accept arithmetic + no open window leaked
-    agg = w_final.agg(
-        F.coalesce(F.sum("n"), F.lit(0)).alias("total"),
-        F.coalesce(F.max("win_start"), F.lit(0)).alias("max_start"),
-    ).collect()[0]
-    expected_emitted = w_rows.filter(
-        ((F.col("replay_batch") != 3) | (F.col("__t") >= 900))
-        & (F.floor(F.col("__t") / _X110_WIN) * _X110_WIN <= 2080)
-    ).count()
-    if int(agg["total"]) != int(expected_emitted):
-        raise AssertionError(
-            f"x110 watermark regression: sink holds {agg['total']} rows, "
-            f"expected {expected_emitted} (late-drop/accept arithmetic)"
+    # ---------------- raise-guarded verdicts (the originals — same
+    # predicates, same failure messages; since r18 ALL six guard
+    # scalars ride ONE collect of cross-joined 1-row aggs over the
+    # checkpointed sinks instead of six sequential driver jobs
+    # (guide §1.2 action count; every operand is already materialized)
+    g = (
+        w_final.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("total"),
+            F.coalesce(F.max("win_start"), F.lit(0)).alias("max_start"),
         )
-    if int(agg["max_start"]) > _X110_BASE + 2080:
+        .crossJoin(
+            w_rows.filter(
+                ((F.col("replay_batch") != 3) | (F.col("__t") >= 900))
+                & (F.floor(F.col("__t") / _X110_WIN) * _X110_WIN <= 2080)
+            ).agg(F.count("*").alias("expected_emitted"))
+        )
+        .crossJoin(
+            d_final.agg(
+                F.sum(
+                    (
+                        (F.col("k") % 100 == 93) & (F.col("t") == 980)
+                    ).cast("long")
+                ).alias("a_keys"),
+                F.sum(
+                    (
+                        (F.col("k") % 100 == 43) & (F.col("t") == 1900)
+                    ).cast("long")
+                ).alias("b_got"),
+            )
+        )
+        .crossJoin(
+            j_final.agg(
+                F.sum(
+                    (
+                        (F.col("k") % 100 == 83)
+                        & (F.col("lt") == 830)
+                        & (F.col("rt") == 860)
+                    ).cast("long")
+                ).alias("got_cross"),
+                F.sum((F.col("k") % 10 == 7).cast("long")).alias(
+                    "got_late"
+                ),
+            )
+        )
+        .collect()[0]
+    )
+    # window_agg: late-drop/accept arithmetic + no open window leaked
+    if int(g["total"]) != int(g["expected_emitted"]):
+        raise AssertionError(
+            f"x110 watermark regression: sink holds {g['total']} rows, "
+            f"expected {g['expected_emitted']} (late-drop/accept "
+            f"arithmetic)"
+        )
+    if int(g["max_start"]) > _X110_BASE + 2080:
         raise AssertionError(
             f"x110 append regression: an open window leaked "
-            f"(max win_start {int(agg['max_start']) - _X110_BASE})"
+            f"(max win_start {int(g['max_start']) - _X110_BASE})"
         )
     # dedup_horizon: within-horizon deduped, beyond-horizon re-emitted
-    a_keys = d_final.filter(
-        (F.col("k") % 100 == 93) & (F.col("t") == 980)
-    ).count()
+    a_keys = int(g["a_keys"] or 0)
     if a_keys != 0:
         raise AssertionError(
             f"x110 dedup regression: {a_keys} within-horizon "
             f"redeliveries were re-emitted"
         )
-    b_got = d_final.filter(
-        (F.col("k") % 100 == 43) & (F.col("t") == 1900)
-    ).count()
+    b_got = int(g["b_got"] or 0)
     if b_got != d_legs[4]:
         raise AssertionError(
             f"x110 horizon regression: {b_got}/{d_legs[4]} beyond-horizon"
             f" redeliveries re-emitted"
         )
     # stream_join: cross-batch pair served from buffer, late leg empty
-    got_cross = j_final.filter(
-        (F.col("k") % 100 == 83)
-        & (F.col("lt") == 830)
-        & (F.col("rt") == 860)
-    ).count()
+    got_cross = int(g["got_cross"] or 0)
     if got_cross != n_cross:
         raise AssertionError(
             f"x110 buffering regression: {got_cross}/{n_cross} "
             f"cross-batch pairs emitted"
         )
-    got_late = j_final.filter(F.col("k") % 10 == 7).count()
+    got_late = int(g["got_late"] or 0)
     if got_late != 0:
         raise AssertionError(
             f"x110 watermark regression: {got_late} late-leg pairs "

@@ -277,17 +277,17 @@ def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.alias("__t"),
     ).localCheckpoint(eager=True)
 
-    # non-vacuousness preconditions (x110's, asserted BEFORE streaming)
-    w_legs = {
-        int(r["replay_batch"]): int(r["n"])
-        for r in w_rows.groupBy("replay_batch")
-        .count()
-        .withColumnRenamed("count", "n")
-        .collect()
-    }
-    n_dropped_late = w_rows.filter(
-        (F.col("replay_batch") == 3) & (F.col("__t") < 900)
-    ).count()
+    # non-vacuousness preconditions (x110's, asserted BEFORE streaming;
+    # r18: one grouped agg serves the leg census and the late split —
+    # was two jobs over the same checkpointed rows)
+    w_pre = w_rows.groupBy("replay_batch").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("__t") < 900).cast("long")).alias("n_lt900"),
+    ).collect()
+    w_legs = {int(r["replay_batch"]): int(r["n"]) for r in w_pre}
+    n_dropped_late = sum(
+        int(r["n_lt900"]) for r in w_pre if int(r["replay_batch"]) == 3
+    )
     n_accepted_late = w_legs.get(3, 0) - n_dropped_late
     if not all(w_legs.get(i, 0) for i in (0, 1, 2, 4, 5)):
         raise AssertionError(
@@ -337,24 +337,34 @@ def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    # non-vacuousness preconditions (x112's, asserted BEFORE streaming)
-    n_cross = j_left.filter(F.col("k") % 100 == 83).count()
-    n_late = j_left.filter(F.col("replay_batch") == 3).count()
-    n_a = j_left.filter(F.col("replay_batch") == 0).count() - n_cross
+    # non-vacuousness preconditions (x112's, asserted BEFORE streaming;
+    # r18: one grouped agg per side serves the leg census and the
+    # cross/late/in-batch counts — was five jobs over the same
+    # checkpointed legs)
+    l_pre = j_left.groupBy("replay_batch").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("k") % 100 == 83).cast("long")).alias("n83"),
+    ).collect()
+    n_cross = sum(int(r["n83"]) for r in l_pre)
+    n_late = sum(
+        int(r["n"]) for r in l_pre if int(r["replay_batch"]) == 3
+    )
+    n_a = (
+        sum(int(r["n"]) for r in l_pre if int(r["replay_batch"]) == 0)
+        - n_cross
+    )
     if not (n_cross > 0 and n_late > 0 and n_a > 0):
         raise AssertionError(
             f"x113 fixture drift: join cross leg {n_cross}, late leg "
             f"{n_late}, in-batch leg {n_a} — a verdict would be vacuous"
         )
-    for side, nm in ((j_left, "left"), (j_right, "right")):
-        side_legs = {
-            int(r["replay_batch"]): 1
-            for r in side.select("replay_batch").distinct().collect()
-        }
-        if sorted(side_legs) != [0, 1, 2, 3]:
+    r_pre = j_right.groupBy("replay_batch").count().collect()
+    for rows, nm in ((l_pre, "left"), (r_pre, "right")):
+        side_legs = sorted(int(r["replay_batch"]) for r in rows)
+        if side_legs != [0, 1, 2, 3]:
             raise AssertionError(
                 f"x113 fixture drift: join {nm} legs "
-                f"{sorted(side_legs)} != 4 files"
+                f"{side_legs} != 4 files"
             )
 
     # ---------------- shape 3: dedup_map synthesis (x111's, verbatim)
@@ -525,11 +535,34 @@ def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
             "run 1",
         )
-        w_n_run1 = spark.read.parquet(w_sink).count()
-        j_run1 = spark.read.parquet(j_sink).localCheckpoint(eager=True)
-        j_n_run1 = j_run1.count()
-        cross_in_run1 = j_run1.filter(F.col("k") % 100 == 83).count()
-        d_n_run1 = spark.read.parquet(d_sink).count()
+        # the run-1 snapshot scalars MUST be taken eagerly here (run 2
+        # appends to the same sinks), but they ride ONE collect of
+        # cross-joined aggs instead of five driver jobs (r18, guide
+        # §1.2; the x101 mid-pipeline rule satisfied — the collect
+        # executes before run 2 starts)
+        mid = (
+            spark.read.parquet(w_sink)
+            .agg(F.count("*").alias("w_n"))
+            .crossJoin(
+                spark.read.parquet(j_sink).agg(
+                    F.count("*").alias("j_n"),
+                    F.coalesce(
+                        F.sum((F.col("k") % 100 == 83).cast("long")),
+                        F.lit(0),
+                    ).alias("j_cross"),
+                )
+            )
+            .crossJoin(
+                spark.read.parquet(d_sink).agg(
+                    F.count("*").alias("d_n")
+                )
+            )
+            .collect()[0]
+        )
+        w_n_run1 = int(mid["w_n"])
+        j_n_run1 = int(mid["j_n"])
+        cross_in_run1 = int(mid["j_cross"])
+        d_n_run1 = int(mid["d_n"])
 
         # PHASE 2 (concurrent): the remaining batches of every shape on
         # the SAME checkpoints (start_index keeps the new staged buckets
@@ -547,47 +580,135 @@ def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
         j_final = spark.read.parquet(j_sink).localCheckpoint(eager=True)
         d_final = spark.read.parquet(d_sink).localCheckpoint(eager=True)
 
-    # ---------------- raise-guarded verdicts, shape 1 (x113's originals)
-    w_n_final = w_final.count()
+    # ---------------- raise-guarded verdicts (x113/x114/x115's
+    # originals — same predicates, same failure messages; since r18 ALL
+    # fourteen guard scalars ride ONE collect of cross-joined 1-row
+    # aggs over the checkpointed sinks and the checkpointed w_rows
+    # instead of fourteen sequential driver jobs (guide §1.2). The
+    # distinct-cardinality guards use COUNT(DISTINCT ...) — the same
+    # value the former .distinct().count() computed.
+    g = (
+        w_final.agg(
+            F.count("*").alias("w_n_final"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("total"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("win_start") == _X110_BASE + 960,
+                        F.col("n"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("got_straggler"),
+            F.count_distinct(
+                F.col("win_start"), F.col("event_type")
+            ).alias("w_n_keys"),
+        )
+        .crossJoin(
+            w_rows.agg(
+                F.coalesce(
+                    F.sum(
+                        (
+                            (
+                                (F.col("replay_batch") != 3)
+                                | (F.col("__t") >= 900)
+                            )
+                            & (
+                                F.floor(F.col("__t") / _X110_WIN)
+                                * _X110_WIN
+                                <= 2080
+                            )
+                        ).cast("long")
+                    ),
+                    F.lit(0),
+                ).alias("expected_emitted"),
+                F.coalesce(
+                    F.sum(
+                        (
+                            (F.col("replay_batch") == 0)
+                            & (F.col("__t") >= 960)
+                            & (F.col("__t") < 1020)
+                        ).cast("long")
+                    ),
+                    F.lit(0),
+                ).alias("straggler_run1"),
+            )
+        )
+        .crossJoin(
+            j_final.agg(
+                F.count("*").alias("j_n_final"),
+                F.coalesce(
+                    F.sum(
+                        (
+                            (F.col("k") % 100 == 83)
+                            & (F.col("lt") == 830)
+                            & (F.col("rt") == 860)
+                        ).cast("long")
+                    ),
+                    F.lit(0),
+                ).alias("got_cross"),
+                F.coalesce(
+                    F.sum((F.col("k") % 10 == 7).cast("long")), F.lit(0)
+                ).alias("got_late"),
+                F.count_distinct(
+                    F.col("k"), F.col("lt"), F.col("rt")
+                ).alias("j_n_keys"),
+            )
+        )
+        .crossJoin(
+            d_final.agg(
+                F.count("*").alias("d_n_final"),
+                F.coalesce(
+                    F.sum(
+                        (
+                            (F.col("k") % 100 == 93)
+                            & (F.col("t") == 980)
+                        ).cast("long")
+                    ),
+                    F.lit(0),
+                ).alias("a_keys"),
+                F.coalesce(
+                    F.sum(
+                        (
+                            (F.col("k") % 100 == 43)
+                            & (F.col("t") == 1900)
+                        ).cast("long")
+                    ),
+                    F.lit(0),
+                ).alias("b_got"),
+                F.count_distinct(F.col("k"), F.col("t")).alias(
+                    "d_n_keys"
+                ),
+            )
+        )
+        .collect()[0]
+    )
+
+    # shape 1 (x113's originals)
+    w_n_final = int(g["w_n_final"])
     if not 0 < w_n_run1 < w_n_final:
         raise AssertionError(
             f"x113 window split vacuous: run1 emitted {w_n_run1} of "
             f"{w_n_final} — the kill point did not land mid-emission"
         )
-    n_keys = w_final.select("win_start", "event_type").distinct().count()
+    n_keys = int(g["w_n_keys"])
     if n_keys != w_n_final:
         raise AssertionError(
             f"x113 window exactly-once regression: {w_n_final} sink rows "
             f"over {n_keys} distinct (win_start, event_type) keys — a "
             f"window was re-emitted across the restart"
         )
-    expected_emitted = w_rows.filter(
-        ((F.col("replay_batch") != 3) | (F.col("__t") >= 900))
-        & (F.floor(F.col("__t") / _X110_WIN) * _X110_WIN <= 2080)
-    ).count()
-    total = int(
-        w_final.agg(F.coalesce(F.sum("n"), F.lit(0))).collect()[0][0]
-    )
-    if total != int(expected_emitted):
+    expected_emitted = int(g["expected_emitted"])
+    total = int(g["total"])
+    if total != expected_emitted:
         raise AssertionError(
             f"x113 watermark-recovery regression: sink holds {total} "
             f"rows, expected {expected_emitted} — the restored watermark "
             f"did not filter the late batch at 940"
         )
-    expected_straggler = (
-        w_rows.filter(
-            (F.col("replay_batch") == 0)
-            & (F.col("__t") >= 960)
-            & (F.col("__t") < 1020)
-        ).count()
-        + n_accepted_late
-    )
-    got_straggler = int(
-        w_final.filter(F.col("win_start") == _X110_BASE + 960)
-        .agg(F.coalesce(F.sum("n"), F.lit(0)))
-        .collect()[0][0]
-    )
-    if got_straggler != int(expected_straggler):
+    expected_straggler = int(g["straggler_run1"]) + n_accepted_late
+    got_straggler = int(g["got_straggler"])
+    if got_straggler != expected_straggler:
         raise AssertionError(
             f"x113 state-recovery regression: straggler window counts "
             f"{got_straggler}, expected {expected_straggler} (run-1 rows "
@@ -595,8 +716,8 @@ def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"not survive the restart"
         )
 
-    # ---------------- raise-guarded verdicts, shape 2 (x114's originals)
-    j_n_final = j_final.count()
+    # shape 2 (x114's originals)
+    j_n_final = int(g["j_n_final"])
     if cross_in_run1 != 0:
         raise AssertionError(
             f"x113 join split vacuous: {cross_in_run1} cross pairs "
@@ -607,24 +728,20 @@ def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"x113 join split vacuous: run1 emitted {j_n_run1} of "
             f"{j_n_final}"
         )
-    got_cross = j_final.filter(
-        (F.col("k") % 100 == 83)
-        & (F.col("lt") == 830)
-        & (F.col("rt") == 860)
-    ).count()
+    got_cross = int(g["got_cross"])
     if got_cross != n_cross:
         raise AssertionError(
             f"x113 buffer-recovery regression: {got_cross}/{n_cross} "
             f"cross-restart pairs emitted — the join buffer did not "
             f"survive the restart"
         )
-    got_late = j_final.filter(F.col("k") % 10 == 7).count()
+    got_late = int(g["got_late"])
     if got_late != 0:
         raise AssertionError(
             f"x113 watermark-recovery regression: {got_late} late-leg "
             f"pairs emitted after the resume"
         )
-    j_n_keys = j_final.select("k", "lt", "rt").distinct().count()
+    j_n_keys = int(g["j_n_keys"])
     if j_n_keys != j_n_final:
         raise AssertionError(
             f"x113 join exactly-once regression: {j_n_final} sink rows "
@@ -637,31 +754,27 @@ def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{n_a} in-batch + {n_cross} cross-restart"
         )
 
-    # ---------------- raise-guarded verdicts, shape 3 (x115's originals)
-    d_n_final = d_final.count()
+    # shape 3 (x115's originals)
+    d_n_final = int(g["d_n_final"])
     if d_n_run1 != d_legs[0]:
         raise AssertionError(
             f"x113 dedup split vacuous: run1 emitted {d_n_run1}, "
             f"expected the {d_legs[0]} originals exactly"
         )
-    a_keys = d_final.filter(
-        (F.col("k") % 100 == 93) & (F.col("t") == 980)
-    ).count()
+    a_keys = int(g["a_keys"])
     if a_keys != 0:
         raise AssertionError(
             f"x113 state-recovery regression: {a_keys} within-horizon "
             f"redeliveries re-emitted — the dedup key map did not "
             f"survive the restart"
         )
-    b_got = d_final.filter(
-        (F.col("k") % 100 == 43) & (F.col("t") == 1900)
-    ).count()
+    b_got = int(g["b_got"])
     if b_got != d_legs[4]:
         raise AssertionError(
             f"x113 horizon regression: {b_got}/{d_legs[4]} beyond-horizon"
             f" redeliveries re-emitted after the resume"
         )
-    d_n_keys = d_final.select("k", "t").distinct().count()
+    d_n_keys = int(g["d_n_keys"])
     d_expected_total = d_legs[0] + d_legs[2] + d_legs[3] + d_legs[4]
     if not (d_n_keys == d_n_final == d_expected_total):
         raise AssertionError(

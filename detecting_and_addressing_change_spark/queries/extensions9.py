@@ -444,54 +444,62 @@ def x64(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank repartition only. Pairing by rank is deterministic, so the
     statistic is engine-reproducible (oracle replays it with
     ROW_NUMBER)."""
-    from ..operators.order import global_rank
+    from ..operators.order import grouped_global_rank
 
     emb = load_table(spark, sf_dir, "embeddings")
 
-    def ranked(label: int, out: str) -> DataFrame:
-        win = emb.filter(F.col("label") == label).select(
-            "vec_id", F.col("embedding").cast("array<double>").alias(out)
-        )
-        return global_rank(win, [F.asc("vec_id")], rank_col="rk").select(
-            "rk", out
-        )
-
-    pairs = (
-        ranked(0, "x")
-        .join(ranked(1, "y"), "rk")
-        .select(
-            F.floor((F.col("rk") - 1) / 2).alias("qid"),
-            ((F.col("rk") - 1) % 2).alias("idx"),
-            "x",
-            "y",
-        )
+    # BOTH windows ranked off ONE range staging (r18, guide §1.2 /
+    # §2.4): two separate global_rank calls paid the range shuffle, the
+    # materialization and the offsets collect once per label for the
+    # same embeddings scan; grouped_global_rank ranks within label from
+    # one staging. The rk equi-join then folds into the SAME groupBy
+    # that pivots quadruples: key by (qid, idx) = ((rk-1)/2, (rk-1)%2)
+    # and pick each of the four slots with a label-conditional first —
+    # one shuffle replaces the two-sided rk join plus the qid shuffle.
+    both = emb.filter(F.col("label").isin(0, 1)).select(
+        "label",
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
     )
-    # ONE groupBy(qid) pivots each quadruple's two rows side by side.
-    # The former filter(idx==0) JOIN filter(idx==1) shape computed the
-    # whole `pairs` subtree — both global ranks plus the rk join — once
-    # per side (guide §7.2 duplicated subtrees: Spark does not dedupe
-    # common subplans), then paid a second two-sided shuffle on qid; the
-    # agg pays one qid shuffle over one `pairs` evaluation. first() with
-    # ignorenulls is deterministic here: each group holds at most one
-    # idx=0 and one idx=1 row by construction (rk -> (qid, idx) is a
-    # bijection).
-    def side(idx: int, col: str, out: str) -> Column:
+    pairs = grouped_global_rank(
+        both, "label", [F.asc("vec_id")], rank_col="rk"
+    ).select(
+        F.floor((F.col("rk") - 1) / 2).alias("qid"),
+        ((F.col("rk") - 1) % 2).alias("idx"),
+        "label",
+        "e",
+    )
+
+    # first() with ignorenulls is deterministic here: each (qid, idx,
+    # label) slot holds at most one row by construction (rk -> (qid,
+    # idx) is a bijection within each label).
+    def slot(idx: int, label: int, out: str) -> Column:
         return F.first(
-            F.when(F.col("idx") == idx, F.col(col)), ignorenulls=True
+            F.when(
+                (F.col("idx") == idx) & (F.col("label") == label),
+                F.col("e"),
+            ),
+            ignorenulls=True,
         ).alias(out)
 
     quads = (
         pairs.groupBy("qid")
         .agg(
-            side(0, "x", "x1"),
-            side(0, "y", "y1"),
-            side(1, "x", "x2"),
-            side(1, "y", "y2"),
+            slot(0, 0, "x1"),
+            slot(0, 1, "y1"),
+            slot(1, 0, "x2"),
+            slot(1, 1, "y2"),
         )
-        # ranks are contiguous from 1, so idx=1 (rk=2*qid+2) implies
-        # idx=0 (rk=2*qid+1) exists; only a trailing half-quadruple can
-        # be incomplete, and the former inner join dropped it too
-        .filter(F.col("x2").isNotNull())
+        # the former rk inner join kept ranks <= min(|ref|, |cur|) and
+        # the quad filter kept complete quadruples; requiring all four
+        # slots non-null is exactly that set (a slot is null iff its
+        # label's ranks end before 2*qid+idx+1)
+        .filter(
+            F.col("x1").isNotNull()
+            & F.col("y1").isNotNull()
+            & F.col("x2").isNotNull()
+            & F.col("y2").isNotNull()
+        )
     )
 
     def sqd(a: str, b: str) -> Column:

@@ -8,7 +8,31 @@ import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from detecting_and_addressing_change_spark.operators.order import global_rank
+from detecting_and_addressing_change_spark.operators.order import (
+    global_rank,
+    grouped_global_rank,
+)
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 16])
+def test_grouped_rank_matches_partitioned_window(spark, n_parts):
+    """r18: grouped_global_rank (one staging for all groups) must equal
+    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY ...) for any partition
+    count, including groups of very different sizes."""
+    df = spark.range(1200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("grp"),  # 3 groups
+        (F.col("id") % 11).cast("double").alias("v"),  # heavy ties
+    ).filter((F.col("grp") != 2) | (F.col("k") < 60))  # uneven sizes
+    got = grouped_global_rank(
+        df, "grp", [F.desc("v"), F.asc("k")], rank_col="rk",
+        num_partitions=n_parts,
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("v"), F.asc("k"))
+    want = df.withColumn("rk", F.row_number().over(w))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
 
 
 @pytest.mark.parametrize("n_parts", [1, 3, 16])
