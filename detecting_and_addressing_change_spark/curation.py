@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from .queries.extensions7 import curation_verdicts
 from .sinks.parquet import write_partitioned
+from .sources.tables import read_parquet_cached_schema
 
 
 def curate_corpus(docs: DataFrame, out_path: str) -> DataFrame:
@@ -54,12 +55,12 @@ def curate_corpus(docs: DataFrame, out_path: str) -> DataFrame:
         )
     )
     stats.coalesce(1).write.mode("overwrite").parquet(f"{out_path}/stats")
-    return docs.sparkSession.read.parquet(f"{out_path}/stats")
+    return read_parquet_cached_schema(docs.sparkSession, f"{out_path}/stats")
 
 
 def load_curated(spark: SparkSession, out_path: str) -> DataFrame:
     """The kept corpus back, partition-prunable on source."""
-    return spark.read.parquet(f"{out_path}/corpus")
+    return read_parquet_cached_schema(spark, f"{out_path}/corpus")
 
 
 def _map_literal(vocab: list[tuple[str, int]]) -> str:
@@ -289,4 +290,4 @@ def build_training_shards(
     write_partitioned(
         sharded, f"{out_path}/shards", ["shard_id"], sort_cols=["doc_id"]
     )
-    return spark.read.parquet(f"{out_path}/shards")
+    return read_parquet_cached_schema(spark, f"{out_path}/shards")

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..sources.tables import read_parquet_cached_schema
 
 # 60 hash bits total (15 md5 hex chars -> always positive in an int64)
 HASH_BITS = 60
@@ -155,7 +156,7 @@ def merge_hll_batch(
     newregs = hll_registers(batch_df, value_col, group_cols, p)
     if os.path.exists(path):
         merged = (
-            spark.read.parquet(path)
+            read_parquet_cached_schema(spark, path)
             .unionByName(newregs)
             .groupBy(*group_cols, "bucket")
             .agg(F.max("reg").alias("reg"))

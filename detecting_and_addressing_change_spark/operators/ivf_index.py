@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..functions.arrays import cosine_col
 from ..functions.rounding import portable_round
+from ..sources.tables import read_parquet_cached_schema
 from .index_commit import recover_all_partition_swaps, swap_partition
 from .kmeans import kmeans_assign_col, kmeans_fit, kmeans_probe_cells_col
 from .similarity import quantize_col
@@ -173,7 +174,7 @@ def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
     after a crashed mutation count the complete index (ADVICE r8)."""
     _recover_postings(path)
     return (
-        spark.read.parquet(f"{path}/postings")
+        read_parquet_cached_schema(spark, f"{path}/postings")
         .groupBy("cell")
         .agg(F.count("*").cast("long").alias("n_vectors"))
     )
@@ -209,7 +210,7 @@ def load_ivf_centroids(
     """The coarse quantizer back from disk — k rows, driver-small."""
     return sorted(
         (int(r["cell"]), [int(v) for v in r["qc"]])
-        for r in spark.read.parquet(f"{path}/centroids").collect()
+        for r in read_parquet_cached_schema(spark, f"{path}/centroids").collect()
     )
 
 
@@ -259,7 +260,7 @@ def ivf_index_search(
     probed = sorted(
         {int(r["cell"]) for r in q_cells.select("cell").distinct().collect()}
     )
-    postings = spark.read.parquet(f"{path}/postings").filter(
+    postings = read_parquet_cached_schema(spark, f"{path}/postings").filter(
         F.col("cell").isin(probed)
     )
     cand = postings.join(F.broadcast(q_cells), "cell")
@@ -321,7 +322,7 @@ def delete_from_ivf_index(
 
     _recover_postings(path)
     del_ids = ids.select(F.col(id_col).alias("__del_id")).distinct()
-    posts = spark.read.parquet(f"{path}/postings")
+    posts = read_parquet_cached_schema(spark, f"{path}/postings")
     touched = sorted(
         int(r["cell"])
         for r in posts.join(

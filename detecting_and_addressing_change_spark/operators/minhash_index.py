@@ -40,10 +40,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..sources.tables import forget_footer_schemas, read_parquet_cached_schema
 from .dedup import minhash_bands, minhash_candidate_pairs, minhash_signatures
 from .index_commit import commit_table_swap, recover_table_swap
 
 _TABLES = ("docs", "sigs")
+
+# docs/ data columns are a documented static layout (partition column
+# ``batch`` is DISCOVERED, not declared, so its int-vs-string typing always
+# follows the current directory listing); declaring them skips the
+# footer-inference job a bare read pays per call (guide §1.2/§6).
+_DOCS_SCHEMA = "doc_id long, dgst string"
 
 
 def _digests(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -85,7 +92,7 @@ def _check_sig_schema(spark: SparkSession, path: str, num_hashes: int) -> None:
     signature schema — parquet append has no schema enforcement, and a
     mixed sigs/ table would silently produce wrong band buckets (concat_ws
     skips the null h-columns)."""
-    stored = set(spark.read.parquet(f"{path}/sigs").columns)
+    stored = set(read_parquet_cached_schema(spark, f"{path}/sigs").columns)
     expected = {"dgst", *(f"h{j}" for j in range(num_hashes))}
     if stored != expected:
         raise ValueError(
@@ -136,7 +143,7 @@ def append_to_minhash_index(
 
     spark = new_docs.sparkSession
     _check_sig_schema(spark, path, num_hashes)
-    known = spark.read.parquet(f"{path}/sigs").select("dgst")
+    known = read_parquet_cached_schema(spark, f"{path}/sigs").select("dgst")
     novel_sigs = _sign_novel(
         new_docs, known, text_col, id_col, num_hashes, shingle_size
     )
@@ -165,8 +172,8 @@ def minhash_index_edges(
       to each digest group's keeper id, then the same tier/cap guarded
       self-join as the batch path.
     """
-    docs = spark.read.parquet(f"{path}/docs")
-    sigs = spark.read.parquet(f"{path}/sigs")
+    docs = spark.read.schema(_DOCS_SCHEMA).parquet(f"{path}/docs")
+    sigs = read_parquet_cached_schema(spark, f"{path}/sigs")
     keeper = F.min("doc_id").over(Window.partitionBy("dgst"))
     lab = docs.withColumn("__keeper", keeper)
     chains = lab.filter(F.col("doc_id") != F.col("__keeper")).select(
@@ -207,19 +214,20 @@ def compact_minhash_index(
     marker dictates."""
     recover_table_swap(path, _TABLES)
     (
-        spark.read.parquet(f"{path}/docs")
+        spark.read.schema(_DOCS_SCHEMA).parquet(f"{path}/docs")
         .select("doc_id", "dgst")
         .coalesce(target_partitions)
         .write.mode("overwrite")
         .parquet(f"{path}/docs.new/batch=base")
     )
     (
-        spark.read.parquet(f"{path}/sigs")
+        read_parquet_cached_schema(spark, f"{path}/sigs")
         .coalesce(target_partitions)
         .write.mode("overwrite")
         .parquet(f"{path}/sigs.new")
     )
     commit_table_swap(path, _TABLES)
+    forget_footer_schemas(path)
 
 
 def delete_from_minhash_index(
@@ -252,15 +260,16 @@ def delete_from_minhash_index(
     docs/ at READ time, never stored."""
     recover_table_swap(path, _TABLES)
     del_ids = ids.select(F.col(id_col).alias("doc_id")).distinct()
-    kept = spark.read.parquet(f"{path}/docs").select("doc_id", "dgst").join(
+    kept = spark.read.schema(_DOCS_SCHEMA).parquet(f"{path}/docs").select("doc_id", "dgst").join(
         del_ids, "doc_id", "left_anti"
     )
     kept.write.mode("overwrite").parquet(f"{path}/docs.new/batch=base")
-    surviving = spark.read.parquet(f"{path}/docs.new").select("dgst").distinct()
-    spark.read.parquet(f"{path}/sigs").join(
+    surviving = spark.read.schema(_DOCS_SCHEMA).parquet(f"{path}/docs.new").select("dgst").distinct()
+    read_parquet_cached_schema(spark, f"{path}/sigs").join(
         surviving, "dgst", "semi"
     ).write.mode("overwrite").parquet(f"{path}/sigs.new")
     commit_table_swap(path, _TABLES)
+    forget_footer_schemas(path)
 
 
 def init_minhash_index(
@@ -303,7 +312,7 @@ def append_minhash_batch(
     """
     spark = batch_df.sparkSession
     _check_sig_schema(spark, path, num_hashes)
-    known = spark.read.parquet(f"{path}/sigs").select("dgst")
+    known = read_parquet_cached_schema(spark, f"{path}/sigs").select("dgst")
     novel = _sign_novel(
         batch_df, known, text_col, id_col, num_hashes, shingle_size
     ).localCheckpoint(eager=True)
@@ -344,7 +353,7 @@ def minhash_index_probe(
     bbands = minhash_bands(bsigs, id_col, num_hashes, rows_per_band).select(
         F.col(id_col).alias("batch_id"), "band", "bucket"
     )
-    isigs = spark.read.parquet(f"{path}/sigs")
+    isigs = read_parquet_cached_schema(spark, f"{path}/sigs")
     ibands = minhash_bands(isigs, "dgst", num_hashes, rows_per_band)
     near_cand = (
         ibands.join(F.broadcast(bbands), ["band", "bucket"])
@@ -359,7 +368,7 @@ def minhash_index_probe(
     # ONE docs/ scan, aggregated only for the matched digests (broadcast
     # semi-join pushes the digest set into the scan)
     groups = (
-        spark.read.parquet(f"{path}/docs")
+        spark.read.schema(_DOCS_SCHEMA).parquet(f"{path}/docs")
         .join(
             F.broadcast(matches.select("dgst").distinct()), "dgst", "semi"
         )

@@ -72,6 +72,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .order import global_cumsum
+from ..sources.tables import read_parquet_cached_schema
 
 # Public odd multipliers (Knuth's golden-ratio constant + the xxHash32
 # primes): per slice a FIRST multiplier (scramble the slice), then the
@@ -742,7 +743,7 @@ def write_shards(
     shard_manifest(assigned, id_col, weight_col).coalesce(
         1
     ).write.mode("overwrite").parquet(f"{path}/manifest")
-    manifest = assigned.sparkSession.read.parquet(f"{path}/manifest")
+    manifest = read_parquet_cached_schema(assigned.sparkSession, f"{path}/manifest")
     span = manifest.agg(
         F.count(F.lit(1)).alias("n"), F.max("shard_id").alias("mx")
     ).collect()[0]
@@ -810,7 +811,7 @@ def read_shards(
     verification cost scales with what is read, not the corpus).
     Returns the data DataFrame for the selected shards."""
     data = spark.read.format(data_format).load(f"{path}/data")
-    manifest = spark.read.parquet(f"{path}/manifest")
+    manifest = read_parquet_cached_schema(spark, f"{path}/manifest")
     if shard_ids is not None:
         ids = [int(s) for s in shard_ids]
         data = data.filter(F.col("shard_id").isin(ids))

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .registry import query
+from ..sources.tables import read_parquet_cached_schema
 
 
 # --------------------------------------------------------------------------
@@ -513,7 +514,7 @@ def x109(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..retrieval import search_text
 
     path = _rag_text_index(spark, sf_dir)
-    chunks = spark.read.parquet(f"{path}/chunks")
+    chunks = read_parquet_cached_schema(spark, f"{path}/chunks")
     qrows = (
         chunks.orderBy("chunk_id")
         .limit(_X109_N_QUERIES)

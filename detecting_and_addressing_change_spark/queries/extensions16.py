@@ -107,6 +107,7 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 from .extensions15 import _X110_BASE, _X110_CASE_T, _X110_DELAY, _X110_WIN
 from .registry import query
+from ..sources.tables import read_parquet_cached_schema
 
 
 # --------------------------------------------------------------------------
@@ -541,10 +542,10 @@ def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
         # §1.2; the x101 mid-pipeline rule satisfied — the collect
         # executes before run 2 starts)
         mid = (
-            spark.read.parquet(w_sink)
+            read_parquet_cached_schema(spark, w_sink)
             .agg(F.count("*").alias("w_n"))
             .crossJoin(
-                spark.read.parquet(j_sink).agg(
+                read_parquet_cached_schema(spark, j_sink).agg(
                     F.count("*").alias("j_n"),
                     F.coalesce(
                         F.sum((F.col("k") % 100 == 83).cast("long")),
@@ -553,7 +554,7 @@ def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             .crossJoin(
-                spark.read.parquet(d_sink).agg(
+                read_parquet_cached_schema(spark, d_sink).agg(
                     F.count("*").alias("d_n")
                 )
             )
@@ -576,9 +577,9 @@ def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
             "run 2",
         )
-        w_final = spark.read.parquet(w_sink).localCheckpoint(eager=True)
-        j_final = spark.read.parquet(j_sink).localCheckpoint(eager=True)
-        d_final = spark.read.parquet(d_sink).localCheckpoint(eager=True)
+        w_final = read_parquet_cached_schema(spark, w_sink).localCheckpoint(eager=True)
+        j_final = read_parquet_cached_schema(spark, j_sink).localCheckpoint(eager=True)
+        d_final = read_parquet_cached_schema(spark, d_sink).localCheckpoint(eager=True)
 
     # ---------------- raise-guarded verdicts (x113/x114/x115's
     # originals — same predicates, same failure messages; since r18 ALL

@@ -306,6 +306,7 @@ _X117_SEED = 13
 _X117_BUDGET = 4096
 
 from ..operators.sharding import epoch_order_sql as _epoch_order_sql
+from ..sources.tables import read_parquet_cached_schema
 
 _X117_ORACLE = f"""
     WITH t AS (
@@ -1302,7 +1303,7 @@ def x123(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed-5 epoch order) into a scratch dir and report every written
     document's layout row + order-weighted token checksum, read back
     from the materialized parquet."""
-    shards = spark.read.parquet(f"{_x123_layout(spark, sf_dir)}/shards")
+    shards = read_parquet_cached_schema(spark, f"{_x123_layout(spark, sf_dir)}/shards")
     return shards.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_tokens").cast("long").alias("n_tokens"),

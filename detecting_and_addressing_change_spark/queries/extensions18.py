@@ -43,6 +43,7 @@ from .extensions17 import (
     _x123_layout,
 )
 from .registry import query
+from ..sources.tables import read_parquet_cached_schema
 
 _LAYOUT_SCHEMA = (
     "doc_id long, token_ids array<int>, n_tokens int, "
@@ -298,7 +299,7 @@ def x125(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.prequential import PrequentialNB
 
     path = _x123_layout(spark, sf_dir)
-    layout = spark.read.parquet(f"{path}/shards")
+    layout = read_parquet_cached_schema(spark, f"{path}/shards")
     n_shards = int(
         layout.agg(F.countDistinct("shard_id").alias("n")).collect()[0][
             "n"
@@ -570,7 +571,7 @@ def x126(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.prequential import PrequentialLSTM
 
     path = _x123_layout(spark, sf_dir)
-    layout = spark.read.parquet(f"{path}/shards")
+    layout = read_parquet_cached_schema(spark, f"{path}/shards")
     n_shards = int(
         layout.agg(F.countDistinct("shard_id").alias("n")).collect()[0][
             "n"
@@ -773,7 +774,7 @@ def x127(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extensions10 import _scratch_index_dir
 
     path = _x123_layout(spark, sf_dir)
-    layout = spark.read.parquet(f"{path}/shards")
+    layout = read_parquet_cached_schema(spark, f"{path}/shards")
     n_shards = int(
         layout.agg(F.countDistinct("shard_id").alias("n")).collect()[0][
             "n"
@@ -993,7 +994,7 @@ def _x128_epoch2_layout(
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _X128_EPOCH2:
         path = _x123_layout(spark, sf_dir)
-        layout = spark.read.parquet(f"{path}/shards")
+        layout = read_parquet_cached_schema(spark, f"{path}/shards")
         e2path = _scratch_index_dir(spark, "x128epoch2_")
         assigned = assign_shards(
             layout.select("doc_id", "token_ids", "n_tokens"),
@@ -1054,7 +1055,7 @@ def x128(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sharding import read_shards
 
     path = _x123_layout(spark, sf_dir)
-    layout = spark.read.parquet(f"{path}/shards")
+    layout = read_parquet_cached_schema(spark, f"{path}/shards")
 
     # the shared epoch-2 fixture runs assign_shards -> write_shards on
     # first use (x129 replays the same layout)

@@ -37,6 +37,7 @@ from .extensions18 import (
     _x128_epoch2_layout,
 )
 from .registry import query
+from ..sources.tables import read_parquet_cached_schema
 
 # --------------------------------------------------------------------------
 # X129 — multi-epoch prequential training across the epoch re-shard.
@@ -185,9 +186,9 @@ def x129(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.prequential import PrequentialNB
 
     path1 = _x123_layout(spark, sf_dir)
-    layout1 = spark.read.parquet(f"{path1}/shards")
+    layout1 = read_parquet_cached_schema(spark, f"{path1}/shards")
     path2, _span2 = _x128_epoch2_layout(spark, sf_dir)
-    layout2 = spark.read.parquet(f"{path2}/data")
+    layout2 = read_parquet_cached_schema(spark, f"{path2}/data")
 
     epos = F.struct(
         (

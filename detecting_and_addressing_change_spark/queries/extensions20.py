@@ -44,6 +44,7 @@ from .extensions18 import (
     _x128_epoch2_layout,
 )
 from .registry import query
+from ..sources.tables import read_parquet_cached_schema
 
 # --------------------------------------------------------------------------
 # X130 — shard-growth plan verdict. Two plans over the documents ids:
@@ -265,7 +266,7 @@ def x131(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..curation import _derive_packs_per_shard
 
-    shards = spark.read.parquet(f"{_x123_layout(spark, sf_dir)}/shards")
+    shards = read_parquet_cached_schema(spark, f"{_x123_layout(spark, sf_dir)}/shards")
 
     # the REAL production call (one corpus agg, the sqrt default path)
     derived_pps = _derive_packs_per_shard(
@@ -417,9 +418,9 @@ def x132(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.prequential import PrequentialLSTM
 
     path1 = _x123_layout(spark, sf_dir)
-    layout1 = spark.read.parquet(f"{path1}/shards")
+    layout1 = read_parquet_cached_schema(spark, f"{path1}/shards")
     path2, _span2 = _x128_epoch2_layout(spark, sf_dir)
-    layout2 = spark.read.parquet(f"{path2}/data")
+    layout2 = read_parquet_cached_schema(spark, f"{path2}/data")
 
     epos = (
         F.col("pack_id").cast("long") * _X123_PACK

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from .operators.embedder import pooled_embed_documents_tagged
 from .operators.ivf_index import build_ivf_index, ivf_index_search
+from .sources.tables import read_parquet_cached_schema
 
 # chunk_id = doc_id * CHUNK_ID_BASE + chunk_idx. Chunking covers the WHOLE
 # document (no truncation), so the base bounds the supported document
@@ -89,7 +90,7 @@ def build_text_index(
     )
     chunks.write.mode("overwrite").parquet(f"{out_path}/chunks")
     spark = docs.sparkSession
-    chunks = spark.read.parquet(f"{out_path}/chunks")  # embed from disk,
+    chunks = read_parquet_cached_schema(spark, f"{out_path}/chunks")  # embed from disk,
     # not through a recomputed chunk pipeline
     # capacity guard on the cheap re-read (no extra chunking pass): a
     # chunk_idx at the base would collide into the next doc's id space
@@ -147,7 +148,7 @@ def search_text(
     hits = ivf_index_search(
         spark, out_path, qvecs, k=k, nprobe=nprobe, exclude_self=False
     )
-    chunks = spark.read.parquet(f"{out_path}/chunks")
+    chunks = read_parquet_cached_schema(spark, f"{out_path}/chunks")
     return (
         hits.join(
             chunks, hits["cand_id"] == chunks["chunk_id"]

@@ -13,6 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from .tables import read_parquet_cached_schema
 
 
 def build_or_load(
@@ -24,7 +25,7 @@ def build_or_load(
     table doesn't exist yet."""
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         builder().write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    return read_parquet_cached_schema(spark, path)
 
 
 def build_adaptation_pairs(

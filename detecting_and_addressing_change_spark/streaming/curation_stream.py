@@ -42,6 +42,7 @@ from ..operators.minhash_index import (
     append_minhash_batch,
     minhash_index_probe,
 )
+from ..sources.tables import read_parquet_cached_schema
 
 
 def curate_batch(
@@ -173,7 +174,7 @@ def curated_corpus(spark: SparkSession, out_path: str) -> DataFrame:
     epoch partition (ADVICE r9 — same every-touch rule as the IVF
     index's ``_recover_postings``)."""
     recover_all_partition_swaps(out_path)
-    return spark.read.parquet(out_path).drop("batch")
+    return read_parquet_cached_schema(spark, out_path).drop("batch")
 
 
 def curation_stats(spark: SparkSession, out_path: str) -> DataFrame:
@@ -184,7 +185,7 @@ def curation_stats(spark: SparkSession, out_path: str) -> DataFrame:
     partitions, but the sweep keys on the corpus root, so a stats read
     after a crash heals the corpus too)."""
     recover_all_partition_swaps(out_path)
-    return spark.read.parquet(f"{out_path}/_stats").drop("batch")
+    return read_parquet_cached_schema(spark, f"{out_path}/_stats").drop("batch")
 
 
 def takedown_from_curation(
@@ -229,7 +230,7 @@ def takedown_from_curation(
     # never one missing a partition stranded by a crashed prior run.
     recover_all_partition_swaps(out_path)
     del_ids = ids.select(F.col(id_col).alias("__del_id")).distinct()
-    corpus = spark.read.parquet(out_path)
+    corpus = read_parquet_cached_schema(spark, out_path)
     touched = sorted(
         int(r["batch"])
         for r in corpus.join(
@@ -241,7 +242,7 @@ def takedown_from_curation(
     )
     staging = f"{out_path}/.staging_takedown"
     for epoch in touched:
-        kept = spark.read.parquet(f"{out_path}/batch={epoch}").join(
+        kept = read_parquet_cached_schema(spark, f"{out_path}/batch={epoch}").join(
             F.broadcast(del_ids),
             F.col(id_col) == F.col("__del_id"),
             "left_anti",

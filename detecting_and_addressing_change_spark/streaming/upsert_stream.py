@@ -77,8 +77,14 @@ class ChangelogSnapshot:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         parts = batch_df
         if self.epoch > 0:
-            prev = self.spark.read.parquet(self._path(self.epoch))
+            # state rows are merged batch rows, so the stored epoch's schema
+            # IS the batch schema — passing it skips the footer-inference
+            # job a bare read would fire per epoch (guide §1.2)
+            prev = self.spark.read.schema(batch_df.schema).parquet(
+                self._path(self.epoch)
+            )
             parts = prev.unionByName(batch_df)
+        self._state_schema = batch_df.schema
         w = Window.partitionBy(*self.key_cols).orderBy(
             F.desc(self.version_col)
         )
@@ -95,7 +101,9 @@ class ChangelogSnapshot:
         merge metadata stripped)."""
         if self.epoch == 0:
             raise ValueError("no batches processed yet")
-        cur = self.spark.read.parquet(self._path(self.epoch))
+        sch = getattr(self, "_state_schema", None)
+        reader = self.spark.read.schema(sch) if sch else self.spark.read
+        cur = reader.parquet(self._path(self.epoch))
         return cur.filter(F.col(self.op_col) != self.delete_op).drop(
             self.version_col, self.op_col
         )
