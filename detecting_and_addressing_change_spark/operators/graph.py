@@ -285,10 +285,16 @@ def dedup_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if norm.count() <= small_graph_threshold:
+    # ONE action decides the route AND fetches the small graph (r18, guide
+    # §1.2 action count — was a count job followed by a collect job): limit
+    # to threshold+1 bounds the driver transfer the same way the count
+    # guard did (~16 B/edge, <=16 MB at the default threshold); seeing
+    # threshold+1 rows means "not small", collect is never unbounded.
+    head = norm.limit(small_graph_threshold + 1).collect()
+    if len(head) <= small_graph_threshold:
         spark = nodes.sparkSession
         local = _unionfind_min_labels(
-            [(int(r[0]), int(r[1])) for r in norm.collect()]
+            [(int(r[0]), int(r[1])) for r in head]
         )
         lab = spark.createDataFrame(local, "node bigint, lbl bigint")
         node_t = dict(nodes.dtypes)[id_col]

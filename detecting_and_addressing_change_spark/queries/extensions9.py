@@ -1070,18 +1070,27 @@ def x71(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at sf0.1: 3.68 -> 1.78 s, output bit-identical (exact int64
     # fixed-point — no float order to disturb). A many-iteration variant
     # would reinstate periodic truncation; 3 is the declared contract.
-    nodes = edges.select(F.col("a").alias("v")).distinct().localCheckpoint(
-        eager=True
-    )
-    n = nodes.count()  # scalar — the |vocab| normalizer
+    # invariants LAZY over the one checkpointed edge table (r18; was one
+    # eager localCheckpoint each): their subtrees are identical at every
+    # reference, so ReuseExchange serves the repeats, and a failed reuse
+    # would only re-aggregate the checkpointed edges — bounded work, no
+    # upstream re-execution. Drops two blocking construction jobs
+    # (measured 18 -> 15 jobs, bit-identical output).
+    nodes = edges.select(F.col("a").alias("v")).distinct()
+    # |vocab| normalizer carried IN-PLAN as a broadcast 1-row agg (r18,
+    # guide §1.2 action count — was an eager nodes.count() job): every
+    # use of n is integer arithmetic on the long column, so the values
+    # are bit-identical to the former driver-side literals.
+    n_row = nodes.agg(F.count(F.lit(1)).alias("__n"))
     wdeg = edges.groupBy("a").agg(F.sum("w").alias("wd"))
-    contrib_base = edges.join(wdeg, "a").localCheckpoint(eager=True)
+    contrib_base = edges.join(wdeg, "a")
     # exact int64 fixed-point (scale 1e12, damping 17/20): DIV and
     # order-free integer sums make the iterative result bit-identical
     # across engines and partitionings — no float summation order to trust
     scale = 1_000_000_000_000
-    ranks = nodes.select("v", F.lit(scale // n).cast("long").alias("r"))
-    base = (3 * scale) // (20 * n)
+    ranks = nodes.join(F.broadcast(n_row)).select(
+        "v", F.expr(f"{scale}L DIV __n").cast("long").alias("r")
+    )
     for _ in range(_TR_ITER):
         msgs = (
             contrib_base.join(
@@ -1094,10 +1103,11 @@ def x71(spark: SparkSession, sf_dir: str) -> DataFrame:
             nodes.join(
                 msgs.withColumnRenamed("b", "v"), "v", "left"
             )
+            .join(F.broadcast(n_row))
             .select(
                 "v",
                 (
-                    F.lit(base)
+                    F.expr(f"({3 * scale}L) DIV (20L * __n)")
                     + F.expr("(17 * coalesce(s, 0L)) DIV 20")
                 ).cast("long").alias("r"),
             )
