@@ -678,6 +678,14 @@ def _jaccard_dense_vocab(
     - bounded expansion: per group only the top_n+1 smallest doc ids can
       appear in the first top_n pairs of any (jaccard, a_id, b_id)
       ordering, so each kept mask pair expands to at most (top_n+1)² rows.
+
+    Measured scale limit (r18 slope refresh, BENCH_NOTES): the pairwise
+    stage is Θ(|distinct masks|²) — the exact-top-n semantics require
+    scoring every qualifying set pair — so a corpus whose distinct word
+    SETS grow with it goes quadratic (10x perturbed corpus measured
+    48.5x). The distinct-mask collapse IS the guard (mass duplicates
+    cost one mask); corpora past it belong on the guarded MinHash
+    candidate family (x04/x90) feeding the same verifier.
     """
     from pyspark.sql import Window
 

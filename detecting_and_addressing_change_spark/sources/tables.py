@@ -216,12 +216,66 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(sch).parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    try:
+        v = str(spark.conf.get(key)).strip().lower().rstrip("b")
+        mult = 1
+        for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+            if v.endswith(suffix):
+                mult, v = m, v[:-1]
+                break
+        return int(float(v)) * mult
+    except Exception:
+        return default
+
+
 def spread_small_input(df: DataFrame) -> DataFrame:
     """Repartition ONLY when the scan produced fewer partitions than cores
     (single-file testdata): heavy per-row compute (hashing, shingling)
     otherwise runs on one core. At real scale the scan already has enough
-    splits and this is a no-op — no shuffle is added."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    splits and this is a no-op — no shuffle is added.
+
+    The branch is decided from the leaf scans' FILE LAYOUT (Spark's own
+    split-packing arithmetic over ``df.inputFiles()``), never from
+    ``df.rdd.getNumPartitions()``: converting to an RDD physically plans
+    the whole frame per call (~60 ms of construction latency here,
+    arbitrarily expensive for 100 TB plan trees), and on a frame with a
+    shuffle upstream it EXECUTES those stages — a measured construction-
+    time Spark job per probe under AQE (r18, guide §1.2/§7.3). The
+    estimate only steers a semantically-free round-robin repartition, so
+    an off-by-a-split estimate can never change results. Frames with no
+    file leaves (in-memory sources) keep the exact RDD probe."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    local = [f[len("file:"):] for f in files if f.startswith("file:")]
+    if files and len(local) == len(files):
+        sizes = []
+        for p in local:
+            try:
+                sizes.append(os.path.getsize(p))
+            except OSError:
+                sizes = None
+                break
+        if sizes is not None:
+            # FilePartition packing: maxSplitBytes = min(maxPartitionBytes,
+            # max(openCost, padded_total / minPartitionNum)); estimated
+            # scan partitions ~ padded_total / maxSplitBytes
+            open_cost = _conf_bytes(
+                spark, "spark.sql.files.openCostInBytes", 4 << 20
+            )
+            max_pb = _conf_bytes(
+                spark, "spark.sql.files.maxPartitionBytes", 128 << 20
+            )
+            padded = sum(s + open_cost for s in sizes)
+            max_split = min(max_pb, max(open_cost, padded // max(1, target)))
+            est = -(-padded // max(1, max_split))
+            if est < target:
+                return df.repartition(target)
+            return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
